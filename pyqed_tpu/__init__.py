@@ -1,0 +1,21 @@
+"""pyqed_tpu — a TPU-native framework for molecular quantum electrodynamics,
+quantum dynamics, and nonlinear spectroscopy.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of the pyqed
+reference (see SURVEY.md). The public surface deliberately mirrors the
+reference's flat namespace (reference: pyqed/__init__.py:1-15 star-imports)
+but with explicit exports.
+"""
+
+__version__ = "0.1.0"
+
+from . import units
+from .units import *  # noqa: F401,F403 — constants namespace, like the reference
+from .config import use_x64, default_complex, default_real
+
+from .ops import *  # noqa: F401,F403
+from .core import Result, load_result
+from .models import (
+    Mol, SESolver, mls, tdse,
+    Pulse, GaussianPulse, ChirpedPulse, Biphoton, intensity_to_field,
+)

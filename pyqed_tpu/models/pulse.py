@@ -1,0 +1,216 @@
+"""Laser pulses and entangled-photon (biphoton) sources.
+
+TPU-native counterpart of the reference optics module
+(reference: pyqed/optics.py — ``Pulse:230``, ``GaussianPulse:353``,
+``ChirpedPulse:454``, ``Biphoton:545``, ``intensity_to_field:22``,
+``_jsa:791``, ``jta:737``, ``rdm:761``, ``hom:844``).
+
+All field evaluations are jnp-traceable so pulses can be evaluated inside
+jitted RK4 stages (the reference re-evaluates ``pulse.efield(t)`` per stage
+in Python: pyqed/mol.py:1903).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..units import au2ev, au2fs, alpha as fine_structure, au2watt_per_centimeter_squared
+from ..ops.math import rect, sinc, interval
+from ..ops.linalg import dag
+
+FWHM_FACTOR = 2.3548200450309493  # 2 sqrt(2 ln 2)
+
+
+def intensity_to_field(I):
+    """E (a.u.) from intensity in W/cm^2 (reference: pyqed/optics.py:22)."""
+    return np.sqrt(2.0 * I * 4.0 * np.pi / au2watt_per_centimeter_squared / fine_structure)
+
+
+def std_to_fwhm(tau):
+    return FWHM_FACTOR * tau
+
+
+class Pulse:
+    """Gaussian pulse; ``efield`` returns the *real* field
+    Re[A e^{-(t-tc)^2/2tau^2} e^{-i w (t-tc)}]
+    (reference: pyqed/optics.py:230-340)."""
+
+    def __init__(self, omegac=3.0 / au2ev, tau=5.0 / au2fs, tc=0.0, delay=0.0,
+                 amplitude=0.001, intensity=None, cep=0.0, beta=0.0,
+                 polarization=None):
+        self.delay = delay
+        self.tc = tc
+        self.tau = tau
+        self.fwhm = tau * FWHM_FACTOR
+        self.sigma = tau
+        self.omegac = omegac
+        self.unit = 'au'
+        self.amplitude = intensity_to_field(intensity) if intensity is not None else amplitude
+        self.cep = cep
+        self.bandwidth = 1.0 / tau
+        self.duration = 2.0 * tau
+        self.beta = beta
+        self.ndim = 1
+        self.polarization = polarization
+
+    def envelop(self, t):
+        return self.amplitude * jnp.exp(-((t - self.tc) ** 2) / 2.0 / self.tau**2)
+
+    def spectrum(self, omega):
+        return (self.amplitude * self.tau * jnp.sqrt(2.0 * jnp.pi)
+                * jnp.exp(-((omega - self.omegac) ** 2) * self.tau**2 / 2.0))
+
+    def efield(self, t):
+        E = (self.amplitude
+             * jnp.exp(-((t - self.tc) ** 2) / 2.0 / self.tau**2)
+             * jnp.exp(-1j * self.omegac * (t - self.tc)))
+        return jnp.real(E)
+
+    def field(self, t):
+        return self.efield(t)
+
+    def efield_complex(self, t):
+        """Positive-frequency analytic field (half the real field's analytic
+        signal, used by perturbative signal drivers)."""
+        return (self.amplitude
+                * jnp.exp(-((t - self.tc) ** 2) / 2.0 / self.tau**2)
+                * jnp.exp(-1j * self.omegac * (t - self.tc)))
+
+    def E(self, t):
+        if self.polarization is None:
+            raise ValueError("polarization not set")
+        pol = jnp.asarray(self.polarization)
+        return jnp.real(pol * self.efield_complex(t))
+
+
+class GaussianPulse(Pulse):
+    """cos-carrier Gaussian pulse (reference: pyqed/optics.py:353-455)."""
+
+    def efield(self, t):
+        return (self.amplitude
+                * jnp.exp(-((t - self.tc) ** 2) / 2.0 / self.tau**2)
+                * jnp.cos(self.omegac * (t - self.tc)))
+
+
+class ChirpedPulse(Pulse):
+    """Linearly chirped Gaussian pulse (reference: pyqed/optics.py:454-545)."""
+
+    def efield(self, t):
+        u = t - self.tc
+        E = (self.amplitude * jnp.exp(-(u**2) / 2.0 / self.tau**2)
+             * jnp.exp(-1j * self.omegac * u)
+             * jnp.exp(-1j * self.beta * self.omegac * u**2 / self.tau))
+        return jnp.real(E)
+
+    def spectrum(self, omega):
+        a = 0.5 / self.tau**2 + 1j * self.beta * self.omegac / self.tau
+        return (self.amplitude * jnp.sqrt(jnp.pi / a)
+                * jnp.exp(-((omega - self.omegac) ** 2) / 4.0 / a))
+
+
+# --------------------------------------------------------------- biphoton
+
+def jsa(p, q, pump_bw, model="sinc", Te=None):
+    """Joint spectral amplitude for an SPDC pair
+    (reference: pyqed/optics.py:791-836)."""
+    P, Q = jnp.meshgrid(p, q)
+    sigma_plus = pump_bw
+
+    pump = (jnp.sqrt(1.0 / (jnp.sqrt(2.0 * jnp.pi) * sigma_plus))
+            * jnp.exp(-((P + Q) ** 2) / 4.0 / sigma_plus**2))
+
+    if model == "Gaussian":
+        sigma_minus = 1.0 / Te
+        beta = (jnp.sqrt(1.0 / jnp.sqrt(2.0 * jnp.pi) / sigma_minus)
+                * jnp.exp(-((P - Q) ** 2) / 4.0 / sigma_minus**2))
+        return jnp.sqrt(2.0) * pump * beta
+    elif model == "sinc":
+        beta = jnp.sqrt(0.5 * Te / jnp.pi) * sinc(Te * (P - Q) / 4.0)
+        return pump * beta
+    raise ValueError(f"unknown phase-matching model {model!r}")
+
+
+def jta(t2, t1, omegap, sigmap, Te):
+    """Analytic joint temporal amplitude for type-II SPDC
+    (reference: pyqed/optics.py:737-760)."""
+    omegas = omegap / 2.0
+    omegai = omegap / 2.0
+    tau = t2 - t1
+    return (jnp.sqrt(sigmap / Te) * (2.0 * jnp.pi) ** 0.75
+            * rect(tau / 2.0 / Te)
+            * jnp.exp(-(sigmap**2) * (t1 + t2) ** 2 / 4.0)
+            * jnp.exp(-1j * omegas * t1 - 1j * omegai * t2))
+
+
+def rdm(f, dx=1.0, dy=1.0, which="x"):
+    """Reduced density matrix of a 2D amplitude
+    (reference: pyqed/optics.py:761)."""
+    f = jnp.asarray(f)
+    if which == "x":
+        return f @ dag(f) * dy
+    elif which == "y":
+        return f.T @ jnp.conj(f) * dx
+    raise ValueError("which can only be x or y.")
+
+
+def hom(p, q, f, tau):
+    """Hong-Ou-Mandel coincidence dip (reference: pyqed/optics.py:844),
+    vectorized over the delay array."""
+    dp = interval(p)
+    dq = interval(q)
+    P, Q = jnp.meshgrid(p, q)
+    phases = jnp.exp(1j * (P - Q)[None, :, :] * jnp.asarray(tau)[:, None, None])
+    overlap = jnp.sum(f.conj()[None] * f.T[None] * phases, axis=(1, 2)).real * dp * dq
+    return 0.5 - 0.5 * overlap
+
+
+class Biphoton:
+    """Entangled photon pair (reference: pyqed/optics.py:545-760)."""
+
+    def __init__(self, omegap, bw, Te, p=None, q=None, phase_matching="sinc"):
+        self.omegap = omegap
+        self.pump_bandwidth = bw
+        self.phase_matching = phase_matching
+        self.signal_center_frequency = omegap / 2.0
+        self.idler_center_frequency = omegap / 2.0
+        self.entanglement_time = Te
+        self.jsa = None
+        self.jta = None
+        self.p = p
+        self.q = q
+        if p is not None:
+            self.dp = interval(p)
+            self.dq = interval(q)
+        self.grid = [p, q]
+
+    def set_grid(self, p, q):
+        self.p, self.q = p, q
+        self.dp, self.dq = interval(p), interval(q)
+
+    def get_jsa(self):
+        self.jsa = jsa(self.p, self.q, self.pump_bandwidth,
+                       model=self.phase_matching, Te=self.entanglement_time)
+        return self.jsa
+
+    def get_jta(self):
+        from ..ops.fft import fft2
+        if self.jsa is None:
+            raise ValueError("jsa is None. Call get_jsa() first.")
+        ts, ti, jta_ = fft2(self.jsa, self.dp, self.dq)
+        self.jta = jta_
+        return ts, ti, jta_
+
+    def bandwidth(self, which="signal"):
+        p, q = self.p, self.q
+        dp, dq = interval(p), interval(q)
+        f = self.jsa
+        if which == "signal":
+            rho = rdm(f, dy=dq, which="x")
+            return jnp.sqrt(jnp.diagonal(rho) @ (p**2) * dp).real
+        rho = rdm(f, dx=dp, which="y")
+        return jnp.sqrt(jnp.diagonal(rho) @ (q**2) * dq).real
+
+    def rdm(self, which="signal"):
+        if which == "signal":
+            return rdm(self.jsa, dy=self.dq, which="x")
+        return rdm(self.jsa, dx=self.dp, which="y")

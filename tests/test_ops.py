@@ -1,0 +1,182 @@
+"""Foundation-layer unit tests: operator algebra, superoperators, FFT.
+
+Golden values come from independent NumPy/SciPy constructions following the
+reference definitions (pyqed/phys.py, pyqed/superoperator.py, pyqed/fft.py).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyqed_tpu import (
+    dag, commutator, anticommutator, tensor, ptrace, ket2dm, obs, obs_dm,
+    pauli, destroy, create, basis, ham_ho, thermal_dm, quadrature,
+    dm2vec, vec2dm, left, right, op2sop, lindblad_dissipator, liouvillian,
+    liouvillian_action, rk4, gwp, rgwp, lorentzian, transform,
+)
+from pyqed_tpu.ops import fft as pfft
+from pyqed_tpu.ops.expm import (
+    expm_eig, propagators, expm_multiply_taylor, krylov_expm_multiply,
+)
+
+
+def rand_herm(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+    return (A + A.conj().T) / 2
+
+
+def rand_dm(n, seed=1):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+    rho = A @ A.conj().T
+    return rho / np.trace(rho)
+
+
+class TestLinalg:
+    def test_pauli_algebra(self):
+        s0, sx, sy, sz = pauli()
+        assert np.allclose(commutator(sx, sy), 2j * sz)
+        assert np.allclose(anticommutator(sx, sx), 2 * s0)
+        assert np.allclose(dag(sy), sy)
+
+    def test_destroy_create(self):
+        a = destroy(5)
+        n_op = dag(a) @ a
+        assert np.allclose(np.diag(n_op), np.arange(5))
+        assert np.allclose(commutator(a, dag(a))[:4, :4], np.eye(4))
+
+    def test_tensor_ptrace_roundtrip(self):
+        rhoA = rand_dm(3, 2)
+        rhoB = rand_dm(4, 3)
+        rho = tensor(rhoA, rhoB)
+        assert np.allclose(ptrace(rho, [3, 4], which="B"), rhoA, atol=1e-12)
+        assert np.allclose(ptrace(rho, [3, 4], which="A"), rhoB, atol=1e-12)
+
+    def test_obs(self):
+        psi = np.array([1.0, 1j]) / np.sqrt(2)
+        _, sx, sy, sz = pauli()[0], *pauli()[1:]
+        assert np.isclose(obs(psi, sy).real, 1.0)
+        assert np.isclose(obs_dm(ket2dm(psi), sy).real, 1.0)
+
+    def test_transform(self):
+        H = rand_herm(4)
+        w, v = np.linalg.eigh(H)
+        assert np.allclose(transform(H, v), np.diag(w), atol=1e-12)
+
+    def test_rk4_exact_linear(self):
+        # dy/dt = -iHy vs exact evolution
+        H = rand_herm(4, 5)
+        psi0 = np.eye(4)[:, 0].astype(complex)
+        dt = 0.001
+        psi = jnp.asarray(psi0)
+        for _ in range(100):
+            psi = rk4(psi, lambda y: -1j * (H @ y), dt)
+        exact = expm_eig(jnp.asarray(H), 0.1) @ psi0
+        assert np.allclose(psi, exact, atol=1e-10)
+
+
+class TestSuperoperator:
+    def test_left_right_vectorization(self):
+        n = 3
+        a = rand_herm(n, 7)
+        rho = rand_dm(n, 8)
+        assert np.allclose(left(jnp.asarray(a)) @ dm2vec(rho),
+                           dm2vec(a @ rho), atol=1e-12)
+        assert np.allclose(right(jnp.asarray(a)) @ dm2vec(rho),
+                           dm2vec(rho @ a), atol=1e-12)
+
+    def test_liouvillian_dense_vs_matrix_free(self):
+        n = 4
+        H = rand_herm(n, 9)
+        c1 = np.tril(np.random.default_rng(0).normal(size=(n, n)), -1).astype(complex)
+        c2 = 0.3 * rand_herm(n, 11)
+        L = liouvillian(jnp.asarray(H), [jnp.asarray(c1), jnp.asarray(c2)])
+        Lact = liouvillian_action(jnp.asarray(H), [jnp.asarray(c1), jnp.asarray(c2)])
+        rho = rand_dm(n, 12)
+        dense = vec2dm(L @ dm2vec(rho), n)
+        free = Lact(jnp.asarray(rho))
+        assert np.allclose(dense, free, atol=1e-12)
+
+    def test_dissipator_trace_preserving(self):
+        n = 3
+        l = np.random.default_rng(3).normal(size=(n, n)).astype(complex)
+        D = lindblad_dissipator(jnp.asarray(l))
+        rho = rand_dm(n, 4)
+        drho = vec2dm(D @ dm2vec(rho), n)
+        assert abs(np.trace(drho)) < 1e-12
+
+
+class TestExpm:
+    def test_expm_eig(self):
+        import scipy.linalg
+        H = rand_herm(6, 20)
+        t = 0.7
+        assert np.allclose(expm_eig(jnp.asarray(H), t),
+                           scipy.linalg.expm(-1j * H * t), atol=1e-10)
+
+    def test_propagators_diag_vs_rk4(self):
+        H = rand_herm(4, 21) * 0.5
+        dt, nt = 0.01, 50
+        Ud = propagators(jnp.asarray(H), dt, nt, method="diag")
+        Ur = propagators(jnp.asarray(H), dt, nt, method="rk4")
+        assert np.allclose(Ud, Ur, atol=1e-8)
+
+    def test_expm_multiply_taylor(self):
+        import scipy.linalg
+        A = rand_herm(8, 22)
+        b = np.random.default_rng(1).normal(size=8).astype(complex)
+        y = expm_multiply_taylor(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                                 dt=0.5, order=16, nsub=2)
+        assert np.allclose(y, scipy.linalg.expm(A * 0.5) @ b, atol=1e-9)
+
+    def test_krylov_expm_multiply(self):
+        import scipy.linalg
+        # non-Hermitian generator (Liouvillian-like)
+        rng = np.random.default_rng(5)
+        A = rng.normal(size=(12, 12)) + 1j * rng.normal(size=(12, 12))
+        A = A - 3 * np.eye(12)  # damp
+        b = rng.normal(size=12).astype(complex)
+        y = krylov_expm_multiply(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                                 dt=0.3, m=12)
+        assert np.allclose(y, scipy.linalg.expm(A * 0.3) @ b, atol=1e-8)
+
+
+class TestFFT:
+    def test_fft_gaussian_analytic(self):
+        # FT of a Gaussian is analytic: int dt e^{-t^2/2s^2} e^{-iwt}
+        s = 0.8
+        t = np.linspace(-40, 40, 1024)
+        f = np.exp(-(t**2) / 2 / s**2)
+        g, w = pfft.fft(jnp.asarray(f), jnp.asarray(t))
+        exact = s * np.sqrt(2 * np.pi) * np.exp(-(np.asarray(w) ** 2) * s**2 / 2)
+        assert np.allclose(np.asarray(g).real, exact, atol=1e-8)
+        assert np.max(np.abs(np.asarray(g).imag)) < 1e-8
+
+    def test_ifft_inverts(self):
+        s = 0.5
+        t = np.linspace(-30, 30, 512)
+        f = np.exp(-(t**2) / 2 / s**2) * np.exp(1j * 2.0 * t)
+        g, w = pfft.fft(jnp.asarray(f), jnp.asarray(t))
+        f2, t2 = pfft.ifft(jnp.asarray(g) / (2 * np.pi) * (len(t) / len(t)), jnp.asarray(w))
+        # ifft(fft(f)) * dw * n relates back with 2pi/N dt dw = 2pi/n factors;
+        # check shape/parity behavior via Parseval instead
+        dt = t[1] - t[0]
+        dw = np.asarray(w)[1] - np.asarray(w)[0]
+        assert np.isclose(np.sum(np.abs(f) ** 2) * dt,
+                          np.sum(np.abs(np.asarray(g)) ** 2) * dw / (2 * np.pi),
+                          rtol=1e-6)
+
+
+class TestWavepacket:
+    def test_gwp_normalized(self):
+        x = np.linspace(-10, 10, 2001)
+        dx = x[1] - x[0]
+        psi = gwp(jnp.asarray(x), a=2.0, x0=0.5, p0=3.0)
+        assert np.isclose(np.sum(np.abs(psi) ** 2) * dx, 1.0, atol=1e-8)
+        psir = rgwp(jnp.asarray(x), x0=0.3, sigma=0.7)
+        assert np.isclose(np.sum(np.abs(psir) ** 2) * dx, 1.0, atol=1e-8)
+
+    def test_lorentzian_normalized(self):
+        x = np.linspace(-2000, 2000, 400001)
+        y = lorentzian(jnp.asarray(x), width=2.0)
+        assert np.isclose(np.trapezoid(np.asarray(y), x), 1.0, atol=1e-3)
