@@ -1,0 +1,6 @@
+from .sos import (
+    absorption, linear_absorption, TPA, TPA2D, TPA2D_time_order,
+    ESA, GSB, SE, _photon_echo, photon_echo, photon_echo_t3,
+    DQC_R1, DQC_R2, etpa, cars, mcd, polarizability,
+)
+from . import tdes

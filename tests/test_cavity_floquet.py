@@ -1,0 +1,173 @@
+"""Cavity/polariton and Floquet tests.
+
+Golden physics: Jaynes-Cummings analytic polariton splitting, RWA vs full
+Rabi model at weak coupling, photon fractions, vacuum Rabi oscillation;
+Floquet: static limit reproduces Bloch bands, high-frequency limit
+renormalizes hopping by J_0, SSH winding numbers 0/1 across the
+topological transition.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from pyqed_tpu import Mol, pauli, sigmam, basis, ket2dm, dag
+from pyqed_tpu.models.cavity import Cavity, Polariton, Composite
+from pyqed_tpu.open import LindbladSolver
+from pyqed_tpu.floquet import (
+    TightBinding, FloquetBloch, floquet_matrix, make_peierls_blocks_fn,
+    gomez_leon_model,
+)
+
+
+def tls(omega0=1.0):
+    H = jnp.diag(jnp.array([0.0, omega0]))
+    _, sx, _, _ = pauli()
+    m = Mol(H, edip=sx, lowering=sigmam())
+    return m
+
+
+class TestPolariton:
+    def test_jaynes_cummings_splitting(self):
+        """Resonant JC: polariton doublet at omega +- g."""
+        omega = 1.0
+        g = 0.1
+        mol = tls(omega)
+        cav = Cavity(freq=omega, n_cav=5)
+        pol = Polariton(mol, cav, g=g)
+        pol.getH(RWA=True)
+        evals, evecs, n_ph = pol.eigenstates()
+        E = np.sort(np.asarray(evals))
+        # ground state 0, then doublet omega -+ g
+        assert np.isclose(E[0], 0.0, atol=1e-12)
+        assert np.isclose(E[1], omega - g, atol=1e-10)
+        assert np.isclose(E[2], omega + g, atol=1e-10)
+        # polariton doublet has ~half photon character
+        idx = np.argsort(np.asarray(evals))
+        nph = np.asarray(n_ph)[idx]
+        assert np.isclose(nph[1], 0.5, atol=1e-8)
+        assert np.isclose(nph[2], 0.5, atol=1e-8)
+
+    def test_full_vs_rwa_weak_coupling(self):
+        omega = 1.0
+        g = 0.005
+        mol = tls(omega)
+        cav = Cavity(freq=omega, n_cav=8)
+        pol = Polariton(mol, cav, g=g)
+        H_full = pol.getH(RWA=False)
+        w_full = np.sort(np.asarray(jnp.linalg.eigvalsh(H_full)))
+        pol2 = Polariton(tls(omega), Cavity(freq=omega, n_cav=8), g=g)
+        H_rwa = pol2.getH(RWA=True)
+        w_rwa = np.sort(np.asarray(jnp.linalg.eigvalsh(H_rwa)))
+        # low polariton states agree to O(g^2/omega) ~ Bloch-Siegert shift
+        assert np.max(np.abs(w_full[:3] - w_rwa[:3])) < 5 * g**2 / omega
+
+    def test_vacuum_rabi_oscillation(self):
+        """|e, 0> oscillates to |g, 1> at frequency 2g (RWA)."""
+        omega, g = 1.0, 0.05
+        mol = tls(omega)
+        cav = Cavity(freq=omega, n_cav=3)
+        pol = Polariton(mol, cav, g=g)
+        H = pol.getH(RWA=True)
+        psi0 = jnp.kron(basis(2, 1), basis(3, 0))
+        from pyqed_tpu import SESolver
+        e_num = pol.promote_op(cav.num(), kind="cav")
+        res = SESolver(H).run(psi0=psi0, dt=0.05, Nt=2000, e_ops=[e_num],
+                              method="expm")
+        nph = np.asarray(res.observables[:, 0]).real
+        t = np.asarray(res.times)
+        assert np.max(np.abs(nph - np.sin(g * t) ** 2)) < 1e-10
+
+    def test_cavity_leak_lindblad(self):
+        """Photon decays at rate kappa via the cav_leak collapse operator."""
+        omega, g, kappa = 1.0, 0.0, 0.1
+        mol = tls(omega)
+        cav = Cavity(freq=omega, n_cav=3, decay=kappa)
+        pol = Polariton(mol, cav, g=g)
+        H = pol.getH(RWA=True)
+        c = jnp.sqrt(kappa) * pol.get_cav_leak()
+        rho0 = ket2dm(jnp.kron(basis(2, 0), basis(3, 1)))
+        num = pol.promote_op(cav.num(), kind="cav")
+        solver = LindbladSolver(H, c_ops=[c])
+        res = solver.run(rho0, dt=0.05, Nt=1000, e_ops=[num])
+        nph = np.asarray(res.observables[:, 0]).real
+        t = np.asarray(res.times)
+        assert np.max(np.abs(nph - np.exp(-kappa * t))) < 1e-8
+
+    def test_composite_promote(self):
+        A = tls(1.0)
+        B = Cavity(freq=0.8, n_cav=4)
+        comp = Composite(A, B)
+        _, sx, _, _ = pauli()
+        op = comp.promote(sx, "A")
+        assert op.shape == (8, 8)
+        H = comp.getH()
+        assert np.allclose(np.asarray(H),
+                           np.kron(np.asarray(A.H), np.eye(4))
+                           + np.kron(np.eye(2), np.asarray(B.H)))
+
+
+class TestFloquet:
+    def test_floquet_matrix_static_limit(self):
+        """With only the p=0 block, quasienergies = E_n + m*omega."""
+        rng = np.random.default_rng(0)
+        A = rng.normal(size=(2, 2))
+        H0 = (A + A.T) / 2
+        omega = 10.0
+        nt = 5
+        blocks = np.zeros((1, 2, 2), dtype=complex)
+        blocks[0] = H0
+        F = np.asarray(floquet_matrix(jnp.asarray(blocks), omega, nt))
+        w = np.sort(np.linalg.eigvalsh(F))
+        E = np.linalg.eigvalsh(H0)
+        expected = np.sort(np.concatenate(
+            [E + m * omega for m in range(-2, 3)]))
+        assert np.allclose(w, expected, atol=1e-10)
+
+    def test_tightbinding_bands(self):
+        """Single-orbital chain: E(k) = 2t cos(ka) - mu."""
+        tb = TightBinding(coords=[[0.0]], hopping={(0, 0): 1.0},
+                          lattice_constant=1.0, nk=32)
+        k, bands = tb.run()
+        k = np.asarray(k)
+        assert np.allclose(np.asarray(bands)[:, 0], 2 * np.cos(k), atol=1e-10)
+
+    def test_high_frequency_hopping_renormalization(self):
+        """Fast driving renormalizes t -> t*J_0(E0*d/omega): band width of
+        the driven chain approaches the J_0-scaled static band."""
+        from scipy.special import j0
+        omega = 20.0
+        t = 1.0
+        a = 1.0
+        b = 0.5
+        hops, Hk = gomez_leon_model(b=b, t=t, a=a)
+        hk_blocks = make_peierls_blocks_fn(hops, omega, nmax=3)
+        fb = FloquetBloch(hk_blocks, omega, nt=7, norbs=2, Hk_func=Hk)
+        ks = np.linspace(-np.pi, np.pi, 31, endpoint=False)
+        E0 = 4.0
+        qe, states = fb.run(ks, E0=E0, nE_steps=5)
+        qe = np.asarray(qe).real
+        # effective hoppings
+        t1 = t * j0(E0 * b * a / omega)
+        t2 = t * j0(E0 * (b - 1.0) * a / omega)
+        exact = np.array([[-(abs(t1 + t2 * np.exp(-1j * k))), abs(t1 + t2 * np.exp(-1j * k))]
+                          for k in ks])
+        got = np.sort(qe, axis=1)
+        assert np.max(np.abs(got - exact)) < 2e-2
+
+    def test_ssh_subspace_winding(self):
+        """Static SSH chain via the Floquet machinery at E0=0: winding of
+        the lower band is 1 for intercell > intracell hopping and 0
+        otherwise (computed on the Bloch states directly)."""
+        for (t1, t2, expected) in [(1.0, 0.5, 0), (0.5, 1.0, 1)]:
+            def Hk(k, t1=t1, t2=t2):
+                h01 = t1 + t2 * jnp.exp(-1j * k)
+                H = jnp.zeros((2, 2), dtype=jnp.complex128)
+                H = H.at[0, 1].set(h01)
+                H = H.at[1, 0].set(jnp.conj(h01))
+                return H
+            ks = np.linspace(-np.pi, np.pi, 101, endpoint=False)
+            import jax
+            evals, evecs = jnp.linalg.eigh(jax.lax.map(Hk, jnp.asarray(ks)))
+            lower = evecs[:, :, 0]  # (Nk, 2)
+            fb = FloquetBloch(lambda k, E: None, 1.0, 1, 2)
+            w = fb.subspace_winding([0], states=[lower])
+            assert w == expected, (t1, t2, w)
