@@ -19,3 +19,12 @@ from .models import (
     Mol, SESolver, mls, tdse,
     Pulse, GaussianPulse, ChirpedPulse, Biphoton, intensity_to_field,
 )
+from .models.cavity import Cavity, Composite, Polariton
+from .grid import SPO, SPO2, SPO3, SPON
+from .open import (
+    LindbladSolver, LiouvilleSolver, RedfieldSolver, HEOMSolver,
+    HEOMSolverDrude, DrudeBath, OhmicBath,
+)
+from . import signal
+from . import floquet
+from . import parallel

@@ -1,1 +1,5 @@
 from .spo import SPO, SPO2, SPO3, SPON, ResultSPO
+from .dvr import (
+    SincDVR, SineDVR, HermiteDVR, ExponentialDVR, DVRN, DVR2, kinetic,
+)
+from .ldr import LDRN, LDR2, ResultLDR

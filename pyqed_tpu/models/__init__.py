@@ -3,3 +3,9 @@ from .pulse import (
     Pulse, GaussianPulse, ChirpedPulse, Biphoton, intensity_to_field,
     std_to_fwhm, jsa, jta, rdm, hom,
 )
+from .lvc import LVC, Mode, multimode
+from .named import (
+    HarmonicOscillator, Morse, Frenkel, TFIM, HeisenbergModel,
+    franck_condon, FranckCondon, franck_condon_analytic, DHO,
+)
+from .cavity import Cavity, Composite, Polariton
