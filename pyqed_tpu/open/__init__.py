@@ -3,3 +3,4 @@ from .bath import DrudeBath, OhmicBath, Env, pade_poles_bose, bose, \
 from .lindblad import LindbladSolver, LiouvilleSolver, Lindblad_solver
 from .redfield import RedfieldSolver, redfield_tensor
 from .heom import HEOMSolver, HEOMSolverDrude, enumerate_hierarchy, neighbor_maps
+from .deom import DEOMSolver, DEOMBath, Bath

@@ -1,0 +1,57 @@
+"""Wigner-Ville distributions and spectrograms.
+
+TPU-native counterpart of the reference Wigner module
+(reference: pyqed/wigner.py — ``spectrogram:152``, ``wigner:216``).
+
+The reference's per-column Python loop + per-column FFT becomes one masked
+gather + a single batched FFT over all time columns.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _wv_matrix(x):
+    """Instantaneous autocorrelation K[tau_idx, t] = x(t+tau) x*(t-tau),
+    zero outside the valid window — fully vectorized."""
+    x = jnp.asarray(x)
+    N = x.shape[0]
+    tausec = N // 2
+    winlength = tausec - 1
+    j = jnp.arange(N)
+    taumax = jnp.minimum(jnp.minimum(j, N - j - 1),
+                         winlength * jnp.ones(N, dtype=j.dtype))
+    tau = jnp.arange(-tausec, tausec)
+    TT, JJ = jnp.meshgrid(tau, j, indexing="ij")
+    valid = jnp.abs(TT) <= taumax[None, :]
+    ip = jnp.clip(JJ + TT, 0, N - 1)
+    im = jnp.clip(JJ - TT, 0, N - 1)
+    K = jnp.where(valid, x[ip] * jnp.conj(x)[im], 0.0)
+    return K, tau
+
+
+def wigner(x, d=1.0):
+    """Wigner-Ville distribution W(w, t) of a 1D signal
+    (reference: pyqed/wigner.py:216). Returns (W, freqs)."""
+    x = jnp.asarray(x)
+    K, tau = _wv_matrix(x)
+    N = x.shape[0]
+    taus = tau * d
+    # FT along tau with physicists' convention e^{+i w tau}: use ifft
+    g = jnp.fft.ifft(K, axis=0)
+    g = jnp.fft.fftshift(g, axes=(0,))
+    g = g * d * N
+    freq = 2.0 * np.pi * np.fft.fftshift(np.fft.fftfreq(N, d=d))
+    phase = jnp.exp(1j * jnp.asarray(freq) * taus[0])
+    g = g * phase[:, None]
+    return g, freq / 2.0
+
+
+def spectrogram(x, d=1.0):
+    """Alias with the reference's (w, t) output (pyqed/wigner.py:152)."""
+    return wigner(x, d)
+
+
+def wvd(x, d=1.0):
+    return wigner(x, d)

@@ -1,0 +1,124 @@
+"""Tensor-network tests: MPS algebra, MPO expectation, DMRG, TEBD.
+
+Golden references: exact diagonalization of small chains and the TFIM
+analytic ground energy.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from pyqed_tpu.tn import (
+    MPS, MPO, DMRG, two_site_dmrg, tebd, mpo_tfim, mpo_heisenberg,
+)
+from pyqed_tpu.models import TFIM
+
+
+def tfim_exact_energy(L, J=1.0, h=1.0):
+    """Exact finite open-chain TFIM ground energy via free fermions is
+    involved; use dense ED instead (L small)."""
+    H = np.asarray(TFIM(L, J=J, h=h).buildH())
+    return np.linalg.eigvalsh(H)[0]
+
+
+class TestMPS:
+    def test_from_dense_roundtrip(self):
+        rng = np.random.default_rng(0)
+        L, d = 5, 2
+        psi = rng.normal(size=d**L) + 1j * rng.normal(size=d**L)
+        psi /= np.linalg.norm(psi)
+        mps = MPS.from_dense(jnp.asarray(psi), [d] * L)
+        back = np.asarray(mps.to_dense())
+        assert np.max(np.abs(back - psi)) < 1e-10
+
+    def test_product_state_expectation(self):
+        up = [1.0, 0.0]
+        dn = [0.0, 1.0]
+        mps = MPS.from_product_state([up, dn, up])
+        sz = jnp.array([[1.0, 0], [0, -1.0]], dtype=complex)
+        vals = np.asarray(mps.site_expectation_value(sz)).real
+        assert np.allclose(vals, [1, -1, 1])
+
+    def test_correlation_function(self):
+        rng = np.random.default_rng(1)
+        L, d = 4, 2
+        psi = rng.normal(size=d**L) + 1j * rng.normal(size=d**L)
+        psi /= np.linalg.norm(psi)
+        mps = MPS.from_dense(jnp.asarray(psi), [d] * L)
+        sz = np.diag([1.0, -1.0]).astype(complex)
+        got = complex(mps.correlation_function(jnp.asarray(sz), 0,
+                                               jnp.asarray(sz), 3))
+        op = np.kron(np.kron(sz, np.eye(4)), sz)
+        ref = psi.conj() @ op @ psi
+        assert abs(got - ref) < 1e-10
+
+    def test_entanglement_entropy_product_state(self):
+        mps = MPS.from_product_state([[1, 0], [0, 1], [1, 0]])
+        S = np.asarray(mps.entanglement_entropy())
+        assert np.max(np.abs(S)) < 1e-12
+
+
+class TestMPO:
+    def test_tfim_mpo_dense_matches_ed(self):
+        L = 4
+        H_mpo = np.asarray(mpo_tfim(L, J=1.0, h=0.7).to_dense())
+        H_ed = np.asarray(TFIM(L, J=1.0, h=0.7).buildH())
+        assert np.max(np.abs(H_mpo - H_ed)) < 1e-10
+
+    def test_expect_vs_dense(self):
+        rng = np.random.default_rng(2)
+        L = 4
+        psi = rng.normal(size=2**L) + 1j * rng.normal(size=2**L)
+        psi /= np.linalg.norm(psi)
+        mps = MPS.from_dense(jnp.asarray(psi), [2] * L)
+        mpo = mpo_tfim(L, J=1.0, h=0.3)
+        got = complex(mpo.expect(mps))
+        ref = psi.conj() @ np.asarray(mpo.to_dense()) @ psi
+        assert abs(got - ref) < 1e-8
+
+
+class TestDMRG:
+    def test_tfim_ground_state(self):
+        L = 8
+        mpo = mpo_tfim(L, J=1.0, h=1.0)
+        up = [1.0, 0.0]
+        mps = MPS.from_product_state([up] * L)
+        energies, gs = two_site_dmrg(mpo, mps, chi_max=24, sweeps=8)
+        E_ref = tfim_exact_energy(L, 1.0, 1.0)
+        assert abs(energies[-1] - E_ref) < 1e-6, (energies[-1], E_ref)
+
+    def test_heisenberg_ground_state(self):
+        L = 8
+        mpo = mpo_heisenberg(L, J=1.0)
+        state = [[1.0, 0.0], [0.0, 1.0]] * (L // 2)
+        mps = MPS.from_product_state(state)
+        energies, gs = two_site_dmrg(mpo, mps, chi_max=32, sweeps=10)
+        # dense ED reference
+        H = np.asarray(mpo_heisenberg(L, J=1.0).to_dense())
+        E_ref = np.linalg.eigvalsh(H)[0]
+        assert abs(energies[-1] - E_ref) < 1e-6, (energies[-1], E_ref)
+
+
+class TestTEBD:
+    def test_tebd_vs_exact_quench(self):
+        """Global quench of a small TFIM chain: TEBD vs exact evolution."""
+        import scipy.linalg
+        L = 6
+        J, h = 1.0, 0.8
+        sx = np.array([[0, 1], [1, 0]], dtype=complex)
+        sz = np.diag([1.0, -1.0]).astype(complex)
+        # bond Hamiltonian evenly distributing the field
+        hbond = (-J * np.kron(sz, sz)
+                 - h / 2 * (np.kron(sx, np.eye(2)) + np.kron(np.eye(2), sx)))
+        # exact H with this bond decomposition (fields on edges get h/2)
+        H = np.zeros((2**L, 2**L), dtype=complex)
+        for i in range(L - 1):
+            op = np.kron(np.kron(np.eye(2**i), hbond), np.eye(2**(L - i - 2)))
+            H += op
+        up = [1.0, 0.0]
+        mps0 = MPS.from_product_state([up] * L)
+        psi0 = np.asarray(mps0.to_dense())
+        dt, nt = 0.05, 40
+        mps_t = tebd(mps0, jnp.asarray(hbond), dt, nt, chi_max=32)
+        psi_t = np.asarray(mps_t.to_dense())
+        exact = scipy.linalg.expm(-1j * H * dt * nt) @ psi0
+        fidelity = abs(np.vdot(exact, psi_t))
+        assert fidelity > 1 - 1e-4, fidelity
