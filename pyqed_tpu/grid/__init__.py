@@ -3,3 +3,5 @@ from .dvr import (
     SincDVR, SineDVR, HermiteDVR, ExponentialDVR, DVRN, DVR2, kinetic,
 )
 from .ldr import LDRN, LDR2, ResultLDR
+from .scattering import LippmannSchwingerSolver, LippmannSchwinger2DSolver
+from .qtraj import QT, lqf, ResultQT

@@ -9,3 +9,4 @@ from .named import (
     franck_condon, FranckCondon, franck_condon_analytic, DHO,
 )
 from .cavity import Cavity, Composite, Polariton
+from .lattice import FermiHubbard, BoseHubbard, jordan_wigner_ops

@@ -4,3 +4,4 @@ from .lindblad import LindbladSolver, LiouvilleSolver, Lindblad_solver
 from .redfield import RedfieldSolver, redfield_tensor
 from .heom import HEOMSolver, HEOMSolverDrude, enumerate_hierarchy, neighbor_maps
 from .deom import DEOMSolver, DEOMBath, Bath
+from .nrg import NRG, SBM
