@@ -1,0 +1,323 @@
+"""Gaussian basis sets and molecular integrals (McMurchie-Davidson).
+
+TPU-native counterpart of the reference integral layer
+(reference: pyqed/qchem/basis.py:21-180 — own McMurchie-Davidson ``E``,
+``overlap``, ``kinetic``, ``boys`` implementation; gbasis/pyscf imports are
+optional cross-checks there and unavailable here).
+
+Integrals are evaluated once on host (recursive Hermite expansions are
+control-flow-heavy); everything downstream (SCF, CI, TDSCF) is jnp on the
+MXU. Built-in STO-3G data for H-Ne.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import numpy as np
+from scipy.special import hyp1f1
+
+
+# ----------------------------------------------------------- STO-3G data
+# standard EMSL STO-3G exponents; contraction coefficients are shared
+# across first-row elements.
+_STO3G_S_COEF = [0.1543289673, 0.5353281423, 0.4446345422]
+_STO3G_2S_COEF = [-0.09996722919, 0.3995128261, 0.7001154689]
+_STO3G_2P_COEF = [0.1559162750, 0.6076837186, 0.3919573931]
+
+STO3G = {
+    "H": {"1s": [3.425250914, 0.6239137298, 0.1688554040]},
+    "He": {"1s": [6.362421394, 1.158922999, 0.3136497915]},
+    "Li": {"1s": [16.11957475, 2.936200663, 0.7946504870],
+           "2sp": [0.6362897469, 0.1478600533, 0.0480886784]},
+    "Be": {"1s": [30.16787069, 5.495115306, 1.487192653],
+           "2sp": [1.314833110, 0.3055389383, 0.0993707456]},
+    "B": {"1s": [48.79111318, 8.887362172, 2.405267040],
+          "2sp": [2.236956142, 0.5198204999, 0.1690617600]},
+    "C": {"1s": [71.61683735, 13.04509632, 3.530512160],
+          "2sp": [2.941249355, 0.6834830964, 0.2222899159]},
+    "N": {"1s": [99.10616896, 18.05231239, 4.885660238],
+          "2sp": [3.780455879, 0.8784966449, 0.2857143744]},
+    "O": {"1s": [130.7093214, 23.80886605, 6.443608313],
+          "2sp": [5.033151319, 1.169596125, 0.3803889600]},
+    "F": {"1s": [166.6791340, 30.36081233, 8.216820672],
+          "2sp": [6.464803249, 1.502281245, 0.4885884864]},
+    "Ne": {"1s": [207.0156070, 37.70815124, 10.20529731],
+           "2sp": [8.246315120, 1.916266291, 0.6232292721]},
+}
+
+ATOMIC_NUMBER = {"H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6,
+                 "N": 7, "O": 8, "F": 9, "Ne": 10}
+
+
+@dataclasses.dataclass
+class ContractedGaussian:
+    """A contracted Cartesian Gaussian basis function."""
+    center: np.ndarray          # (3,)
+    lmn: tuple                  # angular momentum (l, m, n)
+    exps: np.ndarray
+    coefs: np.ndarray           # contraction coefficients (unnormalized)
+    norms: np.ndarray = None    # primitive normalization, filled in post
+
+    def __post_init__(self):
+        self.center = np.asarray(self.center, dtype=float)
+        self.exps = np.asarray(self.exps, dtype=float)
+        self.coefs = np.asarray(self.coefs, dtype=float)
+        l, m, n = self.lmn
+        # primitive norms
+        from scipy.special import factorial2
+        fact = (factorial2(2 * l - 1) * factorial2(2 * m - 1)
+                * factorial2(2 * n - 1))
+        self.norms = ((2 * self.exps / np.pi) ** 0.75
+                      * (4 * self.exps) ** ((l + m + n) / 2)
+                      / np.sqrt(max(fact, 1.0)))
+        # normalize the contraction
+        S = 0.0
+        for a, ca, na in zip(self.exps, self.coefs, self.norms):
+            for b, cb, nb in zip(self.exps, self.coefs, self.norms):
+                S += (ca * cb * na * nb
+                      * _overlap_prim(a, self.lmn, self.center,
+                                      b, self.lmn, self.center))
+        self.coefs = self.coefs / np.sqrt(S)
+
+
+def build_basis(atoms: Sequence, basis="sto-3g") -> List[ContractedGaussian]:
+    """atoms: list of (symbol, (x, y, z)) in bohr."""
+    if basis.lower() not in ("sto-3g", "sto3g"):
+        raise NotImplementedError("only STO-3G is built in")
+    bfs = []
+    for sym, xyz in atoms:
+        data = STO3G[sym]
+        if "1s" in data:
+            bfs.append(ContractedGaussian(xyz, (0, 0, 0), data["1s"],
+                                          _STO3G_S_COEF))
+        if "2sp" in data:
+            exps = data["2sp"]
+            bfs.append(ContractedGaussian(xyz, (0, 0, 0), exps,
+                                          _STO3G_2S_COEF))
+            for lmn in [(1, 0, 0), (0, 1, 0), (0, 0, 1)]:
+                bfs.append(ContractedGaussian(xyz, lmn, exps,
+                                              _STO3G_2P_COEF))
+    return bfs
+
+
+# -------------------------------------------------- McMurchie-Davidson E
+
+def E_md(i, j, t, Qx, a, b):
+    """Hermite Gaussian expansion coefficient E_t^{ij}
+    (reference: pyqed/qchem/basis.py:21 ``E``)."""
+    p = a + b
+    q = a * b / p
+    if t < 0 or t > i + j:
+        return 0.0
+    if i == j == t == 0:
+        return np.exp(-q * Qx * Qx)
+    if j == 0:
+        return (E_md(i - 1, j, t - 1, Qx, a, b) / (2 * p)
+                - q * Qx / a * E_md(i - 1, j, t, Qx, a, b)
+                + (t + 1) * E_md(i - 1, j, t + 1, Qx, a, b))
+    return (E_md(i, j - 1, t - 1, Qx, a, b) / (2 * p)
+            + q * Qx / b * E_md(i, j - 1, t, Qx, a, b)
+            + (t + 1) * E_md(i, j - 1, t + 1, Qx, a, b))
+
+
+def _overlap_prim(a, lmn1, A, b, lmn2, B):
+    l1, m1, n1 = lmn1
+    l2, m2, n2 = lmn2
+    S1 = E_md(l1, l2, 0, A[0] - B[0], a, b)
+    S2 = E_md(m1, m2, 0, A[1] - B[1], a, b)
+    S3 = E_md(n1, n2, 0, A[2] - B[2], a, b)
+    return S1 * S2 * S3 * (np.pi / (a + b)) ** 1.5
+
+
+def _kinetic_prim(a, lmn1, A, b, lmn2, B):
+    l2, m2, n2 = lmn2
+    term0 = b * (2 * (l2 + m2 + n2) + 3) * _overlap_prim(a, lmn1, A, b, lmn2, B)
+    term1 = -2 * b**2 * (
+        _overlap_prim(a, lmn1, A, b, (l2 + 2, m2, n2), B)
+        + _overlap_prim(a, lmn1, A, b, (l2, m2 + 2, n2), B)
+        + _overlap_prim(a, lmn1, A, b, (l2, m2, n2 + 2), B))
+    term2 = -0.5 * (l2 * (l2 - 1) * _overlap_prim(a, lmn1, A, b, (l2 - 2, m2, n2), B)
+                    + m2 * (m2 - 1) * _overlap_prim(a, lmn1, A, b, (l2, m2 - 2, n2), B)
+                    + n2 * (n2 - 1) * _overlap_prim(a, lmn1, A, b, (l2, m2, n2 - 2), B))
+    return term0 + term1 + term2
+
+
+def boys(n, T):
+    """Boys function F_n(T) (reference: pyqed/qchem/basis.py ``boys``)."""
+    return hyp1f1(n + 0.5, n + 1.5, -T) / (2.0 * n + 1.0)
+
+
+def R_herm(t, u, v, n, p, PCx, PCy, PCz, RPC):
+    """Hermite Coulomb integral recursion."""
+    if t == u == v == 0:
+        return (-2 * p) ** n * boys(n, p * RPC * RPC)
+    if t < 0 or u < 0 or v < 0:
+        return 0.0
+    if t > 0:
+        return ((t - 1) * R_herm(t - 2, u, v, n + 1, p, PCx, PCy, PCz, RPC)
+                + PCx * R_herm(t - 1, u, v, n + 1, p, PCx, PCy, PCz, RPC))
+    if u > 0:
+        return ((u - 1) * R_herm(t, u - 2, v, n + 1, p, PCx, PCy, PCz, RPC)
+                + PCy * R_herm(t, u - 1, v, n + 1, p, PCx, PCy, PCz, RPC))
+    return ((v - 1) * R_herm(t, u, v - 2, n + 1, p, PCx, PCy, PCz, RPC)
+            + PCz * R_herm(t, u, v - 1, n + 1, p, PCx, PCy, PCz, RPC))
+
+
+def _nuclear_prim(a, lmn1, A, b, lmn2, B, C):
+    l1, m1, n1 = lmn1
+    l2, m2, n2 = lmn2
+    p = a + b
+    P = (a * A + b * B) / p
+    RPC = np.linalg.norm(P - C)
+    val = 0.0
+    for t in range(l1 + l2 + 1):
+        Et = E_md(l1, l2, t, A[0] - B[0], a, b)
+        if Et == 0:
+            continue
+        for u in range(m1 + m2 + 1):
+            Eu = E_md(m1, m2, u, A[1] - B[1], a, b)
+            if Eu == 0:
+                continue
+            for v in range(n1 + n2 + 1):
+                Ev = E_md(n1, n2, v, A[2] - B[2], a, b)
+                if Ev == 0:
+                    continue
+                val += Et * Eu * Ev * R_herm(
+                    t, u, v, 0, p, P[0] - C[0], P[1] - C[1], P[2] - C[2], RPC)
+    return 2 * np.pi / p * val
+
+
+def _eri_prim(a, lmn1, A, b, lmn2, B, c, lmn3, C, d, lmn4, D):
+    l1, m1, n1 = lmn1
+    l2, m2, n2 = lmn2
+    l3, m3, n3 = lmn3
+    l4, m4, n4 = lmn4
+    p = a + b
+    q = c + d
+    alpha = p * q / (p + q)
+    P = (a * A + b * B) / p
+    Q = (c * C + d * D) / q
+    RPQ = np.linalg.norm(P - Q)
+    val = 0.0
+    for t in range(l1 + l2 + 1):
+        E1 = E_md(l1, l2, t, A[0] - B[0], a, b)
+        if E1 == 0:
+            continue
+        for u in range(m1 + m2 + 1):
+            E2 = E_md(m1, m2, u, A[1] - B[1], a, b)
+            if E2 == 0:
+                continue
+            for v in range(n1 + n2 + 1):
+                E3 = E_md(n1, n2, v, A[2] - B[2], a, b)
+                if E3 == 0:
+                    continue
+                for tau in range(l3 + l4 + 1):
+                    E4 = E_md(l3, l4, tau, C[0] - D[0], c, d)
+                    if E4 == 0:
+                        continue
+                    for nu in range(m3 + m4 + 1):
+                        E5 = E_md(m3, m4, nu, C[1] - D[1], c, d)
+                        if E5 == 0:
+                            continue
+                        for phi in range(n3 + n4 + 1):
+                            E6 = E_md(n3, n4, phi, C[2] - D[2], c, d)
+                            if E6 == 0:
+                                continue
+                            val += (E1 * E2 * E3 * E4 * E5 * E6
+                                    * (-1) ** (tau + nu + phi)
+                                    * R_herm(t + tau, u + nu, v + phi, 0,
+                                             alpha, P[0] - Q[0], P[1] - Q[1],
+                                             P[2] - Q[2], RPQ))
+    return val * 2 * np.pi**2.5 / (p * q * np.sqrt(p + q))
+
+
+# ------------------------------------------------------- contracted level
+
+def _contract2(prim_fn, g1, g2, *args):
+    val = 0.0
+    for a, ca, na in zip(g1.exps, g1.coefs, g1.norms):
+        for b, cb, nb in zip(g2.exps, g2.coefs, g2.norms):
+            val += ca * cb * na * nb * prim_fn(a, g1.lmn, g1.center,
+                                               b, g2.lmn, g2.center, *args)
+    return val
+
+
+def overlap_matrix(bfs):
+    n = len(bfs)
+    S = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1):
+            S[i, j] = S[j, i] = _contract2(_overlap_prim, bfs[i], bfs[j])
+    return S
+
+
+def kinetic_matrix(bfs):
+    n = len(bfs)
+    T = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            T[i, j] = _contract2(_kinetic_prim, bfs[i], bfs[j])
+    return (T + T.T) / 2
+
+
+def nuclear_matrix(bfs, atoms):
+    n = len(bfs)
+    V = np.zeros((n, n))
+    for (sym, xyz) in atoms:
+        Z = ATOMIC_NUMBER[sym]
+        C = np.asarray(xyz, dtype=float)
+        for i in range(n):
+            for j in range(i + 1):
+                v = _contract2(_nuclear_prim, bfs[i], bfs[j], C)
+                V[i, j] -= Z * v
+                if i != j:
+                    V[j, i] -= Z * v
+    return V
+
+
+def eri_tensor(bfs):
+    """(ij|kl) chemists' notation, 8-fold symmetry exploited."""
+    n = len(bfs)
+    eri = np.zeros((n, n, n, n))
+
+    def contracted_eri(g1, g2, g3, g4):
+        val = 0.0
+        for a, ca, na in zip(g1.exps, g1.coefs, g1.norms):
+            for b, cb, nb in zip(g2.exps, g2.coefs, g2.norms):
+                for c, cc, nc in zip(g3.exps, g3.coefs, g3.norms):
+                    for d, cd, nd in zip(g4.exps, g4.coefs, g4.norms):
+                        val += (ca * cb * cc * cd * na * nb * nc * nd
+                                * _eri_prim(a, g1.lmn, g1.center,
+                                            b, g2.lmn, g2.center,
+                                            c, g3.lmn, g3.center,
+                                            d, g4.lmn, g4.center))
+        return val
+
+    done = {}
+    for i in range(n):
+        for j in range(i + 1):
+            ij = i * (i + 1) // 2 + j
+            for k in range(n):
+                for l in range(k + 1):
+                    kl = k * (k + 1) // 2 + l
+                    if ij < kl:
+                        continue
+                    v = contracted_eri(bfs[i], bfs[j], bfs[k], bfs[l])
+                    for (a, b, c, d) in [(i, j, k, l), (j, i, k, l),
+                                         (i, j, l, k), (j, i, l, k),
+                                         (k, l, i, j), (l, k, i, j),
+                                         (k, l, j, i), (l, k, j, i)]:
+                        eri[a, b, c, d] = v
+    return eri
+
+
+def nuclear_repulsion(atoms):
+    E = 0.0
+    for i, (s1, x1) in enumerate(atoms):
+        for j, (s2, x2) in enumerate(atoms):
+            if j <= i:
+                continue
+            R = np.linalg.norm(np.asarray(x1) - np.asarray(x2))
+            E += ATOMIC_NUMBER[s1] * ATOMIC_NUMBER[s2] / R
+    return E

@@ -1,0 +1,192 @@
+"""Configuration interaction: FCI and CISD by Slater-Condon rules.
+
+TPU-native counterpart of the reference CI layer
+(reference: pyqed/qchem/ci/fci.py — ``FCI:363``; pyqed/qchem/ci/cisd.py —
+``CISD:370`` with Slater-Condon matrix elements at :99).
+
+Determinants are enumerated on host (combinatorics); the CI Hamiltonian is
+built once and diagonalized with eigh on the MXU. Suitable for the small
+active spaces the reference targets.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def spinorb_ints(hmo, eri_mo):
+    """Spin-orbital integrals from spatial MO integrals.
+
+    Ordering: spin-orbital 2p = spatial p alpha, 2p+1 = spatial p beta.
+    Returns (h (2n, 2n), antisymmetrized <pq||rs> (2n,)*4 physicists').
+    """
+    hmo = np.asarray(hmo)
+    eri = np.asarray(eri_mo)
+    n = hmo.shape[0]
+    ns = 2 * n
+    h = np.zeros((ns, ns))
+    for p in range(ns):
+        for q in range(ns):
+            if p % 2 == q % 2:
+                h[p, q] = hmo[p // 2, q // 2]
+    # <pq|rs> physicists' = (pr|qs) chemists' with spin delta
+    g = np.zeros((ns, ns, ns, ns))
+    for p in range(ns):
+        for q in range(ns):
+            for r in range(ns):
+                for s in range(ns):
+                    if p % 2 == r % 2 and q % 2 == s % 2:
+                        g[p, q, r, s] = eri[p // 2, r // 2, q // 2, s // 2]
+    g_as = g - g.transpose(0, 1, 3, 2)
+    return h, g_as
+
+
+def _excitation(det1, det2):
+    """(holes, particles) between two determinants (as sorted tuples)."""
+    s1, s2 = set(det1), set(det2)
+    return sorted(s1 - s2), sorted(s2 - s1)
+
+
+def _phase(det, removed, added):
+    """Fermionic sign for exciting ``removed`` -> ``added``."""
+    det = list(det)
+    sign = 1
+    for r, a in zip(removed, added):
+        i = det.index(r)
+        det[i] = a
+        # count crossings to re-sort
+        srt = sorted(det)
+        perm = 0
+        work = det[:]
+        for k in range(len(work)):
+            j = work.index(srt[k], k)
+            if j != k:
+                work[k], work[j] = work[j], work[k]
+                perm += 1
+        sign *= (-1) ** perm
+        det = srt
+    return sign
+
+
+def slater_condon(det1, det2, h, g):
+    """<det1|H|det2> by the Slater-Condon rules
+    (reference: pyqed/qchem/ci/cisd.py:99)."""
+    holes, parts = _excitation(det1, det2)
+    ndiff = len(holes)
+    if ndiff == 0:
+        E = sum(h[p, p] for p in det1)
+        E += 0.5 * sum(g[p, q, p, q] for p in det1 for q in det1)
+        return E
+    if ndiff == 1:
+        m, p = holes[0], parts[0]
+        sign = _phase(det1, [m], [p])
+        val = h[m, p] + sum(g[m, q, p, q] for q in det1 if q != m)
+        return sign * val
+    if ndiff == 2:
+        m, n = holes
+        p, q = parts
+        sign = _phase(det1, [m, n], [p, q])
+        return sign * g[m, n, p, q]
+    return 0.0
+
+
+def enumerate_dets(norb_spin, nelec, ref=None, max_exc=None):
+    """All determinants (or up to max_exc excitations from ref)."""
+    all_dets = [tuple(sorted(c)) for c in
+                itertools.combinations(range(norb_spin), nelec)]
+    if max_exc is None:
+        return all_dets
+    ref_set = set(ref)
+    return [d for d in all_dets if len(ref_set - set(d)) <= max_exc]
+
+
+class CI:
+    def __init__(self, mf, max_exc=None):
+        self.mf = mf
+        self.max_exc = max_exc
+        self.e_tot = None
+        self.civec = None
+
+    def run(self, nroots=1):
+        mf = self.mf
+        hmo, eri_mo = mf.mo_ints()
+        h, g = spinorb_ints(hmo, eri_mo)
+        nelec = self.mf.mol.nelec
+        ns = 2 * hmo.shape[0]
+        ref = tuple(range(nelec))  # aufbau in spin-orbital ordering? build:
+        # occupied spin orbitals: alpha+beta of the lowest nelec//2 spatials
+        ref = tuple(sorted([2 * i for i in range(nelec // 2)]
+                           + [2 * i + 1 for i in range(nelec // 2)]))
+        dets = enumerate_dets(ns, nelec, ref=ref, max_exc=self.max_exc)
+        nd = len(dets)
+        H = np.zeros((nd, nd))
+        for i in range(nd):
+            for j in range(i + 1):
+                H[i, j] = H[j, i] = slater_condon(dets[i], dets[j], h, g)
+        w, v = jnp.linalg.eigh(jnp.asarray(H))
+        enuc = mf.mol.energy_nuc()
+        self.e_tot = np.asarray(w[:nroots]) + enuc
+        self.civec = v[:, :nroots]
+        self.dets = dets
+        self.e_corr = float(self.e_tot[0] - mf.e_tot)
+        return self.e_tot
+
+
+class FCI(CI):
+    """(reference: pyqed/qchem/ci/fci.py:363)."""
+
+    def __init__(self, mf):
+        super().__init__(mf, max_exc=None)
+
+
+class CISD(CI):
+    """(reference: pyqed/qchem/ci/cisd.py:370)."""
+
+    def __init__(self, mf):
+        super().__init__(mf, max_exc=2)
+
+
+class CASCI(CI):
+    """Minimal CASCI: FCI within an active window of spatial orbitals
+    (reference: pyqed/qchem/ci/ casci)."""
+
+    def __init__(self, mf, ncas, nelecas):
+        super().__init__(mf, max_exc=None)
+        self.ncas = ncas
+        self.nelecas = nelecas
+
+    def run(self, nroots=1):
+        mf = self.mf
+        hmo, eri_mo = mf.mo_ints()
+        nocc = mf.nocc
+        ncore = nocc - self.nelecas // 2
+        act = list(range(ncore, ncore + self.ncas))
+        hmo = np.asarray(hmo)
+        eri = np.asarray(eri_mo)
+        # core energy and effective 1e ints
+        ecore = 2 * sum(hmo[i, i] for i in range(ncore))
+        for i in range(ncore):
+            for j in range(ncore):
+                ecore += 2 * eri[i, i, j, j] - eri[i, j, j, i]
+        heff = np.zeros((self.ncas, self.ncas))
+        for ai, a in enumerate(act):
+            for bi, b in enumerate(act):
+                v = hmo[a, b]
+                for c in range(ncore):
+                    v += 2 * eri[a, b, c, c] - eri[a, c, c, b]
+                heff[ai, bi] = v
+        eri_act = eri[np.ix_(act, act, act, act)]
+        h, g = spinorb_ints(heff, eri_act)
+        dets = enumerate_dets(2 * self.ncas, self.nelecas)
+        nd = len(dets)
+        H = np.zeros((nd, nd))
+        for i in range(nd):
+            for j in range(i + 1):
+                H[i, j] = H[j, i] = slater_condon(dets[i], dets[j], h, g)
+        w, v = jnp.linalg.eigh(jnp.asarray(H))
+        self.e_tot = np.asarray(w[:nroots]) + ecore + mf.mol.energy_nuc()
+        self.civec = v[:, :nroots]
+        return self.e_tot

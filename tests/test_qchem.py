@@ -1,0 +1,106 @@
+"""Quantum chemistry golden tests.
+
+References: Szabo & Ostlund 'Modern Quantum Chemistry' benchmark values for
+H2 and HeH+ in STO-3G (the standard textbook numbers the reference package
+also validates against via pyscf, which is unavailable here).
+"""
+import numpy as np
+import pytest
+
+from pyqed_tpu.qchem import Molecule, RHF, FCI, CISD, TDA, TDHF
+
+
+def h2(R=1.4):
+    return Molecule([("H", (0.0, 0.0, 0.0)), ("H", (0.0, 0.0, R))])
+
+
+class TestIntegrals:
+    def test_h2_overlap_szabo(self):
+        """S12 = 0.6593 for H2/STO-3G at R=1.4 (Szabo-Ostlund Table 3.5)."""
+        mol = h2()
+        S, T, V, eri = mol.intor()
+        assert np.isclose(float(S[0, 0]), 1.0, atol=1e-10)
+        assert np.isclose(float(S[0, 1]), 0.6593, atol=2e-4)
+
+    def test_h2_kinetic_szabo(self):
+        """T11 = 0.7600, T12 = 0.2365 (Szabo-Ostlund Table 3.5)."""
+        mol = h2()
+        S, T, V, eri = mol.intor()
+        assert np.isclose(float(T[0, 0]), 0.7600, atol=2e-4)
+        assert np.isclose(float(T[0, 1]), 0.2365, atol=2e-4)
+
+    def test_h2_eri_szabo(self):
+        """(11|11) = 0.7746, (11|22)=0.5697, (11|12)=0.4441,
+        (12|12)=0.2970 (Szabo-Ostlund Table 3.5 / eq 3.235)."""
+        mol = h2()
+        S, T, V, eri = mol.intor()
+        assert np.isclose(float(eri[0, 0, 0, 0]), 0.7746, atol=2e-4)
+        assert np.isclose(float(eri[0, 0, 1, 1]), 0.5697, atol=2e-4)
+        assert np.isclose(float(eri[1, 0, 0, 0]), 0.4441, atol=2e-4)
+        assert np.isclose(float(eri[1, 0, 1, 0]), 0.2970, atol=2e-4)
+
+
+class TestRHF:
+    def test_h2_energy_szabo(self):
+        """E_RHF(H2/STO-3G, R=1.4) = -1.1167 hartree."""
+        mf = RHF(h2()).run()
+        assert mf.converged
+        assert np.isclose(mf.e_tot, -1.1167, atol=2e-4), mf.e_tot
+
+    def test_heh_cation(self):
+        """E_RHF(HeH+/STO-3G, R=1.4632) = -2.8418 hartree with STANDARD
+        STO-3G He exponents (Szabo-Ostlund's -2.8606 uses a scaled
+        zeta_He = 2.0925 basis, not stock STO-3G)."""
+        mol = Molecule([("He", (0, 0, 0)), ("H", (0, 0, 1.4632))], charge=1)
+        mf = RHF(mol).run()
+        assert np.isclose(mf.e_tot, -2.8418, atol=3e-4), mf.e_tot
+
+    def test_h2o_runs(self):
+        """Water STO-3G: E ~ -74.96 hartree (literature -74.9659)."""
+        # experimental-ish geometry, bohr
+        mol = Molecule([
+            ("O", (0.0, 0.0, 0.2217)),
+            ("H", (0.0, 1.4309, -0.8867)),
+            ("H", (0.0, -1.4309, -0.8867)),
+        ])
+        mf = RHF(mol).run()
+        assert mf.converged
+        assert -75.1 < mf.e_tot < -74.8, mf.e_tot
+
+
+class TestCI:
+    def test_h2_fci(self):
+        """FCI(H2/STO-3G, R=1.4) = -1.1373 hartree (well-known value)."""
+        mf = RHF(h2()).run()
+        fci = FCI(mf)
+        E = fci.run()
+        assert np.isclose(E[0], -1.1373, atol=3e-4), E[0]
+
+    def test_h2_cisd_equals_fci(self):
+        """For 2 electrons CISD == FCI."""
+        mf = RHF(h2()).run()
+        e_fci = FCI(mf).run()[0]
+        e_cisd = CISD(mf).run()[0]
+        assert np.isclose(e_fci, e_cisd, atol=1e-10)
+
+    def test_fci_below_hf(self):
+        mf = RHF(h2()).run()
+        assert FCI(mf).run()[0] < mf.e_tot
+
+
+class TestTDSCF:
+    def test_h2_tda_excitation(self):
+        """H2/STO-3G lowest singlet CIS excitation ~ 0.60 hartree
+        (sigma->sigma*); check it is positive and TDHF <= TDA."""
+        mf = RHF(h2()).run()
+        e_tda = TDA(mf).run(nroots=1)
+        e_rpa = TDHF(mf).run(nroots=1)
+        assert e_tda[0] > 0
+        assert e_rpa[0] <= e_tda[0] + 1e-12
+        assert 0.3 < e_tda[0] < 1.0
+
+    def test_triplet_below_singlet(self):
+        mf = RHF(h2()).run()
+        es = TDA(mf, singlet=True).run(nroots=1)[0]
+        et = TDA(mf, singlet=False).run(nroots=1)[0]
+        assert et < es
