@@ -28,3 +28,10 @@ from .open import (
 from . import signal
 from . import floquet
 from . import parallel
+from . import utils
+from . import qchem
+from . import qmc
+from . import negf
+from . import tn
+from . import md
+from . import ml

@@ -5,3 +5,5 @@ from .dvr import (
 from .ldr import LDRN, LDR2, ResultLDR
 from .scattering import LippmannSchwingerSolver, LippmannSchwinger2DSolver
 from .qtraj import QT, lqf, ResultQT
+from .gwp import GWP, WPD, overlap_real, kinetic_real, moment_real
+from .smolyak import SparseGrid, AdaptiveSparseGrid

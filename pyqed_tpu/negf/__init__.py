@@ -1,0 +1,5 @@
+from .keldysh import (
+    NEGF, green_from_H_const, green_from_H, hartree, fock_exchange,
+    second_born, KBSolver, volterra_int, fermi, bose,
+)
+from .gw import G0W0, g0w0, rpa_modes

@@ -1,0 +1,69 @@
+"""Misc layer tests: cube I/O, MD, ML, CLI."""
+import io as _io
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyqed_tpu.utils.io import write_cube, read_cube
+from pyqed_tpu.md import LJMD, lj_forces
+from pyqed_tpu.ml import MLP
+from pyqed_tpu.cli import main as cli_main
+
+
+class TestCube:
+    def test_roundtrip(self, tmp_path):
+        data = np.random.default_rng(0).random((4, 5, 6))
+        atoms = [("O", (0.0, 0.0, 0.0)), ("H", (0.0, 0.8, 0.6))]
+        cell = np.eye(3) * 5.0
+        f = tmp_path / "test.cube"
+        write_cube(str(f), atoms, cell, data)
+        atoms2, cell2, data2, origin = read_cube(str(f))
+        assert atoms2[0][0] == 8 and atoms2[1][0] == 1
+        assert np.allclose(cell2, cell, atol=1e-5)
+        assert np.allclose(data2, data, rtol=1e-4)
+
+
+class TestMD:
+    def test_lj_energy_conservation(self):
+        md = LJMD(ncell=2, density=0.7, temperature=0.8)
+        out = md.run(jax.random.PRNGKey(0), dt=0.004, nt=300,
+                     thermostat_steps=100)
+        # after thermostat off, total energy drift small
+        U = np.asarray(out["U"])
+        T = np.asarray(out["T"])
+        E = U + 1.5 * md.n * T
+        drift = abs(E[-1] - E[150]) / abs(E[150])
+        assert drift < 5e-3, drift
+        # temperature equilibrated near target
+        assert 0.4 < T[-50:].mean() < 1.4
+
+    def test_forces_newton_third_law(self):
+        md = LJMD(ncell=2, density=0.7)
+        U, F, W = lj_forces(jnp.asarray(md.x0) + 0.01, md.L)
+        assert np.allclose(np.asarray(F).sum(0), 0.0, atol=1e-9)
+
+
+class TestML:
+    def test_fit_1d_pes(self):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-2, 2, size=(256, 1))
+        y = 0.5 * x**2 + 0.1 * x**4
+        mlp = MLP([1, 32, 32, 1])
+        mlp.fit(x, y, lr=3e-3, epochs=1500)
+        xq = np.linspace(-1.8, 1.8, 50)[:, None]
+        pred = np.asarray(mlp.predict(xq))
+        exact = 0.5 * xq**2 + 0.1 * xq**4
+        assert np.max(np.abs(pred - exact)) < 0.05
+
+
+class TestCLI:
+    def test_smoke(self, capsys):
+        rc = cli_main(["test"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert '"ok": true' in out
+
+    def test_info(self, capsys):
+        rc = cli_main(["info"])
+        assert rc == 0
+        assert "pyqed_tpu" in capsys.readouterr().out
