@@ -35,3 +35,4 @@ from . import negf
 from . import tn
 from . import md
 from . import ml
+from . import beam

@@ -1,0 +1,8 @@
+from .beam import (
+    ScalarFieldX, ScalarFieldXY, Scalar_field_X, Scalar_field_XY,
+    plane_wave, gauss_beam, slit, double_slit, circular_aperture, lens,
+)
+from .photonic import (
+    transfer_matrix, rt_coefficients, transmittance_spectrum,
+    quasinormal_modes, Multilayer, propagation, interface,
+)

@@ -1,0 +1,205 @@
+"""Scalar optical diffraction: 1D/2D fields, sources, masks, propagation.
+
+TPU-native counterpart of the reference beam layer
+(reference: pyqed/beam/ — a vendored diffractio fork, ~19.5k LoC:
+``Scalar_field_X`` (scalar_fields_X.py:79) with Rayleigh-Sommerfeld ``RS``
+propagation :622, ``Scalar_field_XY`` with ``fft``/``RS``
+(scalar_fields_XY.py:608, 928), sources and masks modules; the
+``multiprocessing.Pool`` z-plane loops (scalar_fields_XYZ.py:560) map to
+``vmap`` over planes — SURVEY.md §2.9).
+
+Compact, physics-complete core: band-limited angular-spectrum propagation
+(exact scalar diffraction for uniform grids), Fraunhofer far field, source
+and mask factories. Propagation to many z planes is a single vmapped
+kernel (the XYZ volume of the reference).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class ScalarFieldX:
+    """1D scalar field u(x) at fixed wavelength
+    (reference: pyqed/beam/scalar_fields_X.py:79)."""
+
+    def __init__(self, x, wavelength, u=None, n_background=1.0):
+        self.x = np.asarray(x)
+        self.wavelength = wavelength
+        self.n = n_background
+        self.k = 2 * np.pi * n_background / wavelength
+        self.u = (jnp.zeros(len(self.x), dtype=complex)
+                  if u is None else jnp.asarray(u, dtype=complex))
+
+    # ------------------------------------------------------------- algebra
+    def __add__(self, other):
+        return ScalarFieldX(self.x, self.wavelength, self.u + other.u, self.n)
+
+    def __mul__(self, other):
+        ou = other.u if isinstance(other, ScalarFieldX) else other
+        return ScalarFieldX(self.x, self.wavelength, self.u * ou, self.n)
+
+    def duplicate(self):
+        return ScalarFieldX(self.x, self.wavelength, self.u, self.n)
+
+    def intensity(self):
+        return jnp.abs(self.u) ** 2
+
+    def normalize(self):
+        dx = self.x[1] - self.x[0]
+        self.u = self.u / jnp.sqrt(jnp.sum(jnp.abs(self.u) ** 2) * dx)
+        return self
+
+    # --------------------------------------------------------- propagation
+    def angular_spectrum(self, z):
+        """Band-limited angular-spectrum propagation by distance z — the
+        exact scalar solution the reference's RS integral approximates
+        (reference: pyqed/beam/scalar_fields_X.py:622)."""
+        self.u = _asm_1d(self.u, self.x, self.wavelength, z, self.n)
+        return self
+
+    RS = angular_spectrum
+
+    def propagate_many(self, zs):
+        """Field at many z planes: (nz, nx) — one vmap (replaces the
+        reference's multiprocessing over planes)."""
+        return jax.vmap(lambda z: _asm_1d(self.u, self.x, self.wavelength,
+                                          z, self.n))(jnp.asarray(zs))
+
+    def fft(self, remove_phase=True):
+        """Far-field (Fraunhofer) amplitude
+        (reference: pyqed/beam/scalar_fields_X.py:400)."""
+        dx = self.x[1] - self.x[0]
+        U = jnp.fft.fftshift(jnp.fft.fft(self.u)) * dx
+        fx = np.fft.fftshift(np.fft.fftfreq(len(self.x), dx))
+        return fx, U
+
+
+def _asm_1d(u, x, wavelength, z, n=1.0):
+    nx = len(x)
+    dx = x[1] - x[0]
+    fx = jnp.asarray(np.fft.fftfreq(nx, dx))
+    k = 2 * jnp.pi * n / wavelength
+    kz2 = k**2 - (2 * jnp.pi * fx) ** 2
+    kz = jnp.sqrt(jnp.abs(kz2))
+    # propagating vs evanescent
+    H = jnp.where(kz2 >= 0, jnp.exp(1j * kz * z), jnp.exp(-kz * jnp.abs(z)))
+    return jnp.fft.ifft(jnp.fft.fft(u) * H)
+
+
+class ScalarFieldXY:
+    """2D scalar field u(x, y)
+    (reference: pyqed/beam/scalar_fields_XY.py)."""
+
+    def __init__(self, x, y, wavelength, u=None, n_background=1.0):
+        self.x = np.asarray(x)
+        self.y = np.asarray(y)
+        self.wavelength = wavelength
+        self.n = n_background
+        self.k = 2 * np.pi * n_background / wavelength
+        shape = (len(self.x), len(self.y))
+        self.u = (jnp.zeros(shape, dtype=complex) if u is None
+                  else jnp.asarray(u, dtype=complex))
+
+    def __mul__(self, other):
+        ou = other.u if isinstance(other, ScalarFieldXY) else other
+        return ScalarFieldXY(self.x, self.y, self.wavelength, self.u * ou,
+                             self.n)
+
+    def intensity(self):
+        return jnp.abs(self.u) ** 2
+
+    def angular_spectrum(self, z):
+        self.u = _asm_2d(self.u, self.x, self.y, self.wavelength, z, self.n)
+        return self
+
+    RS = angular_spectrum
+
+    def propagate_many(self, zs):
+        """(nz, nx, ny) volume — the reference's Scalar_field_XYZ by vmap
+        (reference: pyqed/beam/scalar_fields_XYZ.py:560 uses a
+        multiprocessing.Pool over z planes)."""
+        return jax.vmap(lambda z: _asm_2d(self.u, self.x, self.y,
+                                          self.wavelength, z, self.n))(
+            jnp.asarray(zs))
+
+
+def _asm_2d(u, x, y, wavelength, z, n=1.0):
+    dx = x[1] - x[0]
+    dy = y[1] - y[0]
+    fx = jnp.asarray(np.fft.fftfreq(len(x), dx))
+    fy = jnp.asarray(np.fft.fftfreq(len(y), dy))
+    k = 2 * jnp.pi * n / wavelength
+    kz2 = k**2 - (2 * jnp.pi * fx[:, None]) ** 2 - (2 * jnp.pi * fy[None, :]) ** 2
+    kz = jnp.sqrt(jnp.abs(kz2))
+    H = jnp.where(kz2 >= 0, jnp.exp(1j * kz * z), jnp.exp(-kz * jnp.abs(z)))
+    return jnp.fft.ifft2(jnp.fft.fft2(u) * H)
+
+
+# ------------------------------------------------------------------ sources
+
+def plane_wave(field, theta=0.0, amplitude=1.0):
+    """(reference: pyqed/beam/scalar_sources_X.py)."""
+    kx = field.k * np.sin(theta)
+    if isinstance(field, ScalarFieldX):
+        field.u = amplitude * jnp.exp(1j * kx * jnp.asarray(field.x))
+    else:
+        field.u = amplitude * jnp.exp(
+            1j * kx * jnp.asarray(field.x))[:, None] * jnp.ones(len(field.y))
+    return field
+
+
+def gauss_beam(field, w0, x0=0.0, y0=0.0, amplitude=1.0):
+    if isinstance(field, ScalarFieldX):
+        field.u = amplitude * jnp.exp(-((jnp.asarray(field.x) - x0) / w0) ** 2)
+    else:
+        X, Y = np.meshgrid(field.x, field.y, indexing="ij")
+        field.u = amplitude * jnp.exp(-(((X - x0) ** 2 + (Y - y0) ** 2)
+                                        / w0**2))
+    return field
+
+
+# -------------------------------------------------------------------- masks
+
+def slit(field, width, x0=0.0):
+    """(reference: pyqed/beam/scalar_masks_X.py)."""
+    t = (np.abs(field.x - x0) <= width / 2).astype(float)
+    if isinstance(field, ScalarFieldX):
+        field.u = field.u * jnp.asarray(t)
+    else:
+        field.u = field.u * jnp.asarray(t)[:, None]
+    return field
+
+
+def double_slit(field, width, separation, x0=0.0):
+    t = (((np.abs(field.x - x0 - separation / 2) <= width / 2)
+          | (np.abs(field.x - x0 + separation / 2) <= width / 2))
+         .astype(float))
+    if isinstance(field, ScalarFieldX):
+        field.u = field.u * jnp.asarray(t)
+    else:
+        field.u = field.u * jnp.asarray(t)[:, None]
+    return field
+
+
+def circular_aperture(field: ScalarFieldXY, radius, x0=0.0, y0=0.0):
+    X, Y = np.meshgrid(field.x, field.y, indexing="ij")
+    t = (((X - x0) ** 2 + (Y - y0) ** 2) <= radius**2).astype(float)
+    field.u = field.u * jnp.asarray(t)
+    return field
+
+
+def lens(field: ScalarFieldXY, focal):
+    """Thin-lens quadratic phase."""
+    X, Y = np.meshgrid(field.x, field.y, indexing="ij")
+    phase = jnp.exp(-1j * field.k * (X**2 + Y**2) / (2 * focal))
+    field.u = field.u * phase
+    return field
+
+
+# reference-compatible aliases
+Scalar_field_X = ScalarFieldX
+Scalar_field_XY = ScalarFieldXY

@@ -1,0 +1,144 @@
+"""Photonic structure tools: transfer matrices, quasinormal modes, and
+1D dyadic Green's functions of layered media.
+
+TPU-native counterpart of the reference photonics stubs
+(reference: pyqed/qnm.py:10-73 — transfer-matrix quasinormal modes
+(``propagation``, ``interface``, ``single_layer``, ``resonance``);
+pyqed/dgf/propagator.py:199-365 — multilayer dyadic Green's function via
+the Dyson equation; both are partially implemented there and completed
+here).
+
+Transfer matrices batch over frequency with vmap; the Dyson equation is a
+dense linear solve on the MXU.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------- transfer matrix
+
+def propagation(omega, n, l, c=1.0):
+    """Phase propagation matrix through thickness l of index n
+    (reference: pyqed/qnm.py:15). For complex omega (QNM search) the
+    backward wave uses 1/phase, which equals conj(phase) on the real axis.
+    """
+    # e^{-i omega t} time convention: rightward wave e^{+i k z}; with this
+    # sign the transmission poles (QNMs) sit in the lower half plane
+    phase = jnp.exp(1j * omega * l * n / c)
+    z = jnp.zeros_like(phase)
+    return jnp.stack([jnp.stack([phase, z]), jnp.stack([z, 1.0 / phase])])
+
+
+def interface(n1, n2):
+    """Fresnel interface matrix (normal incidence)
+    (reference: pyqed/qnm.py:24)."""
+    eta = n1 / n2
+    return 0.5 * jnp.array([[1.0 + eta, 1.0 - eta],
+                            [1.0 - eta, 1.0 + eta]])
+
+
+def transfer_matrix(omega, ns: Sequence, ls: Sequence, n_in=1.0, n_out=1.0,
+                    c=1.0):
+    """Total transfer matrix of a stack: n_in | n1(l1) | ... | n_out."""
+    M = jnp.eye(2, dtype=complex)
+    prev = n_in
+    for n, l in zip(ns, ls):
+        M = propagation(omega, n, l, c) @ interface(prev, n) @ M
+        prev = n
+    M = interface(prev, n_out) @ M
+    return M
+
+
+def rt_coefficients(omega, ns, ls, n_in=1.0, n_out=1.0, c=1.0):
+    """(r, t) amplitude coefficients from the transfer matrix."""
+    M = transfer_matrix(omega, ns, ls, n_in, n_out, c)
+    # fields (E+, E-): out = M in; no backward wave on output side
+    t = M[0, 0] - M[0, 1] * M[1, 0] / M[1, 1]
+    r = -M[1, 0] / M[1, 1]
+    return r, t
+
+
+def transmittance_spectrum(omegas, ns, ls, n_in=1.0, n_out=1.0, c=1.0):
+    """|t|^2 over a frequency grid — one vmap."""
+    def one(w):
+        r, t = rt_coefficients(w, ns, ls, n_in, n_out, c)
+        return jnp.abs(t) ** 2
+    return jax.vmap(one)(jnp.asarray(omegas, dtype=complex))
+
+
+def quasinormal_modes(ns, ls, omega_guesses, n_in=1.0, n_out=1.0, c=1.0,
+                      maxiter=60):
+    """Complex QNM frequencies: zeros of 1/t(omega) (poles of transmission)
+    by Newton iteration from real-frequency guesses
+    (reference: pyqed/qnm.py:55 ``resonance``).
+
+    Returns complex omegas with Im < 0 (decaying modes)."""
+    def inv_t(w):
+        M = transfer_matrix(w, ns, ls, n_in, n_out, c)
+        return M[1, 1]   # 1/t ~ M11 for unit input
+
+    f = lambda w: inv_t(w)
+    df = jax.grad(lambda w: jnp.real(inv_t(w)), holomorphic=False)
+
+    out = []
+    for w0 in np.atleast_1d(omega_guesses):
+        w = complex(w0)
+        for _ in range(maxiter):
+            fw = complex(f(jnp.asarray(w)))
+            # numeric derivative (complex step not valid for nonholo jax grad)
+            h = 1e-6
+            dfw = (complex(f(jnp.asarray(w + h))) - fw) / h
+            step = fw / dfw
+            w = w - step
+            if abs(step) < 1e-12:
+                break
+        out.append(w)
+    return np.array(out)
+
+
+# ---------------------------------------------------- 1D Green's functions
+
+def helmholtz_g0(z1, z2, k):
+    """Free 1D Helmholtz Green's function g0 = e^{ik|z-z'|}/(2ik)
+    (reference: pyqed/dgf/propagator.py helmholtz)."""
+    return jnp.exp(1j * k * jnp.abs(z1 - z2)) / (2j * k)
+
+
+class Multilayer:
+    """1D layered-medium Green's function via the Dyson equation
+    (reference: pyqed/dgf/propagator.py:211 ``Multilayer``):
+
+    G = G0 + G0 k^2 chi G  ->  (I - G0 k^2 chi dz) G = G0
+    """
+
+    def __init__(self, z, eps, eps0=1.0):
+        self.z = np.asarray(z)
+        self.nz = len(self.z)
+        self.dz = self.z[1] - self.z[0]
+        self.eps = jnp.asarray(eps)        # eps(z) profile
+        self.eps0 = eps0
+        self.chi = self.eps - eps0
+
+    def green0(self, k):
+        k0 = k * np.sqrt(self.eps0)
+        Z1, Z2 = jnp.meshgrid(jnp.asarray(self.z), jnp.asarray(self.z),
+                              indexing="ij")
+        return helmholtz_g0(Z1, Z2, k0)
+
+    def G(self, k):
+        """Full Green's function by a dense Dyson solve."""
+        g0 = self.green0(k)
+        A = (jnp.eye(self.nz, dtype=complex)
+             - g0 * (k**2 * self.chi)[None, :] * self.dz)
+        return jnp.linalg.solve(A, g0)
+
+    def ldos(self, k):
+        """Relative local density of states Im G(z, z) / Im G0(z, z)."""
+        G = self.G(k)
+        g0 = self.green0(k)
+        return jnp.imag(jnp.diagonal(G)) / jnp.imag(jnp.diagonal(g0))

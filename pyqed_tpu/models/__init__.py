@@ -10,3 +10,5 @@ from .named import (
 )
 from .cavity import Cavity, Composite, Polariton
 from .lattice import FermiHubbard, BoseHubbard, jordan_wigner_ops
+from .vibronic import Pyrazine, JahnTeller, ShinMetiu
+from .polariton_grid import GridMol, VibronicPolariton, VSC, TDH

@@ -1,0 +1,184 @@
+"""Named vibronic / conical-intersection models.
+
+TPU-native counterpart of the reference model zoo
+(reference: pyqed/models/pyrazine.py — ``Pyrazine:212`` 2-mode 3-state CI
+model with the standard Schneider-Domcke parameters (``buildV:255``);
+pyqed/models/ShinMetiu.py — ``ShinMetiu:76`` proton-coupled electron
+transfer with soft-Coulomb pseudopotentials; Jahn-Teller E(x)e from
+pyqed/models/vibronic.py).
+
+Every per-grid-point eigensolve (APES/BO surfaces) is a batched
+``vmap``-eigh instead of the reference's Python loops.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.special import erf
+
+from ..units import wavenum2au, au2angstrom
+from ..grid.dvr import SineDVR
+
+
+class Pyrazine:
+    """S0/S1/S2 pyrazine conical intersection, 2 modes (coupling 10a,
+    tuning 6a) (reference: pyqed/models/pyrazine.py:212).
+
+    Coordinates: x = coupling mode, y = tuning mode (dimensionless).
+    """
+
+    freq_vc = 952.0 * wavenum2au
+    freq_vt = 597.0 * wavenum2au
+    Eshift = np.array([31800.0, 39000.0]) * wavenum2au
+    kappa = np.array([-847.0, 1202.0]) * wavenum2au
+    lam = 2110.0 * wavenum2au
+
+    def __init__(self, x=None, y=None):
+        self.x = np.asarray(x) if x is not None else None
+        self.y = np.asarray(y) if y is not None else None
+        if x is not None:
+            self.nx, self.ny = len(x), len(y)
+        self.nstates = 3
+        self.edip = np.zeros((3, 3))
+        self.edip[0, 2] = self.edip[2, 0] = 1.0
+        self.mass = [1.0 / self.freq_vc, 1.0 / self.freq_vt]
+        self.v = None
+
+    def dpes(self, x, y):
+        """Diabatic potential matrix at a point
+        (reference: pyqed/models/pyrazine.py:295)."""
+        vg = self.freq_vc * x**2 / 2 + self.freq_vt * y**2 / 2
+        v0 = vg + self.kappa[0] * y + self.Eshift[0]
+        v1 = vg + self.kappa[1] * y + self.Eshift[1]
+        c = self.lam * x
+        return jnp.array([[vg, 0.0, 0.0], [0.0, v0, c], [0.0, c, v1]])
+
+    def buildV(self):
+        """(reference: pyqed/models/pyrazine.py:255)."""
+        X, Y = np.meshgrid(self.x, self.y, indexing="ij")
+        vg = self.freq_vc * X**2 / 2 + self.freq_vt * Y**2 / 2
+        v0 = vg + self.kappa[0] * Y + self.Eshift[0]
+        v1 = vg + self.kappa[1] * Y + self.Eshift[1]
+        c = self.lam * X
+        v = np.zeros((self.nx, self.ny, 3, 3))
+        v[..., 0, 0] = vg
+        v[..., 1, 1] = v0
+        v[..., 2, 2] = v1
+        v[..., 1, 2] = v[..., 2, 1] = c
+        self.v = jnp.asarray(v)
+        return self.v
+
+    def apes(self):
+        """Batched adiabatic surfaces."""
+        if self.v is None:
+            self.buildV()
+        return jnp.linalg.eigvalsh(self.v)
+
+    def spo(self):
+        """SPO2 solver preloaded with this model."""
+        from ..grid import SPO2
+        solver = SPO2(self.x, self.y, masses=self.mass, nstates=3)
+        solver.set_dpes(self.buildV())
+        return solver
+
+
+class JahnTeller:
+    """Linear E (x) e Jahn-Teller model: two degenerate electronic states
+    coupled to two degenerate modes (reference: pyqed/models/vibronic.py).
+
+    V = omega(x^2+y^2)/2 I + k [[x, y], [y, -x]] (+ Delta sz)
+    """
+
+    def __init__(self, omega=1.0, kappa=0.5, delta=0.0):
+        self.omega = omega
+        self.kappa = kappa
+        self.delta = delta
+        self.nstates = 2
+
+    def dpes(self, x, y):
+        w, k = self.omega, self.kappa
+        vg = w * (x**2 + y**2) / 2
+        return jnp.array([[vg + k * x + self.delta, k * y],
+                          [k * y, vg - k * x - self.delta]])
+
+    def buildV(self, x, y):
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        vg = self.omega * (X**2 + Y**2) / 2
+        v = np.zeros((len(x), len(y), 2, 2))
+        v[..., 0, 0] = vg + self.kappa * X + self.delta
+        v[..., 1, 1] = vg - self.kappa * X - self.delta
+        v[..., 0, 1] = v[..., 1, 0] = self.kappa * Y
+        return jnp.asarray(v)
+
+    def apes(self, x, y):
+        """Mexican-hat adiabatic surfaces (analytic):
+        V± = w r^2/2 ± sqrt(k^2 r^2 + delta^2) for delta-shifted JT."""
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        vg = self.omega * (X**2 + Y**2) / 2
+        gap = np.sqrt((self.kappa * X + self.delta) ** 2
+                      + (self.kappa * Y) ** 2)
+        return jnp.asarray(np.stack([vg - gap, vg + gap], axis=-1))
+
+
+class ShinMetiu:
+    """1D Shin-Metiu proton-coupled electron transfer
+    (reference: pyqed/models/ShinMetiu.py:76).
+
+    One electron (coordinate r) + one proton (R) between fixed ions at
+    +-L/2; soft-Coulomb interactions with cutoff Rc. BO surfaces from a
+    batched electron-grid eigensolve over the nuclear grid.
+    """
+
+    def __init__(self, Rc=None, L=None, mass=1836.0, nstates=3):
+        self.Rc = Rc if Rc is not None else 1.5 / au2angstrom
+        self.L = L if L is not None else 10.0 / au2angstrom
+        self.mass = mass
+        self.nstates = nstates
+        self.x = None
+
+    def create_grid(self, nx=128, frac=0.45):
+        lim = self.L * frac
+        dvr = SineDVR(-lim, lim, nx)
+        self.x = np.asarray(dvr.x)
+        self.Te = np.asarray(dvr.t())
+        return self.x
+
+    def V_en(self, r, R):
+        """Soft Coulomb -erf(|r-R|/Rc)/|r-R|
+        (reference: pyqed/models/ShinMetiu.py:189)."""
+        d = np.abs(r - R)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = -erf(d / self.Rc) / d
+        v = np.where(d < 1e-12, -2.0 / (self.Rc * np.sqrt(np.pi)), v)
+        return v
+
+    def electron_hamiltonian(self, R):
+        """H_e(R) on the electron grid."""
+        x = self.x
+        V = (self.V_en(x, -self.L / 2) + self.V_en(x, self.L / 2)
+             + self.V_en(x, R))
+        return jnp.asarray(self.Te + np.diag(V))
+
+    def energy_nuc(self, R):
+        return 1.0 / abs(R + self.L / 2) + 1.0 / abs(self.L / 2 - R)
+
+    def pes(self, Rgrid):
+        """BO surfaces E_n(R) + electronic states — one batched eigh over
+        the nuclear grid (the reference loops in Python with per-point
+        eigsh, pyqed/models/ShinMetiu.py:125-170)."""
+        if self.x is None:
+            self.create_grid()
+        Hs = jnp.stack([self.electron_hamiltonian(R) for R in np.asarray(Rgrid)])
+        w, u = jnp.linalg.eigh(Hs)
+        enuc = jnp.asarray([self.energy_nuc(R) for R in np.asarray(Rgrid)])
+        E = w[:, :self.nstates] + enuc[:, None]
+        return E, u[:, :, :self.nstates]
+
+    def overlap_matrix(self, states):
+        """Electronic overlap A[m a, n b] = <phi_a(R_m)|phi_b(R_n)> for the
+        LDR propagator (dx from the sine-DVR grid)."""
+        dx = self.x[1] - self.x[0]
+        return jnp.einsum("mia, nib -> manb", jnp.conj(states), states) * dx

@@ -5,3 +5,4 @@ from .redfield import RedfieldSolver, redfield_tensor
 from .heom import HEOMSolver, HEOMSolverDrude, enumerate_hierarchy, neighbor_maps
 from .deom import DEOMSolver, DEOMBath, Bath
 from .nrg import NRG, SBM
+from .tcl import TCL2Solver

@@ -84,12 +84,14 @@ class RedfieldSolver:
         return R, evecs
 
     # ---------------------------------------------------------------- evolve
-    def evolve(self, rho0, dt, Nt, e_ops=None, t0=0.0, nout=1,
-               store_states=False) -> Result:
+    def evolve(self, rho0, dt, Nt=None, e_ops=None, t0=0.0, nout=1,
+               store_states=False, nt=None) -> Result:
         """RK4 propagation of vec(rho) in the eigenbasis
         (reference: pyqed/oqs.py:364 ``_redfield``). Observables are
         transformed into the eigenbasis so the returned expectation values
         refer to the original (site) operators."""
+        if Nt is None:
+            Nt = nt
         if self.R is None:
             self.redfield_tensor()
         R, evecs = self.R, self.evecs

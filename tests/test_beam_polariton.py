@@ -1,0 +1,219 @@
+"""Beam diffraction, vibronic models, grid polaritons, VSC, TDH, TCL2."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyqed_tpu.beam import ScalarFieldX, ScalarFieldXY, gauss_beam, \
+    plane_wave, double_slit, slit
+from pyqed_tpu.models.vibronic import Pyrazine, JahnTeller, ShinMetiu
+from pyqed_tpu.models.polariton_grid import GridMol, VibronicPolariton, VSC, TDH
+from pyqed_tpu.models.cavity import Cavity
+from pyqed_tpu.open import TCL2Solver, RedfieldSolver, DrudeBath
+from pyqed_tpu import pauli, sigmam, ket2dm, basis
+
+
+class TestBeam:
+    def test_gaussian_beam_diffraction_analytic(self):
+        """Free-space Gaussian beam width: w(z) = w0 sqrt(1 + (z/zR)^2)."""
+        lam = 0.6328
+        w0 = 20.0
+        x = np.linspace(-400, 400, 2048)
+        f = ScalarFieldX(x, lam)
+        gauss_beam(f, w0=w0)
+        zR = np.pi * w0**2 / lam
+        z = 2 * zR
+        f.angular_spectrum(z)
+        I = np.asarray(f.intensity())
+        # 1/e^2 radius from the second moment: <x^2> = w^2/4
+        wz = 2 * np.sqrt(np.sum(I * x**2) / np.sum(I))
+        w_exact = w0 * np.sqrt(1 + (z / zR) ** 2)
+        assert np.isclose(wz, w_exact, rtol=0.02), (wz, w_exact)
+
+    def test_double_slit_fraunhofer_fringes(self):
+        """Far-field fringes at spatial frequencies m/d (Young's slits)."""
+        lam = 0.5
+        d = 50.0
+        width = 5.0
+        x = np.linspace(-600, 600, 4096)
+        f = ScalarFieldX(x, lam)
+        plane_wave(f)
+        double_slit(f, width, d)
+        fx, U = f.fft()
+        I = np.abs(np.asarray(U)) ** 2
+        from scipy.signal import find_peaks
+        pk, _ = find_peaks(I, height=I.max() * 0.3)
+        spacing = np.mean(np.diff(fx[pk]))
+        assert np.isclose(spacing, 1.0 / d, rtol=0.03), spacing
+
+    def test_fresnel_moderate_distance_fringes(self):
+        """Two-slit interference at moderate z (no periodic-image overlap):
+        spacing lambda z / d."""
+        lam = 0.5
+        d = 50.0
+        width = 10.0
+        x = np.linspace(-900, 900, 8192)
+        f = ScalarFieldX(x, lam)
+        plane_wave(f)
+        double_slit(f, width, d)
+        z = 2.0e4
+        f.angular_spectrum(z)
+        I = np.asarray(f.intensity())
+        # dominant interference frequency from the spectrum of I(x):
+        dx = x[1] - x[0]
+        fr = np.fft.rfftfreq(len(x), dx)
+        S = np.abs(np.fft.rfft(I - I.mean()))
+        band = (fr > 0.5 / (lam * z / d)) & (fr < 2.0 / (lam * z / d))
+        fpeak = fr[band][np.argmax(S[band])]
+        assert np.isclose(1.0 / fpeak, lam * z / d, rtol=0.05), 1.0 / fpeak
+
+    def test_unitarity(self):
+        """Angular-spectrum propagation conserves power (propagating band)."""
+        x = np.linspace(-200, 200, 1024)
+        f = ScalarFieldX(x, 0.5)
+        gauss_beam(f, w0=30.0)
+        P0 = float(np.sum(np.asarray(f.intensity())))
+        f.angular_spectrum(1000.0)
+        P1 = float(np.sum(np.asarray(f.intensity())))
+        assert np.isclose(P0, P1, rtol=1e-6)
+
+    def test_2d_volume_vmap(self):
+        x = np.linspace(-100, 100, 128)
+        f = ScalarFieldXY(x, x, 0.5)
+        gauss_beam(f, w0=20.0)
+        vol = np.asarray(f.propagate_many(np.linspace(0, 500, 5)))
+        assert vol.shape == (5, 128, 128)
+        assert np.all(np.isfinite(vol))
+
+
+class TestVibronicModels:
+    def test_pyrazine_surfaces(self):
+        x = np.linspace(-6, 6, 31)
+        y = np.linspace(-6, 6, 31)
+        pyr = Pyrazine(x, y)
+        v = np.asarray(pyr.buildV())
+        assert np.allclose(v, np.swapaxes(v, -1, -2))
+        apes = np.asarray(pyr.apes())
+        # conical intersection: S1/S2 gap closes somewhere
+        gap = (apes[..., 2] - apes[..., 1]).min()
+        assert gap < 2e-3, gap
+
+    def test_jahn_teller_mexican_hat(self):
+        jt = JahnTeller(omega=1.0, kappa=0.5)
+        x = np.linspace(-3, 3, 41)
+        va = np.asarray(jt.apes(x, x))
+        vd = np.asarray(jt.buildV(x, x))
+        w = np.linalg.eigvalsh(vd)
+        assert np.allclose(np.sort(va, axis=-1), w, atol=1e-10)
+        # lower surface minimum away from origin (Mexican hat)
+        lower = va[..., 0]
+        imin = np.unravel_index(np.argmin(lower), lower.shape)
+        r = np.hypot(x[imin[0]], x[imin[1]])
+        assert np.isclose(r, 0.5, atol=0.15)  # r* = k/w
+
+    def test_shin_metiu_pes(self):
+        sm = ShinMetiu(nstates=3)
+        sm.create_grid(nx=64)
+        R = np.linspace(-3.0, 3.0, 9)
+        E, states = sm.pes(R)
+        E = np.asarray(E)
+        assert E.shape == (9, 3)
+        # symmetric double well in ground state: E(R) = E(-R)
+        assert np.allclose(E[:, 0], E[::-1, 0], atol=1e-8)
+        # gap opens away from center
+        assert (E[:, 1] - E[:, 0]).min() > 0
+
+
+class TestGridPolariton:
+    def _model(self):
+        x = np.linspace(-5, 5, 64)
+        v = np.zeros((64, 2, 2))
+        v[:, 0, 0] = 0.5 * x**2
+        v[:, 1, 1] = 0.5 * (x - 0.5) ** 2 + 1.0
+        edip = np.zeros((2, 2))
+        edip[0, 1] = edip[1, 0] = 1.0
+        return GridMol(x, v, edip), x
+
+    def test_dpes_hermitian_and_splitting(self):
+        mol, x = self._model()
+        cav = Cavity(freq=1.0, n_cav=3)
+        pol = VibronicPolariton(mol, cav)
+        g = 0.05
+        v = np.asarray(pol.dpes(g=g))
+        assert np.allclose(v, np.swapaxes(v.conj(), -1, -2))
+        apes = np.asarray(pol.ppes())
+        # at resonance the (e,0)/(g,1) crossing splits by ~2g
+        # find x where uncoupled surfaces cross: 0.5x^2+1 = 0.5x^2+omega ->
+        # crossing everywhere energy-wise; just check nonzero min gap ~ 2g
+        gaps = apes[:, 2] - apes[:, 1]
+        assert gaps.min() > 0
+
+    def test_polariton_dynamics_conserves_norm(self):
+        mol, x = self._model()
+        cav = Cavity(freq=1.0, n_cav=2)
+        pol = VibronicPolariton(mol, cav)
+        pol.dpes(g=0.05)
+        psi0 = np.zeros((64, 4), dtype=complex)
+        g0 = np.exp(-0.5 * (x + 0.5) ** 2)
+        g0 /= np.sqrt((np.abs(g0) ** 2).sum() * (x[1] - x[0]))
+        psi0[:, 2] = g0  # electronic excited, 0 photons (index a*ncav+n = 1*2+0)
+        res = pol.run(jnp.asarray(psi0), dt=0.02, nt=200, nout=200)
+        pops = np.asarray(res.population)
+        assert np.isclose(pops[-1].sum(), 1.0, atol=1e-9)
+        # photon state becomes populated (polariton oscillation)
+        assert pops[-1, 1] > 1e-4 or pops[-1, 0] > 1e-4
+
+
+class TestVSC:
+    def test_rabi_splitting(self):
+        """VSC spectrum: cavity at the vibrational frequency splits the
+        first excitation into two polaritons separated ~ Rabi splitting."""
+        x = np.linspace(-6, 6, 32)
+        v = 0.5 * x**2
+        cav = Cavity(freq=1.0, n_cav=3)
+        g = 0.03
+        vsc = VSC(x, v, cav, g=g, dse=True)
+        w = np.asarray(vsc.spectrum(k=4))
+        e = w - w[0]
+        # two polariton branches around 1.0
+        assert 0.8 < e[1] < 1.0 < e[2] < 1.2
+        splitting = e[2] - e[1]
+        assert 0.02 < splitting < 0.2, splitting
+
+
+class TestTDH:
+    def test_mean_field_energy_flow(self):
+        x = np.linspace(-6, 6, 64)
+        v = 0.5 * x**2
+        cav = Cavity(freq=1.0, n_cav=4)
+        tdh = TDH(x, v, cav, g=0.05)
+        chi0 = np.exp(-0.5 * (x - 1.0) ** 2)
+        chi0 /= np.sqrt((np.abs(chi0) ** 2).sum() * (x[1] - x[0]))
+        phi0 = np.zeros(4)
+        phi0[0] = 1.0
+        # dt limited by RK4 stability: |lambda_max| dt < 2.8 with
+        # k_max^2/2m ~ 136 on this grid
+        out = tdh.run(chi0, phi0, dt=0.005, nt=2000)
+        xave = np.asarray(out["xave"])
+        nave = np.asarray(out["nave"])
+        assert np.all(np.isfinite(xave))
+        # displaced packet oscillates; photons get excited via coupling
+        assert xave.min() < -0.5
+        assert nave.max() > 1e-5
+
+
+class TestTCL2:
+    def test_matches_redfield_weak_coupling_markov(self):
+        """At weak coupling and fast bath, TCL2 relaxation approaches the
+        Markovian (Redfield) rate."""
+        _, sx, _, sz = pauli()
+        H = 0.5 * jnp.asarray(np.asarray(sz))
+        bath = DrudeBath(temperature=1.0, cutoff=5.0, reorg=0.01)
+        solver = TCL2Solver(H, jnp.asarray(np.asarray(sx)), bath=bath)
+        rho0 = ket2dm(basis(2, 1))
+        res = solver.run(rho0, dt=0.02, nt=1500, e_ops=[jnp.asarray(np.asarray(sz))])
+        sz_t = np.asarray(res.observables[:, 0]).real
+        # |1> has <sz> = -1; relaxes up toward the thermal value
+        # -tanh(beta/2) ~ -0.46
+        assert sz_t[0] < -0.99
+        assert sz_t[-1] > -0.9
+        assert np.isclose(np.trace(np.asarray(res.rho)).real, 1.0, atol=1e-8)

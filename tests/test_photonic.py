@@ -1,0 +1,74 @@
+"""Transfer-matrix / QNM / layered Green's function tests."""
+import numpy as np
+import jax.numpy as jnp
+
+from pyqed_tpu.beam import (
+    rt_coefficients, transmittance_spectrum, quasinormal_modes, Multilayer,
+)
+
+
+class TestTransferMatrix:
+    def test_energy_conservation_lossless(self):
+        """|r|^2 + |t|^2 = 1 for a lossless stack (same in/out media)."""
+        ns, ls = [2.0, 1.5, 2.0], [0.3, 0.5, 0.2]
+        for w in [1.0, 2.3, 5.7]:
+            r, t = rt_coefficients(w, ns, ls)
+            assert np.isclose(abs(complex(r))**2 + abs(complex(t))**2, 1.0,
+                              atol=1e-10), w
+
+    def test_quarter_wave_antireflection(self):
+        """n2 = sqrt(n1*n3) quarter-wave layer: r = 0 at design frequency."""
+        n1, n3 = 1.0, 2.25
+        n2 = np.sqrt(n1 * n3)
+        lam0 = 1.0
+        w0 = 2 * np.pi / lam0
+        l = lam0 / (4 * n2)
+        r, t = rt_coefficients(w0, [n2], [l], n_in=n1, n_out=n3)
+        assert abs(complex(r)) < 1e-10
+
+    def test_fabry_perot_resonances(self):
+        """Etalon transmission peaks at omega_m = m pi c/(n l)."""
+        n, l = 3.0, 1.0
+        ws = np.linspace(0.5, 4.0, 2000)
+        T = np.asarray(transmittance_spectrum(ws, [n], [l]))
+        from scipy.signal import find_peaks
+        pk, _ = find_peaks(T, height=0.99)
+        expected = np.pi / (n * l) * np.arange(1, 4)
+        for e in expected:
+            assert np.min(np.abs(ws[pk] - e)) < 5e-3, e
+
+
+class TestQNM:
+    def test_etalon_qnm(self):
+        """Etalon QNMs: omega_m = (m pi - i atanh? )/(n l) ... known:
+        omega = [m pi - i ln((n+1)/(n-1))/1]/ (n l) for n1=1 outside.
+        Check Newton-found modes satisfy Re near m pi/(n l), Im < 0."""
+        n, l = 3.0, 1.0
+        guesses = np.pi / (n * l) * np.array([1, 2])
+        modes = quasinormal_modes([n], [l], guesses)
+        exact_re = np.pi / (n * l) * np.array([1, 2])
+        exact_im = -np.log((n + 1) / (n - 1)) / (n * l)
+        for m, er in zip(modes, exact_re):
+            assert abs(m.real - er) < 1e-6
+            assert abs(m.imag - exact_im) < 1e-6
+
+
+class TestMultilayer:
+    def test_free_space_limit(self):
+        """chi = 0: G == G0."""
+        z = np.linspace(0, 10, 100)
+        ml = Multilayer(z, np.ones_like(z))
+        G = np.asarray(ml.G(2.0))
+        G0 = np.asarray(ml.green0(2.0))
+        assert np.allclose(G, G0, atol=1e-12)
+
+    def test_slab_modifies_ldos(self):
+        z = np.linspace(0, 20, 400)
+        eps = np.where(np.abs(z - 10) < 2, 4.0, 1.0)
+        ml = Multilayer(z, eps)
+        ldos = np.asarray(ml.ldos(1.5))
+        assert np.all(np.isfinite(ldos))
+        # LDOS inside the slab differs from outside
+        inside = ldos[np.abs(z - 10) < 1.5].mean()
+        outside = ldos[np.abs(z - 10) > 6].mean()
+        assert abs(inside - outside) > 0.05
