@@ -513,3 +513,32 @@ def polarizability(w, Er, Ev, d, use_rwa=True):
     d = jnp.asarray(d)
     dE = Ev[:, None] - Er[None, :] - w
     return jnp.conj(d).T @ (d / dE)
+
+
+def photon_echo_t2series(mol, pump, probe, t2list, g_idx=(0,), e_idx=None,
+                         f_idx=None):
+    """Photon-echo maps batched over population times t2 — one vmap over
+    the pathway contractions (the reference recomputes per delay in Python;
+    SURVEY.md §3.6 'batch over t2 delays with vmap').
+
+    Returns S with shape (len(t2list), len(pump), len(probe)).
+    """
+    E = mol.eigvals()
+    dip = mol.edip_rms
+    gamma = mol.gamma
+    if gamma is None:
+        raise ValueError("Please set the decay constants gamma first.")
+    N = mol.nstates
+    if e_idx is None:
+        e_idx = list(range(N))
+    if f_idx is None:
+        f_idx = list(range(N))
+
+    pump = jnp.asarray(pump)
+    probe = jnp.asarray(probe)
+
+    def one(t2):
+        return _photon_echo(E, dip, -pump, probe, t2, list(g_idx),
+                            list(e_idx), list(f_idx), gamma)
+
+    return jax.vmap(one)(jnp.asarray(t2list))

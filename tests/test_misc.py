@@ -49,7 +49,7 @@ class TestML:
         x = rng.uniform(-2, 2, size=(256, 1))
         y = 0.5 * x**2 + 0.1 * x**4
         mlp = MLP([1, 32, 32, 1])
-        mlp.fit(x, y, lr=3e-3, epochs=1500)
+        mlp.fit(x, y, lr=5e-3, epochs=700)
         xq = np.linspace(-1.8, 1.8, 50)[:, None]
         pred = np.asarray(mlp.predict(xq))
         exact = 0.5 * xq**2 + 0.1 * xq**4

@@ -227,3 +227,18 @@ class TestCars:
         S = np.asarray(cars(E, dip, shift, omega1))
         assert S.shape == (32, 16)
         assert np.all(np.isfinite(S))
+
+
+class TestT2Batch:
+    def test_t2series_matches_loop(self):
+        m, E, dip = make_mol()
+        from pyqed_tpu.signal.sos import photon_echo_t2series
+        from pyqed_tpu.signal import photon_echo
+        pump = np.linspace(0.3, 1.6, 10) / au2ev
+        t2s = np.array([0.0, 5.0, 20.0])
+        S = np.asarray(photon_echo_t2series(m, pump, pump, t2s,
+                                            e_idx=[1, 2, 3], f_idx=[2, 3]))
+        for i, t2 in enumerate(t2s):
+            ref = np.asarray(photon_echo(m, pump, pump, t2=t2,
+                                         e_idx=[1, 2, 3], f_idx=[2, 3]))
+            assert np.allclose(S[i], ref, rtol=1e-12), t2

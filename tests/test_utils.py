@@ -38,12 +38,12 @@ class TestNoise:
     def test_ou_statistics(self):
         key = jax.random.PRNGKey(0)
         D, tau, dt = 0.01, 0.5, 0.01
-        eps = np.asarray(cnoise(key, 4000, 2000, dt=dt, tau=tau, D=D))
+        eps = np.asarray(cnoise(key, 3000, 600, dt=dt, tau=tau, D=D))
         # variance D/tau
-        var = eps[2000:].var()
+        var = eps[1500:].var()
         assert np.isclose(var, D / tau, rtol=0.1)
         # correlation time: C(lag)/C(0) = exp(-lag*dt/tau)
-        c = np.asarray(autocorrelation(jnp.asarray(eps[2000:]), nlag=100))
+        c = np.asarray(autocorrelation(jnp.asarray(eps[1500:]), nlag=60))
         ratio = c[50] / c[0]
         assert np.isclose(ratio, np.exp(-50 * dt / tau), atol=0.1)
 
