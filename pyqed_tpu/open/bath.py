@@ -164,3 +164,44 @@ def bath_correlation_from_spectral_density(J, t, beta, wmax=None, nw=4000):
 
 # Reference-compatible alias (pyqed/oqs.py:793)
 Env = DrudeBath
+
+
+def prony_decomposition(C, dt, nmodes, return_error=False):
+    """Fit C(t_k) ~ sum_j a_j exp(-gamma_j t_k) on a uniform grid by the
+    matrix-pencil method (reference: pyqed/heom/deom.py — ``prony_fitting:447``
+    and ``decompose_spectrum_prony:507``, which fit the FFT of C(t); the
+    matrix pencil is the numerically robust equivalent).
+
+    Returns (a_j complex, gamma_j complex with Re gamma_j > 0).
+    """
+    C = np.asarray(C, dtype=complex)
+    N = len(C)
+    L = N // 2
+    # Hankel matrices Y0, Y1
+    Y = np.array([C[i:i + L] for i in range(N - L)])
+    Y0 = Y[:-1]
+    Y1 = Y[1:]
+    # matrix pencil via SVD-truncated generalized eigenvalue problem
+    U, s, Vh = np.linalg.svd(Y0, full_matrices=False)
+    k = min(nmodes, int(np.sum(s > s[0] * 1e-12)))
+    U, s, Vh = U[:, :k], s[:k], Vh[:k]
+    A = (U.conj().T @ Y1 @ Vh.conj().T) * (1.0 / s)[None, :]
+    z = np.linalg.eigvals(A)
+    z = z[np.abs(z) > 1e-12]
+    gamma = -np.log(z) / dt
+    # keep decaying modes
+    keep = gamma.real > -1e-10
+    gamma = gamma[keep]
+    # least-squares amplitudes
+    t = np.arange(N) * dt
+    M = np.exp(-np.outer(t, gamma))
+    a, *_ = np.linalg.lstsq(M, C, rcond=None)
+    if return_error:
+        err = np.max(np.abs(M @ a - C))
+        return a, gamma, err
+    return a, gamma
+
+
+def prony_fitting(C, dt, nmodes):
+    """Reference-compatible alias (pyqed/heom/deom.py:447)."""
+    return prony_decomposition(C, dt, nmodes)

@@ -333,3 +333,27 @@ class TestHEOM:
             out[(dec, nexp)] = np.asarray(res.observables[:, 0]).real
         assert np.max(np.abs(out[("pade", 3)] - out[("pade", 5)])) < 1e-4
         assert np.max(np.abs(out[("matsubara", 16)] - out[("pade", 5)])) < 5e-3
+
+
+class TestProny:
+    def test_recovers_exponentials(self):
+        from pyqed_tpu.open.bath import prony_decomposition
+        t = np.arange(400) * 0.05
+        a_true = np.array([0.5 + 0.1j, 0.2 - 0.3j])
+        g_true = np.array([0.3 + 1.0j, 1.2 - 0.4j])
+        C = sum(a * np.exp(-g * t) for a, g in zip(a_true, g_true))
+        a, g, err = prony_decomposition(C, 0.05, 2, return_error=True)
+        assert err < 1e-10
+        # recovered rates match (order-free)
+        for gt in g_true:
+            assert np.min(np.abs(g - gt)) < 1e-8
+
+    def test_fits_drude_correlation(self):
+        from pyqed_tpu.open.bath import DrudeBath, prony_decomposition
+        b = DrudeBath(temperature=0.5, cutoff=0.5, reorg=0.05)
+        c, nu = b.matsubara(200)
+        t = np.arange(600) * 0.1
+        C = np.sum(c[:, None] * np.exp(-np.outer(nu, t)), axis=0)
+        a, g, err = prony_decomposition(C, 0.1, 6, return_error=True)
+        assert err < 1e-6 * np.abs(C[0])
+        assert len(g) <= 6
