@@ -182,15 +182,12 @@ class SPON:
         psi0 = jnp.asarray(psi0, dtype=jnp.result_type(psi0, 1j))
 
         ns_steps = nt // nout
-        expV2, expK = self._exp_V_half, self._exp_K
-        ndim = self.ndim
-        axes = tuple(range(ndim))
+        expV2 = self._exp_V_half
+        keo = self._keo   # dispatches to the jacobi factorization in SPO2
 
         def one_step(psi):
             psi = jnp.einsum("...ab, ...b -> ...a", expV2, psi)
-            psik = jnp.fft.fftn(psi, axes=axes)
-            psik = psik * expK[..., None]
-            psi = jnp.fft.ifftn(psik, axes=axes)
+            psi = keo(psi)
             psi = jnp.einsum("...ab, ...b -> ...a", expV2, psi)
             return psi
 
@@ -270,16 +267,51 @@ class SPO(SPON):
 
 
 class SPO2(SPON):
-    """2D nonadiabatic SPO (reference: pyqed/wpd.py:379)."""
+    """2D nonadiabatic SPO (reference: pyqed/wpd.py:379).
+
+    coords='jacobi' treats y as an angle with x-dependent inertia:
+    K = p_x^2/(2 mu) + p_y^2 / (2 I(x)), factorized
+    e^{-iK dt} ~ e^{-iK_x dt} e^{-iK_y dt} (reference: pyqed/wpd.py:850
+    ``_KEO_jacobi``); masses = [mu, I(x) callable].
+    """
 
     def __init__(self, x, y, mass=None, masses=None, nstates=2, coords="linear",
                  G=None, abc=False):
-        if coords != "linear":
-            raise NotImplementedError("jacobi coordinates: planned")
         masses = masses if masses is not None else mass
-        super().__init__([x, y], masses=masses, nstates=nstates, abc=abc)
+        self.coords = coords
+        if coords == "jacobi":
+            mu, inertia = masses
+            super().__init__([x, y], masses=[mu, 1.0], nstates=nstates,
+                             abc=abc)
+            self._inertia = inertia
+        elif coords == "linear":
+            super().__init__([x, y], masses=masses, nstates=nstates, abc=abc)
+        else:
+            raise ValueError(f"unknown coords {coords!r}")
         self.x, self.y = np.asarray(x), np.asarray(y)
         self.X, self.Y = np.meshgrid(x, y, indexing="ij")
+
+    def build(self, dt):
+        super().build(dt)
+        if self.coords == "jacobi":
+            kx, ky = self.ks
+            mu = self.masses[0]
+            Iinv = 1.0 / np.asarray(self._inertia(self.x))   # (nx,)
+            self._exp_Kx = jnp.exp(-1j * jnp.asarray(kx**2) / (2 * mu) * dt)
+            self._exp_Ky = jnp.exp(
+                -1j * jnp.asarray(np.outer(Iinv, ky**2 / 2.0)) * dt)
+        return self
+
+    def _keo(self, psi):
+        if self.coords == "linear":
+            return super()._keo(psi)
+        # jacobi: sequential 1D factors (reference: pyqed/wpd.py:850)
+        psik = jnp.fft.fft(psi, axis=0)
+        psik = psik * self._exp_Kx[:, None, None]
+        psi = jnp.fft.ifft(psik, axis=0)
+        psik = jnp.fft.fft(psi, axis=1)
+        psik = psik * self._exp_Ky[:, :, None]
+        return jnp.fft.ifft(psik, axis=1)
 
 
 class SPO3(SPON):

@@ -158,6 +158,12 @@ class DEOMSolver:
         psys = self.pulse_system_func
         pcpl = self.pulse_coupling_func
 
+        # fused neighbor formulation (see open/heom.py): single gather over
+        # [plus; minus] with complex left/right weights
+        all_idx = jnp.concatenate([plus_idx, minus_idx], axis=1)
+        wl = jnp.concatenate([cp, cm_l], axis=1)
+        wr = jnp.concatenate([cp, cm_r], axis=1)
+
         def rhs(ados, t=0.0):
             Ht = H
             if Hd is not None and psys is not None:
@@ -165,16 +171,16 @@ class DEOMSolver:
             Qt = Qk
             if Qd is not None and pcpl is not None:
                 Qt = Qk + pcpl(t) * jnp.asarray(Qd, dtype=dtype)[mode]
+            Qt2 = jnp.concatenate([Qt, Qt], axis=0)
             padded = jnp.concatenate(
                 [ados, jnp.zeros((1, n, n), dtype=ados.dtype)], axis=0)
             out = -1j * (Ht @ ados - ados @ Ht)
             out = out - damp[:, None, None] * ados
-            up = padded[plus_idx]      # (nado, nind, n, n)
-            dn = padded[minus_idx]
-            out = out - 1j * (jnp.einsum("Nm, mab, Nmbc -> Nac", cp, Qt, up)
-                              - jnp.einsum("Nm, Nmab, mbc -> Nac", cp, up, Qt))
-            out = out - 1j * (jnp.einsum("Nm, mab, Nmbc -> Nac", cm_l, Qt, dn)
-                              - jnp.einsum("Nm, Nmab, mbc -> Nac", cm_r, dn, Qt))
+            g = padded[all_idx]                    # (nado, 2*nind, n, n)
+            gl = wl[:, :, None, None] * g
+            gr = wr[:, :, None, None] * g
+            out = out - 1j * (jnp.einsum("kab, Nkbc -> Nac", Qt2, gl)
+                              - jnp.einsum("Nkab, kbc -> Nac", gr, Qt2))
             return out
 
         return rhs, nado, n

@@ -120,3 +120,101 @@ class RHF:
 
     def dipole_integrals(self):
         raise NotImplementedError("dipole AO integrals: next round")
+
+
+class UHF:
+    """Unrestricted Hartree-Fock (reference: pyqed/qchem/hf — UHF variant).
+
+    Separate alpha/beta Fock matrices; same DIIS machinery as RHF.
+    """
+
+    def __init__(self, mol, max_cycle=150, conv_tol=1e-10, diis_size=8):
+        self.mol = mol
+        self.max_cycle = max_cycle
+        self.conv_tol = conv_tol
+        self.diis_size = diis_size
+        self.converged = False
+
+    def run(self):
+        mol = self.mol
+        S, T, V, eri = mol.intor()
+        hcore = T + V
+        enuc = mol.energy_nuc()
+        na = (mol.nelec + mol.spin) // 2
+        nb = mol.nelec - na
+        self.nocc = (na, nb)
+
+        s, U = jnp.linalg.eigh(S)
+        X = (U * (1.0 / jnp.sqrt(s))) @ U.T
+
+        def fock(Da, Db):
+            J = jnp.einsum("pqrs, rs -> pq", eri, Da + Db)
+            Ka = jnp.einsum("prqs, rs -> pq", eri, Da)
+            Kb = jnp.einsum("prqs, rs -> pq", eri, Db)
+            return hcore + J - Ka, hcore + J - Kb
+
+        def density(F, nocc):
+            e, Cp = jnp.linalg.eigh(X.T @ F @ X)
+            C = X @ Cp
+            Cocc = C[:, :nocc]
+            return Cocc @ Cocc.T, C, e
+
+        Da, Ca, ea = density(hcore, na)
+        Db, Cb, eb = density(hcore, nb)
+        # break alpha/beta symmetry for open shells
+        if na == nb and mol.spin == 0:
+            pass
+        E_old = 0.0
+        diis = []
+        for it in range(self.max_cycle):
+            Fa, Fb = fock(Da, Db)
+            erra = X.T @ (Fa @ Da @ S - S @ Da @ Fa) @ X
+            errb = X.T @ (Fb @ Db @ S - S @ Db @ Fb) @ X
+            diis.append((Fa, Fb, jnp.concatenate(
+                [jnp.ravel(erra), jnp.ravel(errb)])))
+            if len(diis) > self.diis_size:
+                diis.pop(0)
+            if len(diis) > 1:
+                m = len(diis)
+                B = np.zeros((m + 1, m + 1))
+                B[-1, :] = B[:, -1] = -1.0
+                B[-1, -1] = 0.0
+                for i in range(m):
+                    for j in range(m):
+                        B[i, j] = float(jnp.vdot(diis[i][2],
+                                                 diis[j][2]).real)
+                rhs = np.zeros(m + 1)
+                rhs[-1] = -1.0
+                try:
+                    cvec = np.linalg.solve(B, rhs)[:m]
+                    Fa = sum(ci * d[0] for ci, d in zip(cvec, diis))
+                    Fb = sum(ci * d[1] for ci, d in zip(cvec, diis))
+                except np.linalg.LinAlgError:
+                    pass
+            Da, Ca, ea = density(Fa, na)
+            Db, Cb, eb = density(Fb, nb)
+            Fa0, Fb0 = fock(Da, Db)
+            E = float(0.5 * (jnp.sum((Da + Db) * hcore)
+                             + jnp.sum(Da * Fa0) + jnp.sum(Db * Fb0)).real)
+            if abs(E - E_old) < self.conv_tol:
+                self.converged = True
+                break
+            E_old = E
+
+        self.e_tot = E + enuc
+        self.mo_coeff = (Ca, Cb)
+        self.mo_energy = (ea, eb)
+        self.hcore = hcore
+        self.eri = eri
+        self.S = S
+        return self
+
+    kernel = run
+
+    def spin_square(self):
+        """<S^2> = S(S+1) + Nb - sum_ij |<a_i|b_j>|^2."""
+        Ca, Cb = self.mo_coeff
+        na, nb = self.nocc
+        Sab = Ca[:, :na].T @ self.S @ Cb[:, :nb]
+        sz = (na - nb) / 2
+        return float(sz * (sz + 1) + nb - jnp.sum(jnp.abs(Sab) ** 2))

@@ -104,3 +104,31 @@ class TestTDSCF:
         es = TDA(mf, singlet=True).run(nroots=1)[0]
         et = TDA(mf, singlet=False).run(nroots=1)[0]
         assert et < es
+
+
+class TestUHF:
+    def test_h_atom(self):
+        """Hydrogen atom UHF/STO-3G: E = -0.4666 hartree (known value)."""
+        from pyqed_tpu.qchem import Molecule, UHF
+        mol = Molecule([("H", (0, 0, 0))], spin=1)
+        mf = UHF(mol).run()
+        assert mf.converged
+        assert np.isclose(mf.e_tot, -0.46658, atol=2e-4), mf.e_tot
+        assert np.isclose(mf.spin_square(), 0.75, atol=1e-8)
+
+    def test_closed_shell_matches_rhf(self):
+        from pyqed_tpu.qchem import Molecule, RHF, UHF
+        mol = Molecule([("H", (0, 0, 0)), ("H", (0, 0, 1.4))])
+        e_r = RHF(mol).run().e_tot
+        e_u = UHF(Molecule([("H", (0, 0, 0)), ("H", (0, 0, 1.4))])).run().e_tot
+        assert np.isclose(e_r, e_u, atol=1e-8)
+
+    def test_he_cation(self):
+        """He+ UHF = exact 1-electron in this basis; compare to hcore eig."""
+        from pyqed_tpu.qchem import Molecule, UHF
+        import scipy.linalg as sla
+        mol = Molecule([("He", (0, 0, 0))], charge=1, spin=1)
+        mf = UHF(mol).run()
+        S, T, V, eri = mol.intor()
+        w = sla.eigh(np.asarray(T + V), np.asarray(S), eigvals_only=True)
+        assert np.isclose(mf.e_tot, w[0], atol=1e-8)

@@ -129,3 +129,51 @@ class TestSPO2:
         psi = rng.normal(size=(nx, ny, 2)) + 1j * rng.normal(size=(nx, ny, 2))
         rho = np.asarray(spo.rdm_el(jnp.asarray(psi)))
         assert np.allclose(rho, rho.conj().T)
+
+
+class TestJacobi:
+    def test_jacobi_constant_inertia_matches_linear(self):
+        """I(x) = const: jacobi factorization == linear KEO (both exact
+        per-factor; same Strang error)."""
+        nx = ny = 32
+        x = np.linspace(-6, 6, nx, endpoint=False)
+        y = np.linspace(-np.pi, np.pi, ny, endpoint=False)
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        v1 = 0.5 * X**2 + 0.3 * (1 - np.cos(Y))
+        v2 = v1 + 0.5
+        c = 0.05 * np.ones_like(X)
+        mu, I0 = 2.0, 3.0
+
+        psi0 = np.zeros((nx, ny, 2), dtype=complex)
+        g = np.exp(-X**2 - Y**2)
+        g /= np.sqrt((np.abs(g)**2).sum() * (x[1]-x[0]) * (y[1]-y[0]))
+        psi0[..., 0] = g
+
+        from pyqed_tpu.grid import SPO2
+        lin = SPO2(x, y, masses=[mu, I0], nstates=2)
+        lin.set_DPES([v1, v2], [[(0, 1), c]])
+        r1 = lin.run(psi0.copy(), dt=0.01, nt=100, nout=100)
+
+        jac = SPO2(x, y, masses=[mu, lambda xx: I0 * np.ones_like(xx)],
+                   nstates=2, coords="jacobi")
+        jac.set_DPES([v1, v2], [[(0, 1), c]])
+        r2 = jac.run(psi0.copy(), dt=0.01, nt=100, nout=100)
+
+        # K factors commute when I is constant -> identical evolution
+        assert np.max(np.abs(np.asarray(r1.psi) - np.asarray(r2.psi))) < 1e-10
+
+    def test_jacobi_variable_inertia_norm_conserved(self):
+        nx = ny = 32
+        x = np.linspace(0.5, 6, nx, endpoint=False)
+        y = np.linspace(-np.pi, np.pi, ny, endpoint=False)
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        v = 0.5 * (X - 2.0)**2 + 0.2 * (1 - np.cos(Y))
+        from pyqed_tpu.grid import SPO2
+        jac = SPO2(x, y, masses=[2.0, lambda xx: 2.0 * xx**2],
+                   nstates=1, coords="jacobi")
+        jac.set_dpes(v)
+        g = np.exp(-2*(X - 2.0)**2 - Y**2).astype(complex)
+        g /= np.sqrt((np.abs(g)**2).sum() * (x[1]-x[0]) * (y[1]-y[0]))
+        r = jac.run(g[..., None], dt=0.005, nt=200, nout=200)
+        assert np.isclose(float(np.asarray(r.population)[-1].sum()), 1.0,
+                          atol=1e-8)
