@@ -1,69 +1,81 @@
-"""Driver benchmark: HEOM hierarchy steps/sec on TPU vs the CPU reference.
+"""Driver benchmark: all five BASELINE.md configs on the real TPU chip.
 
-Workload (BASELINE config #3 scaled up): an FMO-like 7-site exciton system
-(n=8 states) with one Drude bath per site, Padé-2 decomposition
-(M=14 exponential modes), hierarchy depth lmax=3 → 680 ADOs of 8x8.
+Primary metric (the driver's headline): config #3 — HEOM hierarchy
+steps/sec, FMO-like 7-site exciton system (n=8) with per-site Drude
+baths, Padé-2 (M=14 modes), lmax=3 → 680 ADOs; vs_baseline = speedup
+over the CPU reference loop (complex128, per-ADO Python loop in the
+reference's DEOM rem_cal shape, pyqed/heom/deom.py:641-673).
 
-TPU path: the batched-tensor HEOM RHS (pyqed_tpu.open.heom design) under
-lax.scan, RK4. CPU baseline: a faithful NumPy transcription of the
-reference's per-ADO Python-loop RHS (pyqed/heom/deom.py:641-673 ``rem_cal``
-structure), single core.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The single JSON line also carries an "extra" dict:
+  speedup_2des   config #4 ★ — ESA+GSB+SE 2DES response map, excitonic
+                 dimer, 512x512 (omega1, omega3) x 16 t2 delays; CPU
+                 baseline = the ACTUAL reference pathway functions
+                 (pyqed/signal/sos.py:498,624,731) exec'd via the
+                 tests/ref_oracle.py shim, looped over t2.
+  heom_pallas_steps_per_sec / heom_matmul_steps_per_sec — kernel split.
+  spo_steps_per_sec      config #1 — 1D split-operator, Morse, 1024 pts.
+  lindblad_steps_per_sec config #2 — vibronic dimer (n=32) Lindblad RK4.
+  polariton_steps_per_sec config #5 — driven cavity-polariton (n=20) RK4.
+  *_vs_cpu               per-config speedup over a single-core NumPy
+                         loop with the reference algorithm shape.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-
-def setup(nsite=7, nexp=2, lmax=3):
-    sys.path.insert(0, ".")
-    from __graft_entry__ import _heom_setup
-    return _heom_setup(nsite=nsite, nexp_per_bath=nexp, lmax=lmax)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
 
 
-def bench_tpu(H, keys, plus_idx, minus_idx, Q, cvec, nuvec, nsteps=400,
-              dt=1e-3):
+def _timeit(fn, *args, repeat=1):
     import jax
-    import jax.numpy as jnp
-    from __graft_entry__ import _heom_step_fn
-
-    step, nado, n = _heom_step_fn(H, keys, plus_idx, minus_idx, Q, cvec,
-                                  nuvec, dt=dt)
-
-    @jax.jit
-    def run(ados_re, ados_im):
-        def body(carry, _):
-            re, im = carry
-            return step(re, im), None
-        (re, im), _ = jax.lax.scan(body, (ados_re, ados_im), None,
-                                   length=nsteps)
-        return re, im
-
-    ados_re = np.zeros((keys.shape[0], n, n), dtype=np.float32)
-    ados_re[0, 0, 0] = 1.0
-    ados_im = np.zeros_like(ados_re)
-
-    # compile + warmup
-    out = run(ados_re, ados_im)
+    out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = run(ados_re, ados_im)
-    jax.block_until_ready(out)
-    t1 = time.perf_counter()
-    return nsteps / (t1 - t0)
+    for _ in range(repeat):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / repeat
 
 
-def bench_cpu_reference(H, keys, plus_idx, minus_idx, Q, cvec, nuvec,
-                        nsteps=3, dt=1e-3):
-    """Reference-style RHS: Python loop over ADOs and modes, scipy-free
-    small matmuls (the reference's DEOM rem_cal loop shape)."""
+# ===================================================== config #3: HEOM ★
+
+def bench_heom_tpu(kernel, nsteps=400, dt=1e-3):
+    import jax
+    from __graft_entry__ import _heom_setup, _heom_step_fn
+    H, keys, plus_idx, minus_idx, Q, cvec, nuvec = _heom_setup(
+        nsite=7, nexp_per_bath=2, lmax=3)
+    step, nado, n = _heom_step_fn(H, keys, plus_idx, minus_idx, Q, cvec,
+                                  nuvec, dt=dt, kernel=kernel)
+
+    @jax.jit
+    def run(re, im):
+        def body(c, _):
+            return step(*c), None
+        c, _ = jax.lax.scan(body, (re, im), None, length=nsteps)
+        return c
+
+    re = np.zeros((nado, n, n), np.float32)
+    re[0, 0, 0] = 1.0
+    t = _timeit(run, re, np.zeros_like(re))
+    return nsteps / t
+
+
+def bench_heom_cpu(nsteps=10, dt=1e-3):
+    """Reference-shaped RHS: Python loop over ADOs and modes, complex128
+    (the reference DEOM rem_cal loop structure)."""
+    from __graft_entry__ import _heom_setup
+    H, keys, plus_idx, minus_idx, Q, cvec, nuvec = _heom_setup(
+        nsite=7, nexp_per_bath=2, lmax=3)
     nado, M = keys.shape
     n = H.shape[0]
-    nu = nuvec
-    damp = keys @ nu
+    damp = (keys @ nuvec).real
+    H = H.astype(complex)
+    Q = Q.astype(complex)
 
     def rhs(ados):
         out = np.empty_like(ados)
@@ -76,12 +88,13 @@ def bench_cpu_reference(H, keys, plus_idx, minus_idx, Q, cvec, nuvec,
                 dn = minus_idx[N, m]
                 if dn < nado and keys[N, m] > 0:
                     nk = keys[N, m]
-                    acc = acc - 1j * nk * (cvec[m] * Q[m] @ ados[dn]
-                                           - np.conj(cvec[m]) * ados[dn] @ Q[m])
+                    acc = acc - 1j * nk * (
+                        cvec[m] * Q[m] @ ados[dn]
+                        - np.conj(cvec[m]) * ados[dn] @ Q[m])
             out[N] = acc
         return out
 
-    ados = np.zeros((nado, n, n), dtype=np.complex64)
+    ados = np.zeros((nado, n, n), dtype=np.complex128)
     ados[0, 0, 0] = 1.0
     t0 = time.perf_counter()
     for _ in range(nsteps):
@@ -90,19 +103,300 @@ def bench_cpu_reference(H, keys, plus_idx, minus_idx, Q, cvec, nuvec,
         k3 = rhs(ados + k2 * (dt / 2))
         k4 = rhs(ados + k3 * dt)
         ados = ados + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
-    t1 = time.perf_counter()
-    return nsteps / (t1 - t0)
+    return nsteps / (time.perf_counter() - t0)
+
+
+# ===================================================== config #4: 2DES ★
+
+def _dimer_system():
+    """Excitonic dimer: g, e1, e2, f with transition dipoles."""
+    E = np.array([0.0, 1.0, 1.15, 2.1])
+    dip = np.zeros((4, 4))
+    dip[0, 1] = dip[1, 0] = 1.0
+    dip[0, 2] = dip[2, 0] = 0.7
+    dip[1, 3] = dip[3, 1] = 0.8
+    dip[2, 3] = dip[3, 2] = 1.1
+    gamma = np.array([0.0, 0.02, 0.025, 0.04])
+    return E, dip, gamma
+
+
+def bench_2des_tpu(nw=512, nt2=16):
+    import jax
+    import jax.numpy as jnp
+    from pyqed_tpu.signal.sos import _photon_echo
+    E, dip, gamma = _dimer_system()
+    w = np.linspace(0.7, 1.45, nw).astype(np.float32)
+    t2s = np.linspace(0.0, 30.0, nt2).astype(np.float32)
+
+    Ej = jnp.asarray(E.astype(np.float32))
+    dj = jnp.asarray(dip.astype(np.float32))
+    gj = jnp.asarray(gamma.astype(np.float32))
+
+    @jax.jit
+    def run(w, t2s):
+        def one(t2):
+            S = _photon_echo(Ej, dj, -w, w, t2, [0], [1, 2], [3], gj)
+            return jnp.real(S), jnp.imag(S)
+        return jax.vmap(one)(t2s)
+
+    t = _timeit(run, w, t2s)
+    return t
+
+
+def bench_2des_cpu(nw=512, nt2=16):
+    """The ACTUAL reference pathway functions via the import shim."""
+    from ref_oracle import load_reference_module
+    ref_sos = load_reference_module("signal.sos")
+    E, dip, gamma = _dimer_system()
+    w = np.linspace(0.7, 1.45, nw)
+    t2s = np.linspace(0.0, 30.0, nt2)
+    t0 = time.perf_counter()
+    for t2 in t2s:
+        s = (ref_sos.GSB(E, dip, w, w, t2, [0], [1, 2], gamma)
+             + ref_sos.SE(E, dip, w, w, t2, [0], [1, 2], gamma)
+             + ref_sos.ESA(E, dip, w, w, t2, [0], [1, 2], [3], gamma))
+    return time.perf_counter() - t0
+
+
+# ================================================= config #1: SPO Morse
+
+def bench_spo_tpu(nx=1024, nsteps=1000, dt=0.005):
+    import jax
+    import jax.numpy as jnp
+    from pyqed_tpu.grid.spo import SPO
+    x = np.linspace(-3, 20, nx, endpoint=False)
+    D, a = 8.0, 0.5
+    spo = SPO(x, mass=1.0, nstates=1)
+    spo.set_potential(lambda xx: D * (1 - np.exp(-a * xx)) ** 2)
+    spo.build(dt)
+
+    @jax.jit
+    def run(re, im):
+        def body(p, _):
+            return spo.step(p), None
+        psi0 = (re + 1j * im)[:, None]
+        p, _ = jax.lax.scan(body, psi0, None, length=nsteps)
+        return jnp.real(p), jnp.imag(p)
+
+    psi0 = np.exp(-(x - 2.0) ** 2).astype(np.float32)
+    t = _timeit(run, psi0, np.zeros_like(psi0))
+    return nsteps / t
+
+
+def bench_spo_cpu(nx=1024, nsteps=200, dt=0.005):
+    x = np.linspace(-3, 20, nx, endpoint=False)
+    D, a = 8.0, 0.5
+    v = D * (1 - np.exp(-a * x)) ** 2
+    k = 2 * np.pi * np.fft.fftfreq(nx, x[1] - x[0])
+    expV2 = np.exp(-0.5j * v * dt)
+    expK = np.exp(-1j * k ** 2 / 2 * dt)
+    psi = np.exp(-(x - 2.0) ** 2).astype(complex)
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        psi = expV2 * psi
+        psi = np.fft.ifft(expK * np.fft.fft(psi))
+        psi = expV2 * psi
+    return nsteps / (time.perf_counter() - t0)
+
+
+# ============================================ config #2: Lindblad dimer
+
+def _vibronic_dimer(nvib=8):
+    """2 electronic states x nvib vibrational levels (n=2*nvib)."""
+    n = 2 * nvib
+    w0, de, g = 0.2, 1.0, 0.15
+    H = np.zeros((n, n))
+    for s in range(2):
+        for v in range(nvib):
+            H[s * nvib + v, s * nvib + v] = s * de + w0 * v
+    for v in range(nvib - 1):
+        H[nvib + v, v + 1] = H[v + 1, nvib + v] = g
+    c = np.zeros((n, n))
+    for v in range(1, nvib):
+        c[v - 1, v] = 0.1 * np.sqrt(v)
+        c[nvib + v - 1, nvib + v] = 0.1 * np.sqrt(v)
+    return H, c
+
+
+def bench_lindblad_tpu(nsteps=1000, dt=0.002):
+    import jax
+    import jax.numpy as jnp
+    from pyqed_tpu.ops.superoperator import liouvillian_action
+    H, c = _vibronic_dimer()
+    Hr = H.astype(np.float32)
+    cr = c.astype(np.float32)
+
+    @jax.jit
+    def run(re, im):
+        # build the matrix-free Liouvillian INSIDE jit (complex constants
+        # cannot cross the axon host boundary)
+        L = liouvillian_action(jnp.asarray(Hr) + 0j, [jnp.asarray(cr) + 0j])
+
+        def step(rho):
+            k1 = L(rho)
+            k2 = L(rho + k1 * (dt / 2))
+            k3 = L(rho + k2 * (dt / 2))
+            k4 = L(rho + k3 * dt)
+            return rho + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+        def body(r, _):
+            return step(r), None
+        r, _ = jax.lax.scan(body, re + 1j * im, None, length=nsteps)
+        return jnp.real(r), jnp.imag(r)
+
+    rho0 = np.zeros((H.shape[0],) * 2, np.float32)
+    rho0[H.shape[0] // 2, H.shape[0] // 2] = 1.0
+    t = _timeit(run, rho0, np.zeros_like(rho0))
+    return nsteps / t
+
+
+def bench_lindblad_cpu(nsteps=200, dt=0.002):
+    H, c = _vibronic_dimer()
+    H = H.astype(complex)
+    cd = c.conj().T
+    ldl = cd @ c
+
+    def L(rho):
+        return (-1j * (H @ rho - rho @ H) + c @ rho @ cd
+                - 0.5 * (ldl @ rho + rho @ ldl))
+
+    rho = np.zeros_like(H)
+    rho[H.shape[0] // 2, H.shape[0] // 2] = 1.0
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        k1 = L(rho)
+        k2 = L(rho + k1 * (dt / 2))
+        k3 = L(rho + k2 * (dt / 2))
+        k4 = L(rho + k3 * dt)
+        rho = rho + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+    return nsteps / (time.perf_counter() - t0)
+
+
+# ====================================== config #5: driven polariton
+
+def _polariton_system(nmol=2, ncav=5):
+    """Jaynes-Cummings-style polariton: 2-level molecules x cavity."""
+    nm = 2 ** nmol
+    n = nm * ncav
+    H = np.zeros((n, n))
+    wc, wm, g0 = 1.0, 1.0, 0.1
+    for i in range(nm):
+        nex = bin(i).count("1")
+        for k in range(ncav):
+            H[i * ncav + k, i * ncav + k] = wm * nex + wc * k
+    # sigma^+ a + h.c. per molecule
+    for m in range(nmol):
+        for i in range(nm):
+            if not (i >> m) & 1:
+                j = i | (1 << m)
+                for k in range(1, ncav):
+                    a = i * ncav + k
+                    b = j * ncav + (k - 1)
+                    H[b, a] += g0 * np.sqrt(k)
+                    H[a, b] += g0 * np.sqrt(k)
+    mu = np.zeros((n, n))
+    for m in range(nmol):
+        for i in range(nm):
+            if not (i >> m) & 1:
+                j = i | (1 << m)
+                for k in range(ncav):
+                    mu[i * ncav + k, j * ncav + k] = 1.0
+                    mu[j * ncav + k, i * ncav + k] = 1.0
+    return H, mu
+
+
+def bench_polariton_tpu(nsteps=2000, dt=0.002):
+    import jax
+    import jax.numpy as jnp
+    H, mu = _polariton_system()
+    Hr = H.astype(np.float32)
+    mr = mu.astype(np.float32)
+    omega_d, E0 = 1.05, 0.05
+
+    @jax.jit
+    def run(re, im):
+        Hj = jnp.asarray(Hr) + 0j
+        mj = jnp.asarray(mr) + 0j
+
+        def rhs(psi, t):
+            Ht = Hj + (E0 * jnp.cos(omega_d * t)) * mj
+            return -1j * (Ht @ psi)
+
+        def step(carry, _):
+            psi, t = carry
+            k1 = rhs(psi, t)
+            k2 = rhs(psi + k1 * (dt / 2), t + dt / 2)
+            k3 = rhs(psi + k2 * (dt / 2), t + dt / 2)
+            k4 = rhs(psi + k3 * dt, t + dt)
+            return (psi + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4),
+                    t + dt), None
+        (psi, _), _ = jax.lax.scan(step, (re + 1j * im, 0.0), None,
+                                   length=nsteps)
+        return jnp.real(psi), jnp.imag(psi)
+
+    psi0 = np.zeros(H.shape[0], np.float32)
+    psi0[0] = 1.0
+    t = _timeit(run, psi0, np.zeros_like(psi0))
+    return nsteps / t
+
+
+def bench_polariton_cpu(nsteps=500, dt=0.002):
+    H, mu = _polariton_system()
+    H = H.astype(complex)
+    omega_d, E0 = 1.05, 0.05
+
+    def rhs(psi, t):
+        return -1j * ((H + E0 * np.cos(omega_d * t) * mu) @ psi)
+
+    psi = np.zeros(H.shape[0], complex)
+    psi[0] = 1.0
+    t = 0.0
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        k1 = rhs(psi, t)
+        k2 = rhs(psi + k1 * (dt / 2), t + dt / 2)
+        k3 = rhs(psi + k2 * (dt / 2), t + dt / 2)
+        k4 = rhs(psi + k3 * dt, t + dt)
+        psi = psi + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+        t += dt
+    return nsteps / (time.perf_counter() - t0)
 
 
 def main():
-    args = setup()
-    tpu_rate = bench_tpu(*args)
-    cpu_rate = bench_cpu_reference(*args)
+    heom_matmul = bench_heom_tpu("matmul")
+    heom_pallas = bench_heom_tpu("pallas")
+    heom_cpu = bench_heom_cpu()
+    heom_best = max(heom_matmul, heom_pallas)
+
+    t_2des_tpu = bench_2des_tpu()
+    t_2des_cpu = bench_2des_cpu()
+
+    spo = bench_spo_tpu()
+    spo_cpu = bench_spo_cpu()
+    lind = bench_lindblad_tpu()
+    lind_cpu = bench_lindblad_cpu()
+    pol = bench_polariton_tpu()
+    pol_cpu = bench_polariton_cpu()
+
     print(json.dumps({
         "metric": "heom_hierarchy_steps_per_sec",
-        "value": round(tpu_rate, 2),
+        "value": round(heom_best, 2),
         "unit": "steps/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "vs_baseline": round(heom_best / heom_cpu, 2),
+        "extra": {
+            "heom_pallas_steps_per_sec": round(heom_pallas, 2),
+            "heom_matmul_steps_per_sec": round(heom_matmul, 2),
+            "heom_cpu_ref_steps_per_sec": round(heom_cpu, 3),
+            "tdes_map_ms": round(t_2des_tpu * 1e3, 2),
+            "tdes_cpu_ref_ms": round(t_2des_cpu * 1e3, 2),
+            "speedup_2des": round(t_2des_cpu / t_2des_tpu, 2),
+            "spo_steps_per_sec": round(spo, 1),
+            "spo_vs_cpu": round(spo / spo_cpu, 2),
+            "lindblad_steps_per_sec": round(lind, 1),
+            "lindblad_vs_cpu": round(lind / lind_cpu, 2),
+            "polariton_steps_per_sec": round(pol, 1),
+            "polariton_vs_cpu": round(pol / pol_cpu, 2),
+        },
     }))
 
 

@@ -52,7 +52,14 @@ def propagate(step_fn: Callable, y0, t0, dt, nt: int, nout: int = 1,
       observables  (ns+1, k) or None
       states       (ns+1, ...) or None
       y_final      state after nt steps (the last full sampling window)
+
+    Requires nout | nt: a remainder would be silently dropped while the
+    requested nt is still reported, truncating sampled trajectories.
     """
+    if nt % nout != 0:
+        raise ValueError(
+            f"nt={nt} must be divisible by nout={nout} "
+            f"(the trailing {nt % nout} steps would be silently dropped)")
     ns = nt // nout
 
     def obs_of(y):

@@ -31,10 +31,21 @@ import jax.numpy as jnp
 
 from ..ops.math import interval
 from ..core.result import Result
+from ..ops import pallas_kernels as pk
 
 
 def _kgrid(n, d):
     return 2.0 * np.pi * np.fft.fftfreq(n, d)
+
+
+def _ri(z):
+    """Split complex -> (re, im) real pair (axon host-boundary safe)."""
+    return jnp.real(z), jnp.imag(z)
+
+
+def _cc(ri):
+    """Recombine a (re, im) pair into complex (call inside traced code)."""
+    return ri[0] + 1j * ri[1]
 
 
 class ResultSPO(Result):
@@ -59,7 +70,15 @@ class SPON:
     """N-dimensional, ns-state split-operator propagator."""
 
     def __init__(self, grids: Sequence, masses=None, nstates: int = 2,
-                 abc: bool = False):
+                 abc: bool = False, kernel=None, mesh=None):
+        #: kernel: None=auto (pallas on TPU) | 'xla' | 'pallas' — selects the
+        #: fused phase-multiply/potential-apply Pallas kernels for the hot
+        #: Strang-splitting step (north-star kernel (b), pyqed/wpd.py:837-848)
+        self.kernel = kernel
+        #: mesh: jax.sharding.Mesh — shards the leading grid axis of psi
+        #: (the framework's context parallelism, SURVEY.md §5.7); the FFT
+        #: along the sharded axis becomes an XLA all-to-all under GSPMD
+        self.mesh = mesh
         self.grids = [np.asarray(g) for g in grids]
         self.ndim = len(self.grids)
         self.shape = tuple(len(g) for g in self.grids)
@@ -74,10 +93,10 @@ class SPON:
         self.abc = abc
         self.v = self.V = None
         self.apes = None
-        self.d2a = None
-        self._exp_K = None
-        self._exp_V = None
-        self._exp_V_half = None
+        self._d2a_ri = None
+        self._exp_K_ri = None
+        self._exp_V_ri = None
+        self._exp_V_half_ri = None
         self._built_dt = None
 
     # ------------------------------------------------------------- potential
@@ -95,9 +114,17 @@ class SPON:
     set_DPEM = set_dpes
     set_potential = set_dpes
 
-    def set_DPES(self, surfaces, diabatic_couplings=(), eta=None):
+    def set_DPES(self, surfaces, diabatic_couplings=(), eta=None,
+                 abc_center=None, abc_width=None):
         """Build the diabatic PE matrix from surfaces + couplings
-        (reference: pyqed/wpd.py:444)."""
+        (reference: pyqed/wpd.py:444).
+
+        With ``abc=True``, a quadratic complex absorbing potential
+        −i·eta·(x − x0)² is applied on the diagonal beyond ``abc_center``
+        (x0). The reference hard-codes x0 = 9.0 (pyqed/wpd.py:489); here it
+        defaults to the start of the last ``abc_width`` fraction (10%) of
+        the first coordinate's range so it works on any grid.
+        """
         ns = self.nstates
         v = np.zeros(self.shape + (ns, ns), dtype=complex if self.abc else float)
         for a in range(ns):
@@ -107,11 +134,18 @@ class SPON:
             v[..., a, b] = np.asarray(dc[1])
             v[..., b, a] = np.conj(v[..., a, b])
         if self.abc:
-            # absorbing boundary on the first coordinate (reference:
-            # pyqed/wpd.py:489 applies -i eta (x-9)^2 on the diagonal)
+            if eta is None:
+                raise ValueError(
+                    "abc=True needs an absorbing strength: set_DPES(..., "
+                    "eta=<float>, abc_center=<x0>)")
+            x = self.grids[0]
+            if abc_center is None:
+                frac = 0.1 if abc_width is None else abc_width
+                abc_center = x[-1] - frac * (x[-1] - x[0])
             X = np.meshgrid(*self.grids, indexing="ij")[0]
+            cap = np.where(X > abc_center, (X - abc_center) ** 2, 0.0)
             for n in range(ns):
-                v[..., n, n] = v[..., n, n] - 1j * eta * (X - 9.0) ** 2
+                v[..., n, n] = v[..., n, n] - 1j * eta * cap
         return self.set_dpes(v)
 
     # ----------------------------------------------------------------- build
@@ -125,7 +159,13 @@ class SPON:
             shape[axis] = len(k)
             K2 = K2 + (k.reshape(shape) ** 2) / (2.0 * m)
         self.ks = ks
-        self._exp_K = jnp.exp(-1j * jnp.asarray(K2) * dt)
+        # Complex build products are stored as (re, im) REAL device arrays
+        # and combined inside traced code: the axon TPU backend cannot
+        # transfer complex arrays across the host boundary, and jit
+        # constant-folding of complex closure arrays needs exactly such a
+        # transfer. Real closure constants embed fine.
+        self._exp_K_ri = jax.jit(
+            lambda k2: _ri(jnp.exp(-1j * k2 * dt)))(jnp.asarray(K2))
 
         if self.v is None:
             raise ValueError("The diabatic PES is not specified.")
@@ -135,33 +175,83 @@ class SPON:
         npts = int(np.prod(self.shape))
         vflat = jnp.reshape(v, (npts, ns, ns))
 
-        if ns == 1:
-            w = vflat[:, 0, 0][:, None]
-            u = jnp.ones((npts, 1, 1), dtype=jnp.result_type(v, 1j))
-        else:
-            w, u = jnp.linalg.eigh(vflat)  # batched over grid points
+        @jax.jit
+        def _vprop(vflat):
+            if ns == 1:
+                w = vflat[:, 0, 0][:, None]
+                u = jnp.ones((npts, 1, 1), dtype=jnp.result_type(v, 1j))
+            elif jnp.iscomplexobj(vflat):
+                # non-Hermitian (absorbing-boundary) diabatic blocks: the
+                # CAP from set_DPES is a multiple of the identity at each
+                # grid point, so exp(-i(V_h - i eta c)dt) factorizes
+                # EXACTLY into the Hermitian propagator times a diagonal
+                # complex phase
+                vh = 0.5 * (vflat + jnp.conj(jnp.swapaxes(vflat, -1, -2)))
+                cap = vflat - vh
+                w, u = jnp.linalg.eigh(vh)
+                capd = jnp.einsum("pii -> pi", cap) / ns
+                w = w + capd  # complex shift applied per state
+            else:
+                w, u = jnp.linalg.eigh(vflat)  # batched over grid points
+            phase = jnp.exp(-1j * w * dt)      # (npts, ns)
+            phase2 = jnp.exp(-1j * w * dt / 2)
+            uc = jnp.conj(jnp.swapaxes(u, -1, -2))
+            expV = jnp.einsum("pab, pb, pbc -> pac", u, phase, uc)
+            expV2 = jnp.einsum("pab, pb, pbc -> pac", u, phase2, uc)
+            return _ri(w), _ri(u), _ri(expV), _ri(expV2)
 
-        phase = jnp.exp(-1j * w * dt)      # (npts, ns)
-        phase2 = jnp.exp(-1j * w * dt / 2)
-        uc = jnp.conj(jnp.swapaxes(u, -1, -2))
-        expV = jnp.einsum("pab, pb, pbc -> pac", u, phase, uc)
-        expV2 = jnp.einsum("pab, pb, pbc -> pac", u, phase2, uc)
-        self._exp_V = jnp.reshape(expV, self.shape + (ns, ns))
-        self._exp_V_half = jnp.reshape(expV2, self.shape + (ns, ns))
-        self.apes = np.reshape(np.asarray(w), self.shape + (ns,))
-        self.d2a = jnp.reshape(u, self.shape + (ns, ns))
+        w_ri, u_ri, expV_ri, expV2_ri = _vprop(vflat)
+        sh = self.shape + (ns, ns)
+        self._exp_V_ri = tuple(jnp.reshape(a, sh) for a in expV_ri)
+        self._exp_V_half_ri = tuple(jnp.reshape(a, sh) for a in expV2_ri)
+        w = np.asarray(w_ri[0]) + (1j * np.asarray(w_ri[1])
+                                   if bool(np.any(np.asarray(w_ri[1])))
+                                   else 0.0)
+        self.apes = np.reshape(w, self.shape + (ns,))
+        self._d2a_ri = tuple(jnp.reshape(a, sh) for a in u_ri)
         self._built_dt = dt
         return self
 
+    # complex views (combine inside traced code or on CPU backends)
+    @property
+    def _exp_K(self):
+        return None if self._exp_K_ri is None else _cc(self._exp_K_ri)
+
+    @property
+    def _exp_V(self):
+        return None if self._exp_V_ri is None else _cc(self._exp_V_ri)
+
+    @property
+    def _exp_V_half(self):
+        return (None if self._exp_V_half_ri is None
+                else _cc(self._exp_V_half_ri))
+
+    @property
+    def d2a(self):
+        return None if self._d2a_ri is None else _cc(self._d2a_ri)
+
     # ------------------------------------------------------------------ step
+    def _use_pallas(self):
+        if self.mesh is not None:
+            return False   # GSPMD partitions the jnp ops; pallas is per-chip
+        k = self.kernel
+        if k is None:
+            return pk.default_backend_is_tpu()
+        return k == "pallas"
+
     def _keo(self, psi):
         axes = tuple(range(self.ndim))
         psik = jnp.fft.fftn(psi, axes=axes)
-        psik = psik * self._exp_K[..., None]
+        if self._use_pallas():
+            psik = pk.spo_phase_multiply(self._exp_K, psik)
+        else:
+            psik = psik * self._exp_K[..., None]
         return jnp.fft.ifftn(psik, axes=axes)
 
     def _peo(self, psi, half=False):
         M = self._exp_V_half if half else self._exp_V
+        if self._use_pallas():
+            return pk.spo_potential_apply(M, psi)
         return jnp.einsum("...ab, ...b -> ...a", M, psi)
 
     def step(self, psi):
@@ -182,13 +272,22 @@ class SPON:
         psi0 = jnp.asarray(psi0, dtype=jnp.result_type(psi0, 1j))
 
         ns_steps = nt // nout
-        expV2 = self._exp_V_half
+        peo = self._peo   # fused Pallas potential apply when enabled
         keo = self._keo   # dispatches to the jacobi factorization in SPO2
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = self.mesh.axis_names[0]
+            spec = P(*([axis] + [None] * self.ndim))
+            _shard = NamedSharding(self.mesh, spec)
+            psi0 = jax.device_put(psi0, _shard)
+
         def one_step(psi):
-            psi = jnp.einsum("...ab, ...b -> ...a", expV2, psi)
+            if self.mesh is not None:
+                psi = jax.lax.with_sharding_constraint(psi, _shard)
+            psi = peo(psi, half=True)
             psi = keo(psi)
-            psi = jnp.einsum("...ab, ...b -> ...a", expV2, psi)
+            psi = peo(psi, half=True)
             return psi
 
         dvol = self.dvol
@@ -253,8 +352,10 @@ class SPON:
 class SPO(SPON):
     """1D single- or multi-surface SPO (reference: pyqed/wpd.py:191)."""
 
-    def __init__(self, x, mass=1.0, nstates=1, abc=False):
-        super().__init__([x], masses=[mass], nstates=nstates, abc=abc)
+    def __init__(self, x, mass=1.0, nstates=1, abc=False, kernel=None,
+                 mesh=None):
+        super().__init__([x], masses=[mass], nstates=nstates, abc=abc,
+                         kernel=kernel, mesh=mesh)
         self.x = np.asarray(x)
 
     def set_potential(self, potential):
@@ -276,16 +377,17 @@ class SPO2(SPON):
     """
 
     def __init__(self, x, y, mass=None, masses=None, nstates=2, coords="linear",
-                 G=None, abc=False):
+                 G=None, abc=False, kernel=None, mesh=None):
         masses = masses if masses is not None else mass
         self.coords = coords
         if coords == "jacobi":
             mu, inertia = masses
             super().__init__([x, y], masses=[mu, 1.0], nstates=nstates,
-                             abc=abc)
+                             abc=abc, kernel=kernel, mesh=mesh)
             self._inertia = inertia
         elif coords == "linear":
-            super().__init__([x, y], masses=masses, nstates=nstates, abc=abc)
+            super().__init__([x, y], masses=masses, nstates=nstates, abc=abc,
+                             kernel=kernel, mesh=mesh)
         else:
             raise ValueError(f"unknown coords {coords!r}")
         self.x, self.y = np.asarray(x), np.asarray(y)
@@ -297,9 +399,12 @@ class SPO2(SPON):
             kx, ky = self.ks
             mu = self.masses[0]
             Iinv = 1.0 / np.asarray(self._inertia(self.x))   # (nx,)
-            self._exp_Kx = jnp.exp(-1j * jnp.asarray(kx**2) / (2 * mu) * dt)
-            self._exp_Ky = jnp.exp(
-                -1j * jnp.asarray(np.outer(Iinv, ky**2 / 2.0)) * dt)
+            self._exp_Kx_ri = jax.jit(
+                lambda a: _ri(jnp.exp(-1j * a / (2 * mu) * dt)))(
+                    jnp.asarray(kx ** 2))
+            self._exp_Ky_ri = jax.jit(
+                lambda a: _ri(jnp.exp(-1j * a * dt)))(
+                    jnp.asarray(np.outer(Iinv, ky ** 2 / 2.0)))
         return self
 
     def _keo(self, psi):
@@ -307,10 +412,10 @@ class SPO2(SPON):
             return super()._keo(psi)
         # jacobi: sequential 1D factors (reference: pyqed/wpd.py:850)
         psik = jnp.fft.fft(psi, axis=0)
-        psik = psik * self._exp_Kx[:, None, None]
+        psik = psik * _cc(self._exp_Kx_ri)[:, None, None]
         psi = jnp.fft.ifft(psik, axis=0)
         psik = jnp.fft.fft(psi, axis=1)
-        psik = psik * self._exp_Ky[:, :, None]
+        psik = psik * _cc(self._exp_Ky_ri)[:, :, None]
         return jnp.fft.ifft(psik, axis=1)
 
 
@@ -318,9 +423,10 @@ class SPO3(SPON):
     """3D nonadiabatic SPO (reference: pyqed/wpd.py:1105)."""
 
     def __init__(self, x, y, z, masses=None, nstates=2, coords="linear",
-                 G=None, abc=False):
+                 G=None, abc=False, kernel=None, mesh=None):
         if coords != "linear":
             raise NotImplementedError("jacobi coordinates: planned")
-        super().__init__([x, y, z], masses=masses, nstates=nstates, abc=abc)
+        super().__init__([x, y, z], masses=masses, nstates=nstates, abc=abc,
+                         kernel=kernel, mesh=mesh)
         self.x, self.y, self.z = np.asarray(x), np.asarray(y), np.asarray(z)
         self.X, self.Y, self.Z = np.meshgrid(x, y, z, indexing="ij")

@@ -98,9 +98,8 @@ def pade_poles_bose(N):
     function:  1/(e^x - 1) ≈ 1/x - 1/2 + sum_j 2 eta_j x / (x^2 + xi_j^2).
 
     Poles xi_j from the Hu-Xu-Yan tridiagonal eigenproblem [JCP 133, 101106
-    (2010)]; residues eta_j by least-squares collocation against the exact
-    Bose function (numerically exact for the PSD ansatz, avoids the fragile
-    closed-form product formula).
+    (2010)]; residues eta_j from the Hu-Xu-Yan closed-form product formula
+    over the auxiliary (N-1/N) zero set.
     """
     if N == 0:
         return np.array([]), np.array([])

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from ..ops.linalg import dag
 from ..core.result import Result
 from .bath import DrudeBath
+from ..ops import pallas_kernels as pk
 
 
 def enumerate_hierarchy(nmodes: int, lmax: int):
@@ -86,7 +87,8 @@ class HEOMSolver:
     """
 
     def __init__(self, H, bath=None, c_ops=None, e_ops=None, lmax: int = 4,
-                 decomposition="matsubara", nexp: int = 1):
+                 decomposition="matsubara", nexp: int = 1, kernel=None,
+                 mesh=None):
         self.H = jnp.asarray(H)
         self.n = H.shape[-1]
         self.e_ops = e_ops
@@ -94,6 +96,8 @@ class HEOMSolver:
         self.lmax = lmax
         self.decomposition = decomposition
         self.nexp = nexp
+        self.kernel = kernel    # None=auto | 'einsum' | 'matmul' | 'pallas'
+        self.mesh = mesh        # jax.sharding.Mesh for ADO-axis sharding
         self._modes = None  # list of (Q, c, nu) flattened over baths/terms
         if bath is not None:
             self.set_bath(bath)
@@ -103,7 +107,10 @@ class HEOMSolver:
             modes = []
             for (Q, cs, nus) in bath:
                 for c, nu in zip(np.atleast_1d(cs), np.atleast_1d(nus)):
-                    modes.append((jnp.asarray(Q), complex(c), float(nu)))
+                    # nu kept complex: underdamped/Prony decompositions
+                    # (open/bath.py prony_decomposition) carry oscillatory
+                    # complex rates, like DEOMBath.expn
+                    modes.append((jnp.asarray(Q), complex(c), complex(nu)))
             self._modes = modes
         elif isinstance(bath, DrudeBath):
             if bath.bath_ops is None and self.c_ops is None:
@@ -116,7 +123,7 @@ class HEOMSolver:
             modes = []
             for Q in ops:
                 for ck, nuk in zip(c, nu):
-                    modes.append((jnp.asarray(Q), complex(ck), float(nuk)))
+                    modes.append((jnp.asarray(Q), complex(ck), complex(nuk)))
             self._modes = modes
         else:
             raise TypeError("bath must be DrudeBath or list of (Q, c, nu)")
@@ -130,17 +137,38 @@ class HEOMSolver:
         plus_idx, minus_idx = neighbor_maps(keys, index)
         Q = jnp.stack([m[0].astype(dtype) for m in modes])           # (M, n, n)
         c = jnp.asarray([m[1] for m in modes], dtype=dtype)          # (M,)
-        nu = jnp.asarray([m[2] for m in modes], dtype=jnp.float64
-                         if jnp.dtype(dtype) == jnp.complex128 else jnp.float32)
+        nus = np.array([m[2] for m in modes])
+        rdtype = (jnp.float64 if jnp.dtype(dtype) == jnp.complex128
+                  else jnp.float32)
+        # complex rates (underdamped/Prony baths) keep their imaginary part
+        nu = (jnp.asarray(nus, dtype=dtype) if np.any(nus.imag != 0)
+              else jnp.asarray(nus.real, dtype=rdtype))
         return (jnp.asarray(keys), jnp.asarray(plus_idx),
                 jnp.asarray(minus_idx), Q, c, nu)
 
-    def rhs_fn(self, dtype):
+    def rhs_fn(self, dtype, kernel=None):
+        """Build the hierarchy RHS closure ados (nado,n,n) -> d ados/dt.
+
+        kernel: 'einsum' (batched einsums over gathered neighbors),
+        'matmul' (stacked-superoperator single matmul,
+        pallas_kernels.heom_rhs_reference), 'pallas' (same contraction as
+        a fused Pallas MXU kernel), or None = auto (pallas on TPU,
+        einsum elsewhere).
+        """
+        if kernel is None:
+            kernel = self.kernel if getattr(self, "kernel", None) else None
+        if kernel is None:
+            kernel = "pallas" if pk.default_backend_is_tpu() else "einsum"
+
         keys, plus_idx, minus_idx, Q, c, nu = self._build(dtype)
         H = self.H.astype(dtype)
         damp = (keys @ nu[:, None])[:, 0]        # (nado,)
         nado, M = keys.shape
         n = self.n
+
+        if kernel in ("matmul", "pallas"):
+            return self._rhs_matmul(dtype, kernel, keys, plus_idx,
+                                    minus_idx, Q, c, damp, H), nado
 
         # fused neighbor formulation (measured +43% on TPU vs separate
         # plus/minus einsums): one gather over [plus; minus] indices and
@@ -167,17 +195,76 @@ class HEOMSolver:
 
         return rhs, nado
 
+    def _rhs_matmul(self, dtype, kernel, keys, plus_idx, minus_idx,
+                    Q, c, damp, H):
+        """Stacked-superoperator RHS: one (V, (2M+1)V) @ ((2M+1)V, nado)
+        contraction per evaluation (see pallas_kernels module docstring)."""
+        nado, M = keys.shape
+        n = self.n
+        V = n * n
+        B = jnp.asarray(
+            pk.heom_superop_matrix(np.asarray(H), np.asarray(Q),
+                                   np.asarray(c)), dtype=dtype)
+        all_idx = jnp.concatenate([plus_idx, minus_idx], axis=1)   # (N, 2M)
+        # real occupation weights: 1 for plus, n_m for minus neighbors
+        wocc = jnp.concatenate(
+            [jnp.ones_like(keys), keys], axis=1).astype(
+                jnp.float64 if dtype == jnp.complex128 else jnp.float32)
+        if jnp.iscomplexobj(damp) and kernel == "pallas":
+            # the Pallas kernel takes real damping rates; complex rates
+            # (underdamped baths) route through the jnp contraction
+            kernel = "matmul"
+        if not jnp.iscomplexobj(damp):
+            damp = damp.astype(wocc.dtype)
+        interpret = kernel == "pallas" and not pk.default_backend_is_tpu()
+
+        def rhs(ados):
+            flat = ados.reshape(nado, V)
+            padded = jnp.concatenate(
+                [flat, jnp.zeros((1, V), dtype=flat.dtype)], axis=0)
+            g = padded[all_idx] * wocc[:, :, None]     # (nado, 2M, V)
+            X = jnp.concatenate([flat[:, None, :], g], axis=1)  # (N, 2M+1, V)
+            X = X.reshape(nado, (2 * M + 1) * V).T               # (KV, nado)
+            if kernel == "pallas":
+                out = pk.heom_rhs_pallas(B, damp, X, interpret=interpret)
+            else:
+                out = pk.heom_rhs_reference(B, damp, X)
+            return out.T.reshape(nado, n, n)
+
+        return rhs
+
     # ------------------------------------------------------------ run
     def run(self, rho0, dt, nt, e_ops=None, nout=1, method="rk4",
-            store_ados=False) -> Result:
+            store_ados=False, mesh=None, kernel=None) -> Result:
         if e_ops is None:
             e_ops = self.e_ops or []
+        if mesh is None:
+            mesh = self.mesh
         rho0 = jnp.asarray(rho0)
         dtype = jnp.result_type(rho0, self.H, 1j)
-        rhs, nado = self.rhs_fn(dtype)
+        if mesh is not None and kernel is None and self.kernel is None:
+            # the sharded path partitions jnp ops via GSPMD; the pallas
+            # kernel is single-device (it runs per-shard under shard_map
+            # in parallel/sharded_heom)
+            kernel = "matmul"
+        rhs, nado = self.rhs_fn(dtype, kernel=kernel)
         n = self.n
 
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = mesh.axis_names[0]
+            _shard = NamedSharding(mesh, P(axis, None, None))
+
+            base_rhs = rhs
+
+            def rhs(ados):
+                ados = jax.lax.with_sharding_constraint(ados, _shard)
+                out = base_rhs(ados)
+                return jax.lax.with_sharding_constraint(out, _shard)
+
         ados0 = jnp.zeros((nado, n, n), dtype=dtype).at[0].set(rho0.astype(dtype))
+        # (no device_put here: with_sharding_constraint inside jit handles
+        # ADO counts that are not divisible by the mesh size)
         eops = jnp.stack([jnp.asarray(e).astype(dtype) for e in e_ops]) \
             if e_ops else None
 
@@ -255,11 +342,73 @@ class HEOMSolverDrude(HEOMSolver):
         super().__init__(H, bath=None, c_ops=c_ops, e_ops=e_ops)
 
     def run(self, rho0, dt, nt, temperature, cutoff, reorganization, nado,
-            method="rk4", **kwargs):
+            method="rk4", e_ops=None, **kwargs):
         gamma = cutoff
         T = temperature
         D0 = reorganization * gamma * (1.0 / np.tanh(gamma / (2.0 * T)) - 1j)
         Q = self.c_ops[0]
+        if method == "euler-seq":
+            return self._run_reference_euler(rho0, dt, nt, D0, gamma, Q,
+                                             nado, e_ops=e_ops)
         self.lmax = nado - 2
         self.set_bath([(Q, [D0], [gamma])])
-        return super().run(rho0, dt, nt, method=method, **kwargs)
+        return super().run(rho0, dt, nt, method=method, e_ops=e_ops,
+                           **kwargs)
+
+    def _run_reference_euler(self, rho0, dt, nt, D0, gamma, Q, nado,
+                             e_ops=None):
+        """Bit-faithful reproduction of the reference's stepping
+        (pyqed/oqs.py:1856-1873): sequential in-place Euler over the
+        chain of i^n-rescaled ADOs — level n reads the ALREADY-UPDATED
+        level n-1 and the old level n+1. Used by the true-oracle parity
+        test; production runs use the rk4 hierarchy path."""
+        e_ops = e_ops or []
+        dtype = jnp.complex128 if jnp.asarray(rho0).dtype in (
+            jnp.complex128, jnp.float64) else jnp.complex64
+        H = self.H.astype(dtype)
+        Q = jnp.asarray(Q).astype(dtype)
+        n = self.n
+        ados0 = jnp.zeros((nado, n, n), dtype=dtype).at[0].set(
+            jnp.asarray(rho0).astype(dtype))
+        eops = (jnp.stack([jnp.asarray(e).astype(dtype) for e in e_ops])
+                if e_ops else None)
+
+        def comm(a, b):
+            return a @ b - b @ a
+
+        def anticomm(a, b):
+            return a @ b + b @ a
+
+        def step(ados):
+            a0 = ados[0]
+            a0 = a0 - 1j * comm(H, a0) * dt - comm(Q, ados[1]) * dt
+            ados = ados.at[0].set(a0)
+
+            def level(k, a):
+                up = comm(Q, a[k + 1])
+                down = (jnp.real(D0) * comm(Q, a[k - 1])
+                        + 1j * jnp.imag(D0) * anticomm(Q, a[k - 1]))
+                new = a[k] + (-1j * comm(H, a[k]) - up
+                              - k * gamma * a[k] + k * down) * dt
+                return a.at[k].set(new)
+
+            return jax.lax.fori_loop(1, nado - 1, level, ados)
+
+        @jax.jit
+        def evolve(ados):
+            def body(a, _):
+                a = step(a)
+                obs = (jnp.einsum("kij, ji -> k", eops, a[0])
+                       if eops is not None else jnp.zeros((0,), dtype=dtype))
+                return a, obs
+            return jax.lax.scan(body, ados, None, length=nt)
+
+        ados_f, obs = evolve(ados0)
+        obs0 = (jnp.einsum("kij, ji -> k", eops, ados0[0])
+                if eops is not None else jnp.zeros((0,), dtype=dtype))
+        res = Result(times=jnp.arange(nt + 1) * dt,
+                     observables=jnp.concatenate([obs0[None], obs], axis=0)
+                     if e_ops else None, dt=dt, nt=nt)
+        res.rho = ados_f[0]
+        res.ado = ados_f
+        return res

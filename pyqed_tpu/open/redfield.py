@@ -27,7 +27,7 @@ from ..core.result import Result
 from ..core.dynamics import run_solver, rk4_step
 
 
-def redfield_tensor(H, a_ops, spectra, secular=False):
+def redfield_tensor(H, a_ops, spectra, secular=False, sec_cutoff=1e-9):
     """Build (R, evecs) with i d/dt vec(rho) = i R vec(rho) conventions of
     the reference (pyqed/oqs.py:519): returns R such that
     d rho/dt = R rho in the eigenbasis of H."""
@@ -48,10 +48,12 @@ def redfield_tensor(H, a_ops, spectra, secular=False):
     Rtot = -1j * operator_to_superoperator(jnp.diag(evals).astype(R.dtype)) - R
 
     if secular:
-        # keep only secular terms: |W_ab - W_cd| = 0
-        n = H.shape[0]
+        # keep only secular terms: |W_ab - W_cd| < sec_cutoff, an ABSOLUTE
+        # frequency threshold (the physical criterion is smallness vs the
+        # relaxation rate; jnp.isclose's relative tolerance would merge
+        # near-degenerate transitions scale-dependently)
         Wv = jnp.reshape(W, (-1,))
-        mask = jnp.isclose(Wv[:, None], Wv[None, :])
+        mask = jnp.abs(Wv[:, None] - Wv[None, :]) < sec_cutoff
         Rtot = jnp.where(mask, Rtot, 0.0)
     return Rtot, evecs
 
@@ -76,10 +78,11 @@ class RedfieldSolver:
     def configure(self, H, c_ops, e_ops):
         self.H, self.c_ops, self.e_ops = H, c_ops, e_ops
 
-    def redfield_tensor(self, secular=False):
+    def redfield_tensor(self, secular=False, sec_cutoff=1e-9):
         if self.spectra is None:
             raise TypeError("Specify the bath spectral function.")
-        R, evecs = redfield_tensor(self.H, self.c_ops, self.spectra, secular)
+        R, evecs = redfield_tensor(self.H, self.c_ops, self.spectra, secular,
+                                   sec_cutoff=sec_cutoff)
         self.R, self.evecs = R, evecs
         return R, evecs
 

@@ -516,10 +516,14 @@ def polarizability(w, Er, Ev, d, use_rwa=True):
 
 
 def photon_echo_t2series(mol, pump, probe, t2list, g_idx=(0,), e_idx=None,
-                         f_idx=None):
+                         f_idx=None, mesh=None):
     """Photon-echo maps batched over population times t2 — one vmap over
     the pathway contractions (the reference recomputes per delay in Python;
     SURVEY.md §3.6 'batch over t2 delays with vmap').
+
+    With ``mesh``, the pump-frequency axis (ω1) is sharded over the mesh's
+    first axis — embarrassing data parallelism over the response map
+    riding ICI (SURVEY.md §2.9).
 
     Returns S with shape (len(t2list), len(pump), len(probe)).
     """
@@ -541,4 +545,16 @@ def photon_echo_t2series(mol, pump, probe, t2list, g_idx=(0,), e_idx=None,
         return _photon_echo(E, dip, -pump, probe, t2, list(g_idx),
                             list(e_idx), list(f_idx), gamma)
 
-    return jax.vmap(one)(jnp.asarray(t2list))
+    fn = lambda t2s: jax.vmap(one)(t2s)
+    t2s = jnp.asarray(t2list)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        out_sh = NamedSharding(mesh, P(None, axis, None))
+
+        def fn(t2s):
+            S = jax.vmap(one)(t2s)
+            return jax.lax.with_sharding_constraint(S, out_sh)
+
+        return jax.jit(fn, out_shardings=out_sh)(t2s)
+    return fn(t2s)

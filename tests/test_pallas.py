@@ -1,0 +1,221 @@
+"""Parity tests for the Pallas kernels (ops/pallas_kernels.py).
+
+Each kernel runs through the Pallas interpreter on CPU at float64 and is
+checked against plain-numpy semantics at 1e-8 (the BASELINE parity gate),
+plus cross-checks of the three HEOMSolver kernel paths.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyqed_tpu.ops import pallas_kernels as pk
+from pyqed_tpu.open.heom import HEOMSolver
+from pyqed_tpu.open.bath import DrudeBath
+from pyqed_tpu.grid.spo import SPO
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def crand(rng, *shape):
+    return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+# ----------------------------------------------------------- (a) HEOM RHS
+
+def test_heom_rhs_kernel_parity(rng):
+    V, M, nado = 9, 3, 57
+    KV = (2 * M + 1) * V
+    B = crand(rng, V, KV)
+    X = crand(rng, KV, nado)
+    damp = rng.random(nado)
+    ref = B @ X - damp[None, :] * X[:V, :]
+    out_p = pk.heom_rhs_pallas(jnp.asarray(B), jnp.asarray(damp),
+                               jnp.asarray(X), interpret=True)
+    out_j = pk.heom_rhs_reference(jnp.asarray(B), jnp.asarray(damp),
+                                  jnp.asarray(X))
+    assert np.max(np.abs(np.asarray(out_p) - ref)) < 1e-10
+    assert np.max(np.abs(np.asarray(out_j) - ref)) < 1e-10
+
+
+def test_heom_solver_kernels_agree(rng):
+    n = 3
+    H = rng.standard_normal((n, n))
+    H = H + H.T
+    Q = np.diag(rng.standard_normal(n))
+    bath = DrudeBath(temperature=0.3, cutoff=0.5, reorg=0.05)
+    c, nu = bath.matsubara(2)
+    sol = HEOMSolver(H, bath=[(Q, c, nu)], lmax=3)
+    r_e, nado = sol.rhs_fn(jnp.complex128, kernel="einsum")
+    r_m, _ = sol.rhs_fn(jnp.complex128, kernel="matmul")
+    r_p, _ = sol.rhs_fn(jnp.complex128, kernel="pallas")
+    ados = jnp.asarray(crand(rng, nado, n, n))
+    a = np.asarray(r_e(ados))
+    assert np.max(np.abs(a - np.asarray(r_m(ados)))) < 1e-12
+    assert np.max(np.abs(a - np.asarray(r_p(ados)))) < 1e-12
+
+
+def test_heom_run_matmul_kernel_end_to_end(rng):
+    """Full propagation: matmul kernel vs einsum kernel at f64."""
+    n = 2
+    H = np.array([[1.0, 0.2], [0.2, -1.0]])
+    Q = np.diag([1.0, -1.0])
+    bath = DrudeBath(temperature=1.0, cutoff=0.5, reorg=0.1)
+    c, nu = bath.matsubara(1)
+    rho0 = np.array([[1.0, 0.0], [0.0, 0.0]])
+    e_ops = [np.diag([1.0, 0.0])]
+    kw = dict(dt=0.01, nt=100, e_ops=e_ops)
+    sol = HEOMSolver(H, bath=[(Q, c, nu)], lmax=4)
+    r1 = sol.run(rho0, kernel="einsum", **kw)
+    r2 = sol.run(rho0, kernel="matmul", **kw)
+    assert np.max(np.abs(np.asarray(r1.observables)
+                         - np.asarray(r2.observables))) < 1e-12
+
+
+def test_heom_complex_rates_accepted(rng):
+    """Complex decay rates (underdamped/Prony baths) must propagate
+    (ADVICE round-1: float(nu) rejected complex rates)."""
+    n = 2
+    H = np.diag([0.0, 1.0])
+    Q = np.array([[0.0, 1.0], [1.0, 0.0]])
+    c = [0.05 + 0.02j, 0.05 - 0.02j]
+    nu = [0.3 + 0.5j, 0.3 - 0.5j]
+    sol = HEOMSolver(H, bath=[(Q, c, nu)], lmax=2)
+    r = sol.run(np.array([[1.0, 0], [0, 0.0]]), dt=0.01, nt=20,
+                e_ops=[np.diag([1.0, 0.0])])
+    obs = np.asarray(r.observables)
+    assert np.all(np.isfinite(obs))
+    # trace-conserving dynamics on rho0 (hierarchy preserves trace)
+    r2 = sol.run(np.array([[1.0, 0], [0, 0.0]]), dt=0.01, nt=20,
+                 e_ops=[np.eye(2)])
+    assert np.max(np.abs(np.asarray(r2.observables) - 1.0)) < 1e-6
+
+
+# ------------------------------------------------------------ (b) SPO
+
+def test_spo_phase_multiply(rng):
+    shape = (33, 17)
+    ns = 2
+    psik = crand(rng, *shape, ns)
+    expK = np.exp(-1j * rng.standard_normal(shape))
+    out = pk.spo_phase_multiply(jnp.asarray(expK), jnp.asarray(psik),
+                                interpret=True)
+    assert np.max(np.abs(np.asarray(out) - expK[..., None] * psik)) < 1e-12
+
+
+def test_spo_potential_apply(rng):
+    shape = (21, 13)
+    ns = 3
+    expV = crand(rng, *shape, ns, ns)
+    psi = crand(rng, *shape, ns)
+    out = pk.spo_potential_apply(jnp.asarray(expV), jnp.asarray(psi),
+                                 interpret=True)
+    ref = np.einsum("...ab, ...b -> ...a", expV, psi)
+    assert np.max(np.abs(np.asarray(out) - ref)) < 1e-12
+
+
+def test_spo_harmonic_pallas_vs_xla(rng):
+    """Full SPO propagation with kernel='pallas' (interpreter) matches
+    the XLA einsum path."""
+    x = np.linspace(-8, 8, 64, endpoint=False)
+    psi0 = np.exp(-(x - 1.0) ** 2 / 2) / np.pi ** 0.25
+
+    def run(kernel):
+        spo = SPO(x, mass=1.0, nstates=1)
+        if kernel == "pallas":
+            # route through the interpreter on CPU
+            spo.kernel = "pallas"
+            import pyqed_tpu.ops.pallas_kernels as m
+            orig = m.default_backend_is_tpu
+            m.default_backend_is_tpu = lambda: False
+            try:
+                spo._peo_orig = spo._peo
+                r = None
+                spo.set_potential(lambda xx: 0.5 * xx ** 2)
+                # interpret=True via monkeypatched wrappers
+                phase, pot = m.spo_phase_multiply, m.spo_potential_apply
+                m.spo_phase_multiply = (
+                    lambda *a, **k: phase(*a, interpret=True, **k))
+                m.spo_potential_apply = (
+                    lambda *a, **k: pot(*a, interpret=True, **k))
+                try:
+                    r = spo.run(psi0.astype(complex), dt=0.02, nt=50)
+                finally:
+                    m.spo_phase_multiply, m.spo_potential_apply = phase, pot
+            finally:
+                m.default_backend_is_tpu = orig
+            return r
+        spo = SPO(x, mass=1.0, nstates=1, kernel="xla")
+        spo.set_potential(lambda xx: 0.5 * xx ** 2)
+        return spo.run(psi0.astype(complex), dt=0.02, nt=50)
+
+    r_x = run("xla")
+    r_p = run("pallas")
+    assert np.max(np.abs(np.asarray(r_p.psi) - np.asarray(r_x.psi))) < 1e-10
+
+
+# ------------------------------------------------- (c) Liouvillian matvec
+
+def test_liouvillian_commutator_kernel(rng):
+    n = 37
+    H = crand(rng, n, n)
+    rho = crand(rng, n, n)
+    out = pk.liouvillian_commutator_pallas(jnp.asarray(H), jnp.asarray(rho),
+                                           interpret=True)
+    ref = -1j * (H @ rho - rho @ H.conj().T)
+    assert np.max(np.abs(np.asarray(out) - ref)) < 1e-10
+
+
+def test_liouvillian_matvec_full(rng):
+    n = 12
+    H = crand(rng, n, n)
+    H = H + H.conj().T
+    cs = [crand(rng, n, n) for _ in range(2)]
+    rho = crand(rng, n, n)
+    L = pk.liouvillian_matvec(jnp.asarray(H), [jnp.asarray(c) for c in cs],
+                              use_pallas=True, interpret=True)
+    out = np.asarray(L(jnp.asarray(rho)))
+    ref = -1j * (H @ rho - rho @ H)
+    for c in cs:
+        cd = c.conj().T
+        ref += c @ rho @ cd - 0.5 * (cd @ c @ rho + rho @ cd @ c)
+    assert np.max(np.abs(out - ref)) < 1e-10
+
+    # jnp fallback agrees as well
+    L2 = pk.liouvillian_matvec(jnp.asarray(H), [jnp.asarray(c) for c in cs],
+                               use_pallas=False)
+    assert np.max(np.abs(np.asarray(L2(jnp.asarray(rho))) - ref)) < 1e-10
+
+
+def test_graft_entry_step_matches_solver_rhs(rng):
+    """x64 CPU consistency: the real-split __graft_entry__ HEOM step must
+    implement the same RHS as HEOMSolver (round-1 VERDICT weak #8)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import _heom_setup, _heom_step_fn
+    H, keys, plus_idx, minus_idx, Q, cvec, nuvec = _heom_setup(
+        nsite=2, nexp_per_bath=2, lmax=3)
+    dt = 1e-3
+    step, nado, n = _heom_step_fn(H, keys, plus_idx, minus_idx, Q, cvec,
+                                  nuvec, dt=dt)
+    sol = HEOMSolver(H, bath=None)
+    sol._modes = [(jnp.asarray(q), complex(c), complex(nu))
+                  for (q, c, nu) in [(Q[m], cvec[m], nuvec[m])
+                                     for m in range(len(cvec))]]
+    sol.lmax = 3
+    rhs, nado2 = sol.rhs_fn(jnp.complex128, kernel="einsum")
+    assert nado2 == nado
+    ados = crand(rng, nado, n, n)
+    # one RK4 step via the solver rhs at f64
+    y = jnp.asarray(ados)
+    k1 = rhs(y); k2 = rhs(y + k1 * (dt / 2)); k3 = rhs(y + k2 * (dt / 2))
+    k4 = rhs(y + k3 * dt)
+    ref = np.asarray(y + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4))
+    # graft step runs f32: compare at f32 tolerance
+    re, im = step(ados.real.astype(np.float32), ados.imag.astype(np.float32))
+    got = np.asarray(re) + 1j * np.asarray(im)
+    assert np.max(np.abs(got - ref)) < 1e-4

@@ -101,3 +101,114 @@ class TestShardedSolvers:
                                        nwalkers=4096, nsteps=800, dt=0.02,
                                        eref=0.5, nequil=300)
         assert np.isclose(float(E), 0.5, atol=0.03)
+
+
+class TestMeshAwareSolvers:
+    """Production solvers accept mesh= and must match unsharded at f64
+    (round-1 VERDICT next-round item #3)."""
+
+    @requires_8
+    def test_heom_run_mesh(self):
+        from pyqed_tpu.open.heom import HEOMSolver
+        from pyqed_tpu.open.bath import DrudeBath
+        H = np.array([[1.0, 0.2], [0.2, -1.0]])
+        Q = np.diag([1.0, -1.0])
+        bath = DrudeBath(temperature=1.0, cutoff=0.5, reorg=0.1)
+        c, nu = bath.matsubara(1)
+        rho0 = np.array([[1.0, 0.0], [0.0, 0.0]])
+        e_ops = [np.diag([1.0, 0.0])]
+        sol = HEOMSolver(H, bath=[(Q, c, nu)], lmax=4)
+        r0 = sol.run(rho0, dt=0.01, nt=60, e_ops=e_ops)
+        mesh = make_mesh({"ado": 8})
+        r1 = sol.run(rho0, dt=0.01, nt=60, e_ops=e_ops, mesh=mesh)
+        assert np.max(np.abs(np.asarray(r0.observables)
+                             - np.asarray(r1.observables))) < 1e-12
+
+    @requires_8
+    def test_spo_run_mesh(self):
+        from pyqed_tpu.grid.spo import SPO2
+        x = np.linspace(-6, 6, 32, endpoint=False)
+        y = np.linspace(-6, 6, 32, endpoint=False)
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        v1 = 0.5 * (X ** 2 + Y ** 2)
+        v2 = 0.5 * ((X - 1) ** 2 + Y ** 2) + 1.0
+        cpl = 0.1 * np.ones_like(X)
+        psi0 = np.zeros((32, 32, 2), complex)
+        psi0[..., 0] = np.exp(-(X + 1) ** 2 - Y ** 2)
+        psi0[..., 0] /= np.sqrt(np.sum(np.abs(psi0) ** 2)
+                                * (x[1] - x[0]) * (y[1] - y[0]))
+
+        def go(mesh):
+            s = SPO2(x, y, masses=[1.0, 1.0], nstates=2, mesh=mesh)
+            s.set_DPES([v1, v2], [[(0, 1), cpl]])
+            return s.run(psi0, dt=0.02, nt=40, nout=10)
+
+        r0 = go(None)
+        r1 = go(make_mesh({"x": 8}))
+        assert np.max(np.abs(np.asarray(r0.psi) - np.asarray(r1.psi))) < 1e-12
+        assert np.max(np.abs(np.asarray(r0.population)
+                             - np.asarray(r1.population))) < 1e-12
+
+    @requires_8
+    def test_ldr_run_mesh(self):
+        from pyqed_tpu.grid.ldr import LDRN
+        sol = LDRN(domains=[(-6, 6), (-6, 6)], levels=[5, 5], nstates=2)
+        X, Y = np.meshgrid(*sol.x, indexing="ij")
+        apes = np.stack([0.5 * (X ** 2 + Y ** 2),
+                         0.5 * (X ** 2 + Y ** 2) + 1.0], axis=-1)
+        sol.apes = apes
+        states = np.zeros((*sol.nx, 2, 2))
+        theta = 0.2 * X
+        states[..., 0, 0] = np.cos(theta)
+        states[..., 1, 0] = np.sin(theta)
+        states[..., 0, 1] = -np.sin(theta)
+        states[..., 1, 1] = np.cos(theta)
+        sol.build_ovlp(jnp.asarray(states))
+        psi0 = np.zeros((*sol.nx, 2), complex)
+        psi0[..., 0] = np.exp(-(X - 1) ** 2 - Y ** 2)
+        r0 = sol.run(psi0, dt=0.01, nt=20)
+        r1 = sol.run(psi0, dt=0.01, nt=20, mesh=make_mesh({"row": 8}))
+        assert np.max(np.abs(np.asarray(r0.psi) - np.asarray(r1.psi))) < 1e-12
+
+    @requires_8
+    def test_ldr_diabatic_separable_fast_path(self):
+        """A=None must not materialize a dense propagator and must match
+        the dense identity-overlap result."""
+        from pyqed_tpu.grid.ldr import LDRN
+        sol = LDRN(domains=[(-6, 6)], levels=[5], nstates=2)
+        x = sol.x[0]
+        apes = np.stack([0.5 * x ** 2, 0.5 * x ** 2 + 1.0], axis=-1)
+        sol.apes = apes
+        sol.build_ovlp()          # diabatic: A stays None
+        assert sol.A is None
+        psi0 = np.zeros((len(x), 2), complex)
+        psi0[:, 0] = np.exp(-(x - 1.0) ** 2)
+        r_fast = sol.run(psi0, dt=0.005, nt=40)
+        # dense identity overlap for comparison
+        sol2 = LDRN(domains=[(-6, 6)], levels=[5], nstates=2)
+        sol2.apes = apes
+        eye = np.zeros((len(x), 2, 2))
+        eye[:, 0, 0] = eye[:, 1, 1] = 1.0
+        sol2.build_ovlp(jnp.asarray(eye))   # states = identity basis
+        r_dense = sol2.run(psi0, dt=0.005, nt=40)
+        assert np.max(np.abs(np.asarray(r_fast.psi)
+                             - np.asarray(r_dense.psi))) < 1e-10
+
+    @requires_8
+    def test_photon_echo_t2series_mesh(self):
+        from pyqed_tpu.signal.sos import photon_echo_t2series
+        from pyqed_tpu.models.mol import Mol
+        rng = np.random.default_rng(3)
+        E = np.array([0.0, 1.0, 1.1, 2.05])
+        dip = rng.random((4, 4))
+        dip = dip + dip.T
+        mol = Mol(np.diag(E), dip)
+        mol.gamma = np.full(4, 0.02)
+        pump = np.linspace(0.8, 1.3, 16)
+        probe = np.linspace(0.8, 1.3, 16)
+        t2 = np.array([0.0, 10.0])
+        S0 = photon_echo_t2series(mol, pump, probe, t2, e_idx=[1, 2],
+                                  f_idx=[3])
+        S1 = photon_echo_t2series(mol, pump, probe, t2, e_idx=[1, 2],
+                                  f_idx=[3], mesh=make_mesh({"w": 8}))
+        assert np.max(np.abs(np.asarray(S0) - np.asarray(S1))) < 1e-10

@@ -1,0 +1,238 @@
+"""TRUE-oracle parity tests: compare pyqed_tpu against the ACTUAL
+reference code exec'd from /root/reference via the tests/ref_oracle.py
+shim (round-1 VERDICT next-round item #5) — not builder transcriptions.
+
+All at float64 on CPU, 1e-8 or better (BASELINE parity gate).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ref_oracle import load_reference_module
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(11)
+
+
+# ------------------------------------------------------------- SOS signals
+
+def test_photon_echo_pathways_vs_reference(rng):
+    ref_sos = load_reference_module("signal.sos")
+    from pyqed_tpu.signal import sos as my_sos
+
+    E = np.array([0.0, 1.0, 1.07, 2.02])
+    dip = rng.random((4, 4))
+    dip = dip + dip.T
+    gamma = np.array([0.0, 0.03, 0.04, 0.05])
+    w1 = np.linspace(0.7, 1.4, 31)
+    w3 = np.linspace(0.65, 1.35, 31)   # reference ESA requires len(w1)==len(w3)
+    t2 = 7.5
+    g_idx, e_idx, f_idx = [0], [1, 2], [3]
+
+    # reference meshgrid(omega1, omega3) gives pump/probe transposed
+    # relative to (len(w1), len(w3)) output; ours is indexed [w1, w3]
+    r_esa = ref_sos.ESA(E, dip, w1, w3, t2, g_idx, e_idx, f_idx, gamma).T
+    r_gsb = ref_sos.GSB(E, dip, w1, w3, t2, g_idx, e_idx, gamma).T
+    r_se = ref_sos.SE(E, dip, w1, w3, t2, g_idx, e_idx, gamma).T
+
+    m_esa = np.asarray(my_sos.ESA(jnp.asarray(E), jnp.asarray(dip),
+                                  jnp.asarray(w1), jnp.asarray(w3), t2,
+                                  g_idx, e_idx, f_idx, jnp.asarray(gamma)))
+    m_gsb = np.asarray(my_sos.GSB(jnp.asarray(E), jnp.asarray(dip),
+                                  jnp.asarray(w1), jnp.asarray(w3), t2,
+                                  g_idx, e_idx, jnp.asarray(gamma)))
+    m_se = np.asarray(my_sos.SE(jnp.asarray(E), jnp.asarray(dip),
+                                jnp.asarray(w1), jnp.asarray(w3), t2,
+                                g_idx, e_idx, jnp.asarray(gamma)))
+    scale = np.abs(r_esa).max()
+    assert np.max(np.abs(m_esa - r_esa)) / scale < 1e-10
+    assert np.max(np.abs(m_gsb - r_gsb)) / np.abs(r_gsb).max() < 1e-10
+    assert np.max(np.abs(m_se - r_se)) / np.abs(r_se).max() < 1e-10
+
+
+# ------------------------------------------------------------ superoperator
+
+def test_liouvillian_matrix_vs_reference(rng):
+    ref_so = load_reference_module("superoperator")
+    from pyqed_tpu.ops import superoperator as my_so
+
+    n = 4
+    H = rng.standard_normal((n, n))
+    H = H + H.T
+    c = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    L_ref = np.asarray(ref_so.liouvillian(H.astype(complex), [c]).todense())
+    L_my = np.asarray(my_so.liouvillian(jnp.asarray(H, dtype=complex), [jnp.asarray(c)]))
+    assert np.max(np.abs(L_ref - L_my)) < 1e-12
+
+    a = rng.standard_normal((n, n))
+    for kind in ("commutator", "left", "right", "anticommutator"):
+        R = np.asarray(ref_so.operator_to_superoperator(a, kind).todense())
+        M = np.asarray(my_so.operator_to_superoperator(jnp.asarray(a), kind))
+        assert np.max(np.abs(R - M)) < 1e-12, kind
+
+
+# ---------------------------------------------------------------- Lindblad
+
+def test_lindblad_vs_reference(rng):
+    ref_oqs = load_reference_module("oqs")
+    from pyqed_tpu.open.lindblad import LindbladSolver
+
+    n = 3
+    H = np.diag([0.0, 1.0, 1.8])
+    H[0, 1] = H[1, 0] = 0.1
+    c = np.zeros((n, n))
+    c[0, 2] = 0.3          # decay 2 -> 0
+    rho0 = np.zeros((n, n), complex)
+    rho0[2, 2] = 1.0
+    e_ops = [np.diag([1.0, 0, 0]), np.diag([0, 0, 1.0])]
+    dt, Nt = 0.02, 200
+
+    from scipy.sparse import csr_matrix
+    # everything sparse for the reference path (dense-H .dot(csr) makes
+    # object arrays under modern numpy)
+    ref_res = ref_oqs._lindblad(csr_matrix(H), rho0, [csr_matrix(c)],
+                                e_ops=[csr_matrix(e) for e in e_ops],
+                                Nt=Nt, dt=dt)
+    mine = LindbladSolver(jnp.asarray(H), c_ops=[jnp.asarray(c)]) \
+        .run(jnp.asarray(rho0), dt=dt, Nt=Nt, e_ops=[jnp.asarray(e)
+                                                     for e in e_ops])
+    assert np.max(np.abs(np.asarray(mine.observables)
+                         - ref_res.observables)) < 1e-10
+
+
+# ---------------------------------------------------------------- Redfield
+
+def test_redfield_tensor_vs_reference(rng):
+    ref_oqs = load_reference_module("oqs")
+    from pyqed_tpu.open.redfield import redfield_tensor
+
+    n = 3
+    H = rng.standard_normal((n, n))
+    H = H + H.T
+    a = np.diag(rng.standard_normal(n))
+
+    def spectrum(w):
+        return 0.1 * np.exp(-np.abs(w))
+
+    R_ref, evecs_ref = ref_oqs.redfield_tensor(H, [a], [spectrum])
+    R_my, evecs_my = redfield_tensor(jnp.asarray(H), [jnp.asarray(a)],
+                                     [lambda w: 0.1 * np.exp(-np.abs(w))])
+    # eigenvector phases/columns must agree for the tensors to compare;
+    # eigh is deterministic for distinct eigenvalues up to sign
+    sign = np.sign(np.sum(np.asarray(evecs_my) * evecs_ref, axis=0))
+    assert np.allclose(np.abs(sign), 1.0)
+    R_ref = np.asarray(R_ref.todense())
+    S = np.kron(np.outer(sign, sign).reshape(-1),
+                np.ones(1)).reshape(n * n)
+    # R transforms with sign matrix in both indices: s_i s_j R s_k s_l
+    ss = np.outer(sign, sign).reshape(-1)
+    R_adj = ss[:, None] * np.asarray(R_my) * ss[None, :]
+    assert np.max(np.abs(R_adj - R_ref)) < 1e-10
+
+
+# ------------------------------------------------------------- HEOM (Drude)
+
+def test_heom_drude_vs_reference(rng):
+    ref_oqs = load_reference_module("oqs")
+    from pyqed_tpu.open.heom import HEOMSolverDrude
+
+    H = np.array([[0.5, 0.2], [0.2, -0.5]])
+    sz = np.diag([1.0, -1.0])
+    rho0 = np.array([[1.0, 0], [0, 0.0]], dtype=complex)
+    e_ops = [np.diag([1.0, 0.0]), sz]
+    T, cutoff, reorg, nado = 2.0, 0.8, 0.05, 8
+    dt, nt = 0.002, 300
+
+    obs_ref = ref_oqs._heom(H, rho0, [sz], e_ops, T, cutoff, reorg,
+                            nado, dt, nt)
+    sol = HEOMSolverDrude(jnp.asarray(H), c_ops=[jnp.asarray(sz)])
+    res = sol.run(jnp.asarray(rho0), dt, nt, T, cutoff, reorg, nado,
+                  method="euler-seq", e_ops=[jnp.asarray(e) for e in e_ops])
+    # reference records AFTER each step (nt entries); ours includes t=0
+    mine = np.asarray(res.observables)[1:].T
+    assert np.max(np.abs(mine - obs_ref)) < 1e-8
+
+
+# ------------------------------------------------------------------ SPO2
+
+def test_spo2_vs_reference():
+    ref_wpd = load_reference_module("wpd")
+    from pyqed_tpu.grid.spo import SPO2
+
+    nx = ny = 32
+    x = np.linspace(-6, 6, nx, endpoint=False)
+    y = np.linspace(-6, 6, ny, endpoint=False)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    v1 = 0.5 * (X ** 2 + Y ** 2)
+    v2 = 0.5 * ((X - 1) ** 2 + Y ** 2) + 1.0
+    cpl = 0.2 * np.exp(-(X ** 2))
+
+    psi0 = np.zeros((nx, ny, 2), complex)
+    psi0[:, :, 1] = np.exp(-(X + 0.5) ** 2 - Y ** 2)
+    dt, nt = 0.01, 40
+
+    ref = ref_wpd.SPO2(x=x, y=y, mass=[1.0, 1.0], nstates=2)
+    ref.set_DPES(surfaces=[v1, v2], diabatic_couplings=[[(0, 1), cpl]])
+    r_ref = ref.run(psi0=psi0.copy(), dt=dt, nt=nt, nout=nt,
+                    return_states=True)
+    psi_ref = r_ref.psilist[-1]
+
+    mine = SPO2(x, y, masses=[1.0, 1.0], nstates=2, kernel="xla")
+    mine.set_DPES([v1, v2], [[(0, 1), cpl]])
+    r_my = mine.run(psi0, dt=dt, nt=nt, nout=nt)
+    assert np.max(np.abs(np.asarray(r_my.psi) - psi_ref)) < 1e-8
+
+
+# ------------------------------------------------------------------ DMRG
+
+def test_dmrg_energy_vs_reference():
+    """Our DMRG ground-state energy re-measured by the REFERENCE MPS
+    contraction code (expect_mps / contract_from_left, mps/mps.py:1275).
+    (The reference's own two_site_dmrg driver crashes under scipy>=1.11 —
+    eigsh v0 with unflattened tensors — so the reference serves as the
+    energy-evaluation oracle on our converged state.)"""
+    ref_mps = load_reference_module("mps.mps")
+    from pyqed_tpu.tn.mps import MPS as MyMPS, mpo_heisenberg, two_site_dmrg
+
+    N = 8
+    # reference MPO block layout (their __main__ example, mps.py:1671-1686)
+    I = np.identity(2)
+    Z = np.zeros((2, 2))
+    Sz = np.array([[0.5, 0], [0, -0.5]])
+    Sp = np.array([[0, 0], [1, 0]])
+    Sm = np.array([[0, 1], [0, 0]])
+    W = np.array([[I, Sz, 0.5 * Sp, 0.5 * Sm, Z],
+                  [Z, Z, Z, Z, Sz],
+                  [Z, Z, Z, Z, Sm],
+                  [Z, Z, Z, Z, Sp],
+                  [Z, Z, Z, Z, I]])
+    Wfirst = np.array([[I, Sz, 0.5 * Sp, 0.5 * Sm, Z]])
+    Wlast = np.array([[Z], [Sz], [Sm], [Sp], [I]])
+    H_ref = [Wfirst] + [W] * (N - 2) + [Wlast]
+
+    # our DMRG on the same chain (note their Sp = raising in their basis;
+    # H = sum Sz Sz + (Sp Sm + Sm Sp)/2 — the isotropic Heisenberg chain,
+    # identical to mpo_heisenberg(J=1))
+    mpo = mpo_heisenberg(N, J=1.0)
+    state = [[1.0, 0.0], [0.0, 1.0]] * (N // 2)
+    mps = MyMPS.from_product_state(state)
+    energies, gs = two_site_dmrg(mpo, mps, chi_max=24, sweeps=10)
+    E_my = float(np.real(energies[-1]))
+
+    # convert our B-form (vL, p, vR) tensors to their (p, Dl, Dr) layout
+    # and measure the energy with THEIR contraction code
+    theirs = [np.transpose(np.asarray(B), (1, 0, 2)) for B in gs.Bs]
+    E_ref_measured = complex(ref_mps.expect_mps(
+        [t.conj() for t in theirs], H_ref, theirs)).real
+    norm = complex(ref_mps.expect_mps(
+        [t.conj() for t in theirs],
+        [np.eye(2).reshape(1, 1, 2, 2)] * N, theirs)).real
+    assert abs(norm - 1.0) < 1e-8
+    assert abs(E_my - E_ref_measured) < 1e-8
+    # sanity: matches dense ED too
+    H = np.asarray(mpo_heisenberg(N, J=1.0).to_dense())
+    E_exact = np.linalg.eigvalsh(H)[0]
+    assert abs(E_my - E_exact) < 1e-6
