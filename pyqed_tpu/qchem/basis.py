@@ -49,6 +49,42 @@ STO3G = {
 ATOMIC_NUMBER = {"H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6,
                  "N": 7, "O": 8, "F": 9, "Ne": 10}
 
+# ----------------------------------------------------------- 6-31G data
+# standard Pople 6-31G (EMSL values): entries are lists of shells,
+# ("S", exps, coefs) or ("SP", exps, s_coefs, p_coefs).
+BASIS_631G = {
+    "H": [("S", [18.73113696, 2.825394365, 0.6401216923],
+           [0.03349460434, 0.2347269535, 0.8137573261]),
+          ("S", [0.1612777588], [1.0])],
+    "He": [("S", [38.42163400, 5.778030000, 1.241774000],
+            [0.02376600, 0.15467900, 0.46963000]),
+           ("S", [0.2979640], [1.0])],
+    "C": [("S", [3047.524880, 457.3695180, 103.9486850, 29.21015530,
+                 9.286662960, 3.163926960],
+           [0.001834737132, 0.01403732281, 0.06884262226, 0.2321844432,
+            0.4679413484, 0.3623119853]),
+          ("SP", [7.868272350, 1.881288540, 0.5442492580],
+           [-0.1193324198, -0.1608541517, 1.143456438],
+           [0.06899906659, 0.3164239610, 0.7443082909]),
+          ("SP", [0.1687144782], [1.0], [1.0])],
+    "N": [("S", [4173.511460, 627.4579110, 142.9020930, 40.23432930,
+                 12.82021290, 4.390437010],
+           [0.001834772160, 0.01399462700, 0.06858655181, 0.2322408730,
+            0.4690699481, 0.3604551991]),
+          ("SP", [11.62636186, 2.716279807, 0.7722183966],
+           [-0.1149611817, -0.1691174786, 1.145851947],
+           [0.06757974388, 0.3239072959, 0.7408951398]),
+          ("SP", [0.2120314975], [1.0], [1.0])],
+    "O": [("S", [5484.671660, 825.2349460, 188.0469580, 52.96450000,
+                 16.89757040, 5.799635340],
+           [0.001831074430, 0.01395017220, 0.06844507810, 0.2327143360,
+            0.4701928980, 0.3585208530]),
+          ("SP", [15.53961625, 3.599933586, 1.013761750],
+           [-0.1107775495, -0.1480262627, 1.130767015],
+           [0.07087426823, 0.3397528391, 0.7271585773]),
+          ("SP", [0.2700058226], [1.0], [1.0])],
+}
+
 
 @dataclasses.dataclass
 class ContractedGaussian:
@@ -82,23 +118,43 @@ class ContractedGaussian:
 
 
 def build_basis(atoms: Sequence, basis="sto-3g") -> List[ContractedGaussian]:
-    """atoms: list of (symbol, (x, y, z)) in bohr."""
-    if basis.lower() not in ("sto-3g", "sto3g"):
-        raise NotImplementedError("only STO-3G is built in")
-    bfs = []
-    for sym, xyz in atoms:
-        data = STO3G[sym]
-        if "1s" in data:
-            bfs.append(ContractedGaussian(xyz, (0, 0, 0), data["1s"],
-                                          _STO3G_S_COEF))
-        if "2sp" in data:
-            exps = data["2sp"]
-            bfs.append(ContractedGaussian(xyz, (0, 0, 0), exps,
-                                          _STO3G_2S_COEF))
-            for lmn in [(1, 0, 0), (0, 1, 0), (0, 0, 1)]:
-                bfs.append(ContractedGaussian(xyz, lmn, exps,
-                                              _STO3G_2P_COEF))
-    return bfs
+    """atoms: list of (symbol, (x, y, z)) in bohr.
+
+    Built-in sets: STO-3G (H-Ne) and 6-31G (H, He, C, N, O)."""
+    name = basis.lower().replace("-", "").replace("_", "")
+    if name == "sto3g":
+        bfs = []
+        for sym, xyz in atoms:
+            data = STO3G[sym]
+            if "1s" in data:
+                bfs.append(ContractedGaussian(xyz, (0, 0, 0), data["1s"],
+                                              _STO3G_S_COEF))
+            if "2sp" in data:
+                exps = data["2sp"]
+                bfs.append(ContractedGaussian(xyz, (0, 0, 0), exps,
+                                              _STO3G_2S_COEF))
+                for lmn in [(1, 0, 0), (0, 1, 0), (0, 0, 1)]:
+                    bfs.append(ContractedGaussian(xyz, lmn, exps,
+                                                  _STO3G_2P_COEF))
+        return bfs
+    if name == "631g":
+        bfs = []
+        for sym, xyz in atoms:
+            if sym not in BASIS_631G:
+                raise NotImplementedError(
+                    f"6-31G tables built in for H/He/C/N/O only (got {sym})")
+            for shell in BASIS_631G[sym]:
+                if shell[0] == "S":
+                    _, exps, cs = shell
+                    bfs.append(ContractedGaussian(xyz, (0, 0, 0), exps, cs))
+                else:
+                    _, exps, cs, cp = shell
+                    bfs.append(ContractedGaussian(xyz, (0, 0, 0), exps, cs))
+                    for lmn in [(1, 0, 0), (0, 1, 0), (0, 0, 1)]:
+                        bfs.append(ContractedGaussian(xyz, lmn, exps, cp))
+        return bfs
+    raise NotImplementedError(f"basis {basis!r} not built in "
+                              "(available: sto-3g, 6-31g)")
 
 
 # -------------------------------------------------- McMurchie-Davidson E
@@ -250,6 +306,40 @@ def overlap_matrix(bfs):
         for j in range(i + 1):
             S[i, j] = S[j, i] = _contract2(_overlap_prim, bfs[i], bfs[j])
     return S
+
+
+def dipole_matrix(bfs, origin=(0.0, 0.0, 0.0)):
+    """Cartesian dipole AO integrals mu_k[i,j] = <i| (r-O)_k |j> via
+    angular-momentum raising: (r−B)_k |b> = |b, l_k+1>, so
+    <a|(r−O)_k|b> = S(a, b+e_k) + (B_k − O_k) S(a, b)
+    (unblocks the round-1 ``NotImplementedError`` at qchem/scf.py:122;
+    reference computes these through gbasis, pyqed/qchem/basis.py:10).
+
+    Returns (3, n, n).
+    """
+    origin = np.asarray(origin, dtype=float)
+    n = len(bfs)
+    D = np.zeros((3, n, n))
+    for k in range(3):
+        ek = np.zeros(3, dtype=int)
+        ek[k] = 1
+        for i in range(n):
+            g1 = bfs[i]
+            for j in range(n):
+                g2 = bfs[j]
+                lmn2p = tuple(np.asarray(g2.lmn) + ek)
+                val = 0.0
+                for a, ca, na in zip(g1.exps, g1.coefs, g1.norms):
+                    for b, cb, nb in zip(g2.exps, g2.coefs, g2.norms):
+                        s_raised = _overlap_prim(a, g1.lmn, g1.center,
+                                                 b, lmn2p, g2.center)
+                        s_plain = _overlap_prim(a, g1.lmn, g1.center,
+                                                b, g2.lmn, g2.center)
+                        val += ca * cb * na * nb * (
+                            s_raised
+                            + (g2.center[k] - origin[k]) * s_plain)
+                D[k, i, j] = val
+    return D
 
 
 def kinetic_matrix(bfs):

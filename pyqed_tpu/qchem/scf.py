@@ -118,8 +118,19 @@ class RHF:
                             C, C, self.eri, C, C)
         return h, eri_mo
 
-    def dipole_integrals(self):
-        raise NotImplementedError("dipole AO integrals: next round")
+    def dipole_integrals(self, origin=(0.0, 0.0, 0.0)):
+        """AO dipole matrices (3, nao, nao) about ``origin``
+        (reference: gbasis-backed path, pyqed/qchem/basis.py:10-15)."""
+        from .basis import dipole_matrix
+        return jnp.asarray(dipole_matrix(self.mol.bfs, origin))
+
+    def transition_dipoles(self, xy=None):
+        """MO-basis occ->virt dipole blocks (feeds TDA/TDHF oscillator
+        strengths)."""
+        D = self.dipole_integrals()
+        C = self.mo_coeff
+        Dmo = jnp.einsum("pi, kpq, qj -> kij", C, D, C)
+        return Dmo
 
 
 class UHF:

@@ -72,6 +72,24 @@ class TDA:
 
     kernel = run
 
+    def transition_dipole(self):
+        """Transition dipoles <0|r|n> (nroots, 3) from the MO dipole
+        occ->virt block (uses the AO dipole integrals that unblocked
+        qchem/scf.py:122)."""
+        mf = self.mf
+        _, _, nocc, nvir = _mo_blocks(mf)
+        Dmo = mf.transition_dipoles()                   # (3, nmo, nmo)
+        dov = Dmo[:, :nocc, nocc:nocc + nvir]           # (3, no, nv)
+        X = jnp.reshape(self.xy, (nocc, nvir, -1))
+        # sqrt(2): spin-adapted singlet CIS normalization
+        return np.asarray(jnp.einsum("kia, ian -> nk", dov, X)
+                          * np.sqrt(2.0))
+
+    def oscillator_strength(self):
+        """f_n = (2/3) omega_n |<0|r|n>|^2."""
+        mu = self.transition_dipole()
+        return (2.0 / 3.0) * self.e * np.sum(np.abs(mu) ** 2, axis=1)
+
 
 class TDHF:
     """Full RPA/TDHF: solve the (A, B) non-Hermitian problem via the
