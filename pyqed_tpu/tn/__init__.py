@@ -2,3 +2,7 @@ from .mps import (
     MPS, MPO, DMRG, two_site_dmrg, tebd,
     mpo_nearest_neighbor, mpo_tfim, mpo_heisenberg,
 )
+from .tdvp import TDVP, TDVP2
+from .autompo import (autoMPO, autompo_fermion, hubbard_mpo,
+                      spinful_to_sites, DMRGElectronicDVR)
+from .vibronic import VibronicMPS, lvc_mpo

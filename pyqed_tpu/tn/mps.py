@@ -15,6 +15,7 @@ Hamiltonian, implemented as pure jnp so it runs identically on CPU and TPU
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -42,6 +43,83 @@ class MPS:
               for v in local_states]
         Ss = [jnp.ones(1) for _ in local_states]
         return cls(Bs, Ss)
+
+    @classmethod
+    def random(cls, L, d=2, chi=8, seed=0):
+        """Random normalized MPS in proper (Ss, Bs) canonical form —
+        spans all symmetry sectors, the recommended DMRG seed for
+        Hamiltonians whose product eigenstates trap local sweeps.
+
+        Two-pass canonicalization: L→R QR to left-canonical form, then
+        R→L SVD; with the left side left-canonical the singular values
+        ARE the Schmidt spectra."""
+        rng = np.random.default_rng(seed)
+        chis = [1] + [min(chi, d ** (i + 1), d ** (L - i - 1))
+                      for i in range(L - 1)] + [1]
+        Ms = [jnp.asarray(rng.standard_normal((chis[i], d, chis[i + 1]))
+                          + 1j * rng.standard_normal(
+                              (chis[i], d, chis[i + 1])))
+              for i in range(L)]
+        # pass 1: L -> R QR
+        for i in range(L - 1):
+            chiL, dd, chiR = Ms[i].shape
+            Q, R = jnp.linalg.qr(Ms[i].reshape(chiL * dd, chiR))
+            Ms[i] = Q.reshape(chiL, dd, Q.shape[1])
+            Ms[i + 1] = jnp.einsum("ab, bpc -> apc", R, Ms[i + 1])
+        Ms[-1] = Ms[-1] / jnp.linalg.norm(Ms[-1].reshape(-1))
+        # pass 2: R -> L SVD
+        Bs = [None] * L
+        Ss = [jnp.ones(1)] * L
+        M = Ms[-1]
+        for i in range(L - 1, 0, -1):
+            chiL, dd, chiR = M.shape
+            U, S, Vh = jnp.linalg.svd(M.reshape(chiL, dd * chiR),
+                                      full_matrices=False)
+            Bs[i] = Vh.reshape(Vh.shape[0], dd, chiR)
+            Ss[i] = S / jnp.linalg.norm(S)
+            M = jnp.einsum("apb, bc, c -> apc", Ms[i - 1], U, S)
+        Bs[0] = M / jnp.linalg.norm(M.reshape(-1))
+        return cls(Bs, Ss)
+
+    def pad_noise(self, chi, noise=1e-8, seed=0):
+        """Return a copy with bond dimensions enlarged to ``chi`` by tiny
+        random entries, re-canonicalized. TDVP from a low-rank (product)
+        state suffers an O(dt)-per-unit-time projection error until the
+        rank grows; seeding the extra bond directions removes it (the
+        state change is of order ``noise``)."""
+        rng = np.random.default_rng(seed)
+        L = self.L
+        dims = [B.shape[1] for B in self.Bs]
+        chis = [1] + [min(chi, int(np.prod(dims[:i + 1])),
+                          int(np.prod(dims[i + 1:])))
+                      for i in range(L - 1)] + [1]
+        Ms = []
+        for i in range(L):
+            B = np.asarray(self.get_theta1(i) if i == 0 else self.Bs[i])
+            tgt = (chis[i], dims[i], chis[i + 1])
+            M = noise * (rng.standard_normal(tgt)
+                         + 1j * rng.standard_normal(tgt))
+            M[:B.shape[0], :, :B.shape[2]] += B
+            Ms.append(jnp.asarray(M))
+        # two-pass canonicalization (see MPS.random)
+        for i in range(L - 1):
+            chiL, dd, chiR = Ms[i].shape
+            Q, R = jnp.linalg.qr(Ms[i].reshape(chiL * dd, chiR))
+            Ms[i] = Q.reshape(chiL, dd, Q.shape[1])
+            Ms[i + 1] = jnp.einsum("ab, bpc -> apc", R, Ms[i + 1])
+        Ms[-1] = Ms[-1] / jnp.linalg.norm(Ms[-1].reshape(-1))
+        Bs = [None] * L
+        Ss = [jnp.ones(1)] * L
+        M = Ms[-1]
+        for i in range(L - 1, 0, -1):
+            chiL, dd, chiR = M.shape
+            U, S, Vh = jnp.linalg.svd(M.reshape(chiL, dd * chiR),
+                                      full_matrices=False)
+            Bs[i] = Vh.reshape(Vh.shape[0], dd, chiR)
+            Ss[i] = S / jnp.linalg.norm(S)
+            M = jnp.einsum("apb, bc, c -> apc", Ms[i - 1], U, S)
+        Bs[0] = M / jnp.linalg.norm(M.reshape(-1))
+        return MPS(Bs, Ss)
 
     @classmethod
     def from_dense(cls, psi, dims, chi_max=None):
@@ -175,12 +253,15 @@ class MPO:
         """<mps|MPO|mps> via the zipper contraction
         (reference: pyqed/mps/mps.py:795)."""
         th0 = mps.get_theta1(0)
-        E = jnp.einsum("apb, wqp, aqc -> bwc", th0.conj(), self.Ws[0][0],
-                       th0)
+        # environment convention (used consistently across DMRG/TDVP):
+        # E[ket, w, bra]; W legs are (wL, wR, p_out, p_in), ket contracts
+        # p_in, bra contracts p_out
+        E = jnp.einsum("kpx, wqp, kqy -> xwy", th0, self.Ws[0][0],
+                       th0.conj())
         for k in range(1, mps.L):
             B = mps.Bs[k]
-            E = jnp.einsum("bwc, bpd, wvqp, cqe -> dve",
-                           E, B.conj(), self.Ws[k], B)
+            E = jnp.einsum("kwb, kpx, wvqp, bqy -> xvy",
+                           E, B, self.Ws[k], B.conj())
         return E[:, -1, :].trace() if E.shape[1] > 1 else E[:, 0, :].trace()
 
 
@@ -231,10 +312,92 @@ def mpo_heisenberg(L, J=1.0, h=0.0):
 
 # ------------------------------------------------------------------- DMRG
 
-def _lanczos_ground(matvec, v0, k=20):
-    """Fixed-iteration Lanczos for the lowest eigenpair — pure jnp
+def _bucket(n, step=8):
+    return n if n <= 2 else -(-n // step) * step
+
+
+def _lanczos_ground(matvec, v0, k=20, restarts=4, tol=1e-12):
+    """Restarted Lanczos for the lowest eigenpair — pure jnp
     (replaces scipy eigsh on the reference's LinearOperator,
-    pyqed/mps/mps.py:1117)."""
+    pyqed/mps/mps.py:1117). A single k-step pass is NOT converged for
+    generic (especially complex) start vectors; restarting from the
+    Ritz vector is, at 2-5x the matvec count."""
+    E, psi = None, v0
+    for r in range(restarts):
+        Enew, psi = _lanczos_pass(matvec, psi, k=k)
+        if E is not None and abs(Enew - E) < tol:
+            return Enew, psi
+        E = Enew
+    return E, psi
+
+
+def _lanczos_core_jit(matvec, v0, k):
+    """Jit-safe k-step Lanczos pass: no data-dependent python control
+    flow; dead iterations (breakdown) are masked with huge diagonal
+    entries so the small eigh ignores them."""
+    n = v0.shape[0]
+    dtype = v0.dtype
+    v0 = v0 / jnp.linalg.norm(v0)
+    V = jnp.zeros((k, n), dtype=dtype).at[0].set(v0)
+    alphas = jnp.full((k,), 1e30)
+    betas = jnp.zeros((k - 1,))
+    alive = jnp.ones((k,), dtype=bool)
+
+    w = matvec(v0)
+    a0 = jnp.real(jnp.vdot(v0, w))
+    alphas = alphas.at[0].set(a0)
+    w = w - a0 * v0
+
+    def body(j, carry):
+        V, alphas, betas, alive, w = carry
+        b = jnp.linalg.norm(w)
+        ok = (b > 1e-13) & alive[j - 1]
+        v = jnp.where(ok, 1.0, 0.0) * w / jnp.where(b > 1e-13, b, 1.0)
+        # full reorthogonalization against live basis vectors
+        proj = jnp.conj(V) @ v                     # (k,)
+        v = v - V.T @ proj
+        nv = jnp.linalg.norm(v)
+        v = v / jnp.where(nv > 1e-13, nv, 1.0)
+        V = V.at[j].set(jnp.where(ok & (nv > 1e-13), 1.0, 0.0) * v)
+        w2 = matvec(v)
+        a = jnp.real(jnp.vdot(v, w2))
+        alphas = alphas.at[j].set(jnp.where(ok, a, 1e30))
+        betas = betas.at[j - 1].set(jnp.where(ok, b, 0.0))
+        alive = alive.at[j].set(ok)
+        w2 = w2 - a * v - b * V[j - 1]
+        return (V, alphas, betas, alive, w2)
+
+    V, alphas, betas, alive, _ = jax.lax.fori_loop(
+        1, k, body, (V, alphas, betas, alive, w))
+    T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
+    evals, evecs = jnp.linalg.eigh(T)
+    coeff = evecs[:, 0].astype(dtype)
+    psi = V.T @ coeff
+    psi = psi / jnp.linalg.norm(psi)
+    return evals[0], psi
+
+
+@partial(jax.jit, static_argnames=("k", "restarts"))
+def _dmrg_local_ground(LP, W1, W2, RP, th0, k=20, restarts=3):
+    """Shape-cached jitted local two-site ground solve: restarted
+    Lanczos on H_eff. One compile per (chiL, chiR, D) combination; all
+    sweeps reuse the cache — the DMRG hot loop runs fully on device."""
+    shape = th0.shape
+
+    def mv(x):
+        th = x.reshape(shape)
+        out = jnp.einsum("kwb, kpqx, wvrp, vusq, xuy -> brsy",
+                         LP, th, W1, W2, RP)
+        return out.reshape(-1)
+
+    v = th0.reshape(-1).astype(jnp.result_type(th0, LP, 1j))
+    E = jnp.asarray(0.0)
+    for _ in range(restarts):
+        E, v = _lanczos_core_jit(mv, v, k)
+    return E, v.reshape(shape)
+
+
+def _lanczos_pass(matvec, v0, k=20):
     v0 = v0 / jnp.linalg.norm(v0)
     vs = [v0]
     alphas, betas = [], []
@@ -305,15 +468,15 @@ class DMRG:
         Sj = self.psi.Ss[j] if j < self.L else jnp.ones(B.shape[2])
         invSj = jnp.where(Sj > 1e-12, 1.0 / Sj, 0.0)
         A = jnp.einsum("a, apb, b -> apb", self.psi.Ss[i], B, invSj)
-        self.LPs[j] = jnp.einsum("awc, apb, wvqp, cqd -> bvd",
-                                 LP, A.conj(), self.mpo.Ws[i], A)
+        self.LPs[j] = jnp.einsum("kwb, kpx, wvqp, bqy -> xvy",
+                                 LP, A, self.mpo.Ws[i], A.conj())
 
     def update_RP(self, i):
         j = i - 1
         RP = self.RPs[i]
         B = self.psi.Bs[i]
-        self.RPs[j] = jnp.einsum("bvd, apb, wvqp, cqd -> awc",
-                                 RP, B.conj(), self.mpo.Ws[i], B)
+        self.RPs[j] = jnp.einsum("kwb, xpk, vwqp, yqb -> xvy",
+                                 RP, B, self.mpo.Ws[i], B.conj())
 
     def eff_matvec(self, i, shape):
         LP = self.LPs[i]
@@ -322,7 +485,7 @@ class DMRG:
 
         def mv(x):
             th = x.reshape(shape)
-            out = jnp.einsum("awc, apqb, wvrp, vusq, bud -> crsd",
+            out = jnp.einsum("kwb, kpqx, wvrp, vusq, xuy -> brsy",
                              LP, th, W1, W2, RP)
             return out.reshape(-1)
         return mv
@@ -334,13 +497,24 @@ class DMRG:
         return E
 
     def update_bond(self, i):
-        th = self.psi.get_theta2(i)
-        shape = th.shape
-        mv = self.eff_matvec(i, shape)
-        E, gs = _lanczos_ground(mv, th.reshape(-1), k=20)
-        th = gs.reshape(shape)
+        th = self.psi.get_theta2(i).astype(complex)
+        chiL, d1, d2, chiR = th.shape
+        # bucket the bond dimensions (pad with zeros) so the jitted local
+        # solver compiles once per bucket, not once per (bond, sweep);
+        # zero rows/cols keep the Krylov space inside the physical block
+        bl = _bucket(chiL)
+        br = _bucket(chiR)
+        thp = jnp.pad(th, ((0, bl - chiL), (0, 0), (0, 0), (0, br - chiR)))
+        LP = jnp.pad(self.LPs[i],
+                     ((0, bl - chiL), (0, 0), (0, bl - chiL)))
+        RP = jnp.pad(self.RPs[i + 1],
+                     ((0, br - chiR), (0, 0), (0, br - chiR)))
+        E, thp = _dmrg_local_ground(LP, self.mpo.Ws[i],
+                                    self.mpo.Ws[i + 1], RP, thp,
+                                    k=min(40, th.size), restarts=3)
+        th = thp[:chiL, :, :, :chiR]
+        E = float(jnp.real(E))
         # split with SVD
-        chiL, d1, d2, chiR = shape
         M = th.reshape(chiL * d1, d2 * chiR)
         U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
         chi = min(self.chi_max, int(jnp.sum(S > self.eps)))
