@@ -7,3 +7,4 @@ from .scattering import LippmannSchwingerSolver, LippmannSchwinger2DSolver
 from .qtraj import QT, lqf, ResultQT
 from .gwp import GWP, WPD, overlap_real, kinetic_real, moment_real
 from .smolyak import SparseGrid, AdaptiveSparseGrid
+from .nawpd import NAWPD

@@ -294,6 +294,104 @@ class LDRN:
         r.psi = jnp.reshape(psi_f, (*self.nx, self.nstates))
         return r
 
+    # ------------------------------------------------------ imaginary time
+    def run_imag(self, psi0, dt, nt, nout=1) -> ResultLDR:
+        """Imaginary-time relaxation exp(-H dt) with per-window
+        renormalization — ground states on the LDR grid
+        (reference: pyqed/ldr/ldr.py:1989 ``LDR2_IT``).
+
+        The same split-propagator machinery is reused with dt -> -i dt,
+        so exp(-iT dt) -> exp(-T dt) etc. Returns the relaxed state and
+        the energy estimate E = -log(||psi'||)/dt per window.
+        """
+        assert psi0.shape == (*self.nx, self.nstates)
+        tau = -1j * dt
+        self.short_time_propagator(tau)
+        U = self._exp_T_flat
+        expV = jnp.reshape(self.exp_V, (-1,))
+        expV2 = jnp.reshape(self.exp_V_half, (-1,))
+        D, nx, ns = self.ndim, tuple(self.nx), self.nstates
+        expKs = [jnp.asarray(K) for K in self.exp_K]
+        dvol = float(np.prod(self.dx))
+
+        def kin_sep(p):
+            p = jnp.reshape(p, nx + (ns,))
+            for d in range(D):
+                p = jnp.tensordot(expKs[d], p, axes=([1], [d]))
+                p = jnp.moveaxis(p, 0, d)
+            return jnp.reshape(p, (-1,))
+
+        def fine_step(p):
+            p = expV * (U @ p) if U is not None else expV * kin_sep(p)
+            nrm = jnp.linalg.norm(p) * np.sqrt(dvol)
+            return p / nrm, nrm
+
+        psi = jnp.reshape(jnp.asarray(psi0, dtype=complex), (-1,))
+        psi = psi / (jnp.linalg.norm(psi) * np.sqrt(dvol))
+        psi = expV2 * psi
+
+        ns_steps = nt // nout
+
+        @jax.jit
+        def evolve(psi):
+            def window(p, _):
+                def fine(i, carry):
+                    p, _ = carry
+                    return fine_step(p)
+                p, nrm = jax.lax.fori_loop(0, nout, fine, (p, 1.0))
+                return p, (p, nrm)
+            return jax.lax.scan(window, psi, None, length=ns_steps)
+
+        psi_f, (psis, nrms) = evolve(psi)
+        energies = -jnp.log(jnp.real(nrms)) / dt
+        r = ResultLDR(dx=self.dx, dt=dt, nt=nt, nout=nout)
+        r.times = np.arange(1, ns_steps + 1) * dt * nout
+        r.energies = energies
+        r.e_tot = float(energies[-1])
+        psi_f = psi_f / (jnp.linalg.norm(psi_f) * np.sqrt(dvol))
+        r.psi = jnp.reshape(psi_f, (*self.nx, self.nstates))
+        return r
+
+    # -------------------------------------------- Liouville-von Neumann
+    def run_lvn(self, rho0, dt, nt, nout=1) -> ResultLDR:
+        """Density-matrix LDR propagation rho -> U rho U† per step
+        (reference: pyqed/ldr/ldr.py:678 ``LDR2_LvN``); rho is indexed by
+        the flattened (grid x state) composite.
+        """
+        n = self.ntot * self.nstates
+        rho0 = jnp.asarray(rho0, dtype=complex).reshape(n, n)
+        self.short_time_propagator(dt)
+        if self._U is None:
+            # separable diabatic: build the dense kinetic factor once
+            D = self.ndim
+            expKs = [np.asarray(K) for K in self.exp_K]
+            Kfull = expKs[0]
+            for Kd in expKs[1:]:
+                Kfull = np.kron(Kfull, Kd)
+            P = jnp.asarray(np.kron(Kfull, np.eye(self.nstates)))
+        else:
+            P = self._exp_T_flat
+        expV = jnp.reshape(self.exp_V, (-1,))
+        U = expV[:, None] * P       # full-step propagator
+
+        ns_steps = nt // nout
+
+        @jax.jit
+        def evolve(rho):
+            def window(r, _):
+                def fine(i, x):
+                    return U @ x @ jnp.conj(U.T)
+                r = jax.lax.fori_loop(0, nout, fine, r)
+                return r, r
+            return jax.lax.scan(window, rho, None, length=ns_steps)
+
+        rho_f, rhos = evolve(rho0)
+        r = ResultLDR(dx=self.dx, dt=dt, nt=nt, nout=nout)
+        r.times = np.arange(1, ns_steps + 1) * dt * nout
+        r.rho = rho_f
+        r.states = rhos
+        return r
+
     # ----------------------------------------------------------- observables
     def rdm_el(self, psi):
         """(reference: pyqed/ldr/ldr.py:640)."""

@@ -4,3 +4,6 @@ from .sos import (
     DQC_R1, DQC_R2, etpa, cars, mcd, polarizability,
 )
 from . import tdes
+from .pump_probe import (TransientAbsorption, chi1, chi3,
+                         response1_freq, response2_freq,
+                         response3_freq, response4_freq)

@@ -1,0 +1,175 @@
+"""Tests: NAWPD nonadiabatic Gaussian dynamics, LDR imaginary-time/LvN
+variants, TransientAbsorption and third-order responses
+(round-1 VERDICT next-round items #8 and #9)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyqed_tpu.grid.nawpd import NAWPD
+from pyqed_tpu.grid.spo import SPON
+from pyqed_tpu.grid.ldr import LDRN
+from pyqed_tpu.signal.pump_probe import (
+    TransientAbsorption, chi1, chi3,
+    response1_freq, response2_freq, response3_freq, response4_freq)
+from pyqed_tpu.models.mol import Mol
+from pyqed_tpu.models.pulse import Pulse
+
+
+def dpes_ac(x):
+    """Two-state avoided crossing."""
+    return np.array([[0.5 * (x + 1.0) ** 2, 0.2],
+                     [0.2, 0.5 * (x - 1.0) ** 2 + 0.5]])
+
+
+class TestNAWPD:
+    def test_population_transfer_vs_spo(self):
+        """NAWPD vs SPO population transfer at 1e-4 (VERDICT done
+        criterion; measured agreement ~1e-7)."""
+        nx = 192
+        x = np.linspace(-8, 8, nx, endpoint=False)
+        spo = SPON([x], masses=[1.0], nstates=2, kernel="xla")
+        v = np.zeros((nx, 2, 2))
+        for i, xi in enumerate(x):
+            v[i] = dpes_ac(xi)
+        spo.set_dpes(v)
+        psi0 = np.zeros((nx, 2), complex)
+        psi0[:, 0] = np.exp(-(x + 1.0) ** 2)
+        psi0 /= np.sqrt(np.sum(np.abs(psi0) ** 2) * (x[1] - x[0]))
+        dt, nt = 0.004, 500
+        pop_spo = np.asarray(
+            spo.run(psi0, dt=dt, nt=nt, nout=nt).population)[-1]
+
+        qs = np.linspace(-6, 6, 40)
+        a0 = 2.0 * (qs[1] - qs[0]) ** -2
+        nw = NAWPD([(q, a0) for q in qs], dpes_ac, mass=1.0, nstates=2)
+        p0 = nw.project(lambda xx: np.exp(-(xx + 1.0) ** 2), state=0)
+        p0 = p0 / nw.norm(p0)
+        r = nw.run(p0, dt=dt, nt=nt)
+        pop_na = nw.population(r.psi, representation="diabatic")
+        assert np.max(np.abs(pop_spo - pop_na)) < 1e-4
+        assert abs(nw.norm(r.psi) - 1.0) < 1e-8
+
+
+class TestLDRVariants:
+    def test_imaginary_time_ground_state(self):
+        """Imag-time LDR relaxes to the DVR eigensolve ground state
+        (reference: pyqed/ldr/ldr.py:1989)."""
+        sol = LDRN(domains=[(-7, 7)], levels=[6], nstates=1)
+        x = sol.x[0]
+        sol.apes = (0.5 * x ** 2).reshape(-1, 1)
+        sol.build_ovlp()
+        r = sol.run_imag(np.exp(-(x - 1.0) ** 2).reshape(-1, 1) + 0j,
+                         dt=0.01, nt=800, nout=100)
+        E_ref = float(np.linalg.eigvalsh(np.asarray(sol.buildH()))[0])
+        assert abs(r.e_tot - E_ref) < 1e-4
+        # relaxed state is the ground state
+        w, U = np.linalg.eigh(np.asarray(sol.buildH()))
+        psi = np.array(r.psi).reshape(-1)
+        psi = psi / np.linalg.norm(psi)
+        assert abs(abs(U[:, 0] @ psi) - 1.0) < 1e-5
+
+    def test_lvn_matches_pure_state(self):
+        """rho = |psi><psi| stays consistent under run_lvn
+        (reference: pyqed/ldr/ldr.py:678)."""
+        sol = LDRN(domains=[(-6, 6)], levels=[5], nstates=2)
+        x = sol.x[0]
+        sol.apes = np.stack([0.5 * x ** 2, 0.5 * x ** 2 + 1.0], axis=-1)
+        theta = 0.2 * x
+        states = np.zeros((len(x), 2, 2))
+        states[:, 0, 0] = np.cos(theta)
+        states[:, 1, 0] = np.sin(theta)
+        states[:, 0, 1] = -np.sin(theta)
+        states[:, 1, 1] = np.cos(theta)
+        sol.build_ovlp(jnp.asarray(states))
+        psi0 = np.zeros((len(x), 2), complex)
+        psi0[:, 0] = np.exp(-(x - 1) ** 2)
+        rho0 = np.outer(psi0.reshape(-1), psi0.reshape(-1).conj())
+        r = sol.run_lvn(rho0, dt=0.01, nt=40)
+        # reference pure-state propagation with the same full-step U
+        U = np.asarray(sol.exp_V.reshape(-1)[:, None]
+                       * np.asarray(sol._exp_T_flat))
+        p = psi0.reshape(-1).astype(complex)
+        for _ in range(40):
+            p = U @ p
+        assert np.max(np.abs(np.asarray(r.rho) - np.outer(p, p.conj()))) \
+            < 1e-12
+
+
+class TestResponses:
+    def setup_method(self, m):
+        rng = np.random.default_rng(0)
+        self.en = np.array([0.0, 1.0, 1.1, 2.05])
+        self.gam = np.array([0.0, 0.03, 0.04, 0.06])
+        d = rng.random((4, 4))
+        self.dip = d + d.T
+        self.w1 = np.linspace(0.8, 1.3, 5)
+        self.w3 = np.linspace(0.8, 1.3, 6)
+        self.t2 = 3.0
+
+    def _loop(self, kind):
+        en, gam, dip = self.en, self.gam, self.dip
+        n = 4
+
+        def G(a, b, w):
+            return 1 / (w - (en[a] - en[b]) + 0.5j * (gam[a] + gam[b]))
+
+        def LS(a, b, t):
+            return np.exp(-1j * (en[a] - en[b]) * t
+                          - 0.5 * (gam[a] + gam[b]) * t)
+
+        out = np.zeros((len(self.w3), len(self.w1)), complex)
+        for i, o3 in enumerate(self.w3):
+            for j, o1 in enumerate(self.w1):
+                r = 0
+                for b in range(n):
+                    for c in range(n):
+                        for d in range(n):
+                            pre = (dip[0, b] * dip[b, c] * dip[c, d]
+                                   * dip[d, 0])
+                            if kind == 1:
+                                r += pre * G(d, c, o3) * LS(d, b, self.t2) \
+                                    * G(d, 0, o1)
+                            if kind == 2:
+                                r += pre * G(d, c, o3) * LS(d, b, self.t2) \
+                                    * G(0, b, o1)
+                            if kind == 3:
+                                r += pre * G(d, c, o3) * LS(0, c, self.t2) \
+                                    * G(0, b, o1)
+                            if kind == 4:
+                                r += pre * G(d, 0, o3) * LS(c, 0, self.t2) \
+                                    * G(d, 0, o1)
+                out[i, j] = r
+        return out
+
+    def test_all_pathways(self):
+        fns = [response1_freq, response2_freq, response3_freq,
+               response4_freq]
+        for k, fn in enumerate(fns, 1):
+            mine = np.asarray(fn(self.en, self.dip, self.gam,
+                                 self.w3, self.t2, self.w1))
+            assert np.max(np.abs(mine - self._loop(k))) < 1e-10, k
+
+    def test_chi1_peak(self):
+        w = np.linspace(0.5, 1.5, 301)
+        c = np.asarray(chi1(self.en, self.dip, self.gam, w))
+        peak = w[np.argmax(np.imag(c))]
+        assert abs(peak - 1.0) < 0.02 or abs(peak - 1.1) < 0.02
+
+    def test_chi3_finite(self):
+        c = np.asarray(chi3(self.en, self.dip, self.gam, self.w3,
+                            self.t2, self.w1))
+        assert c.shape == (6, 5) and np.all(np.isfinite(c))
+
+
+class TestTransientAbsorption:
+    def test_two_level_bleach(self):
+        mol = Mol(np.diag([0.0, 1.0]), np.array([[0.0, 1.0], [1.0, 0.0]]))
+        pump = Pulse(omegac=1.0, tau=10.0, amplitude=0.05)
+        probe = Pulse(omegac=1.0, tau=5.0, amplitude=0.002)
+        ta = TransientAbsorption(mol, pump, probe,
+                                 delays=np.array([40.0]))
+        freqs, S = ta.run(dt=0.04, nt=4000,
+                          freqs=np.linspace(0.5, 1.5, 101))
+        S = np.asarray(S)
+        assert np.all(np.isfinite(S))
+        assert abs(freqs[np.argmax(np.abs(S[:, 0]))] - 1.0) < 0.03
