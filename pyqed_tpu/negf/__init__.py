@@ -3,3 +3,4 @@ from .keldysh import (
     second_born, KBSolver, volterra_int, fermi, bose,
 )
 from .gw import G0W0, g0w0, rpa_modes
+from .kb2t import KBSolver2T

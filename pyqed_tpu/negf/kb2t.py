@@ -1,0 +1,197 @@
+"""Two-time Kadanoff-Baym equations: causal Volterra time-stepping.
+
+TPU-native replacement for the reference's (non-functional) KB march
+(reference: pyqed/gw/green.py:2053 ``KBSolver`` whose ``run`` is
+``pass``, :2133 ``volterra_intdiff`` — a half-transcribed C++ routine
+with undefined symbols). This module implements the standard
+predictor-corrector (implicit 2nd-order) stepping of the retarded and
+lesser Green functions on the two-time grid,
+
+    [i d/dt − h(t)] G^R(t,t') = δ(t,t') + ∫_{t'}^{t} ds Σ^R(t,s) G^R(s,t')
+    [i d/dt − h(t)] G^<(t,t') = ∫_0^{t}  ds Σ^R(t,s) G^<(s,t')
+                               + ∫_0^{t'} ds Σ^<(t,s) G^A(s,t')
+
+with a time-dependent (driven) h(t) and an optional self-consistent
+second-Born self-energy. The thermal initial condition enters through
+G^<(0,0) = i f_β(h(0)) (partial equilibrium; the imaginary-branch
+left-mixing functions are not carried — initial correlations build up
+dynamically, the usual partial-equilibrium approximation).
+
+TPU design: each time row n updates ALL earlier columns at once —
+the memory integrals are batched matmuls over the history axis with
+masked trapezoid weights (einsums on the MXU), inside one jitted
+``lax.fori_loop`` over rows. No per-element Python loops.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class KBSolver2T:
+    """Two-time Kadanoff-Baym propagation.
+
+    Parameters
+    ----------
+    hfun : callable t -> (n, n) single-particle Hamiltonian (may be
+        time-dependent: quenches/drives).
+    nt, dt : real-time grid.
+    beta, mu : initial thermal occupation f_beta(h(0) - mu).
+    U : on-site interaction for the built-in second-Born self-energy
+        (single-orbital convention); 0 = free propagation.
+    """
+
+    def __init__(self, hfun: Callable, nt: int, dt: float, beta=10.0,
+                 mu=0.0, U=0.0):
+        self.hfun = hfun
+        self.nt = nt
+        self.dt = dt
+        self.beta = beta
+        self.mu = mu
+        self.U = U
+        h0 = np.asarray(hfun(0.0))
+        self.size = h0.shape[-1]
+        self.GR = self.GL = None
+
+    # ------------------------------------------------------------- run
+    def run(self, sc_iter: int = 3):
+        """March G^R and G^< over the two-time grid. With U != 0, the
+        second-Born Σ[G] is refreshed ``sc_iter`` times (outer
+        self-consistency over full re-propagations).
+
+        Returns (GR, GL), each (nt, nt, n, n); GR is lower-triangular in
+        (t, t') (causal), GL satisfies G^<(t',t) = −G^<(t,t')†.
+        """
+        nt, n = self.nt, self.size
+        ts = np.arange(nt) * self.dt
+        hs = jnp.asarray(np.stack([np.asarray(self.hfun(t)) for t in ts]))
+        h0 = np.asarray(self.hfun(0.0))
+        w0, v0 = np.linalg.eigh(h0)
+        f = 1.0 / (np.exp(self.beta * (w0 - self.mu)) + 1.0)
+        rho0 = (v0 * f) @ v0.conj().T
+
+        GR0 = jnp.zeros((nt, nt, n, n), dtype=complex)
+        GL0 = jnp.zeros((nt, nt, n, n), dtype=complex)
+        GR0 = GR0.at[0, 0].set(-1j * jnp.eye(n))
+        GL0 = GL0.at[0, 0].set(1j * jnp.asarray(rho0))
+
+        SR = jnp.zeros((nt, nt, n, n), dtype=complex)
+        SL = jnp.zeros((nt, nt, n, n), dtype=complex)
+
+        GR, GL = _march(hs, GR0, GL0, SR, SL, self.dt)
+        if self.U != 0.0:
+            for _ in range(sc_iter):
+                SR, SL = self.second_born(GR, GL)
+                GR, GL = _march(hs, GR0, GL0, SR, SL, self.dt)
+        self.GR, self.GL = GR, GL
+        return GR, GL
+
+    # ------------------------------------------------- self-energies
+    def second_born(self, GR, GL):
+        """Local second-Born Σ for on-site U (single-orbital
+        convention; reference bubble: pyqed/gw/green.py:1432):
+        Σ^<(t,t') = U² G^<(t,t') G^<(t,t') G^>(t',t)   (elementwise),
+        Σ^R(t,t') = θ(t−t') [Σ^>(t,t') − Σ^<(t,t')].
+        """
+        nt = self.nt
+        GA = jnp.conj(jnp.swapaxes(GR, 0, 1).transpose(0, 1, 3, 2))
+        Ggtr = GR - GA + GL
+        # X(t',t) with matrix transpose
+        GL_T = jnp.swapaxes(GL, 0, 1).transpose(0, 1, 3, 2)
+        Ggtr_T = jnp.swapaxes(Ggtr, 0, 1).transpose(0, 1, 3, 2)
+        U2 = self.U ** 2
+        SL = U2 * GL * GL * Ggtr_T
+        Sgtr = U2 * Ggtr * Ggtr * GL_T
+        theta = jnp.tril(jnp.ones((nt, nt)))[:, :, None, None]
+        SR = theta * (Sgtr - SL)
+        return SR, SL
+
+    # ------------------------------------------------- observables
+    def occupations(self):
+        """n_a(t) = −i [G^<(t,t)]_aa, shape (nt, n)."""
+        diag_t = jnp.stack([self.GL[k, k] for k in range(self.nt)])
+        return np.real(np.asarray(
+            -1j * jnp.diagonal(diag_t, axis1=-2, axis2=-1)))
+
+
+@jax.jit
+def _march(hs, GR0, GL0, SR, SL, dt):
+    """One causal sweep over time rows (jitted; lax.fori over rows)."""
+    nt, n = GR0.shape[0], GR0.shape[-1]
+    eye = jnp.eye(n, dtype=complex)
+    idx = jnp.arange(nt)
+
+    def hist_weights(row):
+        """Trapezoid weights over l in [0, row] (half edges)."""
+        w = jnp.where(idx <= row, dt, 0.0)
+        w = w.at[0].set(dt / 2)
+        w = jnp.where(idx == row, dt / 2, w)
+        return w
+
+    # column-wise trapezoid weights for the Σ^< G^A integral over
+    # s in [0, t'=j]: wcol[j, l]
+    wcol = jnp.where(idx[None, :] <= idx[:, None], dt, 0.0)
+    wcol = wcol.at[:, 0].set(dt / 2)
+    wcol = jnp.where(idx[None, :] == idx[:, None], dt / 2, wcol)
+
+    def coll_R(Srow, G, row):
+        """∫ ds Σ^R(row, s) G(s, j) with s up to row (masked)."""
+        return jnp.einsum("l, lab, ljbc -> jac", hist_weights(row),
+                          Srow, G)
+
+    def coll_L(Srow_R, Srow_L, GL, GA, row):
+        c1 = jnp.einsum("l, lab, ljbc -> jac", hist_weights(row),
+                        Srow_R, GL)
+        c2 = jnp.einsum("jl, lab, ljbc -> jac", wcol, Srow_L, GA)
+        return c1 + c2
+
+    def row_update(nrow, carry):
+        GR, GL = carry
+        colmask = (idx < nrow)[:, None, None]
+        h_prev = hs[nrow - 1]
+        h_new = hs[nrow]
+
+        # ---------------- retarded
+        dGR_prev = (jnp.einsum("ab, jbc -> jac", -1j * h_prev,
+                               GR[nrow - 1])
+                    - 1j * coll_R(SR[nrow - 1], GR, nrow - 1))
+        I_R = coll_R(SR[nrow], GR, nrow - 1)   # known history only
+        rhs = GR[nrow - 1] + 0.5 * dt * (dGR_prev - 1j * I_R)
+        A = (eye + 0.5j * dt * h_new
+             + 0.25j * dt * dt * SR[nrow, nrow])
+        GR_new = jnp.linalg.solve(A[None], rhs)
+        GR_new = jnp.where(colmask, GR_new, 0.0)
+        GR = GR.at[nrow].set(GR_new)
+        GR = GR.at[nrow, nrow].set(-1j * eye)
+
+        # ---------------- lesser
+        GA = jnp.conj(jnp.swapaxes(GR, 0, 1).transpose(0, 1, 3, 2))
+        dGL_prev = (jnp.einsum("ab, jbc -> jac", -1j * h_prev,
+                               GL[nrow - 1])
+                    - 1j * coll_L(SR[nrow - 1], SL[nrow - 1], GL, GA,
+                                  nrow - 1))
+        I_L = coll_L(SR[nrow], SL[nrow], GL, GA, nrow - 1)
+        rhsL = GL[nrow - 1] + 0.5 * dt * (dGL_prev - 1j * I_L)
+        GL_new = jnp.linalg.solve(A[None], rhsL)
+        GL_new = jnp.where(colmask, GL_new, GL[nrow])
+        GL = GL.at[nrow].set(GL_new)
+
+        # mirror the new row onto the column: G^<(j, n) = −G^<(n, j)†
+        mirror = -jnp.conj(jnp.swapaxes(GL_new, -1, -2))
+        col = jnp.where(colmask, mirror, GL[:, nrow])
+        GL = GL.at[:, nrow].set(col)
+
+        # equal-time element from the Heisenberg equation of rho(t)
+        diag_prev = GL[nrow - 1, nrow - 1]
+        cprev = coll_L(SR[nrow - 1], SL[nrow - 1], GL, GA,
+                       nrow - 1)[nrow - 1]
+        ddiag = (-1j * (h_prev @ diag_prev - diag_prev @ h_prev)
+                 - 1j * (cprev - jnp.conj(cprev.T)))
+        diag = diag_prev + dt * ddiag
+        GL = GL.at[nrow, nrow].set(0.5 * (diag - jnp.conj(diag.T)))
+        return GR, GL
+
+    return jax.lax.fori_loop(1, nt, row_update, (GR0, GL0))

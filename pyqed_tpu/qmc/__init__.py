@@ -1,2 +1,3 @@
-from .dmc import DMC, PIMC, VMC
+from .dmc import DMC, VMC
 from .engine import dmc_native, build as build_native_engine
+from .pimc import PIMC

@@ -116,73 +116,8 @@ class DMC:
         return self.run(key, nwalkers=nwalkers, **kwargs)
 
 
-class PIMC:
-    """Path-integral Monte Carlo for a single particle (thermal)
-    (reference: pyqed/qmc/PIMC/pimc.py:138).
-
-    Metropolis single-bead moves batched over many independent paths
-    (each path plays the role of a reference 'walker').
-    """
-
-    def __init__(self, potential: Callable, beta=1.0, nbeads=32, mass=1.0,
-                 ndim=1):
-        self.V = potential
-        self.beta = beta
-        self.nbeads = nbeads
-        self.mass = mass
-        self.ndim = ndim
-
-    def run(self, key, npaths=512, nsweeps=2000, step_size=0.5, nequil=500):
-        """Returns (<E> virial estimator, energy trace)."""
-        P = self.nbeads
-        tau = self.beta / P
-        m = self.mass
-
-        key, k0 = jax.random.split(key)
-        x = jax.random.normal(k0, (npaths, P, self.ndim)) * 0.3
-        Vv = jax.vmap(jax.vmap(self.V))          # over paths, beads
-        dV = jax.vmap(jax.vmap(jax.grad(lambda q: jnp.sum(self.V(q)))))
-
-        spring = m / (2.0 * tau)
-
-        bead_parity = jnp.arange(P) % 2
-
-        def halfsweep(x, k, parity):
-            # checkerboard Metropolis: move only even (or odd) beads so the
-            # local action difference is exact with neighbors held fixed
-            k1, k2 = jax.random.split(k)
-            prop = x + step_size * jax.random.normal(k1, x.shape)
-            xp = jnp.roll(x, -1, axis=1)
-            xm = jnp.roll(x, 1, axis=1)
-            dS = (spring * (jnp.sum((prop - xp) ** 2, axis=2)
-                            + jnp.sum((prop - xm) ** 2, axis=2)
-                            - jnp.sum((x - xp) ** 2, axis=2)
-                            - jnp.sum((x - xm) ** 2, axis=2))
-                  + tau * (Vv(prop) - Vv(x)))
-            acc = (jax.random.uniform(k2, dS.shape) < jnp.exp(-dS)) \
-                & (bead_parity[None, :] == parity)
-            return jnp.where(acc[..., None], prop, x)
-
-        def sweep(carry, k):
-            x = carry
-            ka, kb = jax.random.split(k)
-            x = halfsweep(x, ka, 0)
-            x = halfsweep(x, kb, 1)
-
-            # thermodynamic energy estimator:
-            # E = P/(2 beta) * ndim - m/(2 tau^2) <(x - x')^2>/P + <V>/P
-            xp = jnp.roll(x, -1, axis=1)
-            kin_term = (P * self.ndim / (2.0 * self.beta)
-                        - m / (2.0 * tau**2)
-                        * jnp.mean(jnp.sum((x - xp) ** 2, axis=2), axis=(0, 1)))
-            pot_term = jnp.mean(Vv(x))
-            return x, kin_term + pot_term
-
-        keys = jax.random.split(key, nsweeps)
-        xf, E_trace = jax.lax.scan(sweep, x, keys)
-        return jnp.mean(E_trace[nequil:]), E_trace
-
-
+# PIMC moved to qmc/pimc.py (checkerboard + centroid moves +
+# virial/thermo estimators + mesh sharding)
 class VMC:
     """Variational Monte Carlo with Metropolis sampling."""
 

@@ -37,11 +37,11 @@ class TestPIMC:
     def test_harmonic_thermal_energy(self):
         """<E> of the thermal HO: 0.5/tanh(beta/2)."""
         beta = 2.0
-        pimc = PIMC(lambda q: 0.5 * jnp.sum(q**2), beta=beta, nbeads=32)
-        E, trace = pimc.run(jax.random.PRNGKey(3), npaths=256, nsweeps=3000,
-                            step_size=0.4, nequil=1000)
+        pimc = PIMC(lambda q: 0.5 * jnp.sum(q**2), beta=beta, nbeads=48)
+        ev, et, acc, _ = pimc.run(jax.random.PRNGKey(3), npaths=512,
+                                  nsweeps=1200, ntherm=500, step=0.4)
         exact = 0.5 / np.tanh(beta / 2)
-        assert np.isclose(float(E), exact, rtol=0.08), (float(E), exact)
+        assert np.isclose(ev, exact, rtol=0.05), (ev, exact)
 
 
 class TestVMC:
