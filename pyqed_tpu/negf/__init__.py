@@ -4,3 +4,7 @@ from .keldysh import (
 )
 from .gw import G0W0, g0w0, rpa_modes
 from .kb2t import KBSolver2T
+from .gwbse import GWBSE
+from .rt_tdhf import RTTDHF
+from .dmft import DMFT
+from . import eph

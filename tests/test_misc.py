@@ -1,5 +1,6 @@
 """Misc layer tests: cube I/O, MD, ML, CLI."""
 import io as _io
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -67,3 +68,53 @@ class TestCLI:
         rc = cli_main(["info"])
         assert rc == 0
         assert "pyqed_tpu" in capsys.readouterr().out
+
+
+class TestDiagnostics:
+    """Aux subsystems (SURVEY.md §5.1/5.2/5.4; VERDICT rows 55-57)."""
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        from pyqed_tpu.core.diagnostics import (save_checkpoint,
+                                                load_checkpoint)
+        state = {"ados": jnp.ones((3, 2, 2)) * (1 + 2j),
+                 "aux": jnp.arange(4.0)}
+        p = str(tmp_path / "ck.npz")
+        save_checkpoint(p, 7, state, dt=0.01)
+        step, restored, meta = load_checkpoint(p, like=state)
+        assert step == 7
+        assert float(meta["dt"]) == 0.01
+        assert np.allclose(np.asarray(restored["ados"]),
+                           np.asarray(state["ados"]))
+
+    def test_heom_checkpoint_resume(self, tmp_path):
+        from pyqed_tpu.open.heom import HEOMSolver
+        from pyqed_tpu.open.bath import DrudeBath
+        H = np.array([[1.0, 0.2], [0.2, -1.0]])
+        Q = np.diag([1.0, -1.0])
+        b = DrudeBath(temperature=1.0, cutoff=0.5, reorg=0.1)
+        c, nu = b.matsubara(1)
+        sol = HEOMSolver(H, bath=[(Q, c, nu)], lmax=3)
+        rho0 = np.array([[1.0, 0], [0, 0.0]])
+        eops = [np.diag([1.0, 0.0])]
+        r_full = sol.run(rho0, dt=0.01, nt=60, nout=10, e_ops=eops)
+        ck = str(tmp_path / "heom.npz")
+        sol.run(rho0, dt=0.01, nt=30, nout=10, e_ops=eops,
+                checkpoint=ck, checkpoint_every=2)
+        r_res = sol.run(rho0, dt=0.01, nt=60, nout=10, e_ops=eops,
+                        resume=ck)
+        assert np.max(np.abs(np.asarray(r_full.observables)[3:]
+                             - np.asarray(r_res.observables))) < 1e-14
+
+    def test_step_timer_and_nan_check(self):
+        from pyqed_tpu.core.diagnostics import (StepTimer, check_finite,
+                                                debug_nans)
+        t = StepTimer()
+        with t.step():
+            _ = np.ones(10).sum()
+        assert t.summary()["steps"] == 1
+        check_finite({"x": np.ones(3)})
+        with pytest.raises(FloatingPointError):
+            check_finite({"x": np.array([1.0, np.nan])})
+        with debug_nans(False):
+            pass
