@@ -321,3 +321,66 @@ class DVR2(DVRN):
 
     def __init__(self, dvr_x, dvr_y):
         super().__init__([dvr_x, dvr_y])
+
+
+def _bessel_zeros(nu, n):
+    """First n positive zeros of J_nu for arbitrary real order: integer
+    orders via scipy.jn_zeros, nu=1/2 analytically (k pi), otherwise
+    Newton from the McMahon asymptotic guess."""
+    import scipy.special as sp
+    import scipy.optimize
+    if float(nu).is_integer():
+        return sp.jn_zeros(int(nu), n)
+    if abs(nu - 0.5) < 1e-12:
+        return np.pi * np.arange(1, n + 1)
+    zeros = []
+    for k in range(1, n + 1):
+        beta = (k + 0.5 * nu - 0.25) * np.pi      # McMahon
+        mu = 4 * nu ** 2
+        guess = beta - (mu - 1) / (8 * beta)
+        z = scipy.optimize.newton(lambda x: sp.jv(nu, x), guess,
+                                  fprime=lambda x: sp.jvp(nu, x))
+        zeros.append(z)
+    return np.asarray(zeros)
+
+
+class BesselDVR(DVRBase):
+    """Bessel (Fourier-Bessel) DVR for radial problems on [0, R] in
+    ``dim`` spatial dimensions with angular momentum l
+    (reference: pyqed/dvr/dvr_1d.py:868 ``BesselDVR``; note the
+    reference's LaguerreDVR/ChebDVR at :1004/:1028 are empty stubs).
+
+    Grid points are scaled zeros of J_nu with nu = l + dim/2 - 1; the
+    kinetic matrix is the standard closed form.
+    """
+
+    def __init__(self, npts, R, l=0, dim=2, mass=1.0):
+        import scipy.special
+        assert dim > 1, "dim must be 2 or more"
+        self.npts = npts
+        self.n = np.arange(npts)
+        self.R = R
+        self.dim = dim
+        self.l = l
+        self.mass = mass
+        nu = l + dim / 2.0 - 1.0
+        self.nu = nu
+        self.z = _bessel_zeros(nu, npts)
+        self.K = self.z[-1] / R
+        self.x = self.z / self.K
+        self.potential = None
+
+    def t(self, hc=1.0, mc2=None):
+        """(reference: pyqed/dvr/dvr_1d.py:940)."""
+        mc2 = mc2 if mc2 is not None else self.mass
+        K = self.K
+        zi = self.z[:, None]
+        zj = self.z[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            T = (8.0 * K ** 2 * (-1.0) ** (self.n[:, None] - self.n[None, :])
+                 * zi * zj / (zi ** 2 - zj ** 2) ** 2)
+        T[self.n, self.n] = 0.0
+        T += np.diag(K ** 2 / 3.0
+                     * (1.0 + 2.0 * (self.nu ** 2 - 1.0) / self.z ** 2))
+        T *= 0.5 * hc ** 2 / mc2
+        return jnp.asarray(T)

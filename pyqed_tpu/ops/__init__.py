@@ -24,3 +24,5 @@ from .expm import (
     krylov_expm_multiply,
 )
 from . import fft
+from . import quadrature
+from .jointdiag import joint_diagonalize, qndiag

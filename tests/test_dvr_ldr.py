@@ -150,3 +150,79 @@ class TestLDR:
         sol.buildK(0.01)
         H = np.asarray(sol.buildH())
         assert np.allclose(H, H.conj().T, atol=1e-10)
+
+
+class TestBesselDVR:
+    def test_radial_ho_2d(self):
+        from pyqed_tpu.grid.dvr import BesselDVR
+        d = BesselDVR(80, R=12.0, l=0, dim=2)
+        E, _ = d.run(lambda r: 0.5 * r ** 2, num_eigs=4)
+        assert np.allclose(np.asarray(E), [1, 3, 5, 7], atol=1e-6)
+
+    def test_radial_ho_3d_halfinteger_order(self):
+        from pyqed_tpu.grid.dvr import BesselDVR
+        d = BesselDVR(80, R=12.0, l=0, dim=3)
+        E, _ = d.run(lambda r: 0.5 * r ** 2, num_eigs=3)
+        assert np.allclose(np.asarray(E), [1.5, 3.5, 5.5], atol=1e-6)
+
+    def test_angular_momentum(self):
+        from pyqed_tpu.grid.dvr import BesselDVR
+        d = BesselDVR(80, R=12.0, l=1, dim=2)
+        E, _ = d.run(lambda r: 0.5 * r ** 2, num_eigs=2)
+        assert np.allclose(np.asarray(E), [2, 4], atol=1e-6)
+
+
+class TestJointDiag:
+    def test_commuting_matrices(self):
+        from pyqed_tpu.ops.jointdiag import joint_diagonalize
+        rng = np.random.default_rng(0)
+        n = 6
+        Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+        Ms = np.stack([Q @ np.diag(rng.standard_normal(n)) @ Q.T
+                       for _ in range(3)])
+        V, Ds = joint_diagonalize(Ms)
+        for D in Ds:
+            off = D - np.diag(np.diag(D))
+            assert np.max(np.abs(off)) < 1e-6
+        assert np.allclose(V.T @ V, np.eye(n), atol=1e-10)
+
+
+class TestQuadrature:
+    def test_gauss_hermite_moments(self):
+        from pyqed_tpu.ops.quadrature import gauss_hermite
+        x, w = gauss_hermite(20, x0=1.0, alpha=2.0)
+        # int x e^{-2(x-1)^2} = 1 * sqrt(pi/2)
+        assert np.isclose(np.sum(w * x), np.sqrt(np.pi / 2))
+        assert np.isclose(np.sum(w * x ** 2),
+                          (1.0 + 0.25) * np.sqrt(np.pi / 2))
+
+    def test_fock_enumerate(self):
+        from pyqed_tpu.ops.quadrature import (fock_enumerate, multichoose,
+                                              fock_index)
+        keys = fock_enumerate(3, 2)
+        assert len(keys) == 1 + 3 + 6   # levels 0,1,2
+        idx = fock_index(keys)
+        assert idx[(0, 0, 0)] == 0
+        assert multichoose(3, 2) == 6
+
+
+class TestGenericEnv:
+    def test_env_fit_matches_pade_dynamics(self):
+        from pyqed_tpu.open.bath import Env, DrudeBath
+        from pyqed_tpu.open.heom import HEOMSolver
+        lam, wc, T = 0.05, 0.5, 1.0
+        env = Env(lambda w: 2 * lam * wc * w / (w ** 2 + wc ** 2),
+                  temperature=T)
+        c_fit, nu_fit = env.fit_exponentials(4)
+        assert env.fit_error < 0.01
+        H = np.array([[0.5, 0.2], [0.2, -0.5]])
+        Q = np.diag([1.0, -1.0])
+        rho0 = np.array([[1.0, 0], [0, 0.0]])
+        eops = [np.diag([1.0, 0.0])]
+        r1 = HEOMSolver(H, bath=[(Q, c_fit, nu_fit)], lmax=4).run(
+            rho0, dt=0.01, nt=200, e_ops=eops)
+        c2, nu2 = DrudeBath(T, wc, lam).pade(3)
+        r2 = HEOMSolver(H, bath=[(Q, c2, nu2)], lmax=4).run(
+            rho0, dt=0.01, nt=200, e_ops=eops)
+        assert np.max(np.abs(np.asarray(r1.observables)
+                             - np.asarray(r2.observables))) < 5e-3
