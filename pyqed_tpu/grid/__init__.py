@@ -8,3 +8,5 @@ from .qtraj import QT, lqf, ResultQT
 from .gwp import GWP, WPD, overlap_real, kinetic_real, moment_real
 from .smolyak import SparseGrid, AdaptiveSparseGrid
 from .nawpd import NAWPD
+from .smolyak import SGCT_LDR, combination_technique
+from .qtraj import NAQT

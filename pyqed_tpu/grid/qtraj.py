@@ -127,3 +127,107 @@ class QT:
         r.observables = energy[:, None]
         self.x, self.p = xf, pf
         return r
+
+
+class NAQT:
+    """Nonadiabatic quantum trajectories: Ehrenfest mean-field forces +
+    the LQF quantum force, with per-trajectory electronic coefficients.
+
+    WORKING implementation of the reference's NAQT whose run loop is
+    fully commented out (reference: pyqed/qt/lqf.py:473 ``NAQT`` and
+    qt/qt.py:165 — the sys-bath state is an ensemble (x, p, c) with
+    LQF on the nuclear sector; pyqed/qt/README.md scheme).
+
+    Parameters
+    ----------
+    dpes : callable x (ntraj, ndim) -> V (ntraj, ns, ns) diabatic matrix
+        (vectorized); forces from jax.jacrev-free finite-difference-free
+        analytic grad via jax.vmap(jax.jacobian) of a pointwise dpes1.
+    dpes1 : callable x (ndim,) -> (ns, ns) pointwise version (for grads).
+    """
+
+    def __init__(self, ntraj, ndim, nstates, dpes1: Callable, mass=None):
+        self.ntraj = ntraj
+        self.ndim = ndim
+        self.nstates = nstates
+        self.dpes1 = dpes1
+        self.mass = jnp.asarray(mass if mass is not None
+                                else np.ones(ndim), dtype=float)
+        self.w = jnp.full(ntraj, 1.0 / ntraj)
+        self._V = jax.vmap(dpes1)
+        self._dV = jax.vmap(jax.jacobian(dpes1))   # (ntraj, ns, ns, ndim)
+
+    def sample(self, a, x0, state=0, key=0):
+        """Gaussian cloud matching psi0 ~ exp(-a (x-x0)^2 / ...); the
+        width convention matches the reference sample (lqf.py:491)."""
+        key = jax.random.PRNGKey(key) if isinstance(key, int) else key
+        a = jnp.atleast_1d(jnp.asarray(a, dtype=float))
+        x0 = jnp.atleast_1d(jnp.asarray(x0, dtype=float))
+        x = (jax.random.normal(key, (self.ntraj, self.ndim))
+             / jnp.sqrt(2.0 * a)[None, :] + x0[None, :])
+        p = jnp.zeros((self.ntraj, self.ndim))
+        c = jnp.zeros((self.ntraj, self.nstates), dtype=complex)
+        c = c.at[:, state].set(1.0)
+        return x, p, c
+
+    def run(self, x, p, c, dt, nt, nout=1):
+        """Velocity-Verlet nuclei + RK4 electronic coefficients; returns
+        ResultQT with populations (ns_steps+1, nstates) and positions."""
+        mass = self.mass
+        w = self.w
+        V = self._V
+        dV = self._dV
+
+        def forces(x, c):
+            # Ehrenfest: F = -<c| dV |c> per trajectory
+            dv = dV(x)                                   # (N, ns, ns, D)
+            F_cl = -jnp.real(jnp.einsum("na, nabd, nb -> nd",
+                                        jnp.conj(c), dv, c)
+                             / jnp.sum(jnp.abs(c) ** 2, axis=1)[:, None])
+            r, F_q, _ = lqf(x, w, mass)
+            return F_cl + F_q
+
+        def cdot(x, c):
+            v = V(x)
+            return -1j * jnp.einsum("nab, nb -> na", v, c)
+
+        def step(carry, _):
+            x, p, c = carry
+            F = forces(x, c)
+            p = p + 0.5 * dt * F
+            x = x + dt * p / mass[None, :]
+            # RK4 on c with the new positions
+            k1 = cdot(x, c)
+            k2 = cdot(x, c + 0.5 * dt * k1)
+            k3 = cdot(x, c + 0.5 * dt * k2)
+            k4 = cdot(x, c + dt * k3)
+            c = c + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+            c = c / jnp.linalg.norm(c, axis=1, keepdims=True)
+            F = forces(x, c)
+            p = p + 0.5 * dt * F
+            return (x, p, c), None
+
+        def observe(x, p, c):
+            pops = jnp.einsum("n, na -> a", w, jnp.abs(c) ** 2)
+            xave = jnp.einsum("n, nd -> d", w, x)
+            return pops, xave
+
+        ns_steps = nt // nout
+
+        @jax.jit
+        def evolve(x, p, c):
+            def window(carry, _):
+                carry, _ = jax.lax.scan(step, carry, None, length=nout)
+                return carry, observe(*carry)
+            return jax.lax.scan(window, (x, p, c), None, length=ns_steps)
+
+        (xf, pf, cf), (pops, xave) = evolve(x, p, c)
+        p0, x0 = observe(x, p, c)
+        r = ResultQT(dt=dt, nt=nt, nout=nout)
+        r.times = np.arange(ns_steps + 1) * dt * nout
+        r.population = np.concatenate([np.asarray(p0)[None],
+                                       np.asarray(pops)], axis=0)
+        r.xave = np.concatenate([np.asarray(x0)[None],
+                                 np.asarray(xave)], axis=0)
+        r.x, r.p, r.c = xf, pf, cf
+        return r

@@ -187,3 +187,80 @@ class AdaptiveSparseGrid(SparseGrid):
 # Reference-compatible aliases
 sparseGrid = SparseGrid
 AdapativeSparseGrid = AdaptiveSparseGrid
+
+
+def combination_technique(ndim, q):
+    """Classical sparse-grid combination-technique index sets and
+    coefficients: u_SG = Σ_{k=0}^{d-1} (-1)^k C(d-1, k) Σ_{|l|_1 = q-k} u_l
+    (reference: pyqed/smolyak/sg.py:670 ``SGCT_LDR.combination_technique``
+    — the reference class body is non-functional sketch code)."""
+    import itertools
+    import math
+    index_set, coeffs = [], []
+    for k in range(ndim):
+        c = (-1) ** k * math.comb(ndim - 1, k)
+        target = q - k
+        for l in itertools.product(range(1, target + 1), repeat=ndim):
+            if sum(l) == target:
+                index_set.append(l)
+                coeffs.append(c)
+    return index_set, coeffs
+
+
+class SGCT_LDR:
+    """Sparse-grid combination technique wrapped around the grid
+    propagators: the full-tensor solve on every anisotropic level grid
+    is combined with CT coefficients, beating the curse of
+    dimensionality for smooth wavepackets (reference intent:
+    pyqed/smolyak/sg.py:670).
+
+    Parameters
+    ----------
+    domains : [(xmin, xmax)] * ndim.
+    q : combination level (per-dimension levels l, |l|_1 <= q).
+    dpes_fn : (grids) -> diabatic V of shape grid_shape + (ns, ns).
+    psi0_fn : (grids) -> initial psi of shape grid_shape + (ns,).
+    masses, nstates : forwarded to the SPO propagator.
+    """
+
+    def __init__(self, domains, q, dpes_fn, psi0_fn, masses=None,
+                 nstates=1):
+        self.domains = domains
+        self.ndim = len(domains)
+        self.q = q
+        self.dpes_fn = dpes_fn
+        self.psi0_fn = psi0_fn
+        self.masses = masses
+        self.nstates = nstates
+
+    def run(self, dt, nt, nout=1, observable="x"):
+        """Propagate on every level grid and combine the observable
+        series; returns (times, combined, per_level dict)."""
+        from .spo import SPON
+        index_set, coeffs = combination_technique(self.ndim, self.q)
+        combined = None
+        per_level = {}
+        for l, c in zip(index_set, coeffs):
+            grids = [np.linspace(*self.domains[d], 2 ** l[d] + 1)[:-1]
+                     for d in range(self.ndim)]
+            spo = SPON(grids, masses=self.masses, nstates=self.nstates,
+                       kernel="xla")
+            spo.set_dpes(self.dpes_fn(grids))
+            psi0 = np.asarray(self.psi0_fn(grids), dtype=complex)
+            nrm = np.sqrt(np.sum(np.abs(psi0) ** 2) * spo.dvol)
+            psi0 = psi0 / nrm
+            r = spo.run(psi0, dt=dt, nt=nt, nout=nout)
+            if observable == "x":
+                X = np.meshgrid(*grids, indexing="ij")[0]
+                series = np.array(
+                    [np.sum(X[..., None] * np.abs(np.asarray(s)) ** 2)
+                     * spo.dvol for s in np.asarray(r.states)])
+            elif observable == "population":
+                series = np.asarray(r.population)
+            else:
+                series = observable(r, grids, spo)
+            per_level[tuple(l)] = series
+            combined = (c * series if combined is None
+                        else combined + c * series)
+        times = np.arange(len(combined)) * dt * nout
+        return times, combined, per_level

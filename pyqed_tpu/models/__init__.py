@@ -12,3 +12,5 @@ from .cavity import Cavity, Composite, Polariton
 from .lattice import FermiHubbard, BoseHubbard, jordan_wigner_ops
 from .vibronic import Pyrazine, JahnTeller, ShinMetiu
 from .polariton_grid import GridMol, VibronicPolariton, VSC, TDH
+from .polariton_grid import GridMol2, VibronicPolariton2, berry_curvature_field
+from .shinmetiu2e import ShinMetiu2e1d

@@ -246,3 +246,144 @@ class TDH:
         (chif, phif), (xave, nave) = jax.lax.scan(step, state0, None,
                                                   length=nt)
         return dict(chi=chif, phi=phif, xave=xave, nave=nave)
+
+
+class GridMol2:
+    """A vibronic model on a 2D nuclear grid: diabatic V(x, y) of shape
+    (nx, ny, ns, ns) + constant electronic dipole."""
+
+    def __init__(self, x, y, v, edip, mass=(1.0, 1.0)):
+        self.x = np.asarray(x)
+        self.y = np.asarray(y)
+        self.nx, self.ny = len(self.x), len(self.y)
+        self.v = jnp.asarray(v)
+        self.nstates = self.v.shape[-1]
+        self.edip = jnp.asarray(edip)
+        self.mass = list(mass) if np.ndim(mass) else [mass, mass]
+
+
+def berry_curvature_field(u):
+    """Fukui-Hatsugai plaquette Berry curvature of an eigenvector field.
+
+    u : (nx, ny, dim) normalized state |u(x_i, y_j)>.
+    Returns F (nx-1, ny-1): Im log of the Wilson plaquette product —
+    the discrete Berry curvature times the plaquette area. Summing F
+    over a region gives the Berry phase of its boundary loop (π per
+    enclosed conical intersection for real Hamiltonians).
+
+    (The reference's ``berry_curvature`` at pyqed/polariton/cavity.py:1324
+    is an empty ``pass`` stub; this is a working implementation.)
+    """
+    u = jnp.asarray(u)
+    ux = jnp.einsum("ijd, ijd -> ij", jnp.conj(u[:-1, :]), u[1:, :])
+    uy = jnp.einsum("ijd, ijd -> ij", jnp.conj(u[:, :-1]), u[:, 1:])
+    # plaquette product U_x(r) U_y(r+dx) U_x(r+dy)^* U_y(r)^*
+    W = (ux[:, :-1] * uy[1:, :] * jnp.conj(ux[:, 1:]) * jnp.conj(uy[:-1, :]))
+    return jnp.angle(W)
+
+
+class VibronicPolariton2(VibronicPolariton):
+    """2D vibronic model coupled to a single cavity mode
+    (reference: pyqed/polariton/cavity.py:1111)."""
+
+    def __init__(self, mol: GridMol2, cav: Cavity, g=None):
+        self.mol = mol
+        self.cav = cav
+        self.x, self.y = mol.x, mol.y
+        self.nx, self.ny = mol.nx, mol.ny
+        self.nel = mol.nstates
+        self.ncav = cav.ncav
+        self.nstates = self.nel * self.ncav
+        self.mass = mol.mass
+        self.g = g
+        self.v = None
+        self.va = None
+        self._u = None
+        self._ground_state = None
+
+    def dpes_global(self, g=None, rwa=False):
+        """Polaritonic diabatic PES (nx, ny, N, N)
+        (reference: pyqed/polariton/cavity.py:1173)."""
+        if g is not None:
+            self.g = g
+        if self.g is None:
+            raise ValueError("set the light-matter coupling g first")
+        mol, cav = self.mol, self.cav
+        nel, ncav, N = self.nel, self.ncav, self.nstates
+        # diagonal: molecular surfaces + photon number ladder
+        eyec = np.eye(ncav)
+        vm = np.asarray(mol.v)                       # (nx, ny, nel, nel)
+        v = np.einsum("xyab, mn -> xyambn", vm, eyec).reshape(
+            self.nx, self.ny, N, N)
+        wc = cav.omega
+        nph = np.kron(np.eye(nel), np.diag(np.arange(ncav)))
+        v = v + wc * nph[None, None]
+        a = np.asarray(cav.annihilate())
+        coupl = self.g * np.kron(np.asarray(mol.edip).real, a + a.T)
+        v = v + coupl[None, None]
+        self.v = jnp.asarray(v)
+        return self.v
+
+    def ppes(self):
+        """Adiabatic polaritonic surfaces + transformation (batched eigh
+        over the grid; reference: pyqed/polariton/cavity.py:1240)."""
+        if self.v is None:
+            self.dpes_global()
+        w, u = jnp.linalg.eigh(self.v)
+        self.va, self._u = w, u
+        return w
+
+    def ground_state(self, representation="adiabatic"):
+        """Lowest nuclear eigenstate on the lowest polaritonic surface
+        (reference: pyqed/polariton/cavity.py:1145)."""
+        from ..grid.dvr import DVRN, SineDVR
+        if self.va is None:
+            self.ppes()
+        V = (self.va[:, :, 0] if representation == "adiabatic"
+             else self.v[:, :, 0, 0])
+        dx = self.x[1] - self.x[0]
+        dy = self.y[1] - self.y[0]
+        dvrx = SineDVR(self.x[0] - dx, self.x[-1] + dx, self.nx,
+                       mass=self.mass[0])
+        dvry = SineDVR(self.y[0] - dy, self.y[-1] + dy, self.ny,
+                       mass=self.mass[1])
+        Tx = np.asarray(dvrx.t())
+        Ty = np.asarray(dvry.t())
+        H = (np.kron(Tx, np.eye(self.ny))
+             + np.kron(np.eye(self.nx), Ty)
+             + np.diag(np.asarray(V).ravel()))
+        w, U = np.linalg.eigh(H)
+        self._ground_state = U[:, 0].reshape(self.nx, self.ny)
+        return w[0], self._ground_state
+
+    def berry_curvature(self, state_id=0):
+        """Plaquette Berry curvature of adiabatic polaritonic state
+        ``state_id`` (WORKING implementation of the reference's stub at
+        pyqed/polariton/cavity.py:1324)."""
+        if self._u is None:
+            self.ppes()
+        return berry_curvature_field(self._u[:, :, :, state_id])
+
+    def promote_op(self, a, kind="mol"):
+        """(reference: pyqed/polariton/cavity.py:1378)."""
+        if kind in ("mol", "m"):
+            return jnp.kron(jnp.asarray(a), jnp.eye(self.ncav))
+        return jnp.kron(jnp.eye(self.nel), jnp.asarray(a))
+
+    def run(self, psi0=None, dt=0.1, nt=10, nout=1, **kw):
+        """SPO2 propagation on the polaritonic surfaces
+        (reference: pyqed/polariton/cavity.py:1328)."""
+        from ..grid.spo import SPO2
+        if self.v is None:
+            self.dpes_global()
+        if psi0 is None:
+            if self._ground_state is None:
+                self.ground_state()
+            psi0 = np.zeros((self.nx, self.ny, self.nstates), complex)
+            dvol = float((self.x[1] - self.x[0]) * (self.y[1] - self.y[0]))
+            # grid normalization: sum |psi|^2 dvol = 1
+            psi0[:, :, 0] = self._ground_state / np.sqrt(dvol)
+        spo = SPO2(self.x, self.y, masses=self.mass,
+                   nstates=self.nstates, **kw)
+        spo.set_dpes(self.v)
+        return spo.run(psi0, dt=dt, nt=nt, nout=nout)
