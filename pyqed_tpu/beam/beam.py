@@ -203,3 +203,129 @@ def lens(field: ScalarFieldXY, focal):
 # reference-compatible aliases
 Scalar_field_X = ScalarFieldX
 Scalar_field_XY = ScalarFieldXY
+
+
+class ScalarFieldXZ:
+    """Scalar field on an (x, z) sheet: a 1D transverse field propagated
+    and STORED over a z-stack (reference: pyqed/beam/scalar_fields_XZ.py
+    — vendored diffractio; there a Python loop over z planes, here one
+    vmapped angular-spectrum batch over all planes at once).
+    """
+
+    def __init__(self, x, z, wavelength, n_background=1.0):
+        self.x = np.asarray(x)
+        self.z = np.asarray(z)
+        self.wavelength = wavelength
+        self.n = n_background
+        self.u = None           # (nz, nx) after propagation
+
+    def incident_field(self, u0):
+        self.u0 = jnp.asarray(u0, dtype=complex)
+        return self
+
+    def propagate(self):
+        """Fill the whole (z, x) sheet with one batched ASM."""
+        u0, x, wl, n = self.u0, self.x, self.wavelength, self.n
+
+        def plane(z):
+            return _asm_1d(u0, x, wl, z, n)
+
+        self.u = jax.vmap(plane)(jnp.asarray(self.z))
+        return self.u
+
+    def intensity(self):
+        return jnp.abs(self.u) ** 2
+
+
+class ScalarFieldXYZ:
+    """Scalar field in a full (x, y, z) volume — the 2D transverse field
+    propagated over a z-stack (reference:
+    pyqed/beam/scalar_fields_XYZ.py:560, which parallelizes the z loop
+    with multiprocessing.Pool; here the stack is one vmap)."""
+
+    def __init__(self, x, y, z, wavelength, n_background=1.0):
+        self.x = np.asarray(x)
+        self.y = np.asarray(y)
+        self.z = np.asarray(z)
+        self.wavelength = wavelength
+        self.n = n_background
+        self.u = None           # (nz, nx, ny)
+
+    def incident_field(self, u0):
+        self.u0 = jnp.asarray(u0, dtype=complex)
+        return self
+
+    def propagate(self):
+        u0, x, y, wl, n = self.u0, self.x, self.y, self.wavelength, self.n
+
+        def plane(z):
+            return _asm_2d(u0, x, y, wl, z, n)
+
+        self.u = jax.vmap(plane)(jnp.asarray(self.z))
+        return self.u
+
+    def intensity(self):
+        return jnp.abs(self.u) ** 2
+
+
+class VectorFieldXY:
+    """Paraxial vector field (Ex, Ey) on a transverse plane with the
+    longitudinal Ez reconstructed from transversality
+    k·E = 0  ->  Ez(kx, ky) = −(kx Ex + ky Ey)/kz
+    (reference: pyqed/beam/vector_fields_XY.py:64 ``Vector_field_XY``).
+    """
+
+    def __init__(self, x, y, wavelength, n_background=1.0):
+        self.x = np.asarray(x)
+        self.y = np.asarray(y)
+        self.wavelength = wavelength
+        self.n = n_background
+        self.Ex = self.Ey = self.Ez = None
+
+    def incident_field(self, Ex, Ey):
+        self.Ex = jnp.asarray(Ex, dtype=complex)
+        self.Ey = jnp.asarray(Ey, dtype=complex)
+        self._fill_Ez()
+        return self
+
+    def _kgrids(self):
+        kx = 2 * np.pi * np.fft.fftfreq(len(self.x),
+                                        self.x[1] - self.x[0])
+        ky = 2 * np.pi * np.fft.fftfreq(len(self.y),
+                                        self.y[1] - self.y[0])
+        return jnp.asarray(kx), jnp.asarray(ky)
+
+    def _kz(self, kx, ky):
+        k0 = 2 * np.pi * self.n / self.wavelength
+        kz2 = k0 ** 2 - kx[:, None] ** 2 - ky[None, :] ** 2
+        return jnp.sqrt(jnp.maximum(kz2, 1e-30) + 0j)
+
+    def _fill_Ez(self):
+        kx, ky = self._kgrids()
+        kz = self._kz(kx, ky)
+        Exk = jnp.fft.fft2(self.Ex)
+        Eyk = jnp.fft.fft2(self.Ey)
+        Ezk = -(kx[:, None] * Exk + ky[None, :] * Eyk) / kz
+        self.Ez = jnp.fft.ifft2(Ezk)
+
+    def propagate(self, z):
+        """ASM on each Cartesian component; Ez re-derived after."""
+        self.Ex = _asm_2d(self.Ex, self.x, self.y, self.wavelength, z,
+                          self.n)
+        self.Ey = _asm_2d(self.Ey, self.x, self.y, self.wavelength, z,
+                          self.n)
+        self._fill_Ez()
+        return self
+
+    def intensity(self):
+        return (jnp.abs(self.Ex) ** 2 + jnp.abs(self.Ey) ** 2
+                + jnp.abs(self.Ez) ** 2)
+
+    def stokes(self):
+        """(S0, S1, S2, S3) transverse Stokes parameters."""
+        Ex, Ey = self.Ex, self.Ey
+        S0 = jnp.abs(Ex) ** 2 + jnp.abs(Ey) ** 2
+        S1 = jnp.abs(Ex) ** 2 - jnp.abs(Ey) ** 2
+        S2 = 2 * jnp.real(Ex * jnp.conj(Ey))
+        S3 = -2 * jnp.imag(Ex * jnp.conj(Ey))
+        return S0, S1, S2, S3

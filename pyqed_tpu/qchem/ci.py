@@ -190,3 +190,30 @@ class CASCI(CI):
         self.e_tot = np.asarray(w[:nroots]) + ecore + mf.mol.energy_nuc()
         self.civec = v[:, :nroots]
         return self.e_tot
+
+
+def dyson_orbital(ci_n, ci_m):
+    """Dyson orbital between an N-electron and an (N−1)-electron CI
+    state: phi_p = <Psi^{N-1} | a_p | Psi^N> over spin orbitals
+    (reference: pyqed/qchem/dyson.py:15 ``dyson_orb_R/L`` — there via
+    EOM-CC amplitudes; here directly from determinant expansions).
+
+    ci_n, ci_m : converged CI objects (run() called) sharing the same
+    MO set (same mean field). Returns (phi (nso,), norm).
+    """
+    dets_n = ci_n.dets
+    dets_m = ci_m.dets
+    cn = np.asarray(ci_n.civec[:, 0]).real
+    cm = np.asarray(ci_m.civec[:, 0]).real
+    index_m = {d: i for i, d in enumerate(dets_m)}
+    nso = 2 * np.asarray(ci_n.mf.mo_ints()[0]).shape[0]
+    phi = np.zeros(nso)
+    for I, det in enumerate(dets_n):
+        for pos, p in enumerate(det):
+            rest = det[:pos] + det[pos + 1:]
+            J = index_m.get(rest)
+            if J is None:
+                continue
+            sign = (-1.0) ** pos     # a_p moves past `pos` occupied orbs
+            phi[p] += sign * cm[J] * cn[I]
+    return phi, float(np.linalg.norm(phi))

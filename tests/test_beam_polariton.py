@@ -217,3 +217,46 @@ class TestTCL2:
         assert sz_t[0] < -0.99
         assert sz_t[-1] > -0.9
         assert np.isclose(np.trace(np.asarray(res.rho)).real, 1.0, atol=1e-8)
+
+
+class TestBeamXZ_XYZ_Vector:
+    """XZ/XYZ sheets + vector fields (round-1 VERDICT row 47)."""
+
+    def test_gaussian_spreading_xz(self):
+        from pyqed_tpu.beam.beam import ScalarFieldXZ
+        wl, w0 = 0.5, 6.0
+        x = np.linspace(-60, 60, 256)
+        z = np.linspace(1, 200, 16)
+        u0 = np.exp(-x ** 2 / w0 ** 2)
+        f = ScalarFieldXZ(x, z, wl).incident_field(u0)
+        f.propagate()
+        I = np.asarray(f.intensity())
+        zr = np.pi * w0 ** 2 / wl
+        wz = w0 * np.sqrt(1 + (z / zr) ** 2)
+        wm = 2 * np.sqrt(np.sum(I * x[None, :] ** 2, axis=1)
+                         / np.sum(I, axis=1))
+        assert np.max(np.abs(wm - wz) / wz) < 2e-3
+
+    def test_xyz_volume(self):
+        from pyqed_tpu.beam.beam import ScalarFieldXYZ
+        xy = np.linspace(-40, 40, 64)
+        z = np.linspace(1, 60, 6)
+        u0 = np.exp(-(xy[:, None] ** 2 + xy[None, :] ** 2) / 36.0)
+        v = ScalarFieldXYZ(xy, xy, z, 0.5).incident_field(u0)
+        v.propagate()
+        assert v.u.shape == (6, 64, 64)
+        # energy conserved plane to plane (no absorbing medium)
+        E = np.sum(np.asarray(v.intensity()), axis=(1, 2))
+        assert np.max(np.abs(E / E[0] - 1)) < 1e-6
+
+    def test_vector_field_polarization(self):
+        from pyqed_tpu.beam.beam import VectorFieldXY
+        import jax.numpy as jnp
+        xy = np.linspace(-40, 40, 64)
+        u0 = np.exp(-(xy[:, None] ** 2 + xy[None, :] ** 2) / 36.0)
+        vf = VectorFieldXY(xy, xy, 0.5).incident_field(u0, 1j * u0)
+        S0, S1, S2, S3 = vf.stokes()
+        assert abs(float(jnp.sum(S3) / jnp.sum(S0)) - 1.0) < 1e-12
+        e0 = float(jnp.sum(vf.intensity()))
+        vf.propagate(50.0)
+        assert abs(float(jnp.sum(vf.intensity())) / e0 - 1.0) < 1e-3

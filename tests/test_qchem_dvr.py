@@ -109,3 +109,42 @@ class TestGTOUnblocked:
         tda.run(nroots=3)
         f = tda.oscillator_strength()
         assert np.all(np.isfinite(f)) and f.max() > 1e-3
+
+
+class TestHessianDyson:
+    def test_h2_frequency_consistent_with_1d_curvature(self):
+        from pyqed_tpu.qchem.hessian import Hessian, scf_energy
+        from pyqed_tpu.units import au2wavenumber
+        hess = Hessian([("H", (0, 0, 0)), ("H", (0, 0, 1.35))],
+                       step=8e-3)
+        freqs = hess.vibrational_frequencies()
+        assert len(freqs) == 1
+        h = 8e-3
+        es = [scf_energy([("H", (0, 0, 0)), ("H", (0, 0, 1.35 + d))])
+              for d in (-h, 0, h)]
+        k = (es[0] - 2 * es[1] + es[2]) / h ** 2
+        mu = 0.5 * 1.00782503 * 1822.888486
+        f1d = np.sqrt(k / mu) * au2wavenumber
+        assert abs(freqs[0] - f1d) / f1d < 1e-3
+        # HF/STO-3G H2 stretch is ~5400-5500 cm^-1 near R=1.35
+        assert 5000 < freqs[0] < 5900
+
+    def test_dyson_orbital_norm(self):
+        import types
+        from pyqed_tpu.qchem.ci import CI, dyson_orbital
+        mol2 = MoleculeDVR([(2, [0.0])], Rf=1.0, Re=1.0)
+        mf = RHF1D(mol2, domain=(-10, 10), nx=20)
+        mf.run()
+        mf.nmo_ci = 8
+        fci2 = mf.FCI()
+        fci2.run()
+        mf1 = types.SimpleNamespace(
+            mo_ints=mf.mo_ints,
+            mol=types.SimpleNamespace(nelec=1, energy_nuc=lambda: 0.0),
+            e_tot=0.0)
+        ci1 = CI(mf1)
+        ci1.run()
+        phi, nrm = dyson_orbital(fci2, ci1)
+        assert 0.8 < nrm <= 1.0 + 1e-10
+        # dominated by the lowest (alpha) spin orbital
+        assert np.argmax(np.abs(phi)) == 0
