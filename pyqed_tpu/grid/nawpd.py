@@ -161,3 +161,121 @@ class NAWPD:
 
     def norm(self, psi):
         return float(jnp.linalg.norm(psi.reshape(-1)))
+
+
+class NAWPD2:
+    """2D nonadiabatic Gaussian-basis dynamics with a direct-product
+    basis and per-dimension Wannier (Gaussian-DVR) transforms
+    (reference: pyqed/moving_gaussian.py:919 ``NAWPD2`` — 'use direct
+    product basis set first, the transformation to Wannier basis is
+    simply a tensor product of 1D transformation matrices').
+
+    Parameters
+    ----------
+    basis_x, basis_y : sequences of (q, a) or GWP per dimension.
+    dpes : callable (x, y) -> (ns, ns).
+    masses : [mx, my].
+    """
+
+    def __init__(self, basis_x, basis_y, dpes, masses=(1.0, 1.0),
+                 nstates=2):
+        self.dims = []
+        for basis, mass in zip((basis_x, basis_y), masses):
+            gs = [g if isinstance(g, GWP) else GWP(q=g[0], a=g[1])
+                  for g in basis]
+            q = np.array([g.q for g in gs])
+            a = np.array([g.a for g in gs])
+            aj, ak = a[:, None], a[None, :]
+            qj, qk = q[:, None], q[None, :]
+            S = np.asarray(overlap_real(aj, qj, ak, qk))
+            X = np.asarray(moment_real(aj, qj, ak, qk, n=1)) + qj * S
+            K = (-1.0 / (2 * mass)) * (
+                ak ** 2 * np.asarray(moment_real(aj, qj, ak, qk, n=2))
+                - ak * S)
+            K = 0.5 * (K + K.T)
+            w, U = scipy.linalg.eigh(X, S)
+            self.dims.append(dict(gs=gs, q=q, a=a, S=S, U=U, xe=w,
+                                  K_dvr=U.conj().T @ K @ U))
+        self.nx = len(self.dims[0]["gs"])
+        self.ny = len(self.dims[1]["gs"])
+        self.nstates = nstates
+        self.dpes = dpes
+
+        X, Y = np.meshgrid(self.dims[0]["xe"], self.dims[1]["xe"],
+                           indexing="ij")
+        V = jnp.stack([jnp.stack([jnp.asarray(dpes(X[i, j], Y[i, j]))
+                                  for j in range(self.ny)])
+                       for i in range(self.nx)])
+        apes, ustates = jnp.linalg.eigh(V)
+        self.apes = apes                       # (nx, ny, ns)
+        self.adiabatic_states = ustates        # (nx, ny, ns, ns)
+        # electronic overlaps between ALL point pairs would be O(N^2);
+        # kinetic is separable, so only pairs sharing one index appear:
+        # A_x[(i,i'), j] couples (i,j)<->(i',j); A_y likewise.
+        u = ustates
+        self.Ax = jnp.einsum("ijca, kjcb -> ikjab", jnp.conj(u), u)
+        self.Ay = jnp.einsum("ijca, ilcb -> ijlab", jnp.conj(u), u)
+        self.Kx = jnp.asarray(self.dims[0]["K_dvr"])
+        self.Ky = jnp.asarray(self.dims[1]["K_dvr"])
+
+    def rhs(self, psi):
+        """psi (nx, ny, ns): kinetic dressing per dimension + APES."""
+        tx = jnp.einsum("ik, ikjab, kjb -> ija", self.Kx, self.Ax, psi)
+        ty = jnp.einsum("jl, ijlab, ilb -> ija", self.Ky, self.Ay, psi)
+        return -1j * (tx + ty + self.apes * psi)
+
+    def project(self, psi_fn, state=0):
+        """Project a separable-or-not diabatic amplitude psi(x, y)."""
+        d0, d1 = self.dims
+        xs = np.linspace(d0["q"].min() - 4, d0["q"].max() + 4, 801)
+        ys = np.linspace(d1["q"].min() - 4, d1["q"].max() + 4, 801)
+        gx = np.stack([np.asarray(g.evaluate(xs)) for g in d0["gs"]])
+        gy = np.stack([np.asarray(g.evaluate(ys)) for g in d1["gs"]])
+        P = np.array([[psi_fn(x, y) for y in ys] for x in xs])
+        dx, dy = xs[1] - xs[0], ys[1] - ys[0]
+        proj = gx.conj() @ P @ gy.conj().T * dx * dy      # (nx, ny)
+        c = d0["U"].conj().T @ proj @ d1["U"].conj()
+        # rotate diabatic -> adiabatic: only diabatic `state` populated
+        u = np.asarray(self.adiabatic_states)
+        psi0 = np.einsum("ij, ija -> ija", c,
+                         u.conj()[:, :, state, :])
+        return jnp.asarray(psi0)
+
+    def run(self, psi0, dt, nt, nout=1) -> Result:
+        psi0 = jnp.asarray(psi0, dtype=complex)
+        rhs = self.rhs
+
+        def step(psi):
+            k1 = rhs(psi)
+            k2 = rhs(psi + k1 * (dt / 2))
+            k3 = rhs(psi + k2 * (dt / 2))
+            k4 = rhs(psi + k3 * dt)
+            return psi + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+        ns_steps = nt // nout
+
+        @jax.jit
+        def evolve(psi):
+            def window(p, _):
+                def fine(i, y):
+                    return step(y)
+                p = jax.lax.fori_loop(0, nout, fine, p)
+                return p, p
+            return jax.lax.scan(window, psi, None, length=ns_steps)
+
+        psi_f, psis = evolve(psi0)
+        r = Result(dt=dt, nt=nt, nout=nout)
+        r.times = np.arange(1, ns_steps + 1) * dt * nout
+        r.states = psis
+        r.psi = psi_f
+        return r
+
+    def population(self, psi, representation="adiabatic"):
+        if representation == "adiabatic":
+            return np.asarray(jnp.sum(jnp.abs(psi) ** 2, axis=(0, 1)))
+        u = self.adiabatic_states
+        psid = jnp.einsum("ijda, ija -> ijd", u, psi)
+        return np.asarray(jnp.sum(jnp.abs(psid) ** 2, axis=(0, 1)))
+
+    def norm(self, psi):
+        return float(jnp.linalg.norm(jnp.asarray(psi).reshape(-1)))

@@ -14,3 +14,5 @@ from .vibronic import Pyrazine, JahnTeller, ShinMetiu
 from .polariton_grid import GridMol, VibronicPolariton, VSC, TDH
 from .polariton_grid import GridMol2, VibronicPolariton2, berry_curvature_field
 from .shinmetiu2e import ShinMetiu2e1d
+from .vibronic import Pyrazine4, Triazine
+from .phenol import Phenol

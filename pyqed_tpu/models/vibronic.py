@@ -182,3 +182,144 @@ class ShinMetiu:
         LDR propagator (dx from the sine-DVR grid)."""
         dx = self.x[1] - self.x[0]
         return jnp.einsum("mia, nib -> manb", jnp.conj(states), states) * dx
+
+
+class Pyrazine4:
+    """Four-mode pyrazine S0/S1/S2 vibronic-coupling model
+    (reference: pyqed/models/pyrazine_4Dimension_SparseGrid.py:1350
+    ``dpes`` — modes nu_1, nu_6a, nu_9a (tuning) and nu_10a (coupling),
+    first- plus second-order couplings).
+
+    Provides both the grid ``dpes(x, y, z, q)`` and the LVC export
+    (H_el, omegas, couplings) consumed by tn.VibronicMPS / lvc_mpo —
+    the MPS route is how the 4D model is propagated here (the
+    reference's 4D sparse-grid LDR script is its counterpart).
+    """
+
+    def __init__(self, second_order=True):
+        from ..units import au2ev, wavenumber
+        w2au = wavenumber
+        self.omegas = np.array([1015.0, 596.0, 1230.0, 919.0]) * w2au
+        self.Eshift = np.array([0.0, 3.94, 4.89]) / au2ev
+        self.kappa1 = np.array([-0.0470, -0.0964, 0.1594]) / au2ev
+        self.kappa2 = np.array([-0.2012, 0.1193, 0.0484]) / au2ev
+        self.lam = 0.1825 / au2ev
+        self.gamma = (-0.018 / au2ev) if second_order else 0.0
+        self.nstates = 3
+        self.ndim = 4
+
+    def dpes(self, x, y, z, q):
+        """(3, 3) diabatic matrix at dimensionless coordinates."""
+        w = self.omegas
+        vg = 0.5 * (w[0] * x ** 2 + w[1] * y ** 2 + w[2] * z ** 2
+                    + w[3] * q ** 2)
+        k1, k2 = self.kappa1, self.kappa2
+        v1 = (vg + k1[0] * x + k1[1] * y + k1[2] * z
+              + self.Eshift[1] + self.gamma * q ** 2)
+        v2 = (vg + k2[0] * x + k2[1] * y + k2[2] * z
+              + self.Eshift[2] + self.gamma * q ** 2)
+        h = jnp.zeros((3, 3))
+        h = h.at[0, 0].set(vg)
+        h = h.at[1, 1].set(v1)
+        h = h.at[2, 2].set(v2)
+        h = h.at[1, 2].set(self.lam * q)
+        h = h.at[2, 1].set(self.lam * q)
+        return h
+
+    def lvc(self):
+        """(H_el, omegas, couplings) for tn.vibronic.lvc_mpo: linear
+        kappa/lambda terms exactly; the quadratic gamma q^2 term is
+        dropped in this export (state-independent to first order)."""
+        H_el = np.diag(self.Eshift)
+        Vs = []
+        for m in range(3):        # tuning modes 1, 6a, 9a
+            Vs.append(np.diag([0.0, self.kappa1[m], self.kappa2[m]]))
+        V10a = np.zeros((3, 3))
+        V10a[1, 2] = V10a[2, 1] = self.lam
+        Vs.append(V10a)
+        return H_el, self.omegas, Vs
+
+    def spectral_dynamics(self, nb=8, chi_max=32, dt=None, nt=60,
+                          nout=10):
+        """S2 photoexcitation population dynamics via TDVP on the MPS
+        chain (the standard 4-mode pyrazine benchmark)."""
+        from ..tn.vibronic import VibronicMPS
+        from ..units import au2fs
+        H_el, omegas, Vs = self.lvc()
+        vm = VibronicMPS(H_el, omegas, Vs, nb=nb, chi_max=chi_max)
+        if dt is None:
+            dt = 0.25 / au2fs
+        return vm.run(el_state=2, dt=dt, nt=nt, nout=nout)
+
+
+class Triazine:
+    """Complex E⊗e Jahn-Teller model of triazine: two degenerate excited
+    states with complex linear coupling 2.2ω(X ∓ iY)
+    (reference: pyqed/models/triazine.py:17; wilson_loop:76,
+    berry_phase:97).
+    """
+
+    def __init__(self, x=None, y=None, mass=(1.0, 1.0), nstates=3):
+        from ..units import wavenumber
+        self.omega = 660.0 * wavenumber
+        self.x, self.y = x, y
+        self.mass = list(mass)
+        self.nstates = nstates
+        self.coupling = 2.2
+        self.eshift = 7.0 / 27.2114
+        self.v = None
+
+    def dpes(self, xy):
+        """(3, 3) complex diabatic matrix at a point."""
+        x, y = xy
+        w = self.omega
+        h = jnp.zeros((3, 3), dtype=complex)
+        vg = w * (x ** 2 + y ** 2) / 2.0
+        h = h.at[0, 0].set(vg)
+        h = h.at[1, 1].set(vg + self.eshift)
+        h = h.at[2, 2].set(vg + self.eshift)
+        h = h.at[1, 2].set(self.coupling * w * (x - 1j * y))
+        h = h.at[2, 1].set(self.coupling * w * (x + 1j * y))
+        return h
+
+    def dpes_global(self):
+        """(reference: triazine.py:39)."""
+        X, Y = np.meshgrid(self.x, self.y, indexing="ij")
+        w = self.omega
+        nx, ny = len(self.x), len(self.y)
+        v = np.zeros((nx, ny, 3, 3), dtype=complex)
+        vg = w * (X ** 2 + Y ** 2) / 2.0
+        v[..., 0, 0] = vg
+        v[..., 1, 1] = vg + self.eshift
+        v[..., 2, 2] = vg + self.eshift
+        v[..., 1, 2] = self.coupling * w * (X - 1j * Y)
+        v[..., 2, 1] = self.coupling * w * (X + 1j * Y)
+        self.v = jnp.asarray(v)
+        return self.v
+
+    def apes(self, xy):
+        return jnp.linalg.eigh(self.dpes(xy))
+
+    def berry_phase(self, n=1, r=1.0, npts=200):
+        """Discrete Berry phase of adiabatic state n around a loop of
+        radius r (reference: triazine.py:97): the complex JT coupling
+        gives ∓2π winding on the degenerate pair (not just a sign)."""
+        thetas = np.linspace(0, 2 * np.pi, npts, endpoint=False)
+        us = []
+        for th in thetas:
+            w, u = self.apes((r * np.cos(th), r * np.sin(th)))
+            us.append(np.asarray(u[:, n]))
+        z = 1.0 + 0j
+        for k in range(npts):
+            z *= np.vdot(us[k], us[(k + 1) % npts])
+        return -np.angle(z)
+
+    def wilson_loop(self, n=1, r=1.0, npts=200):
+        """|Tr Π P_n| along the loop (reference: triazine.py:76)."""
+        thetas = np.linspace(0, 2 * np.pi, npts, endpoint=False)
+        L = np.eye(3, dtype=complex)
+        for th in thetas:
+            w, u = self.apes((r * np.cos(th), r * np.sin(th)))
+            un = np.asarray(u[:, n])
+            L = L @ np.outer(un, un.conj())
+        return np.trace(L)

@@ -122,3 +122,89 @@ class TestTFIM:
         e0, psi0 = tfim.ground_state()
         w = np.linalg.eigvalsh(H)
         assert np.isclose(float(e0), w[0], atol=1e-10)
+
+
+class TestPyrazine4:
+    def test_dpes_point(self):
+        from pyqed_tpu.models.vibronic import Pyrazine4
+        from pyqed_tpu.units import au2ev
+        pz = Pyrazine4()
+        h = np.asarray(pz.dpes(0.3, -0.2, 0.1, 0.5))
+        w = pz.omegas
+        vg = 0.5 * (w[0] * 0.09 + w[1] * 0.04 + w[2] * 0.01
+                    + w[3] * 0.25)
+        assert abs(h[0, 0] - vg) < 1e-14
+        assert abs(h[1, 2] - 0.1825 / au2ev * 0.5) < 1e-14
+        assert h[1, 1] > h[0, 0]
+
+    def test_mps_dynamics_transfers_population(self):
+        from pyqed_tpu.models.vibronic import Pyrazine4
+        pz = Pyrazine4()
+        times, pops = pz.spectral_dynamics(nb=5, chi_max=16, nt=20,
+                                           nout=10)
+        assert np.allclose(pops.sum(axis=1), 1.0, atol=1e-8)
+        assert pops[-1, 1] > 0.01      # S2 -> S1 transfer started
+
+
+class TestTriazinePhenol:
+    def test_triazine_berry_phase(self):
+        from pyqed_tpu.models.vibronic import Triazine
+        tz = Triazine(x=np.linspace(-2, 2, 5), y=np.linspace(-2, 2, 5))
+        assert abs(abs(tz.berry_phase(1)) - np.pi) < 1e-6
+        assert abs(tz.berry_phase(0)) < 1e-6
+        v = np.asarray(tz.dpes_global())
+        assert v.shape == (5, 5, 3, 3)
+        assert np.allclose(v, np.conj(np.swapaxes(v, -1, -2)))
+
+    def test_phenol_surfaces(self):
+        from pyqed_tpu.models.phenol import Phenol
+        from pyqed_tpu.units import au2ev, au2angstrom
+        ph = Phenol(r=np.linspace(1.4, 6.0, 64),
+                    theta=np.linspace(-np.pi, np.pi, 32))
+        w = np.asarray(ph.apes())
+        i0 = np.unravel_index(np.argmin(w[..., 0]), w[..., 0].shape)
+        # JCP 144, 124312: r_e(S0) = 0.96994 A; pipi* ~ 4.9 eV
+        assert abs(ph.r[i0[0]] * au2angstrom - 0.97) < 0.05
+        e1 = (w[i0[0], i0[1], 1] - w[i0[0], i0[1], 0]) * au2ev
+        e2 = (w[i0[0], i0[1], 2] - w[i0[0], i0[1], 0]) * au2ev
+        assert 4.5 < e1 < 5.2 and 5.2 < e2 < 6.0
+        # pisigma* is dissociative: E(S2; large r) < E(S2; r_e)
+        assert w[-1, i0[1], 1] < w[i0[0], i0[1], 2]
+
+
+class TestNAWPD2:
+    def test_matches_spo2(self):
+        import jax.numpy as jnp
+        from pyqed_tpu.grid.nawpd import NAWPD2
+        from pyqed_tpu.grid.spo import SPO2
+
+        def dpes(x, y):
+            return jnp.array([[0.5 * (x**2 + y**2), 0.15 + 0.05 * y],
+                              [0.15 + 0.05 * y,
+                               0.5 * ((x - 0.7)**2 + y**2) + 0.6]])
+
+        nx = 40
+        xg = np.linspace(-6, 6, nx, endpoint=False)
+        v = np.zeros((nx, nx, 2, 2))
+        for i, xi in enumerate(xg):
+            for j, yj in enumerate(xg):
+                v[i, j] = np.asarray(dpes(xi, yj))
+        spo = SPO2(xg, xg, masses=[1.0, 1.0], nstates=2, kernel="xla")
+        spo.set_dpes(v)
+        psi0 = np.zeros((nx, nx, 2), complex)
+        X, Y = np.meshgrid(xg, xg, indexing="ij")
+        psi0[:, :, 0] = np.exp(-((X - 0.7) ** 2 + Y ** 2))
+        psi0 /= np.sqrt(np.sum(np.abs(psi0) ** 2) * (xg[1] - xg[0]) ** 2)
+        dt, nt = 0.005, 120
+        pop_spo = np.asarray(spo.run(psi0, dt=dt, nt=nt,
+                                     nout=nt).population)[-1]
+        qs = np.linspace(-4.5, 4.5, 20)
+        a0 = 2.0 * (qs[1] - qs[0]) ** -2
+        nw = NAWPD2([(q, a0) for q in qs], [(q, a0) for q in qs], dpes,
+                    nstates=2)
+        p0 = nw.project(lambda x, y: np.exp(-((x - 0.7) ** 2 + y ** 2)),
+                        state=0)
+        p0 = p0 / nw.norm(p0)
+        r = nw.run(p0, dt=dt, nt=nt)
+        pop = nw.population(r.psi, representation="diabatic")
+        assert np.max(np.abs(pop_spo - pop)) < 1e-4
