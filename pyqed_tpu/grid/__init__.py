@@ -10,3 +10,4 @@ from .smolyak import SparseGrid, AdaptiveSparseGrid
 from .nawpd import NAWPD, NAWPD2
 from .smolyak import SGCT_LDR, combination_technique
 from .qtraj import NAQT
+from .rate import RateFluxSide, flux_operator

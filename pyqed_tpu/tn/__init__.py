@@ -6,3 +6,4 @@ from .tdvp import TDVP, TDVP2
 from .autompo import (autoMPO, autompo_fermion, hubbard_mpo,
                       spinful_to_sites, DMRGElectronicDVR)
 from .vibronic import VibronicMPS, lvc_mpo
+from .ttals import tt_svd, tt_als, tt_to_dense, tt_eval, tt_rank

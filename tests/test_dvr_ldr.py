@@ -226,3 +226,66 @@ class TestGenericEnv:
             rho0, dt=0.01, nt=200, e_ops=eops)
         assert np.max(np.abs(np.asarray(r1.observables)
                              - np.asarray(r2.observables))) < 5e-3
+
+
+class TestRateFluxSide:
+    def test_free_particle_approaches_classical(self):
+        """V=0: C_fs(t) -> 1/(2 pi beta) (exact flux through a point)."""
+        from pyqed_tpu.grid.rate import RateFluxSide
+        from pyqed_tpu.grid.dvr import SineDVR
+        m = 1061.0
+        d = SineDVR(-6.0, 6.0, 301, mass=m)
+        H = np.asarray(d.t())
+        rfs = RateFluxSide(H, np.asarray(d.x))
+        beta = 1.0 / (300.0 * 3.1668e-6)
+        c = np.asarray(rfs.cfs(beta, np.linspace(0, 1500.0, 50)))
+        exact = 1.0 / (2 * np.pi * beta)
+        assert 0.8 < c[-1] / exact < 1.05
+        # monotone approach from below
+        assert c[10] < c[-1]
+
+    def test_eckart_rate_vs_tst(self):
+        """High-T Eckart barrier: k Q_r within a few % of
+        Wigner-corrected TST."""
+        from pyqed_tpu.grid.rate import RateFluxSide
+        from pyqed_tpu.grid.dvr import SineDVR
+        V0, a, m = 0.425 / 27.2114, 1.3624, 1061.0
+        d = SineDVR(-5.0, 5.0, 301, mass=m)
+        x = np.asarray(d.x)
+        H = np.asarray(d.t()) + np.diag(V0 / np.cosh(a * x) ** 2)
+        rfs = RateFluxSide(H, x)
+        beta = 1.0 / (3000.0 * 3.1668e-6)
+        k, _, _ = rfs.rate(beta, t_plateau=900.0)
+        kQr = k * float(rfs.reactant_partition(beta))
+        wb = a * np.sqrt(2 * V0 / m)
+        tst = (1 / (2 * np.pi * beta)) * np.exp(-beta * V0) \
+            * (1 + (beta * wb) ** 2 / 24)
+        assert abs(kQr / tst - 1.0) < 0.1
+
+
+class TestTTALS:
+    def test_ttsvd_exact_and_eval(self):
+        from pyqed_tpu.tn.ttals import (tt_svd, tt_to_dense, tt_eval,
+                                        tt_rank)
+        g = np.linspace(-1, 1, 9)
+        X = np.meshgrid(*([g] * 4), indexing="ij")
+        T = np.sin(X[0] + X[1]) + np.cos(X[2]) * X[3]
+        cores = tt_svd(T, max_rank=4)
+        assert np.max(np.abs(tt_to_dense(cores) - T)) < 1e-12
+        assert max(tt_rank(cores)) <= 3
+        idx = np.array([[0, 1, 2, 3], [4, 4, 4, 4]])
+        ref = np.array([T[0, 1, 2, 3], T[4, 4, 4, 4]])
+        assert np.max(np.abs(tt_eval(cores, idx) - ref)) < 1e-12
+
+    def test_als_recovers_rank1(self):
+        from pyqed_tpu.tn.ttals import tt_to_dense, tt_als
+        rng = np.random.default_rng(1)
+        a, b, c, d = [rng.standard_normal(9) for _ in range(4)]
+        T = np.einsum("i,j,k,l->ijkl", a, b, c, d)
+        cores = [rng.standard_normal((1, 9, 2)),
+                 rng.standard_normal((2, 9, 2)),
+                 rng.standard_normal((2, 9, 2)),
+                 rng.standard_normal((2, 9, 1))]
+        cores = tt_als(T, cores, sweeps=2)
+        assert (np.linalg.norm(tt_to_dense(cores) - T)
+                / np.linalg.norm(T)) < 1e-10
