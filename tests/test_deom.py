@@ -81,3 +81,25 @@ class TestDEOM:
                 Gy = np.linalg.inv(-M - 1j * wy[j] * np.eye(N))
                 ref[i, j] = tvec @ (AD @ (Gx @ (Gy @ v0)))
         assert np.max(np.abs(S - ref)) / np.max(np.abs(ref)) < 1e-7
+
+
+class TestDEOMGmres:
+    def test_gmres_resolvent_matches_eig(self):
+        """Matrix-free GMRES 2DES map == host-eig path (VERDICT weak #6:
+        on-device resolvent solves for large hierarchies)."""
+        from pyqed_tpu.open.deom import DEOMSolver, DEOMBath
+        bath = DEOMBath.drude(temperature=1.0, cutoff=0.5, reorg=0.05,
+                              npsd=1)
+        H = np.array([[0.5, 0.1], [0.1, -0.5]])
+        Q = np.array([[[1.0, 0], [0, -1.0]]])
+        sol = DEOMSolver(system=H, bath=bath, coupling=Q, lmax=3)
+        dip = np.array([[0.0, 1.0], [1.0, 0.0]])
+        rho0 = np.array([[1.0, 0], [0, 0.0]])
+        wx = np.linspace(0.6, 1.5, 4)
+        wy = np.linspace(-1.5, -0.6, 3)
+        S_eig = np.asarray(sol.correlation_4op_3t(
+            dip, dip, dip, dip, rho0, 2.0, wx, wy))
+        S_gm = np.asarray(sol.correlation_4op_3t_gmres(
+            dip, dip, dip, dip, rho0, 2.0, wx, wy, nt_T=400))
+        rel = np.max(np.abs(S_eig - S_gm)) / np.max(np.abs(S_eig))
+        assert rel < 1e-6

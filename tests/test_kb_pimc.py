@@ -94,3 +94,37 @@ class TestPIMC:
         ev, et, acc, _ = pimc.run(3, npaths=2048, nsweeps=600,
                                   ntherm=300, mesh=mesh)
         assert abs(ev - 0.5 / np.tanh(0.5)) < 0.05
+
+
+class TestBosonPIMC:
+    def test_two_boson_exchange_statistics(self):
+        """N=2 ideal bosons in a 1D HO: the permutation-sampling PIMC
+        must reproduce the BOSONIC canonical energy, distinguishable
+        mode the Boltzmann one (the QSATS exchange physics;
+        reference: pyqed/qmc/MC_exchange/permute3d/)."""
+        import jax.numpy as jnp
+        from pyqed_tpu.qmc.pimc import BosonPIMC
+        beta = 2.0
+
+        def Z1(b):
+            return 1.0 / (2 * np.sinh(b / 2))
+
+        db = 1e-6
+        E_dist = -(np.log(Z1(beta + db) ** 2)
+                   - np.log(Z1(beta - db) ** 2)) / (2 * db)
+        Zb = lambda b: 0.5 * (Z1(b) ** 2 + Z1(2 * b))
+        E_bose = -(np.log(Zb(beta + db))
+                   - np.log(Zb(beta - db))) / (2 * db)
+
+        bp = BosonPIMC(lambda q: 0.5 * jnp.sum(q ** 2), nparticles=2,
+                       beta=beta, nbeads=32)
+        E_b, ab, ap, frac = bp.run(0, nreplicas=384, nsweeps=2500,
+                                   ntherm=1200)
+        E_d, *_ = bp.run(1, nreplicas=384, nsweeps=2500, ntherm=1200,
+                         exchange=False)
+        assert abs(E_b - E_bose) < 0.04
+        assert abs(E_d - E_dist) < 0.04
+        # the two ensembles are statistically distinguishable
+        assert E_d - E_b > 0.05
+        # permutation sector is genuinely sampled
+        assert 0.2 < frac < 0.7
