@@ -11,3 +11,4 @@ from .nawpd import NAWPD, NAWPD2
 from .smolyak import SGCT_LDR, combination_technique
 from .qtraj import NAQT
 from .rate import RateFluxSide, flux_operator
+from .ldr import LDR2Jacobi

@@ -414,3 +414,102 @@ class LDR2(LDRN):
             levels = [int(np.log2(len(x) + 1)), int(np.log2(len(y) + 1))]
         super().__init__(domains, levels, ndim=2, nstates=nstates, mass=mass,
                          dvr_type=dvr_type)
+
+
+class LDR2Jacobi(LDRN):
+    """2D LDR in Jacobi coordinates (r, theta): K = p_r^2/(2 mu)
+    + p_theta^2/(2 I(r)), factorized e^{-iK dt} ~ e^{-iK_r dt}
+    e^{-iK_theta dt} with an r-dependent rotor propagator
+    (reference: pyqed/ldr/ldr.py:1779 ``LDR2_Jacobi``; buildK at :1870).
+
+    masses = (mu, I) with I a callable of r.
+    """
+
+    def __init__(self, domains, levels, nstates=2, mass=None,
+                 dvr_type="sine"):
+        mu, inertia = mass
+        super().__init__(domains, levels, ndim=2, nstates=nstates,
+                         mass=[mu, 1.0], dvr_type=dvr_type)
+        self._inertia = inertia
+
+    def buildK(self, dt):
+        """(reference: ldr.py:1870) — the per-r rotor propagators are one
+        batched eigh-free construction from the sine-DVR FBR spectrum."""
+        from .dvr import SineDVR
+        dvr_x = self.dvr[0]
+        expTx = dvr_x.expT(dt)
+        nx, ny = self.nx
+        Iinv = 1.0 / np.asarray(self._inertia(np.asarray(self.x[0])))
+        dvr_y = SineDVR(*self.domains[1], ny, mass=1.0)
+        # expT for mass m scales the FBR phases by 1/m: batch over r rows
+        U = np.asarray(dvr_y.fbr2dvr())
+        n_fbr = np.arange(1, ny + 1)
+        L = dvr_y.L
+        phases = np.exp(-1j * np.outer(Iinv, n_fbr ** 2)
+                        * (np.pi ** 2 / L ** 2) * dt / 2.0)  # (nx, ny)
+        expTy = jnp.einsum("ia, xi, ib -> xab", U.conj(), phases, U)
+        self.exp_K = [jnp.asarray(expTx), expTy]
+        self.K = [dvr_x.t(), dvr_y.t()]
+        return self.exp_K
+
+    def short_time_propagator(self, dt):
+        if self._apes is None:
+            raise ValueError("APES not provided. Set self.apes = ...")
+        self.buildV(dt)
+        self.buildK(dt)
+        if self.A is None and not self._diabatic:
+            self.build_ovlp()
+        if self.A is None:
+            self._U = None
+            self._exp_T_flat = None
+            return None
+        # dense dressed propagator: elements
+        # U_T[i j a, k l b] = A * expTx[i, k] * expTy[k, j, l]
+        nx, ny = self.nx
+        ns = self.nstates
+        # U_T[i j a, k l b] = A[ija, klb] * expTx[i, k] * expTy[k, j, l]
+        exp_T = jnp.einsum("ik, kjl, ijaklb -> ijaklb",
+                           self.exp_K[0], self.exp_K[1],
+                           jnp.reshape(self.A, (nx, ny, ns, nx, ny, ns)))
+        n = self.ntot * ns
+        self._exp_T_flat = jnp.reshape(exp_T, (n, n))
+        self._U = self._exp_T_flat
+        return self._U
+
+    def run(self, psi0, dt, nt, nout=1, t0=0.0, mesh=None) -> ResultLDR:
+        """Diabatic fast path applies the factorized kinetic directly;
+        nonadiabatic (A set) uses the dense dressed propagator through
+        LDRN.run's machinery."""
+        if self.A is not None:
+            return super().run(psi0, dt, nt, nout=nout, t0=t0, mesh=mesh)
+        # diabatic separable Jacobi stepping
+        assert psi0.shape == (*self.nx, self.nstates)
+        self.buildV(dt)
+        self.buildK(dt)
+        expV = self.exp_V
+        expV2 = self.exp_V_half
+        Ux, Uy = self.exp_K
+        ns_steps = nt // nout
+
+        def kin(p):
+            p = jnp.einsum("xab, xbs -> xas", Uy, p)
+            return jnp.einsum("xy, yas -> xas", Ux, p)
+
+        psi = jnp.asarray(psi0, dtype=complex) * expV2
+
+        @jax.jit
+        def evolve(psi):
+            def window(p, _):
+                def fine(i, q):
+                    return expV * kin(q)
+                p = jax.lax.fori_loop(0, nout, fine, p)
+                return p, p
+            return jax.lax.scan(window, psi, None, length=ns_steps)
+
+        psi_f, psis = evolve(psi)
+        r = ResultLDR(dx=self.dx, dt=dt, nt=nt, nout=nout,
+                      psi0=jnp.asarray(psi0))
+        r.times = t0 + np.arange(1, ns_steps + 1) * dt * nout
+        r.states = psis
+        r.psi = psi_f
+        return r

@@ -289,3 +289,60 @@ class TestTTALS:
         cores = tt_als(T, cores, sweeps=2)
         assert (np.linalg.norm(tt_to_dense(cores) - T)
                 / np.linalg.norm(T)) < 1e-10
+
+
+class TestLDR2Jacobi:
+    def test_diabatic_vs_spo_jacobi(self):
+        """Jacobi-coordinate LDR vs the SPO2 Jacobi propagator on a
+        rotor-stretch model (reference: pyqed/ldr/ldr.py:1779; overlap
+        is discretization-limited: sine-DVR box vs FFT-periodic theta,
+        same as the reference's choice)."""
+        from pyqed_tpu.grid.ldr import LDR2Jacobi
+        from pyqed_tpu.grid.spo import SPO2
+        mu = 2.0
+        inertia = lambda r: 1.0 + 0.3 * r ** 2
+        sol = LDR2Jacobi(domains=[(-5, 5), (-np.pi, np.pi)],
+                         levels=[6, 6], nstates=1, mass=(mu, inertia))
+        r, th = sol.x
+        R, TH = np.meshgrid(r, th, indexing="ij")
+        apes = (0.5 * R ** 2 + 0.3 * (1 - np.cos(TH)))[..., None]
+        sol.apes = apes
+        sol.build_ovlp()
+        psi0 = np.exp(-(R - 1.0) ** 2 - TH ** 2)[..., None].astype(complex)
+        dt, nt = 0.005, 150
+        rl = sol.run(psi0, dt=dt, nt=nt)
+        spo = SPO2(r, th, masses=[mu, inertia], nstates=1,
+                   coords="jacobi", kernel="xla")
+        spo.set_dpes(apes[..., None])
+        nrm = np.sqrt(np.sum(np.abs(psi0) ** 2)
+                      * (r[1] - r[0]) * (th[1] - th[0]))
+        rs = spo.run((psi0 / nrm).copy(), dt=dt, nt=nt, nout=nt)
+        pl = np.array(rl.psi).ravel()
+        pl = pl / np.linalg.norm(pl)
+        ps = np.array(rs.psi).ravel()
+        ps = ps / np.linalg.norm(ps)
+        assert abs(np.vdot(pl, ps)) > 0.995
+
+    def test_constant_inertia_matches_linear(self):
+        """I(r) = const: Jacobi factorization == ordinary 2D LDR."""
+        from pyqed_tpu.grid.ldr import LDR2Jacobi, LDRN
+        mu, I0 = 1.5, 2.0
+        dom = [(-6, 6), (-6, 6)]
+        solj = LDR2Jacobi(domains=dom, levels=[5, 5], nstates=1,
+                          mass=(mu, lambda r: np.full_like(r, I0)))
+        soll = LDRN(domains=dom, levels=[5, 5], nstates=1,
+                    mass=[mu, I0])
+        r, th = solj.x
+        R, TH = np.meshgrid(r, th, indexing="ij")
+        apes = (0.5 * R ** 2 + 0.5 * TH ** 2)[..., None]
+        for s in (solj, soll):
+            s.apes = apes
+            s.build_ovlp()
+        psi0 = np.exp(-(R - 1) ** 2 - TH ** 2)[..., None].astype(complex)
+        rj = solj.run(psi0, dt=0.01, nt=60)
+        rl = soll.run(psi0, dt=0.01, nt=60)
+        pj = np.array(rj.psi).ravel()
+        pL = np.array(rl.psi).ravel()
+        pj = pj / np.linalg.norm(pj)
+        pL = pL / np.linalg.norm(pL)
+        assert abs(np.vdot(pj, pL)) > 1 - 1e-6
