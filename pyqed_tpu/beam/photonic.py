@@ -142,3 +142,53 @@ class Multilayer:
         G = self.G(k)
         g0 = self.green0(k)
         return jnp.imag(jnp.diagonal(G)) / jnp.imag(jnp.diagonal(g0))
+
+
+# ------------------------------------------------ free-space dyadic GF
+
+def dyadic_G0(R1, R2, lam, eps=1.0):
+    """Free-space dyadic Green tensor G(R1, R2) (3, 3), broadcastable
+    over leading batch axes of R1/R2 (reference:
+    pyqed/dgf/propagator.py:33 ``G0`` — per-pair scalar math there; the
+    standard normalization with 1/(4 pi) is used here):
+
+    G = e^{ikr}/(4 pi r) [ (1 + (ikr-1)/(kr)^2) I
+                           + (3 - 3ikr - (kr)^2)/(kr)^2  r̂ r̂ ].
+    """
+    R1 = jnp.asarray(R1, dtype=float)
+    R2 = jnp.asarray(R2, dtype=float)
+    k = 2 * jnp.pi / lam * jnp.sqrt(eps)
+    d = R1 - R2
+    r = jnp.sqrt(jnp.sum(d ** 2, axis=-1))[..., None, None]
+    rhat = d / jnp.sqrt(jnp.sum(d ** 2, axis=-1))[..., None]
+    rr = rhat[..., :, None] * rhat[..., None, :]
+    I = jnp.eye(3)
+    kr = k * r
+    pref = jnp.exp(1j * kr) / (4 * jnp.pi * r)
+    A = 1 + (1j * kr - 1) / kr ** 2
+    B = (3 - 3j * kr - kr ** 2) / kr ** 2
+    return pref * (A * I + B * rr)
+
+
+def dyadic_Gs_interface(R1, R2, lam, eps1=1.0, eps2=1.0):
+    """Quasi-static image-dipole surface Green function for an
+    interface at z=0 (observation/source in medium 1, z>0)
+    (reference: pyqed/dgf/propagator.py:117 ``Gs123`` image
+    construction, reduced to a single interface):
+    G_s(R1, R2) = q G0(R1, R2*) M, with R2* the image of the source,
+    q = (eps2-eps1)/(eps2+eps1) and M = diag(1, 1, -1) flipping the
+    image dipole's z component... applied on the source index."""
+    R2 = jnp.asarray(R2, dtype=float)
+    img = R2 * jnp.asarray([1.0, 1.0, -1.0])
+    q = (eps2 - eps1) / (eps2 + eps1)
+    M = jnp.diag(jnp.asarray([1.0, 1.0, -1.0]))
+    # image dipole: p* = M p, and the field picks a mirror flip
+    return q * dyadic_G0(R1, img, lam, eps1) @ (-M)
+
+
+def purcell_factor(G_scatt, lam, eps=1.0, orientation=2):
+    """Relative decay rate Gamma/Gamma0 = 1 + Im[G_s,nn] / Im[G0,nn(0)]
+    with Im G0_nn(r->r) = k/(6 pi) (the standard LDOS identity)."""
+    k = 2 * np.pi / lam * np.sqrt(eps)
+    g0 = k / (6 * np.pi)
+    return 1.0 + float(jnp.imag(G_scatt[orientation, orientation])) / g0

@@ -13,6 +13,6 @@ from .lattice import FermiHubbard, BoseHubbard, jordan_wigner_ops
 from .vibronic import Pyrazine, JahnTeller, ShinMetiu
 from .polariton_grid import GridMol, VibronicPolariton, VSC, TDH
 from .polariton_grid import GridMol2, VibronicPolariton2, berry_curvature_field
-from .shinmetiu2e import ShinMetiu2e1d
+from .shinmetiu2e import ShinMetiu2e1d, ShinMetiu3d
 from .vibronic import Pyrazine4, Triazine
 from .phenol import Phenol

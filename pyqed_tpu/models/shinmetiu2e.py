@@ -115,3 +115,84 @@ class ShinMetiu2e1d:
         mf = RHF1D(mol, domain=self.domain, nx=nx or self.nx)
         mf.run()
         return mf
+
+
+class ShinMetiu3d:
+    """Shin-Metiu model in full 3D: one electron on an (x, y, z) grid,
+    a mobile proton at 3D position R between two fixed ions at ±L/2 x̂
+    (reference: pyqed/models/ShinMetiu3d.py:50 — softened Coulomb
+    1/sqrt(a + r²) and the (|R|/R0)^4 bounding term).
+
+    Single points use a matrix-free Lanczos (scipy eigsh) with the
+    kinetic matvec applied as per-dimension tensordots — no dense
+    (nx ny nz)² Hamiltonian.
+    """
+
+    def __init__(self, nstates=3):
+        self.a = 0.5
+        self.b = 10.0
+        self.R0 = 3.5
+        self.L = 4 * np.sqrt(3) / 5
+        self.left = np.array([-self.L / 2, 0.0, 0.0])
+        self.right = np.array([+self.L / 2, 0.0, 0.0])
+        self.nstates = nstates
+        self.x = None
+
+    def create_grid(self, domain, nx):
+        """domain: [(x0,x1), (y0,y1), (z0,z1)], nx points per dim."""
+        self.dvrs = [SineDVR(*d, nx) for d in domain]
+        self.grids = [np.asarray(d.x) for d in self.dvrs]
+        self.x, self.y, self.z = self.grids
+        self.nx = nx
+        return self.grids
+
+    def v_en(self, r2):
+        """−1/sqrt(a + |r−R|²) summed over ions, broadcast on the grid;
+        r2: squared distances array."""
+        return -1.0 / np.sqrt(self.a + r2)
+
+    def potential_grid(self, R):
+        X, Y, Z = np.meshgrid(*self.grids, indexing="ij")
+        R = np.asarray(R, dtype=float)
+
+        def d2(Rc):
+            return ((X - Rc[0]) ** 2 + (Y - Rc[1]) ** 2
+                    + (Z - Rc[2]) ** 2)
+
+        v = (self.v_en(d2(self.left)) + self.v_en(d2(self.right))
+             + self.v_en(d2(R)))
+        vnn = (1 / np.sqrt(self.b + np.sum((R - self.left) ** 2))
+               + 1 / np.sqrt(self.b + np.sum((R - self.right) ** 2))
+               + 1 / np.sqrt(self.b + self.L ** 2))
+        v = v + vnn + (np.linalg.norm(R) / self.R0) ** 4
+        return v
+
+    def single_point(self, R, num_eigs=None):
+        """(reference: ShinMetiu3d.py:98): BO energies at proton R via
+        matrix-free Lanczos."""
+        import scipy.sparse.linalg as sla
+        v = self.potential_grid(R)
+        Ts = [np.asarray(d.t()) for d in self.dvrs]
+        nx = self.nx
+        shape = (nx, nx, nx)
+
+        def matvec(p):
+            p = p.reshape(shape)
+            out = v * p
+            out = out + np.tensordot(Ts[0], p, axes=([1], [0]))
+            out = out + np.moveaxis(
+                np.tensordot(Ts[1], p, axes=([1], [1])), 0, 1)
+            out = out + np.moveaxis(
+                np.tensordot(Ts[2], p, axes=([1], [2])), 0, 2)
+            return out.reshape(-1)
+
+        N = nx ** 3
+        A = sla.LinearOperator((N, N), matvec=matvec)
+        k = num_eigs or self.nstates
+        w, u = sla.eigsh(A, k=k, which="SA")
+        return w, u
+
+    def pes(self, Rs, num_eigs=None):
+        """(reference: ShinMetiu3d.py:185)."""
+        return np.stack([self.single_point(np.asarray(R), num_eigs)[0]
+                         for R in Rs])

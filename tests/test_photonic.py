@@ -72,3 +72,36 @@ class TestMultilayer:
         inside = ldos[np.abs(z - 10) < 1.5].mean()
         outside = ldos[np.abs(z - 10) > 6].mean()
         assert abs(inside - outside) > 0.05
+
+
+class TestDyadicGF:
+    def test_ldos_identity(self):
+        """Im G0_nn(r -> r) = k/(6 pi) — the free-space LDOS."""
+        from pyqed_tpu.beam.photonic import dyadic_G0
+        lam = 1.0
+        k = 2 * np.pi / lam
+        G = np.asarray(dyadic_G0(np.array([0.0, 0.0, 1e-4]),
+                                 np.zeros(3), lam))
+        for i in range(3):
+            assert abs(G[i, i].imag - k / (6 * np.pi)) < 1e-6
+
+    def test_far_field_transverse(self):
+        from pyqed_tpu.beam.photonic import dyadic_G0
+        G = np.asarray(dyadic_G0(np.array([0.0, 0.0, 200.0]),
+                                 np.zeros(3), 1.0))
+        assert abs(G[2, 2]) / abs(G[0, 0]) < 0.01
+
+    def test_mirror_purcell(self):
+        """z-dipole close to a perfect mirror: Gamma/Gamma0 -> 2."""
+        import jax.numpy as jnp
+        from pyqed_tpu.beam.photonic import (dyadic_Gs_interface,
+                                             purcell_factor)
+        lam, z0 = 1.0, 0.05
+        Gs = dyadic_Gs_interface(np.array([0.0, 0.0, z0]),
+                                 np.array([0.0, 0.0, z0]), lam,
+                                 1.0, 1e9)
+        f = purcell_factor(jnp.asarray(Gs), lam)
+        assert 1.7 < f < 2.1
+        # x-dipole (parallel) is SUPPRESSED near a mirror
+        fx = purcell_factor(jnp.asarray(Gs), lam, orientation=0)
+        assert fx < 0.5

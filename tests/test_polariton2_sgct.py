@@ -133,3 +133,16 @@ class TestNAQT:
         x, p, c = naqt.sample(a=[2.0], x0=[1.0], state=1)
         r = naqt.run(x, p, c, dt=dt, nt=nt, nout=40)
         assert np.max(np.abs(pop_spo - r.population)) < 1e-8
+
+
+class TestShinMetiu3d:
+    def test_symmetric_pes(self):
+        from pyqed_tpu.models.shinmetiu2e import ShinMetiu3d
+        sm = ShinMetiu3d(nstates=2)
+        sm.create_grid([(-4, 4), (-4, 4), (-4, 4)], 17)
+        wp, _ = sm.single_point([0.8, 0, 0])
+        wm, _ = sm.single_point([-0.8, 0, 0])
+        w0, _ = sm.single_point([0.0, 0, 0])
+        assert np.max(np.abs(wp - wm)) < 1e-10
+        assert w0[0] < wp[0]          # symmetric position more bound
+        assert w0[0] < 0 < w0[1] or w0[0] < w0[1]
