@@ -171,3 +171,229 @@ class WPD:
              * jnp.exp(-0.5 * self.a[None, :]
                        * (x[:, None] - self.q[None, :]) ** 2))
         return g @ jnp.asarray(c)
+
+
+# ===================================================================
+# N-dimensional static Gaussian basis with complex momenta
+# (reference: pyqed/ldr/gwp.py:94 ``GWP``, :282 ``WPD``, :562 ``WPD2``)
+# ===================================================================
+from dataclasses import dataclass
+from typing import Callable
+
+# basis
+# -------------------------------------------------------------------
+
+@dataclass
+class GWPBasis:
+    """N frozen Gaussians  g(x) = prod_d (2a/pi)^{1/4}
+    exp(-a_d (x_d - q_d)^2 + i p_d (x_d - q_d)).
+
+    q, p, a : arrays (N, d).
+    """
+    q: jnp.ndarray
+    p: jnp.ndarray
+    a: jnp.ndarray
+
+    @classmethod
+    def grid(cls, centers: Sequence[np.ndarray], a=1.0, p=0.0):
+        """Direct-product lattice of Gaussians from per-dim center lists."""
+        mesh = np.meshgrid(*[np.asarray(c, float) for c in centers],
+                           indexing="ij")
+        q = np.stack([m.ravel() for m in mesh], axis=-1)
+        n, d = q.shape
+        return cls(jnp.asarray(q),
+                   jnp.broadcast_to(jnp.asarray(p, float), (n, d)) + 0.0,
+                   jnp.broadcast_to(jnp.asarray(a, float), (n, d)) + 0.0)
+
+    @property
+    def nbasis(self):
+        return self.q.shape[0]
+
+    @property
+    def ndim(self):
+        return self.q.shape[1]
+
+    def evaluate(self, x):
+        """Basis functions at points x (M, d) -> (M, N) complex."""
+        q, p, a = self.q, self.p, self.a
+        dx = x[:, None, :] - q[None, :, :]          # (M, N, d)
+        norm = jnp.prod((2 * a / jnp.pi) ** 0.25, axis=-1)
+        phase = jnp.sum(-a * dx ** 2 + 1j * p * dx, axis=-1)
+        return norm[None, :] * jnp.exp(phase)
+
+
+def _pair_core(q, p, a):
+    """Per-dimension pairwise Gaussian-product data.
+
+    Returns (S, alpha, mu) each (N, N, d):
+      S      per-dim overlap <g_j | g_k>_d,
+      alpha  product-Gaussian width a_j + a_k,
+      mu     complex product-Gaussian center beta/(2 alpha).
+    """
+    aj, ak = a[:, None, :], a[None, :, :]
+    qj, qk = q[:, None, :], q[None, :, :]
+    pj, pk = p[:, None, :], p[None, :, :]
+    alpha = aj + ak
+    beta = 2 * aj * qj + 2 * ak * qk + 1j * (pk - pj)
+    gamma = (-aj * qj ** 2 - ak * qk ** 2
+             + 1j * (pj * qj - pk * qk))
+    norm = (2 * aj / jnp.pi) ** 0.25 * (2 * ak / jnp.pi) ** 0.25
+    S = norm * jnp.sqrt(jnp.pi / alpha) * jnp.exp(
+        beta ** 2 / (4 * alpha) + gamma)
+    return S, alpha, beta / (2 * alpha)
+
+
+class WPDN:
+    """Wavepacket dynamics in a static Gaussian basis (any ndim).
+
+    Parameters
+    ----------
+    basis : GWPBasis
+    mass : scalar or (d,) masses.
+    potential : callable x (d,) -> scalar (jax-traceable), or None if
+        a DVR-style grid potential is attached later.
+    nquad : Gauss–Hermite order for the potential integrals.
+
+    Reference parity: pyqed/ldr/gwp.py:282 ``WPD.buildH/eigenstates/run``.
+    """
+
+    def __init__(self, basis: GWPBasis, mass=1.0,
+                 potential: Optional[Callable] = None, nquad: int = 24):
+        self.basis = basis
+        d = basis.ndim
+        self.mass = jnp.broadcast_to(jnp.asarray(mass, float), (d,)) + 0.0
+        self.potential = potential
+        self.nquad = nquad
+        self._S = None
+        self._H = None
+
+    # ---- matrices -------------------------------------------------
+    def overlap(self):
+        if self._S is None:
+            Sd, _, _ = _pair_core(self.basis.q, self.basis.p, self.basis.a)
+            self._S = jnp.prod(Sd, axis=-1)
+        return self._S
+
+    def kinetic(self):
+        """T = sum_d (-1/2m_d) <g_j| d^2/dx_d^2 |g_k>, closed form.
+
+        d^2/du^2 g_k = [(-2a_k + (-2a_k u + i p_k)^2] g_k with
+        u = x - q_k, so only central moments U1, U2 about q_k enter.
+        """
+        q, p, a = self.basis.q, self.basis.p, self.basis.a
+        Sd, alpha, mu = _pair_core(q, p, a)
+        ak = a[None, :, :]
+        pk = p[None, :, :]
+        qk = q[None, :, :]
+        M1 = Sd * mu
+        M2 = Sd * (mu ** 2 + 1 / (2 * alpha))
+        U1 = M1 - qk * Sd
+        U2 = M2 - 2 * qk * M1 + qk ** 2 * Sd
+        D2 = (-2 * ak - pk ** 2) * Sd - 4j * ak * pk * U1 + 4 * ak ** 2 * U2
+        # product over the other dimensions
+        allS = jnp.prod(Sd, axis=-1, keepdims=True)
+        rest = jnp.where(jnp.abs(Sd) > 0, allS / Sd, 0.0)
+        return jnp.sum(-D2 * rest / (2 * self.mass), axis=-1)
+
+    def potential_matrix(self, potential: Optional[Callable] = None):
+        """V_jk by per-pair GH quadrature at the complex product center."""
+        V = potential if potential is not None else self.potential
+        if V is None:
+            raise ValueError("no potential supplied")
+        q, p, a = self.basis.q, self.basis.p, self.basis.a
+        Sd, alpha, mu = _pair_core(q, p, a)
+        S = jnp.prod(Sd, axis=-1)
+        t, w = np.polynomial.hermite.hermgauss(self.nquad)
+        t = jnp.asarray(t)
+        w = jnp.asarray(w / np.sqrt(np.pi))
+        d = self.basis.ndim
+        # tensor-product GH nodes (nquad^d, d) — fine for d <= 3
+        nodes = jnp.stack(jnp.meshgrid(*([t] * d), indexing="ij"),
+                          axis=-1).reshape(-1, d)
+        wts = jnp.prod(jnp.stack(
+            jnp.meshgrid(*([w] * d), indexing="ij"), axis=-1)
+            .reshape(-1, d), axis=-1)
+        scale = 1.0 / jnp.sqrt(alpha)                 # (N, N, d)
+
+        def pair_val(mu_jk, sc_jk):
+            x = mu_jk[None, :] + nodes * sc_jk[None, :]
+            return jnp.sum(wts * jax.vmap(V)(x))
+
+        n = self.basis.nbasis
+        vals = jax.vmap(pair_val)(mu.reshape(n * n, d),
+                                  scale.reshape(n * n, d))
+        return S * vals.reshape(n, n)
+
+    def buildH(self, potential: Optional[Callable] = None):
+        self._H = self.kinetic() + self.potential_matrix(potential)
+        return self._H
+
+    # ---- spectra / dynamics ---------------------------------------
+    def _pencil(self):
+        if self._H is None:
+            self.buildH()
+        S = self.overlap()
+        # Cholesky whitening of the (possibly ill-conditioned) overlap
+        w, U = jnp.linalg.eigh(S)
+        keep = w > 1e-10 * jnp.max(w)
+        X = (U * jnp.where(keep, 1 / jnp.sqrt(jnp.where(keep, w, 1.0)),
+                           0.0)[None, :])
+        Ht = X.conj().T @ self._H @ X
+        E, C = jnp.linalg.eigh(0.5 * (Ht + Ht.conj().T))
+        return E, X @ C, X
+
+    def eigenstates(self, k=None):
+        """(E, coeffs) of the generalized problem H c = E S c."""
+        E, C, _ = self._pencil()
+        if k is not None:
+            return E[:k], C[:, :k]
+        return E, C
+
+    def norm(self, c):
+        return jnp.real(c.conj() @ self.overlap() @ c)
+
+    def position(self, c, d=0):
+        """<x_d> for coefficient vector c."""
+        q, p, a = self.basis.q, self.basis.p, self.basis.a
+        Sd, alpha, mu = _pair_core(q, p, a)
+        allS = jnp.prod(Sd, axis=-1)
+        X = allS / Sd[..., d] * (Sd[..., d] * mu[..., d])
+        return jnp.real(c.conj() @ X @ c) / self.norm(c)
+
+    def project(self, psi: Callable):
+        """Least-squares coefficients of a target wavefunction psi(x)."""
+        # quadrature on a dense per-dim grid spanning the basis
+        q = np.asarray(self.basis.q)
+        a = np.asarray(self.basis.a)
+        lo = q.min(0) - 4 / np.sqrt(a.min(0))
+        hi = q.max(0) + 4 / np.sqrt(a.min(0))
+        grids = [np.linspace(l, h, 160) for l, h in zip(lo, hi)]
+        mesh = np.meshgrid(*grids, indexing="ij")
+        x = jnp.asarray(np.stack([m.ravel() for m in mesh], -1))
+        dv = float(np.prod([g[1] - g[0] for g in grids]))
+        G = self.basis.evaluate(x)                    # (M, N)
+        b = G.conj().T @ jax.vmap(psi)(x) * dv        # <g_j|psi>
+        S = self.overlap()
+        return jnp.linalg.solve(S + 1e-12 * jnp.eye(S.shape[0]), b)
+
+    def run(self, c0, dt, nt, nout=1, e_ops=("x",)):
+        """Propagate i S dc/dt = H c exactly via the whitened pencil.
+
+        Returns (times, coeffs (nsteps, N), <x_d> trajectory (nsteps, d)).
+        """
+        E, C, X = self._pencil()
+        S = self.overlap()
+        # expansion of c0 in generalized eigenvectors: c0 = C b,
+        # b = C^H S c0 (C is S-orthonormal)
+        b0 = C.conj().T @ (S @ c0)
+        times = jnp.arange(1, nt // nout + 1) * (dt * nout)
+        phases = jnp.exp(-1j * E[None, :] * times[:, None])
+        cs = (phases * b0[None, :]) @ C.T             # (nsteps, N)
+        xs = jnp.stack([jax.vmap(
+            lambda c: self.position(c, d))(cs)
+            for d in range(self.basis.ndim)], axis=-1)
+        return np.asarray(times), cs, np.asarray(xs)
+
+
+# 2D alias for reference parity (pyqed/ldr/gwp.py:562 WPD2)
+WPD2 = WPDN

@@ -260,3 +260,82 @@ class TestBeamXZ_XYZ_Vector:
         e0 = float(jnp.sum(vf.intensity()))
         vf.propagate(50.0)
         assert abs(float(jnp.sum(vf.intensity())) / e0 - 1.0) < 1e-3
+
+
+class TestMaskSourceZoo:
+    """Mask/source zoo (reference scalar_masks_XY.py / scalar_sources_XY.py)."""
+    lam = 0.6328
+    n = 512
+
+    def _grids(self, span=500.0):
+        x = np.linspace(-span, span, self.n)
+        X, Y = jnp.meshgrid(jnp.asarray(x), jnp.asarray(x), indexing="ij")
+        return x, X, Y
+
+    def test_lens_focuses(self):
+        from pyqed_tpu.beam import masks as mk
+        from pyqed_tpu.beam.beam import ScalarFieldXY
+        x, X, Y = self._grids()
+        f = ScalarFieldXY(x, x, self.lam)
+        f.u = (mk.plane_wave(X, Y, self.lam)
+               * mk.circle(X, Y, (0, 0), 400.0)
+               * mk.lens(X, Y, self.lam, 50e3))
+        I = np.asarray(f.angular_spectrum(50e3).intensity())
+        i, j = np.unravel_index(I.argmax(), I.shape)
+        assert abs(i - self.n // 2) <= 1 and abs(j - self.n // 2) <= 1
+        assert I.max() / I.mean() > 300
+
+    def test_double_slit_fringes(self):
+        from pyqed_tpu.beam import masks as mk
+        from pyqed_tpu.beam.beam import ScalarFieldXY
+        x = np.linspace(-1000, 1000, 1024)
+        X, Y = jnp.meshgrid(jnp.asarray(x), jnp.asarray(x), indexing="ij")
+        f = ScalarFieldXY(x, x, self.lam)
+        d, z = 100.0, 10e3
+        f.u = mk.plane_wave(X, Y, self.lam) * mk.double_slit(
+            X, Y, 0.0, 10.0, d)
+        I = np.asarray(f.angular_spectrum(z).intensity())[:, 512]
+        F = np.abs(np.fft.rfft(I - I.mean()))
+        k = 5 + F[5:].argmax()
+        period = (x[-1] - x[0]) / k
+        assert abs(period - self.lam * z / d) / (self.lam * z / d) < 0.05
+
+    def test_mode_orthogonality_and_vortex(self):
+        from pyqed_tpu.beam import masks as mk
+        x, X, Y = self._grids()
+        dx = x[1] - x[0]
+        hg00 = mk.hermite_gauss_beam(X, Y, self.lam, 100.0, 0, 0)
+        hg10 = mk.hermite_gauss_beam(X, Y, self.lam, 100.0, 1, 0)
+        ov = abs(np.sum(np.conj(np.asarray(hg00)) * np.asarray(hg10)))
+        assert ov * dx * dx < 1e-10
+        lg = np.asarray(mk.laguerre_beam(X, Y, self.lam, 100.0, 0, 2))
+        th = np.arctan2(np.asarray(Y), np.asarray(X))
+        resid = np.angle(lg * np.exp(-2j * th))
+        core = resid[200:300, 200:300]
+        assert np.allclose(np.exp(1j * core), np.exp(1j * core[50, 50]),
+                           atol=1e-6)
+
+    def test_masks_are_finite_and_bounded(self):
+        from pyqed_tpu.beam import masks as mk
+        x, X, Y = self._grids()
+        for t in (mk.square(X, Y, (0, 0), 100.0),
+                  mk.ring(X, Y, (0, 0), 50.0, 100.0),
+                  mk.cross(X, Y, (0, 0), 200.0),
+                  mk.super_gauss(X, Y, (0, 0), 100.0, 4),
+                  mk.fresnel_lens(X, Y, self.lam, 50e3),
+                  mk.axicon(X, Y, self.lam, 0.01),
+                  mk.sine_grating(X, Y, 50.0),
+                  mk.binary_grating(X, Y, 50.0, kind="phase"),
+                  mk.blazed_grating(X, Y, 50.0, self.lam),
+                  mk.radial_grating(X, Y, 80.0),
+                  mk.angular_grating(X, Y, 8),
+                  mk.forked_grating(X, Y, 40.0, l=1),
+                  mk.spiral_phase_plate(X, Y, 3),
+                  mk.vortex_beam(X, Y, self.lam, 100.0, 1),
+                  mk.spherical_wave(X, Y, self.lam, z0=-1000.0),
+                  mk.bessel_beam(X, Y, self.lam, 0.01, n=1),
+                  mk.zernike_beam(X, Y, 400.0, [(2, 0, 0.5), (3, 1, 0.2)]),
+                  mk.gauss_beam(X, Y, self.lam, 100.0, z0=2e3)):
+            a = np.asarray(t)
+            assert np.all(np.isfinite(a))
+            assert np.max(np.abs(a)) < 1e3

@@ -346,3 +346,42 @@ class TestLDR2Jacobi:
         pj = pj / np.linalg.norm(pj)
         pL = pL / np.linalg.norm(pL)
         assert abs(np.vdot(pj, pL)) > 1 - 1e-6
+
+
+class TestGWPBasisND:
+    """N-dim static Gaussian basis (reference pyqed/ldr/gwp.py WPD/WPD2)."""
+
+    def test_1d_ho_spectrum_and_coherent_dynamics(self):
+        from pyqed_tpu.grid.gwp import GWPBasis, WPDN
+        basis = GWPBasis.grid([np.linspace(-4, 4, 17)], a=0.6)
+        w = WPDN(basis, mass=1.0, potential=lambda x: 0.5 * jnp.sum(x**2))
+        E, _ = w.eigenstates(k=5)
+        assert np.max(np.abs(np.asarray(E) - (np.arange(5) + 0.5))) < 1e-6
+        c0 = w.project(lambda x: jnp.exp(-0.5 * jnp.sum((x - 1.0) ** 2))
+                       * np.pi ** -0.25)
+        assert abs(float(w.norm(c0)) - 1.0) < 1e-8
+        t, cs, xs = w.run(c0, dt=0.05, nt=100, nout=5)
+        assert np.max(np.abs(xs[:, 0] - np.cos(t))) < 1e-6
+
+    def test_2d_ho_degenerate_pair(self):
+        from pyqed_tpu.grid.gwp import GWPBasis, WPDN
+        b2 = GWPBasis.grid([np.linspace(-3.5, 3.5, 9)] * 2, a=0.6)
+        w2 = WPDN(b2, mass=1.0, potential=lambda x: 0.5 * jnp.sum(x**2),
+                  nquad=16)
+        E2, _ = w2.eigenstates(k=4)
+        E2 = np.asarray(E2)
+        assert abs(E2[0] - 1.0) < 1e-3
+        assert abs(E2[1] - E2[2]) < 1e-6      # (1,0)/(0,1) degenerate
+        assert abs(E2[1] - 2.0) < 5e-3
+
+    def test_momentum_boosted_basis(self):
+        """Complex off-diagonal overlaps: boosted Gaussians still give
+        a Hermitian pencil and the right HO ground state."""
+        from pyqed_tpu.grid.gwp import GWPBasis, WPDN
+        q = np.linspace(-4, 4, 15)[:, None]
+        p = 0.3 * np.sign(q)
+        basis = GWPBasis(jnp.asarray(q), jnp.asarray(p),
+                         jnp.full((15, 1), 0.6))
+        w = WPDN(basis, potential=lambda x: 0.5 * jnp.sum(x**2))
+        E, _ = w.eigenstates(k=3)
+        assert np.max(np.abs(np.asarray(E) - (np.arange(3) + 0.5))) < 1e-4
