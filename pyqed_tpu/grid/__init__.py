@@ -6,7 +6,7 @@ from .ldr import LDRN, LDR2, ResultLDR
 from .scattering import LippmannSchwingerSolver, LippmannSchwinger2DSolver
 from .qtraj import QT, lqf, ResultQT
 from .gwp import (GWP, WPD, overlap_real, kinetic_real, moment_real,
-                  GWPBasis, WPDN, WPD2)
+                  GWPBasis, WPDN, WPD2, ThawedGaussian)
 from .smolyak import SparseGrid, AdaptiveSparseGrid
 from .nawpd import NAWPD, NAWPD2
 from .smolyak import SGCT_LDR, combination_technique

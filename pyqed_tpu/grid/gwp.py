@@ -397,3 +397,90 @@ class WPDN:
 
 # 2D alias for reference parity (pyqed/ldr/gwp.py:562 WPD2)
 WPD2 = WPDN
+
+
+# ===================================================================
+# Variational thawed Gaussian (Heller) dynamics
+# (VERDICT row 25 "no variational thawed Gaussians"; reference
+# pyqed/moving_gaussian.py keeps only frozen/static bases)
+# ===================================================================
+
+class ThawedGaussian:
+    """Single thawed Gaussian wavepacket evolved by Heller's TDVP
+    equations in d dimensions,
+
+        psi(x) = exp(i [ (x-q)^T A (x-q) + p.(x-q) + gamma ]),
+
+    with q' = p/m,  p' = -grad V,  A' = -2 A M^{-1} A - Hess V / 2,
+    gamma' = p.M^{-1}p/2 - V + i tr(M^{-1} A)  (hbar = 1, Im A > 0).
+
+    Exact on (locally) harmonic surfaces; the local harmonic
+    approximation (LHA) uses ``jax.grad``/``jax.hessian`` of the
+    supplied potential — no hand-coded derivatives.
+    """
+
+    def __init__(self, potential: Callable, mass=1.0, ndim: int = 1):
+        self.V = lambda x: jnp.sum(jnp.asarray(potential(x)))
+        self.grad = jax.grad(self.V)
+        self.hess = jax.hessian(self.V)
+        self.ndim = ndim
+        self.minv = 1.0 / (jnp.broadcast_to(
+            jnp.asarray(mass, float), (ndim,)) + 0.0)
+
+    def _rhs(self, q, p, A, gamma):
+        Minv = jnp.diag(self.minv)
+        dq = self.minv * p
+        dp = -self.grad(q)
+        dA = -2.0 * A @ Minv @ A - 0.5 * self.hess(q)
+        dg = (0.5 * jnp.sum(self.minv * p ** 2) - self.V(q)
+              + 1j * jnp.trace(Minv @ A))
+        return dq, dp, dA, dg
+
+    def run(self, q0, p0=None, a0=1.0, dt=0.01, nt=100, nout=1):
+        """RK4-propagate the Heller parameters.
+
+        a0 : initial width — A(0) = i a0 / 2 (coherent for a0 = m w).
+        Returns (times, qs, ps, As, gammas, norms).
+        """
+        d = self.ndim
+        q = jnp.atleast_1d(jnp.asarray(q0, float))
+        p = (jnp.zeros(d) if p0 is None
+             else jnp.atleast_1d(jnp.asarray(p0, float)))
+        A = 0.5j * (jnp.asarray(a0, complex) * jnp.eye(d)
+                    if jnp.ndim(a0) == 0 else jnp.asarray(a0, complex))
+        gamma = jnp.asarray(0.0, complex)
+
+        def step(carry, _):
+            q, p, A, g = carry
+            k1 = self._rhs(q, p, A, g)
+            k2 = self._rhs(q + dt / 2 * k1[0], p + dt / 2 * k1[1],
+                           A + dt / 2 * k1[2], g + dt / 2 * k1[3])
+            k3 = self._rhs(q + dt / 2 * k2[0], p + dt / 2 * k2[1],
+                           A + dt / 2 * k2[2], g + dt / 2 * k2[3])
+            k4 = self._rhs(q + dt * k3[0], p + dt * k3[1],
+                           A + dt * k3[2], g + dt * k3[3])
+            new = tuple(c + dt / 6 * (a + 2 * b + 2 * cc + dd)
+                        for c, a, b, cc, dd in zip(
+                            (q, p, A, g), k1, k2, k3, k4))
+            return new, new
+
+        def chunk(carry, _):
+            out = jax.lax.scan(step, carry, None, length=nout)[0]
+            return out, out
+
+        carry = (q, p, A, gamma)
+        carry, (qs, ps, As, gs) = jax.lax.scan(
+            jax.jit(chunk), carry, None, length=nt // nout)
+        times = np.arange(1, nt // nout + 1) * dt * nout
+        # norm: |psi|^2 integrates to pi^{d/2} det(2 Im A)^{-1/2}
+        #       * exp(-2 Im gamma)
+        norms = (np.pi ** (d / 2)
+                 / jnp.sqrt(jnp.linalg.det(2 * jnp.imag(As)))
+                 * jnp.exp(-2 * jnp.imag(gs)))
+        return times, qs, ps, As, gs, norms
+
+    def wavefunction(self, x, q, p, A, gamma):
+        dx = jnp.atleast_2d(x) - q[None, :]
+        ph = (jnp.einsum("ni, ij, nj -> n", dx, A, dx)
+              + dx @ p + gamma)
+        return jnp.exp(1j * ph)

@@ -16,3 +16,4 @@ from .polariton_grid import GridMol2, VibronicPolariton2, berry_curvature_field
 from .shinmetiu2e import ShinMetiu2e1d, ShinMetiu3d
 from .vibronic import Pyrazine4, Triazine
 from .phenol import Phenol
+from .pyrrole import Pyrrole, PyrroleCation

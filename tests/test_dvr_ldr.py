@@ -385,3 +385,24 @@ class TestGWPBasisND:
         w = WPDN(basis, potential=lambda x: 0.5 * jnp.sum(x**2))
         E, _ = w.eigenstates(k=3)
         assert np.max(np.abs(np.asarray(E) - (np.arange(3) + 0.5))) < 1e-4
+
+
+class TestThawedGaussian:
+    def test_coherent_and_squeezed_ho(self):
+        from pyqed_tpu.grid.gwp import ThawedGaussian
+        tg = ThawedGaussian(lambda x: 0.5 * jnp.sum(x ** 2))
+        t, qs, ps, As, gs, norms = tg.run(q0=1.0, a0=1.0, dt=0.005,
+                                          nt=400, nout=20)
+        assert np.max(np.abs(np.asarray(qs)[:, 0] - np.cos(t))) < 1e-10
+        assert np.max(np.abs(np.asarray(As)[:, 0, 0] - 0.5j)) < 1e-12
+        assert np.max(np.abs(np.asarray(norms)
+                             - np.asarray(norms)[0])) < 1e-10
+
+    def test_norm_conserved_on_morse(self):
+        from pyqed_tpu.grid.gwp import ThawedGaussian
+        V = lambda x: jnp.sum(3.0 * (1 - jnp.exp(-0.5 * (x - 1.0))) ** 2)
+        tg = ThawedGaussian(V)
+        _, _, _, _, _, norms = tg.run(q0=0.8, a0=2.0, dt=0.002,
+                                      nt=500, nout=50)
+        n = np.asarray(norms)
+        assert np.max(np.abs(n / n[0] - 1.0)) < 1e-8

@@ -208,3 +208,26 @@ class TestNAWPD2:
         r = nw.run(p0, dt=dt, nt=nt)
         pop = nw.population(r.psi, representation="diabatic")
         assert np.max(np.abs(pop_spo - pop)) < 1e-4
+
+
+class TestPyrrole:
+    def test_surfaces_and_vibrations(self):
+        """Domcke pyrrole model: symmetry of the diabatic matrix in the
+        coupling coordinate + real S0 vibrational ladder (the
+        reference's eigenstates is a `pass` stub)."""
+        from pyqed_tpu.models.pyrrole import Pyrrole, PyrroleCation
+        py = Pyrrole()
+        assert 1700 < py.reduced_mass < 1900        # ~H-ring reduced mass
+        r = np.linspace(1.5, 6.0, 60)
+        q = np.linspace(-0.6, 0.6, 31)
+        V = np.asarray(py.dpes(r, q))
+        assert V.shape == (60, 31, 2, 2)
+        assert np.max(np.abs(V[:, ::-1, 0, 0] - V[:, :, 0, 0])) < 1e-12
+        assert np.max(np.abs(V[:, ::-1, 0, 1] + V[:, :, 0, 1])) < 1e-12
+        w = np.asarray(py.apes(r, q))
+        assert np.all(w[..., 1] >= w[..., 0] - 1e-12)
+        E, _ = py.eigenstates(3)
+        dE = float(E[1] - E[0]) * 27.2114
+        assert 0.3 < dE < 0.6                       # N-H stretch ~0.45 eV
+        pc = PyrroleCation()
+        assert float(pc.D1(2.0, 0.0)) > float(pc.D0(2.0, 0.0))
