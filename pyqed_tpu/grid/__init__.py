@@ -13,3 +13,4 @@ from .smolyak import SGCT_LDR, combination_technique
 from .qtraj import NAQT
 from .rate import RateFluxSide, flux_operator
 from .ldr import LDR2Jacobi
+from .nusol import NuSol, cheb_D2

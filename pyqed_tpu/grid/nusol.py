@@ -1,0 +1,204 @@
+"""NuSol-style config-driven Schroedinger solver: Numerov / DVR /
+primitive FD / Chebyshev collocation in 1-3 dimensions.
+
+TPU-native counterpart of the vendored NuSol package
+(reference: pyqed/dvr/NuSol/NuSol.py:15 ``numerov`` — a Python-2
+ConfigParser frontend dispatching to NuSol_matrices.py's
+``Numerov_Matrix_{1,2,3}D`` / ``DVR_Matrix_*`` / ``Primitive_Matrix_*``
+/ ``Chebyshev_Matrix_*`` builders and an external FEAST binary).
+
+Here all four discretizations are small dense/Kronecker pencils built
+with numpy and diagonalized with one ``eigh`` (or scipy's sparse
+``eigsh`` for big 3D grids); the ND Numerov operator is the Kronecker
+sum  H = -1/(2m) sum_d A_d (x) B_rest,  M = B (x) ... (x) B  with the
+classic 4th-order tridiagonal pair A = tridiag(1,-2,1)/h^2,
+B = tridiag(1,10,1)/12.  The config surface is a plain dict or an INI
+file; potentials are callables or numpy expressions of x, y, z.
+"""
+from __future__ import annotations
+
+from functools import reduce
+from typing import Callable, Optional, Sequence, Union
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+
+def _numerov_pair(n, h):
+    A = (np.diag(np.full(n - 1, 1.0), -1) + np.diag(np.full(n, -2.0))
+         + np.diag(np.full(n - 1, 1.0), 1)) / h ** 2
+    B = (np.diag(np.full(n - 1, 1.0), -1) + np.diag(np.full(n, 10.0))
+         + np.diag(np.full(n - 1, 1.0), 1)) / 12.0
+    return A, B
+
+
+def _fd2(n, h):
+    return (np.diag(np.full(n - 1, 1.0), -1) + np.diag(np.full(n, -2.0))
+            + np.diag(np.full(n - 1, 1.0), 1)) / h ** 2
+
+
+def _sinc_d2(n, h):
+    """Colbert-Miller sinc-DVR second derivative (infinite order)."""
+    i = np.arange(n)
+    dij = i[:, None] - i[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        off = 2.0 * (-1.0) ** dij / dij.astype(float) ** 2
+    D = -np.where(dij == 0, np.pi ** 2 / 3.0, off) / h ** 2
+    return -D        # returns d^2/dx^2 (negative-definite)
+
+
+def cheb_D2(n, a, b):
+    """Chebyshev collocation second-derivative matrix on [a, b] with
+    Dirichlet ends (Trefethen's D^2, interior points, ascending order).
+
+    Returns (D2 (n, n), points (n,))."""
+    N = n + 1
+    x = np.cos(np.pi * np.arange(N + 1) / N)
+    c = np.hstack([2.0, np.ones(N - 1), 2.0]) * (-1.0) ** np.arange(N + 1)
+    dX = x[:, None] - x[None, :]
+    D = np.outer(c, 1.0 / c) / (dX + np.eye(N + 1))
+    D -= np.diag(D.sum(axis=1))
+    D2 = (D @ D)[1:-1, 1:-1]                # Dirichlet: drop endpoints
+    # flip to ascending x and map [-1, 1] -> [a, b]
+    D2 = D2[::-1, ::-1] * (2.0 / (b - a)) ** 2
+    pts = 0.5 * (a + b) + 0.5 * (b - a) * x[1:-1][::-1]
+    return D2, pts
+
+
+class NuSol:
+    """Config-driven bound-state solver.
+
+    Parameters (dict keys / INI ``[NuSol]`` options, case-insensitive):
+      method   'numerov' | 'dvr' | 'primitive' | 'chebyshev'
+      ndim     1, 2 or 3
+      xmin/xmax/ngridx  (+ y, z variants; y/z default to x's)
+      mass     particle mass (a.u.)
+      n_eval   number of eigenpairs
+      potential  callable V(x[, y, z]) or a numpy expression string
+                 in x/y/z, e.g. "0.5*(x**2 + y**2)".
+    """
+
+    def __init__(self, cfg: Union[dict, str], potential: Optional[Callable] = None):
+        if isinstance(cfg, str):
+            import configparser
+            p = configparser.ConfigParser()
+            if not p.read(cfg):
+                raise FileNotFoundError(cfg)
+            sec = p["NuSol"] if p.has_section("NuSol") else p[p.sections()[0]]
+            cfg = dict(sec)
+        cfg = {k.lower(): v for k, v in cfg.items()}
+        self.method = str(cfg.get("method", "numerov")).lower()
+        self.ndim = int(cfg.get("ndim", 1))
+        self.mass = float(cfg.get("mass", 1.0))
+        self.n_eval = int(cfg.get("n_eval", 5))
+        axes = []
+        for d, name in zip(range(self.ndim), "xyz"):
+            lo = float(cfg.get(f"{name}min", cfg.get("xmin", -10.0)))
+            hi = float(cfg.get(f"{name}max", cfg.get("xmax", 10.0)))
+            n = int(cfg.get(f"ngrid{name}", cfg.get("ngridx", 64)))
+            axes.append((lo, hi, n))
+        self.axes = axes
+        V = potential if potential is not None else cfg.get("potential")
+        if V is None:
+            raise ValueError("no potential given")
+        if isinstance(V, str):
+            expr = V
+
+            def V(*coords):
+                env = {"np": np, "exp": np.exp, "cos": np.cos,
+                       "sin": np.sin, "sqrt": np.sqrt, "tanh": np.tanh,
+                       "abs": np.abs, "pi": np.pi}
+                env.update({n: c for n, c in zip("xyz", coords)})
+                return eval(expr, {"__builtins__": {}}, env)
+        self.potential = V
+        self.grids = None
+        self.eigvals = None
+        self.eigvecs = None
+
+    # -------------------------------------------------------------
+    def _grids(self):
+        gs, hs = [], []
+        for lo, hi, n in self.axes:
+            if self.method == "chebyshev":
+                _, pts = cheb_D2(n, lo, hi)
+                gs.append(pts)
+                hs.append(None)
+            else:
+                x = np.linspace(lo, hi, n + 2)[1:-1]    # Dirichlet box
+                gs.append(x)
+                hs.append(x[1] - x[0])
+        return gs, hs
+
+    def run(self, k: Optional[int] = None):
+        """Solve; returns (eigenvalues (k,), eigenvectors (..., k))."""
+        k = k or self.n_eval
+        gs, hs = self._grids()
+        self.grids = gs
+        mesh = np.meshgrid(*gs, indexing="ij")
+        Vd = np.asarray(self.potential(*mesh), dtype=float).ravel()
+        ns = [len(g) for g in gs]
+        ntot = int(np.prod(ns))
+
+        def ksum(mats, eye_builder):
+            """sum_d I x ... x mats[d] x ... x I (Kronecker sum)."""
+            out = None
+            for d, Md in enumerate(mats):
+                factors = [eye_builder(n) for n in ns]
+                factors[d] = Md
+                term = reduce(sp.kron, factors) if len(factors) > 1 \
+                    else sp.csr_matrix(factors[0])
+                out = term if out is None else out + term
+            return out
+
+        if self.method == "numerov":
+            As, Bs = zip(*[_numerov_pair(n, h) for n, h in zip(ns, hs)])
+            # H = -1/(2m) sum_d B x..x A_d x..x B ; M = B x B x B
+            H = None
+            for d in range(len(ns)):
+                factors = [sp.csr_matrix(Bs[i]) for i in range(len(ns))]
+                factors[d] = sp.csr_matrix(As[d])
+                term = reduce(sp.kron, factors) if len(factors) > 1 \
+                    else factors[0]
+                H = term if H is None else H + term
+            H = -H / (2 * self.mass)
+            M = (reduce(sp.kron, [sp.csr_matrix(B) for B in Bs])
+                 if len(ns) > 1 else sp.csr_matrix(Bs[0]))
+            H = H + M @ sp.diags(Vd)
+            if ntot <= 1500:
+                from scipy.linalg import eig
+                w, v = eig(H.toarray(), M.toarray())
+                idx = np.argsort(w.real)[:k]
+                w, v = w.real[idx], v[:, idx].real
+            else:
+                w, v = spla.eigs(H, k=k, M=M, sigma=float(Vd.min()),
+                                 which="LM")
+                idx = np.argsort(w.real)
+                w, v = w.real[idx], v[:, idx].real
+        else:
+            if self.method == "dvr":
+                D2s = [-_sinc_d2(n, h) for n, h in zip(ns, hs)]
+            elif self.method == "primitive":
+                D2s = [_fd2(n, h) for n, h in zip(ns, hs)]
+            elif self.method == "chebyshev":
+                D2s = [cheb_D2(n, lo, hi)[0]
+                       for (lo, hi, n0), n in zip(self.axes, ns)]
+            else:
+                raise ValueError(self.method)
+            H = ksum([sp.csr_matrix(-D / (2 * self.mass)) for D in D2s],
+                     lambda n: sp.identity(n, format="csr"))
+            H = H + sp.diags(Vd)
+            if ntot <= 2000:
+                from scipy.linalg import eigh
+                Hd = H.toarray()
+                w, v = eigh(0.5 * (Hd + Hd.T))
+                w, v = w[:k], v[:, :k]
+            else:
+                w, v = spla.eigsh(H.tocsc(), k=k, sigma=float(Vd.min()),
+                                  which="LM")
+                idx = np.argsort(w)
+                w, v = w[idx], v[:, idx]
+
+        self.eigvals = w
+        self.eigvecs = v.reshape(*ns, -1)
+        return w, self.eigvecs

@@ -406,3 +406,64 @@ class TestThawedGaussian:
                                       nt=500, nout=50)
         n = np.asarray(norms)
         assert np.max(np.abs(n / n[0] - 1.0)) < 1e-8
+
+
+class TestNuSol:
+    """Config-driven Numerov/DVR/Chebyshev solver (reference vendored
+    NuSol package, pyqed/dvr/NuSol/NuSol.py)."""
+
+    def test_all_methods_ho(self):
+        from pyqed_tpu.grid.nusol import NuSol
+        exact = np.arange(4) + 0.5
+        tol = {"numerov": 1e-3, "dvr": 1e-9, "primitive": 5e-2,
+               "chebyshev": 1e-4}
+        for method, t in tol.items():
+            w, _ = NuSol(dict(method=method, ndim=1, xmin=-9, xmax=9,
+                              ngridx=80, n_eval=4,
+                              potential="0.5*x**2")).run()
+            assert np.max(np.abs(np.asarray(w[:4]) - exact)) < t, method
+
+    def test_numerov_beats_primitive(self):
+        """4th-order Numerov must be far more accurate than the
+        2nd-order primitive FD at the same grid."""
+        from pyqed_tpu.grid.nusol import NuSol
+        cfg = dict(ndim=1, xmin=-9, xmax=9, ngridx=60, n_eval=1,
+                   potential="0.5*x**2")
+        wn, _ = NuSol(dict(cfg, method="numerov")).run()
+        wp, _ = NuSol(dict(cfg, method="primitive")).run()
+        assert abs(wn[0] - 0.5) < abs(wp[0] - 0.5) / 50
+
+    def test_2d_3d(self):
+        from pyqed_tpu.grid.nusol import NuSol
+        w2, _ = NuSol(dict(method="numerov", ndim=2, xmin=-7, xmax=7,
+                           ngridx=36, n_eval=4,
+                           potential="0.5*(x**2 + y**2)")).run()
+        assert np.max(np.abs(np.asarray(w2[:4])
+                             - np.array([1, 2, 2, 3]))) < 5e-3
+        w3, _ = NuSol(dict(method="dvr", ndim=3, xmin=-6, xmax=6,
+                           ngridx=16, n_eval=4,
+                           potential="0.5*(x**2+y**2+z**2)")).run()
+        assert np.max(np.abs(np.asarray(w3[:4])
+                             - np.array([1.5, 2.5, 2.5, 2.5]))) < 1e-6
+
+    def test_ini_config_file(self, tmp_path):
+        from pyqed_tpu.grid.nusol import NuSol
+        ini = tmp_path / "nusol.ini"
+        ini.write_text("[NuSol]\nmethod=chebyshev\nndim=1\nxmin=-8\n"
+                       "xmax=8\nngridx=60\nn_eval=3\n"
+                       "potential=0.5*x**2\n")
+        w, _ = NuSol(str(ini)).run()
+        assert np.max(np.abs(np.asarray(w[:3])
+                             - (np.arange(3) + 0.5))) < 1e-4
+
+    def test_asymmetric_ordering(self):
+        """Chebyshev grid ordering vs an asymmetric potential — the
+        two discretizations must agree."""
+        from pyqed_tpu.grid.nusol import NuSol
+        Va = "0.5*x**2 + 0.3*x**3*exp(-0.1*x**2)"
+        w1, _ = NuSol(dict(method="chebyshev", ndim=1, xmin=-8, xmax=8,
+                           ngridx=70, potential=Va)).run()
+        w2, _ = NuSol(dict(method="dvr", ndim=1, xmin=-8, xmax=8,
+                           ngridx=120, potential=Va)).run()
+        assert np.max(np.abs(np.asarray(w1[:3])
+                             - np.asarray(w2[:3]))) < 5e-4
