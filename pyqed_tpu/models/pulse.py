@@ -12,6 +12,7 @@ in Python: pyqed/mol.py:1903).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..units import au2ev, au2fs, alpha as fine_structure, au2watt_per_centimeter_squared
@@ -214,3 +215,48 @@ class Biphoton:
         if which == "signal":
             return rdm(self.jsa, dy=self.dq, which="x")
         return rdm(self.jsa, dx=self.dp, which="y")
+
+
+class Analyser:
+    """Pulse characterization: FROG trace and spectrogram of a sampled
+    field (reference: pyqed/optics.py:182 ``Analyser`` — FROG:190,
+    spectrogram:212).
+
+    The SHG-FROG trace I(w, tau) = |int dt E(t) E(t - tau) e^{i w t}|^2
+    is one vmapped FFT over the gate-delay axis."""
+
+    def __init__(self, E, t):
+        self.E = jnp.asarray(E)
+        self.t = np.asarray(t)
+        self.dt = float(self.t[1] - self.t[0])
+
+    def frog(self, gate=None):
+        """Returns (omega, tau, trace (nw, ntau)) — SHG FROG when
+        gate is None (gate = the field itself)."""
+        E = self.E
+        g = E if gate is None else jnp.asarray(gate)
+        n = E.size
+        shifts = jnp.arange(-(n // 2), n // 2)
+
+        def one(s):
+            gs = jnp.roll(g, s)
+            mask = jnp.where(s >= 0, jnp.arange(n) >= s,
+                             jnp.arange(n) < n + s)
+            sig = E * gs * mask
+            return jnp.abs(jnp.fft.fftshift(
+                jnp.fft.fft(sig))) ** 2 * self.dt ** 2
+
+        trace = jax.vmap(one)(shifts).T        # (nw, ntau)
+        omega = 2 * np.pi * np.fft.fftshift(np.fft.fftfreq(n, self.dt))
+        tau = shifts * self.dt
+        return omega, np.asarray(tau), trace
+
+    FROG = frog
+
+    def spectrogram(self, window_width=None):
+        """Gated power spectrum with a Gaussian gate (Wigner-style
+        spectrogram; reference pyqed/optics.py:212)."""
+        n = self.E.size
+        w = window_width or (self.t[-1] - self.t[0]) / 10
+        gate = jnp.exp(-((self.t - self.t[n // 2]) / w) ** 2)
+        return self.frog(gate=gate)

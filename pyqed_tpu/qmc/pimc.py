@@ -46,11 +46,15 @@ class PIMC:
         self.ndim = ndim
 
     def run(self, key, npaths=2048, nsweeps=2000, ntherm=500, step=0.5,
-            mesh=None):
+            mesh=None, use_shard_map=False):
         """Returns (E_virial, E_thermo, acceptance, paths_final).
 
         With ``mesh``, the path axis is sharded over the mesh's first
-        axis (the QMC replica parallelism of SURVEY.md §2.9)."""
+        axis (the QMC replica parallelism of SURVEY.md §2.9): either
+        GSPMD via a sharding constraint (default) or, with
+        ``use_shard_map=True``, explicit per-device chains under
+        ``shard_map`` — independent PRNG streams per device, scalar
+        estimators combined with a single ``pmean`` at the end."""
         M, tau, m, nd = self.M, self.tau, self.mass, self.ndim
         V = self.V
         dV = self.dVdx
@@ -112,13 +116,7 @@ class PIMC:
         key, k0 = jax.random.split(jax.random.PRNGKey(key)
                                    if isinstance(key, int) else key)
         paths0 = 0.5 * jax.random.normal(k0, (npaths, M, nd))
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            paths0 = jax.lax.with_sharding_constraint(
-                paths0,
-                NamedSharding(mesh, P(mesh.axis_names[0], None, None)))
 
-        @jax.jit
         def mc(paths, key):
             (paths, key), _ = jax.lax.scan(
                 sweep, (paths, key), None, length=ntherm)
@@ -126,7 +124,37 @@ class PIMC:
                 sweep, (paths, key), None, length=nsweeps)
             return paths, jnp.mean(ev), jnp.mean(et), jnp.mean(acc)
 
-        paths, ev, et, acc = mc(paths0, key)
+        if mesh is not None and use_shard_map:
+            # each device runs an INDEPENDENT chain over its walker
+            # shard with its own PRNG stream; only the final scalar
+            # estimators are combined (one pmean each) — zero
+            # collectives in the hot sweep loop.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            ax = mesh.axis_names[0]
+            ndev = int(np.prod(mesh.devices.shape))
+            if npaths % ndev != 0:
+                raise ValueError(f"npaths={npaths} must divide over "
+                                 f"{ndev} devices")
+            keys = jax.random.split(key, ndev)
+
+            def shard_mc(paths, ks):
+                paths, ev, et, acc = mc(paths, ks[0])
+                pm = lambda x: jax.lax.pmean(x, ax)
+                return paths, pm(ev), pm(et), pm(acc)
+
+            mc_run = jax.jit(shard_map(
+                shard_mc, mesh=mesh,
+                in_specs=(P(ax, None, None), P(ax)),
+                out_specs=(P(ax, None, None), P(), P(), P())))
+            paths, ev, et, acc = mc_run(paths0, keys)
+        else:
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                paths0 = jax.lax.with_sharding_constraint(
+                    paths0,
+                    NamedSharding(mesh, P(mesh.axis_names[0], None, None)))
+            paths, ev, et, acc = jax.jit(mc)(paths0, key)
         return float(ev), float(et), float(acc), paths
 
 

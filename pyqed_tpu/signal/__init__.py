@@ -6,4 +6,6 @@ from .sos import (
 from . import tdes
 from .pump_probe import (TransientAbsorption, chi1, chi3,
                          response1_freq, response2_freq,
-                         response3_freq, response4_freq)
+                         response3_freq, response4_freq,
+                         susceptibility, response1_fd, response2_fd,
+                         response3_fd, response4_fd)

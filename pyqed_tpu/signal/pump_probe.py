@@ -193,3 +193,84 @@ def chi3(en, dip, gamma, omega3, t2, omega1):
                             response3_freq, response4_freq), 1):
         tot = tot + fn(en, dip, gamma, omega3, t2, omega1)
     return tot
+
+
+# -------------------------------------------------------------------
+# fully frequency-domain responses + permutation-symmetrized chi^(3)
+# (reference: pyqed/susceptibility.py:68-111 response*_fd /
+# ``susceptibility`` — the reference driver overwrites chi instead of
+# accumulating and reuses pathway 1 for the conjugates of pathways
+# 3/4; the Mukamel sum is done correctly here)
+# -------------------------------------------------------------------
+
+def _resp_fd_core(en, dip, gamma, w123, w12, w1, kind, eps=1e-12):
+    """Frequency-domain pathway R_kind(w123, w12, w1) (scalars or
+    broadcastable arrays); the three propagators act on the same index
+    pairs as (G3, U(t2), G1) of the time-domain ``_resp_core``.
+
+    ``eps`` regularizes the population poles (i == j with zero
+    dephasing) that are genuinely divergent in degenerate mixing,
+    e.g. chi3(w, -w, w) with an undamped ground state."""
+    en = jnp.asarray(en)
+    dip = jnp.asarray(dip)
+    gamma = jnp.asarray(gamma)
+    a = 0
+    d4 = jnp.einsum("b, bc, cd, d -> bcd", dip[a, :], dip, dip, dip[:, a])
+    Ed = en[:, None] - en[None, :]
+    Gam = 0.5 * (gamma[:, None] + gamma[None, :]) + eps
+
+    def G(w, i, j):
+        return 1.0 / (jnp.asarray(w)[..., None, None, None]
+                      - Ed[i, j] + 1j * Gam[i, j])
+
+    b, c, d = jnp.meshgrid(jnp.arange(en.shape[0]),
+                           jnp.arange(en.shape[0]),
+                           jnp.arange(en.shape[0]), indexing="ij")
+    if kind == 1:
+        val = G(w123, d, c) * G(w12, d, b) * G(w1, d, a)
+    elif kind == 2:
+        val = G(w123, d, c) * G(w12, d, b) * G(w1, a, b)
+    elif kind == 3:
+        val = G(w123, d, c) * G(w12, a, c) * G(w1, a, b)
+    elif kind == 4:
+        val = G(w123, d, a) * G(w12, c, a) * G(w1, d, a)
+    else:
+        raise ValueError(kind)
+    return jnp.sum(d4 * val, axis=(-3, -2, -1))
+
+
+def response1_fd(en, dip, gamma, w123, w12, w1):
+    return _resp_fd_core(en, dip, gamma, w123, w12, w1, 1)
+
+
+def response2_fd(en, dip, gamma, w123, w12, w1):
+    return _resp_fd_core(en, dip, gamma, w123, w12, w1, 2)
+
+
+def response3_fd(en, dip, gamma, w123, w12, w1):
+    return _resp_fd_core(en, dip, gamma, w123, w12, w1, 3)
+
+
+def response4_fd(en, dip, gamma, w123, w12, w1):
+    return _resp_fd_core(en, dip, gamma, w123, w12, w1, 4)
+
+
+def susceptibility(en, dip, gamma, omega_in):
+    """chi^(3)(-w_s; w1, w2, w3) for an N-level system, w_s = sum w_n.
+
+    Mukamel's frequency-domain S^(3) (PNOS p. 122): the four Liouville
+    pathways plus their complex conjugates at negated frequencies,
+    symmetrized over all 3! permutations of the input frequencies with
+    the -1/3! prefactor."""
+    import itertools
+    if len(omega_in) != 3:
+        raise ValueError("need exactly 3 incoming frequencies")
+    chi = 0.0
+    for (wa, wb, wc) in itertools.permutations(omega_in):
+        w123, w12, w1 = wa + wb + wc, wa + wb, wa
+        for kind in (1, 2, 3, 4):
+            chi = chi + _resp_fd_core(en, dip, gamma,
+                                      w123, w12, w1, kind)
+            chi = chi + jnp.conj(_resp_fd_core(
+                en, dip, gamma, -w123, -w12, -w1, kind))
+    return -chi / 6.0

@@ -95,6 +95,20 @@ class TestPIMC:
                                   ntherm=300, mesh=mesh)
         assert abs(ev - 0.5 / np.tanh(0.5)) < 0.05
 
+    def test_shard_map_chains(self):
+        """Explicit shard_map path: independent per-device chains with
+        their own PRNG streams, pmean-combined estimators."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from pyqed_tpu.parallel import make_mesh
+        mesh = make_mesh({"walker": 8})
+        pimc = PIMC(lambda x: 0.5 * x ** 2, beta=1.0, nbeads=32)
+        ev, et, acc, paths = pimc.run(5, npaths=2048, nsweeps=600,
+                                      ntherm=300, mesh=mesh,
+                                      use_shard_map=True)
+        assert abs(ev - 0.5 / np.tanh(0.5)) < 0.05
+        assert 0.1 < acc < 0.9
+
 
 class TestBosonPIMC:
     def test_two_boson_exchange_statistics(self):

@@ -173,3 +173,60 @@ class TestTransientAbsorption:
         S = np.asarray(S)
         assert np.all(np.isfinite(S))
         assert abs(freqs[np.argmax(np.abs(S[:, 0]))] - 1.0) < 0.03
+
+
+class TestSusceptibilityFD:
+    """Frequency-domain chi^(3) (reference pyqed/susceptibility.py:111
+    — the reference driver is broken: it overwrites chi instead of
+    accumulating; correct Mukamel sum verified here)."""
+    en = np.array([0.0, 1.0, 1.8])
+    dip = np.array([[0, 1.0, 0.2], [1.0, 0, 0.8], [0.2, 0.8, 0]])
+    gam = np.array([0.0, 0.05, 0.08])
+
+    def test_permutation_and_conjugation_symmetry(self):
+        from pyqed_tpu.signal.pump_probe import susceptibility
+        w = (0.35, 0.32, 0.30)
+        c = complex(susceptibility(self.en, self.dip, self.gam, w))
+        for perm in [(w[1], w[0], w[2]), (w[2], w[1], w[0]),
+                     (w[2], w[0], w[1])]:
+            cp = complex(susceptibility(self.en, self.dip, self.gam, perm))
+            assert abs(cp - c) < 1e-12 * abs(c)
+        cm = complex(susceptibility(self.en, self.dip, self.gam,
+                                    tuple(-x for x in w)))
+        assert abs(cm - np.conj(c)) < 1e-12 * abs(c)
+
+    def test_third_harmonic_resonance(self):
+        from pyqed_tpu.signal.pump_probe import susceptibility
+        ws = np.linspace(0.25, 0.42, 120)
+        vals = np.array([abs(complex(susceptibility(
+            self.en, self.dip, self.gam, (x, x, x)))) for x in ws])
+        assert abs(ws[vals.argmax()] - 1.0 / 3.0) < 5e-3
+
+    def test_degenerate_one_photon_resonance(self):
+        from pyqed_tpu.signal.pump_probe import susceptibility
+        en = np.array([0.0, 1.0])
+        dip = np.array([[0, 1.0], [1.0, 0]])
+        gam = np.array([0.02, 0.05])
+        ws = np.linspace(0.7, 1.3, 121)
+        vals = np.array([abs(complex(susceptibility(
+            en, dip, gam, (w, -w, w)))) for w in ws])
+        assert np.all(np.isfinite(vals))
+        assert abs(ws[vals.argmax()] - 1.0) < 5e-3
+        assert vals.max() / vals[0] > 100
+
+
+class TestFROG:
+    def test_gaussian_pulse_trace(self):
+        from pyqed_tpu.models.pulse import Analyser
+        t = np.linspace(-40, 40, 256)
+        E = np.exp(-t ** 2 / 50) * np.cos(1.5 * t)
+        om, tau, tr = Analyser(E, t).frog()
+        tr = np.asarray(tr)
+        assert np.isfinite(tr).all() and tr.min() >= 0
+        # symmetric pulse -> symmetric trace in tau
+        assert np.max(np.abs(tr[:, 1:] - tr[:, :0:-1])) / tr.max() < 1e-12
+        # E*E gate doubles/rectifies the carrier: spectral content at
+        # 0 and 2 w_c, none at the fundamental
+        iwc = np.argmin(np.abs(om - 1.5))
+        i2wc = np.argmin(np.abs(om - 3.0))
+        assert tr[i2wc].max() > 50 * tr[iwc].max()
