@@ -1,0 +1,121 @@
+"""Molecular geometry utilities: Z-matrix construction and the Eckart
+frame.
+
+TPU-native counterpart of the reference geometry layer (reference:
+pyqed/qchem/mol.py — the Z-matrix plumbing at :231-293/:389 is
+commented out and ``build_zmatrix``/``print_zmat`` are dead; the
+inertia helper is :713 ``inertia_moment``).  Both directions are made
+real here: internal -> Cartesian construction and the mass-weighted
+Eckart (Kabsch) rotation used for vibrational analysis.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from ..units import atomic_mass, au2amu
+
+
+def zmatrix_to_cartesian(zmat: Sequence) -> np.ndarray:
+    """Build Cartesian coordinates (bohr) from Z-matrix entries.
+
+    zmat : list of tuples
+        (sym,), (sym, i, r), (sym, i, r, j, theta),
+        (sym, i, r, j, theta, k, phi) with 0-based references,
+        theta/phi in radians.
+    Returns coords (natm, 3).
+    """
+    coords = []
+    for entry in zmat:
+        n = len(coords)
+        if n == 0:
+            coords.append(np.zeros(3))
+        elif n == 1:
+            _, i, r = entry[:3]
+            coords.append(coords[i] + np.array([0.0, 0.0, float(r)]))
+        elif n == 2:
+            _, i, r, j, th = entry[:5]
+            b = coords[j] - coords[i]
+            b /= np.linalg.norm(b)
+            # any perpendicular
+            perp = np.cross(b, [1.0, 0.0, 0.0])
+            if np.linalg.norm(perp) < 1e-8:
+                perp = np.cross(b, [0.0, 1.0, 0.0])
+            perp /= np.linalg.norm(perp)
+            coords.append(coords[i] + r * (np.cos(th) * b
+                                           + np.sin(th) * perp))
+        else:
+            _, i, r, j, th, k, phi = entry[:7]
+            b1 = coords[i] - coords[j]
+            b2 = coords[j] - coords[k]
+            e1 = b1 / np.linalg.norm(b1)
+            n1 = np.cross(b2, b1)
+            n1 /= np.linalg.norm(n1)
+            m = np.cross(n1, e1)
+            # NeRF: place along -e1 rotated by theta about n1, then phi
+            d = (-np.cos(th) * e1
+                 + np.sin(th) * (np.cos(phi) * m - np.sin(phi) * n1))
+            coords.append(coords[i] + r * d)
+    return np.asarray(coords)
+
+
+def bond_length(coords, i, j):
+    return float(np.linalg.norm(coords[i] - coords[j]))
+
+
+def bond_angle(coords, i, j, k):
+    """Angle at j (radians)."""
+    a = coords[i] - coords[j]
+    b = coords[k] - coords[j]
+    c = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    return float(np.arccos(np.clip(c, -1.0, 1.0)))
+
+
+def dihedral(coords, i, j, k, l):
+    """Signed dihedral i-j-k-l (radians)."""
+    b1 = coords[j] - coords[i]
+    b2 = coords[k] - coords[j]
+    b3 = coords[l] - coords[k]
+    n1 = np.cross(b1, b2)
+    n2 = np.cross(b2, b3)
+    m = np.cross(n1, b2 / np.linalg.norm(b2))
+    return float(np.arctan2(np.dot(m, n2), np.dot(n1, n2)))
+
+
+def eckart_frame(ref_coords, coords, masses):
+    """Rotate/translate ``coords`` into the Eckart frame of
+    ``ref_coords``: both Eckart conditions hold after the transform
+    (sum_a m_a d_a = 0 and sum_a m_a ref_a x d_a = 0).
+
+    Implemented as mass-weighted Kabsch alignment.  Returns
+    (aligned_coords, rotation R, rmsd)."""
+    m = np.asarray(masses, float)
+    ref = np.asarray(ref_coords, float)
+    cur = np.asarray(coords, float)
+    ref_c = ref - np.average(ref, axis=0, weights=m)
+    cur_c = cur - np.average(cur, axis=0, weights=m)
+    H = (cur_c * m[:, None]).T @ ref_c
+    U, S, Vt = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    R = Vt.T @ np.diag([1.0, 1.0, d]) @ U.T
+    aligned = cur_c @ R.T
+    rmsd = float(np.sqrt(np.average(
+        np.sum((aligned - ref_c) ** 2, axis=1), weights=m)))
+    return aligned, R, rmsd
+
+
+def eckart_conditions(ref_coords, coords, masses, tol=1e-8):
+    """True if both Eckart conditions are satisfied."""
+    m = np.asarray(masses, float)
+    ref = np.asarray(ref_coords, float)
+    ref = ref - np.average(ref, axis=0, weights=m)
+    d = np.asarray(coords, float) - ref
+    c1 = np.linalg.norm(np.sum(m[:, None] * d, axis=0))
+    c2 = np.linalg.norm(np.sum(m[:, None] * np.cross(ref, d), axis=0))
+    return bool(c1 < tol and c2 < tol)
+
+
+def masses_of(atoms) -> np.ndarray:
+    """Atomic masses (a.u.) from a list of (symbol, xyz)."""
+    return np.array([atomic_mass[s] / au2amu for s, _ in atoms])

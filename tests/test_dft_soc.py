@@ -101,3 +101,49 @@ class TestSOC:
         # axial molecule: L_z couples only px <-> py
         nz = {tuple(ij) for ij in np.argwhere(np.abs(W[2]) > 1e-10)}
         assert nz == {(2, 3), (3, 2)}
+
+
+class TestGeometry:
+    def test_zmatrix_roundtrip(self):
+        from pyqed_tpu.qchem.geometry import (zmatrix_to_cartesian,
+                                              bond_length, bond_angle,
+                                              dihedral)
+        th = np.deg2rad(104.5)
+        c = zmatrix_to_cartesian([("O",), ("H", 0, 1.81),
+                                  ("H", 0, 1.81, 1, th)])
+        assert abs(bond_length(c, 0, 1) - 1.81) < 1e-12
+        assert abs(bond_angle(c, 1, 0, 2) - th) < 1e-12
+        c2 = zmatrix_to_cartesian(
+            [("O",), ("O", 0, 2.8), ("H", 0, 1.8, 1, np.deg2rad(100)),
+             ("H", 1, 1.8, 0, np.deg2rad(100), 2, np.deg2rad(115))])
+        assert abs(np.rad2deg(dihedral(c2, 2, 0, 1, 3)) - 115.0) < 1e-9
+
+    def test_eckart_frame(self):
+        from pyqed_tpu.qchem.geometry import (zmatrix_to_cartesian,
+                                              eckart_frame,
+                                              eckart_conditions)
+        c = zmatrix_to_cartesian([("O",), ("H", 0, 1.81),
+                                  ("H", 0, 1.81, 1, np.deg2rad(104.5))])
+        m = np.array([16.0, 1.0, 1.0])
+        rng = np.random.default_rng(0)
+        Q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        al, R, rmsd = eckart_frame(c, c @ Q.T + [1.0, -2.0, 0.5], m)
+        assert rmsd < 1e-12
+        al2, _, r2 = eckart_frame(
+            c, (c + 0.02 * rng.normal(size=c.shape)) @ Q.T, m)
+        assert eckart_conditions(c, al2, m, tol=1e-8)
+
+
+class TestSobol:
+    def test_qmc_beats_mc(self):
+        import jax.numpy as jnp
+        from pyqed_tpu.qmc.sobol import qmc_integrate
+        f = lambda x: jnp.prod(jnp.cos(x))
+        exact = np.sin(1.0) ** 4
+        qv = qmc_integrate(f, [(0, 1)] * 4, n=4096)
+        rng = np.random.default_rng(1)
+        mcv = float(np.mean(np.prod(np.cos(rng.random((4096, 4))), 1)))
+        assert abs(qv - exact) < 1e-4
+        assert abs(qv - exact) < abs(mcv - exact) / 10
