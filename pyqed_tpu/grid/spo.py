@@ -95,6 +95,7 @@ class SPON:
         self.apes = None
         self._d2a_ri = None
         self._exp_K_ri = None
+        self._step_mat_ri = None
         self._exp_V_ri = None
         self._exp_V_half_ri = None
         self._built_dt = None
@@ -210,6 +211,32 @@ class SPON:
         self.apes = np.reshape(w, self.shape + (ns,))
         self._d2a_ri = tuple(jnp.reshape(a, sh) for a in u_ri)
         self._built_dt = dt
+
+        if self.kernel == "dft":
+            # Fold the whole Strang step into ONE dense matrix
+            #   M[(p,a),(q,c)] = sum_b expV2[p,a,b] C[p,q] expV2[q,b,c],
+            #   C = F^H diag(expK) F / n  (the DFT done as a matmul).
+            # For small 1D grids the per-step cost becomes a single MXU
+            # matvec instead of two sub-critical-size FFTs — the TPU
+            # answer to the reference's np.fft loop (pyqed/wpd.py:723).
+            if self.ndim != 1:
+                raise NotImplementedError("kernel='dft' is 1D-only")
+            n0 = self.shape[0]
+            j = jnp.arange(n0)
+
+            @jax.jit
+            def _fold(expK_ri, expV2_ri):
+                F = jnp.exp(-2j * jnp.pi * jnp.outer(j, j) / n0)
+                eK = expK_ri[0] + 1j * expK_ri[1]
+                C = (jnp.conj(F.T) * eK[None, :]) @ F / n0
+                V2 = expV2_ri[0] + 1j * expV2_ri[1]
+                M = jnp.einsum("pab, pq, qbc -> paqc", V2, C, V2,
+                               precision=jax.lax.Precision.HIGHEST)
+                M = jnp.reshape(M, (n0 * ns, n0 * ns))
+                return jnp.real(M), jnp.imag(M)
+
+            self._step_mat_ri = _fold(self._exp_K_ri,
+                                      self._exp_V_half_ri)
         return self
 
     # complex views (combine inside traced code or on CPU backends)
@@ -254,9 +281,18 @@ class SPON:
             return pk.spo_potential_apply(M, psi)
         return jnp.einsum("...ab, ...b -> ...a", M, psi)
 
+    def _step_dft(self, psi):
+        """Folded one-matmul Strang step (kernel='dft')."""
+        M = _cc(self._step_mat_ri)
+        out = jnp.matmul(M, jnp.reshape(psi, (-1,)),
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.reshape(out, psi.shape)
+
     def step(self, psi):
         """One full Strang step V/2 . K . V/2 (reference loop:
         pyqed/wpd.py:723-732)."""
+        if self._step_mat_ri is not None:
+            return self._step_dft(psi)
         psi = self._peo(psi, half=True)
         psi = self._keo(psi)
         psi = self._peo(psi, half=True)
@@ -285,6 +321,8 @@ class SPON:
         def one_step(psi):
             if self.mesh is not None:
                 psi = jax.lax.with_sharding_constraint(psi, _shard)
+            if self._step_mat_ri is not None:
+                return self._step_dft(psi)
             psi = peo(psi, half=True)
             psi = keo(psi)
             psi = peo(psi, half=True)
@@ -297,12 +335,29 @@ class SPON:
             rho = jnp.einsum("...a, ...b -> ab", psi.conj(), psi) * dvol
             return rho
 
+        fold = (self._step_mat_ri is not None and self.mesh is None)
+        if fold:
+            # compose the nout fine steps once: M^nout by squaring
+            # (computed OUTSIDE the evolve jit so repeated runs and the
+            # scan itself only pay one HBM-bound matvec per window)
+            Mk_ri = jax.jit(lambda r, i: _ri(jnp.linalg.matrix_power(
+                r + 1j * i, nout)))(*self._step_mat_ri)
+
         @jax.jit
         def evolve(psi0):
+            if fold:
+                Mk = _cc(Mk_ri)
+
             def window(psi, _):
-                def fine(i, p):
-                    return one_step(p)
-                psi = jax.lax.fori_loop(0, nout, fine, psi)
+                if fold:
+                    psi = jnp.reshape(
+                        jnp.matmul(Mk, jnp.reshape(psi, (-1,)),
+                                   precision=jax.lax.Precision.HIGHEST),
+                        psi.shape)
+                else:
+                    def fine(i, p):
+                        return one_step(p)
+                    psi = jax.lax.fori_loop(0, nout, fine, psi)
                 out = (observe(psi), psi if return_states else jnp.zeros((0,)))
                 return psi, out
             psi_f, (rhos, states) = jax.lax.scan(window, psi0, None, length=ns_steps)

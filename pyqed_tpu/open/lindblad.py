@@ -55,12 +55,23 @@ class LindbladSolver:
 
     # ------------------------------------------------------------------ run
     def run(self, rho0, dt, Nt, t0=0.0, e_ops=None, nout=1,
-            store_states=False) -> Result:
+            store_states=False, method="rk4") -> Result:
         """Propagate rho(t). ``H`` may be a matrix (time-independent) or the
         reference's QuTiP-style list [H0, [H1, f1(t)]] meaning
-        H(t) = H0 − f1(t) H1 (reference: pyqed/oqs.py:1726-1732)."""
+        H(t) = H0 − f1(t) H1 (reference: pyqed/oqs.py:1726-1732).
+
+        method='propagator' (time-independent H only): build the dense
+        Liouvillian once, form the RK4 step polynomial
+        M = sum_k (L dt)^k / k!  (bitwise the same stepping as
+        method='rk4'), compose M^nout by squaring, and advance one
+        HBM-bound matvec per observation window — the TPU-fast path
+        for small/medium Liouville dimensions."""
         if e_ops is None:
             e_ops = self.e_ops
+        if method == "propagator" and not isinstance(self.H, (list, tuple)):
+            return self._run_propagator(rho0, dt, Nt, t0=t0, e_ops=e_ops,
+                                        nout=nout,
+                                        store_states=store_states)
         rho0 = jnp.asarray(rho0)
         cdtype = jnp.result_type(rho0, 1j)
         rho0 = rho0.astype(cdtype)
@@ -96,6 +107,50 @@ class LindbladSolver:
                           t0=t0, store_states=store_states, is_dm=True)
 
     evolve = run
+
+    def _run_propagator(self, rho0, dt, Nt, t0=0.0, e_ops=None, nout=1,
+                        store_states=False) -> Result:
+        rho0 = jnp.asarray(rho0)
+        cdtype = jnp.result_type(rho0, 1j)
+        n = rho0.shape[0]
+        e_ops = [jnp.asarray(e).astype(cdtype) for e in (e_ops or [])]
+        ns = Nt // nout
+        Lm = self.liouvillian().astype(cdtype)
+
+        @jax.jit
+        def evolve(rho0):
+            X = Lm * dt
+            M = jnp.eye(n * n, dtype=cdtype)
+            term = jnp.eye(n * n, dtype=cdtype)
+            for k in range(1, 5):
+                term = (term @ X) / k
+                M = M + term
+            Mk = jnp.linalg.matrix_power(M, nout)
+
+            def window(v, _):
+                v = Mk @ v
+                rho = v.reshape(n, n)
+                obs = jnp.stack([jnp.trace(e @ rho) for e in e_ops]) \
+                    if e_ops else jnp.zeros((0,), cdtype)
+                return v, (obs, rho if store_states else
+                           jnp.zeros((0,), cdtype))
+
+            v, (obs, states) = jax.lax.scan(window, rho0.astype(cdtype)
+                                            .reshape(-1), None, length=ns)
+            return v.reshape(n, n), obs, states
+
+        rho_f, obs, states = evolve(rho0)
+        if e_ops:
+            obs0 = jnp.stack([jnp.trace(e @ rho0.astype(cdtype))
+                              for e in e_ops])[None]
+            obs = jnp.concatenate([obs0, obs], axis=0)
+        r = Result(dt=dt, nt=Nt, nout=nout,
+                   times=t0 + dt * nout * jnp.arange(ns + 1))
+        r.rho = rho_f
+        r.observables = obs
+        if store_states:
+            r.states = states
+        return r
 
     # --------------------------------------------------------- steady state
     def steady_state(self):

@@ -160,3 +160,33 @@ def sort_eig(eigvals, eigvecs):
     (reference: pyqed/phys.py:554)."""
     idx = jnp.argsort(eigvals)
     return eigvals[idx], eigvecs[:, idx]
+
+
+def prefix_propagators(Us):
+    """All-prefix products of a stack of step propagators:
+    out[i] = Us[i] @ Us[i-1] @ ... @ Us[0], computed in log depth with
+    ``jax.lax.associative_scan`` (matmul is associative) — the
+    parallel-in-time primitive for LINEAR driven dynamics: every step
+    propagator is built in one vmapped batch, the whole trajectory's
+    cumulative products run as a handful of large MXU matmul rounds
+    instead of a sequential per-step scan."""
+    import jax
+
+    def combine(a, b):
+        # a after b in time-order: out = b_later @ a_earlier? The scan
+        # combines left-to-right; with elements ordered in time,
+        # (U1, U2) -> U2 @ U1.
+        return jnp.einsum("...ij, ...jk -> ...ik", b, a,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    return jax.lax.associative_scan(combine, Us)
+
+
+def magnus2_propagators(H_mid, dt):
+    """Batched midpoint-Magnus step propagators exp(-i H_mid[k] dt)
+    via one vmapped Hermitian eigendecomposition (H_mid: (nt, n, n))."""
+    import jax
+    w, V = jnp.linalg.eigh(H_mid)
+    phase = jnp.exp(-1j * w * dt)
+    return jnp.einsum("tab, tb, tcb -> tac", V, phase, V.conj(),
+                      precision=jax.lax.Precision.HIGHEST)

@@ -357,3 +357,52 @@ class TestProny:
         a, g, err = prony_decomposition(C, 0.1, 6, return_error=True)
         assert err < 1e-6 * np.abs(C[0])
         assert len(g) <= 6
+
+
+class TestLindbladPropagatorMethod:
+    def test_matches_rk4(self):
+        """method='propagator' (dense RK4-polynomial step, composed per
+        window) is bit-compatible stepping with method='rk4'."""
+        from pyqed_tpu.open.lindblad import LindbladSolver
+        rng = np.random.default_rng(3)
+        n = 8
+        H = rng.normal(size=(n, n))
+        H = (H + H.T) / 2
+        c = np.zeros((n, n))
+        c[0, 3] = 0.3
+        rho0 = np.zeros((n, n))
+        rho0[2, 2] = 1.0
+        eop = np.diag(rng.random(n))
+        r1 = LindbladSolver(H, [c], e_ops=[eop]).run(
+            rho0, dt=0.002, Nt=500, nout=10)
+        r2 = LindbladSolver(H, [c], e_ops=[eop]).run(
+            rho0, dt=0.002, Nt=500, nout=10, method="propagator")
+        assert np.max(np.abs(np.asarray(r1.observables)
+                             - np.asarray(r2.observables))) < 1e-12
+        assert np.max(np.abs(np.asarray(r1.rho)
+                             - np.asarray(r2.rho))) < 1e-12
+
+
+class TestParallelInTime:
+    def test_prefix_propagators_vs_sequential(self):
+        from pyqed_tpu.ops.linalg import (prefix_propagators,
+                                          magnus2_propagators)
+        rng = np.random.default_rng(0)
+        n, nsteps, dt = 12, 400, 0.002
+        H0 = rng.normal(size=(n, n))
+        H0 = (H0 + H0.T) / 2
+        mu = rng.normal(size=(n, n))
+        mu = (mu + mu.T) / 2
+        ts = dt * np.arange(nsteps)
+        Hmid = H0[None] + (0.05 * np.cos(1.05 * (ts + dt / 2)))[:, None,
+                                                                None] * mu
+        Us = magnus2_propagators(jnp.asarray(Hmid), dt)
+        pref = prefix_propagators(Us)
+        # sequential product oracle
+        seq = np.eye(n, dtype=complex)
+        for k in range(nsteps):
+            seq = np.asarray(Us[k]) @ seq
+        assert np.max(np.abs(np.asarray(pref[-1]) - seq)) < 1e-10
+        # unitarity
+        P = np.asarray(pref[-1])
+        assert np.max(np.abs(P.conj().T @ P - np.eye(n))) < 1e-10

@@ -177,3 +177,43 @@ class TestJacobi:
         r = jac.run(g[..., None], dt=0.005, nt=200, nout=200)
         assert np.isclose(float(np.asarray(r.population)[-1].sum()), 1.0,
                           atol=1e-8)
+
+
+class TestSPODftKernel:
+    def test_dft_fold_matches_fft_path(self):
+        """kernel='dft' (Strang step folded into one matrix, nout
+        composed by matrix power) must reproduce the FFT path."""
+        from pyqed_tpu.grid.spo import SPO
+        x = np.linspace(-3, 20, 256, endpoint=False)
+        psi0 = np.exp(-(x - 2.0) ** 2).astype(complex)
+        psi0 /= np.sqrt(np.sum(abs(psi0) ** 2) * (x[1] - x[0]))
+
+        def make(kern):
+            s = SPO(x, mass=1.0, nstates=1, kernel=kern)
+            s.set_potential(lambda xx: 8.0 * (1 - np.exp(-0.5 * xx)) ** 2)
+            return s
+
+        r1 = make("xla").run(psi0[:, None], dt=0.005, nt=200, nout=20)
+        r2 = make("dft").run(psi0[:, None], dt=0.005, nt=200, nout=20)
+        assert np.max(np.abs(np.asarray(r1.psi) - np.asarray(r2.psi))) < 1e-10
+        assert np.max(np.abs(np.asarray(r1.population)
+                             - np.asarray(r2.population))) < 1e-10
+
+    def test_dft_two_state(self):
+        from pyqed_tpu.grid.spo import SPO
+        nx = 128
+        x = np.linspace(-8, 8, nx, endpoint=False)
+        v = np.zeros((nx, 2, 2))
+        v[:, 0, 0] = 0.5 * x ** 2
+        v[:, 1, 1] = 0.5 * x ** 2 + 1.0
+        v[:, 0, 1] = v[:, 1, 0] = 0.2
+        psi0 = np.zeros((nx, 2), complex)
+        psi0[:, 0] = np.exp(-(x - 1.0) ** 2)
+        psi0 /= np.sqrt(np.sum(abs(psi0) ** 2) * (x[1] - x[0]))
+        rs = []
+        for kern in ("xla", "dft"):
+            s = SPO(x, mass=1.0, nstates=2, kernel=kern)
+            s.set_dpes(v)
+            rs.append(s.run(psi0, dt=0.01, nt=100, nout=10))
+        assert np.max(np.abs(np.asarray(rs[0].population)
+                             - np.asarray(rs[1].population))) < 1e-10
