@@ -217,3 +217,82 @@ class TestSPODftKernel:
             rs.append(s.run(psi0, dt=0.01, nt=100, nout=10))
         assert np.max(np.abs(np.asarray(rs[0].population)
                              - np.asarray(rs[1].population))) < 1e-10
+
+
+class TestSPO3Jacobi:
+    def _dense_H(self, x, y, z, mu1, mu2, v):
+        """Dense J=0 triatomic Jacobi H on the full (nx*ny*nz) grid,
+        with T_r, T_R, and the angular term built from exact FFT
+        differentiation matrices (the operator SPO3 jacobi splits)."""
+        def fftmat(k2, n):
+            F = np.exp(-2j * np.pi * np.outer(np.arange(n), np.arange(n)) / n)
+            return (F.conj().T * k2[None, :]) @ F / n
+        nx, ny, nz = len(x), len(y), len(z)
+        kx = 2 * np.pi * np.fft.fftfreq(nx, x[1] - x[0])
+        ky = 2 * np.pi * np.fft.fftfreq(ny, y[1] - y[0])
+        kz = 2 * np.pi * np.fft.fftfreq(nz, z[1] - z[0])
+        Tx = fftmat(kx ** 2 / (2 * mu1), nx)
+        Ty = fftmat(ky ** 2 / (2 * mu2), ny)
+        j2 = fftmat(kz ** 2, nz)
+        Ix, Iy, Iz = np.eye(nx), np.eye(ny), np.eye(nz)
+        H = (np.kron(np.kron(Tx, Iy), Iz)
+             + np.kron(np.kron(Ix, Ty), Iz))
+        binv = (1 / (2 * mu1 * x ** 2)[:, None]
+                + 1 / (2 * mu2 * y ** 2)[None, :])
+        H = H + np.kron(np.diag(binv.ravel()), j2)
+        H = H + np.diag(v.ravel())
+        return H
+
+    def test_vs_dense_expm_converges(self):
+        """One SPO3-jacobi Strang step -> exact expm as dt -> 0 at
+        second order (error ratio ~4 when dt halves)."""
+        from scipy.linalg import expm
+        from pyqed_tpu.grid import SPO3
+        nx = ny = nz = 8
+        x = np.linspace(1.2, 3.2, nx, endpoint=False)
+        y = np.linspace(1.5, 3.5, ny, endpoint=False)
+        z = np.linspace(-np.pi, np.pi, nz, endpoint=False)
+        mu1, mu2 = 1.5, 2.0
+        X, Y, Z = np.meshgrid(x, y, z, indexing="ij")
+        v = 0.5 * (X - 2.0) ** 2 + 0.4 * (Y - 2.4) ** 2 \
+            + 0.2 * (1 - np.cos(Z))
+        H = self._dense_H(x, y, z, mu1, mu2, v)
+        g = np.exp(-2 * (X - 2.0) ** 2 - 2 * (Y - 2.4) ** 2 - Z ** 2)
+        g = (g / np.linalg.norm(g)).astype(complex)
+
+        errs = []
+        for dt in (0.02, 0.01):
+            spo = SPO3(x, y, z, masses=(mu1, mu2), nstates=1,
+                       coords="jacobi")
+            spo.set_dpes(v)
+            spo.build(dt)
+            out = spo._peo(spo._keo(spo._peo(jnp.asarray(g[..., None]),
+                                             half=True)), half=True)
+            exact = (expm(-1j * H * dt) @ g.ravel()).reshape(g.shape)
+            errs.append(np.max(np.abs(np.asarray(out)[..., 0] - exact)))
+        assert errs[0] / errs[1] > 3.3, errs
+        assert errs[1] < 2e-5, errs
+
+    def test_norm_and_energy_conserved(self):
+        from pyqed_tpu.grid import SPO3
+        nx = ny = 16
+        nz = 16
+        x = np.linspace(1.0, 4.0, nx, endpoint=False)
+        y = np.linspace(1.2, 4.2, ny, endpoint=False)
+        z = np.linspace(-np.pi, np.pi, nz, endpoint=False)
+        X, Y, Z = np.meshgrid(x, y, z, indexing="ij")
+        v1 = 0.5 * (X - 2.0) ** 2 + 0.5 * (Y - 2.5) ** 2 \
+            + 0.3 * (1 - np.cos(Z))
+        v2 = v1 + 0.8
+        c = 0.05 * np.ones_like(X)
+        spo = SPO3(x, y, z, masses=(2.0, 3.0), nstates=2, coords="jacobi")
+        spo.set_DPES([v1, v2], [[(0, 1), c]])
+        g = np.exp(-2 * (X - 2.0) ** 2 - 2 * (Y - 2.5) ** 2 - Z ** 2)
+        dv = (x[1] - x[0]) * (y[1] - y[0]) * (z[1] - z[0])
+        g /= np.sqrt((np.abs(g) ** 2).sum() * dv)
+        psi0 = np.zeros(g.shape + (2,), complex)
+        psi0[..., 0] = g
+        r = spo.run(psi0, dt=0.005, nt=200, nout=100)
+        pops = np.asarray(r.population)
+        assert np.isclose(pops[-1].sum(), 1.0, atol=1e-8)
+        assert pops[-1, 1] > 1e-4   # population actually transfers
