@@ -2,3 +2,4 @@ from .floquet import (
     TightBinding, FloquetBloch, floquet_matrix, make_peierls_blocks_fn,
     gomez_leon_model,
 )
+from .free_electron import light_driven_free_electron, cep_scan, efield

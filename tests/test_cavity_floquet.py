@@ -171,3 +171,34 @@ class TestFloquet:
             fb = FloquetBloch(lambda k, E: None, 1.0, 1, 2)
             w = fb.subspace_winding([0], states=[lower])
             assert w == expected, (t1, t2, w)
+
+
+class TestFreeElectron:
+    def test_quiver_matches_analytic(self):
+        """Free electron (w0=0) in a circular field: analytic quiver
+        q(t) = q0 + p-drift + E0/w^2 * (field-phase terms)."""
+        import numpy as np
+        from pyqed_tpu.floquet import light_driven_free_electron
+        E0, om, cep = 0.8, 1.3, 0.4
+        t, q, p = light_driven_free_electron(
+            tf=20.0, nt=8000, q0=(0.4, 0, 0), p0=(0, 0, 0), E0=E0,
+            omega=om, cep=cep, omega0=0.0, polarization="circular")
+        t = np.asarray(t); q = np.asarray(q)
+        # dp/dt = -E(t) with E = E0(cos(wt+c), -sin(wt+c), 0):
+        px = -E0 / om * (np.sin(om * t + cep) - np.sin(cep))
+        py = E0 / om * (np.cos(cep) - np.cos(om * t + cep))
+        x = 0.4 + E0 / om ** 2 * (np.cos(om * t + cep) - np.cos(cep)) \
+            + E0 / om * np.sin(cep) * t
+        y = -E0 / om ** 2 * (np.sin(om * t + cep) - np.sin(cep)) \
+            + E0 / om * np.cos(cep) * t
+        assert np.max(np.abs(q[:, 0] - x)) < 1e-8
+        assert np.max(np.abs(q[:, 1] - y)) < 1e-8
+        assert np.max(np.abs(np.asarray(p)[:, 0] - px)) < 1e-8
+        assert np.max(np.abs(np.asarray(p)[:, 1] - py)) < 1e-8
+
+    def test_cep_scan_batches(self):
+        import numpy as np
+        from pyqed_tpu.floquet import cep_scan
+        t, q, p = cep_scan(np.array([0.0, np.pi / 4]), tf=5.0, nt=100)
+        assert q.shape == (2, 101, 3)
+        assert not np.allclose(np.asarray(q)[0], np.asarray(q)[1])
