@@ -7,3 +7,9 @@ from .soc import soc_integrals, soc_matrix, soc_mo
 from . import basis
 from .dvr import (MoleculeDVR, RHF1D, RHF2D, RKS1D, CASCIDVR,
                   soft_coulomb, exact_2e)
+from .rxs import RXS, get_ab_ras, core_excitation
+from .density import (ao_gradients, charge_density,
+                      transition_charge_density,
+                      transition_current_density,
+                      current_density_wavefunction, cube_grid,
+                      write_density_cube)

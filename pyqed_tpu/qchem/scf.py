@@ -35,6 +35,10 @@ class RHF:
         self.mo_energy = None
         self.converged = False
 
+    @property
+    def bfs(self):
+        return self.mol.bfs
+
     def run(self):
         mol = self.mol
         S, T, V, eri = mol.intor()

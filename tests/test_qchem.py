@@ -132,3 +132,101 @@ class TestUHF:
         S, T, V, eri = mol.intor()
         w = sla.eigh(np.asarray(T + V), np.asarray(S), eigvals_only=True)
         assert np.isclose(mf.e_tot, w[0], atol=1e-8)
+
+
+class TestRXSDensity:
+    """Core-excitation RXS (reference: pyqed/qchem/core.py:444) and
+    transition charge/current densities
+    (reference: pyqed/qchem/current_density.py)."""
+
+    def _h2o(self):
+        from pyqed_tpu.qchem import Molecule
+        atoms = [("O", (0.0, 0.0, 0.0)),
+                 ("H", (0.0, -1.43, 1.11)),
+                 ("H", (0.0, 1.43, 1.11))]
+        mol = Molecule(atoms, basis="sto-3g")
+        mf = mol.RHF().run()
+        return mol, mf
+
+    def test_full_window_rxs_equals_tda(self):
+        from pyqed_tpu.qchem import RXS
+        from pyqed_tpu.qchem.tdscf import TDA
+        mol, mf = self._h2o()
+        td = TDA(mf); e_full = td.run(nroots=4)
+        r = RXS(mf)
+        w, _ = r.core_excitation(nstates=4)
+        assert np.max(np.abs(np.asarray(e_full) - w)) < 1e-9
+
+    def test_core_window_and_energy_range(self):
+        from pyqed_tpu.qchem import RXS
+        mol, mf = self._h2o()
+        # O 1s core window: excitations from the lowest MO only
+        r = RXS(mf, occidx=[0])
+        w, v = r.core_excitation()
+        assert w.min() > 18.0   # O K-edge ~ 20 Ha in STO-3G
+        # energy_range picks the matching subset
+        w2, _ = r.core_excitation(energy_range=(w[0] - 1e-6, w[0] + 1e-6))
+        assert len(w2) == 1 and abs(w2[0] - w[0]) < 1e-12
+        # oscillator strengths finite and some nonzero
+        f = r.oscillator_strength()
+        assert np.all(np.isfinite(f)) and np.any(f > 1e-4)
+
+    def test_tdm_ao_representation(self):
+        from pyqed_tpu.qchem import RXS
+        mol, mf = self._h2o()
+        r = RXS(mf)
+        r.core_excitation(nstates=2)
+        Dmo = r.tdm(0, "mo")
+        Dao = r.tdm(0, "ao")
+        # transition dipole from AO TDM == window-einsum dipole
+        from pyqed_tpu.qchem.basis import dipole_matrix
+        mu_ao = np.asarray(dipole_matrix(mf.bfs))      # (3, nao, nao)
+        mu1 = np.einsum("kpq, pq -> k", mu_ao, Dao) * np.sqrt(2.0)
+        mu2 = r.transition_dipole()[0]
+        assert np.max(np.abs(mu1 - mu2)) < 1e-8
+
+    def test_ao_gradients_finite_difference(self):
+        from pyqed_tpu.qchem.density import ao_gradients
+        from pyqed_tpu.qchem.dft import ao_values
+        mol, mf = self._h2o()
+        rng = np.random.default_rng(0)
+        pts = rng.normal(scale=1.5, size=(20, 3))
+        g = np.asarray(ao_gradients(mf.bfs, pts))
+        h = 1e-6
+        for ax in range(3):
+            e = np.zeros(3); e[ax] = h
+            fd = (np.asarray(ao_values(mf.bfs, pts + e))
+                  - np.asarray(ao_values(mf.bfs, pts - e))) / (2 * h)
+            assert np.max(np.abs(g[:, :, ax] - fd)) < 1e-6
+
+    def test_current_density_continuity(self):
+        """For a stationary-state superposition psi = (phi_i + i phi_a)
+        the current from the TDM contraction equals Im[psi* grad psi]."""
+        from pyqed_tpu.qchem.density import (transition_current_density,
+                                             current_density_wavefunction)
+        mol, mf = self._h2o()
+        C = np.asarray(mf.mo_coeff)
+        c = (C[:, 2] + 1j * C[:, 4]) / np.sqrt(2.0)
+        gamma = np.outer(c.conj(), c)
+        rng = np.random.default_rng(1)
+        pts = rng.normal(scale=1.2, size=(30, 3))
+        j1 = np.asarray(transition_current_density(mf.bfs, gamma, pts))
+        j2 = np.asarray(current_density_wavefunction(mf.bfs, c, pts))
+        assert np.max(np.abs(np.real(j1) - j2)) < 1e-10
+
+    def test_density_cube_roundtrip(self, tmp_path):
+        from pyqed_tpu.qchem import write_density_cube
+        from pyqed_tpu.utils.io import read_cube
+        mol, mf = self._h2o()
+        D = np.asarray(mf.make_rdm1()) if hasattr(mf, "make_rdm1") else \
+            2.0 * np.asarray(mf.mo_coeff)[:, :mf.nocc] @ \
+            np.asarray(mf.mo_coeff)[:, :mf.nocc].T
+        atoms = [("O", (0.0, 0.0, 0.0)),
+                 ("H", (0.0, -1.43, 1.11)),
+                 ("H", (0.0, 1.43, 1.11))]
+        f = str(tmp_path / "rho.cube")
+        rho = write_density_cube(f, atoms, mf.bfs, D, nx=12, ny=12, nz=12,
+                                 margin=3.0)
+        assert rho.shape == (12, 12, 12) and np.all(rho > -1e-12)
+        atoms_r, cell_r, data_r, origin_r = read_cube(f)
+        assert np.allclose(data_r, rho, rtol=1e-4, atol=1e-8)
