@@ -5,4 +5,6 @@ from .beam import (
 from .photonic import (
     transfer_matrix, rt_coefficients, transmittance_spectrum,
     quasinormal_modes, Multilayer, propagation, interface,
+    dyadic_G0, dyadic_Gs_interface, dyadic_Gs_slab, dyadic_G_slab,
+    ChiralMultilayer, purcell_factor, helmholtz_g0,
 )

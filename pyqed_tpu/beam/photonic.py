@@ -192,3 +192,106 @@ def purcell_factor(G_scatt, lam, eps=1.0, orientation=2):
     k = 2 * np.pi / lam * np.sqrt(eps)
     g0 = k / (6 * np.pi)
     return 1.0 + float(jnp.imag(G_scatt[orientation, orientation])) / g0
+
+
+def dyadic_Gs_slab(R1, R2, lam, eps1=1.0, eps2=1.0, eps3=1.0, spacing=1.0,
+                   retarded=False):
+    """Surface dyadic Green function for a 1-2-3 slab (source and
+    observer inside medium 2, interfaces at z = 0 and z = spacing) by
+    the method of image dipoles, one reflection per interface
+    (reference: pyqed/dgf/propagator.py:117 ``Gs123`` — near-field
+    electrostatic images; here written as one batched tensor expression,
+    with an optional retarded variant using the full free-space dyadic).
+
+    Static image tensor per interface: S = c_delta * [-(3 rr - I)/r^3] M
+    with M = diag(1, 1, -1) acting on the source index, r the vector
+    from the image source to the observer, and
+    c_delta = (eps_out - eps2)/(eps_out + eps2).
+    """
+    R1 = jnp.asarray(R1, dtype=float)
+    R2 = jnp.asarray(R2, dtype=float)
+    cd12 = (eps1 - eps2) / (eps1 + eps2)
+    cd23 = (eps3 - eps2) / (eps3 + eps2)
+    M = jnp.diag(jnp.asarray([1.0, 1.0, -1.0]))
+    flipz = jnp.asarray([1.0, 1.0, -1.0])
+    img12 = R2 * flipz                                   # mirror at z=0
+    img23 = R2 * flipz + jnp.asarray([0.0, 0.0, 2.0 * spacing])
+
+    if retarded:
+        return (cd12 * dyadic_G0(R1, img12, lam, eps2)
+                + cd23 * dyadic_G0(R1, img23, lam, eps2)) @ M
+
+    def static(Rimg, cd):
+        d = R1 - Rimg
+        r2 = jnp.sum(d ** 2, axis=-1)[..., None, None]
+        dd = d[..., :, None] * d[..., None, :]
+        I = jnp.eye(3)
+        S = -(3.0 * dd - I * r2) / r2 ** 2.5
+        return cd * S @ M
+
+    return static(img12, cd12) + static(img23, cd23)
+
+
+def dyadic_G_slab(R1, R2, lam, eps1=1.0, eps2=1.0, eps3=1.0, spacing=1.0,
+                  retarded=False):
+    """Total near-field dyadic GF inside the slab: homogeneous bulk +
+    the two image reflections (reference: pyqed/dgf/propagator.py:165
+    ``G``)."""
+    return (dyadic_G0(R1, R2, lam, eps2)
+            + dyadic_Gs_slab(R1, R2, lam, eps1, eps2, eps3, spacing,
+                             retarded=retarded))
+
+
+class ChiralMultilayer:
+    """1D Green's functions of a bi-isotropic (Pasteur) chiral layered
+    medium (reference: pyqed/dgf/propagator.py:302 ``ChiralMultilayer``
+    — an empty stub there (green0/green are ``pass``); implemented here
+    for real).
+
+    Constitutive relations D = eps0 eps E + i kappa/c H,
+    B = mu0 mu H - i kappa/c E make the two circular polarizations
+    exact eigenmodes with refractive indices n± = sqrt(eps mu) ± kappa;
+    in 1D they decouple, so the Green function is diagonal in the
+    circular basis with per-handedness Helmholtz kernels, and a
+    chirality/permittivity profile enters through a per-handedness
+    Dyson solve (same scheme as :class:`Multilayer`).
+    """
+
+    def __init__(self, z, eps, kappa, mu=1.0, eps0=1.0, kappa0=0.0):
+        self.z = np.asarray(z)
+        self.nz = len(self.z)
+        self.dz = self.z[1] - self.z[0]
+        eps = jnp.broadcast_to(jnp.asarray(eps, dtype=complex), (self.nz,))
+        kap = jnp.broadcast_to(jnp.asarray(kappa, dtype=complex), (self.nz,))
+        self.n = jnp.stack([jnp.sqrt(eps * mu) + kap,
+                            jnp.sqrt(eps * mu) - kap])      # (2, nz): +,-
+        self.n0 = (np.sqrt(eps0 * mu) + kappa0,
+                   np.sqrt(eps0 * mu) - kappa0)
+
+    def green0(self, k):
+        """(2, nz, nz): circular-basis background kernels g±."""
+        Z1, Z2 = jnp.meshgrid(jnp.asarray(self.z), jnp.asarray(self.z),
+                              indexing="ij")
+        return jnp.stack([helmholtz_g0(Z1, Z2, k * self.n0[0]),
+                          helmholtz_g0(Z1, Z2, k * self.n0[1])])
+
+    def green(self, k):
+        """Full (2, nz, nz) Green function: per-handedness Dyson solve
+        with susceptibility chi± = n±(z)^2 - n0±^2."""
+        g0 = self.green0(k)
+        out = []
+        for s in range(2):
+            chi = self.n[s] ** 2 - self.n0[s] ** 2
+            A = (jnp.eye(self.nz, dtype=complex)
+                 - g0[s] * (k ** 2 * chi)[None, :] * self.dz)
+            out.append(jnp.linalg.solve(A, g0[s]))
+        return jnp.stack(out)
+
+    G = green
+
+    def optical_rotation(self, k, L=None):
+        """Polarization-plane rotation across the slab,
+        theta = k * integral (n+ - n-)/2 dz (homogeneous limit:
+        k (n+ - n-) L / 2)."""
+        dn = jnp.real(self.n[0] - self.n[1])
+        return float(0.5 * k * jnp.sum(dn) * self.dz)

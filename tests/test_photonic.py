@@ -105,3 +105,76 @@ class TestDyadicGF:
         # x-dipole (parallel) is SUPPRESSED near a mirror
         fx = purcell_factor(jnp.asarray(Gs), lam, orientation=0)
         assert fx < 0.5
+
+
+class TestSlabAndChiral:
+    """Slab dyadic GF (reference: pyqed/dgf/propagator.py:117 Gs123) and
+    ChiralMultilayer (reference stub at :302 made real)."""
+
+    def test_slab_reduces_to_single_interface(self):
+        """eps3 = eps2: the second image vanishes; remote far interface:
+        only the z=0 image contributes."""
+        from pyqed_tpu.beam import dyadic_Gs_slab
+        R1 = np.array([0.3, -0.2, 0.8])
+        R2 = np.array([-0.1, 0.4, 0.5])
+        S = np.asarray(dyadic_Gs_slab(R1, R2, lam=5.0, eps1=4.0, eps2=1.0,
+                                      eps3=1.0, spacing=100.0))
+        # direct static image formula for the z=0 interface
+        cd = (4.0 - 1.0) / (4.0 + 1.0)
+        d = R1 - R2 * np.array([1, 1, -1])
+        r2 = d @ d
+        Sref = -cd * (3 * np.outer(d, d) - np.eye(3) * r2) / r2 ** 2.5
+        Sref = Sref @ np.diag([1.0, 1.0, -1.0])
+        assert np.max(np.abs(S - Sref)) < 1e-12
+
+    def test_slab_symmetries(self):
+        """Reference invariants (pyqed/dgf/propagator.py:155-159):
+        yx = xy, zx = -xz, zy = -yz."""
+        from pyqed_tpu.beam import dyadic_Gs_slab
+        R1 = np.array([0.3, -0.2, 0.8]); R2 = np.array([-0.5, 0.4, 0.6])
+        S = np.asarray(dyadic_Gs_slab(R1, R2, lam=3.0, eps1=2.0, eps2=1.0,
+                                      eps3=5.0, spacing=2.0))
+        assert np.isclose(S[1, 0], S[0, 1], atol=1e-14)
+        assert np.isclose(S[2, 0], -S[0, 2], atol=1e-14)
+        assert np.isclose(S[2, 1], -S[1, 2], atol=1e-14)
+
+    def test_slab_total_includes_bulk(self):
+        from pyqed_tpu.beam import dyadic_G_slab, dyadic_G0, dyadic_Gs_slab
+        R1 = np.array([0.0, 0.0, 1.0]); R2 = np.array([0.2, 0.0, 0.7])
+        G = np.asarray(dyadic_G_slab(R1, R2, 4.0, 2.0, 1.0, 3.0, 2.5))
+        G0 = np.asarray(dyadic_G0(R1, R2, 4.0, 1.0))
+        S = np.asarray(dyadic_Gs_slab(R1, R2, 4.0, 2.0, 1.0, 3.0, 2.5))
+        assert np.allclose(G, G0 + S)
+
+    def test_chiral_kappa0_matches_achiral(self):
+        from pyqed_tpu.beam import ChiralMultilayer, Multilayer
+        z = np.linspace(-5, 5, 200)
+        eps = np.where(np.abs(z) < 1.0, 2.25, 1.0)
+        ml = Multilayer(z, eps, eps0=1.0)
+        cm = ChiralMultilayer(z, eps, kappa=0.0, eps0=1.0)
+        k = 2.1
+        Ga = np.asarray(ml.G(k))
+        Gc = np.asarray(cm.green(k))
+        assert np.max(np.abs(Gc[0] - Ga)) < 1e-10
+        assert np.max(np.abs(Gc[1] - Ga)) < 1e-10
+
+    def test_chiral_rotation_analytic(self):
+        from pyqed_tpu.beam import ChiralMultilayer
+        z = np.linspace(0, 2.0, 400)
+        kappa = 0.01
+        cm = ChiralMultilayer(z, eps=1.0, kappa=kappa, eps0=1.0,
+                              kappa0=kappa)
+        k = 3.0
+        L = z[-1] - z[0] + (z[1] - z[0])
+        theta = cm.optical_rotation(k)
+        assert abs(theta - 0.5 * k * 2 * kappa * L) < 1e-3
+
+    def test_chiral_modes_split(self):
+        """kappa != 0: the two circular Green functions differ."""
+        from pyqed_tpu.beam import ChiralMultilayer
+        z = np.linspace(-4, 4, 160)
+        eps = np.where(np.abs(z) < 1.5, 2.0, 1.0)
+        kap = np.where(np.abs(z) < 1.5, 0.3, 0.0)
+        cm = ChiralMultilayer(z, eps, kap)
+        G = np.asarray(cm.green(1.7))
+        assert np.max(np.abs(G[0] - G[1])) > 1e-3
