@@ -13,3 +13,5 @@ from .density import (ao_gradients, charge_density,
                       transition_current_density,
                       current_density_wavefunction, cube_grid,
                       write_density_cube)
+from .ci_overlap import (cross_overlap_ao, mo_cross_overlap, ci_overlap,
+                         wavefunction_overlap, nonadiabatic_coupling)

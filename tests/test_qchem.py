@@ -230,3 +230,55 @@ class TestRXSDensity:
         assert rho.shape == (12, 12, 12) and np.all(rho > -1e-12)
         atoms_r, cell_r, data_r, origin_r = read_cube(f)
         assert np.allclose(data_r, rho, rtol=1e-4, atol=1e-8)
+
+
+class TestCIOverlap:
+    """Cross-geometry CI overlaps and derivative couplings
+    (reference: pyqed/qchem/ci_overlap.py, cisd_overlap.py)."""
+
+    def _h2(self, r):
+        from pyqed_tpu.qchem import Molecule
+        return Molecule([("H", (0.0, 0.0, 0.0)), ("H", (0.0, 0.0, r))],
+                        basis="sto-3g")
+
+    def test_same_geometry_is_identity(self):
+        from pyqed_tpu.qchem import wavefunction_overlap
+        from pyqed_tpu.qchem.ci import FCI
+        mf = self._h2(1.4).RHF().run()
+        ci = FCI(mf); ci.run(nroots=3)
+        O = wavefunction_overlap(mf, ci, mf, ci)
+        assert np.max(np.abs(O - np.eye(3))) < 1e-8
+
+    def test_displaced_overlap_smooth(self):
+        from pyqed_tpu.qchem import wavefunction_overlap
+        from pyqed_tpu.qchem.ci import FCI
+        mf1 = self._h2(1.4).RHF().run()
+        ci1 = FCI(mf1); ci1.run(nroots=2)
+        o_prev = 1.0
+        for d in (0.2, 0.05, 0.01):
+            mf2 = self._h2(1.4 + d).RHF().run()
+            ci2 = FCI(mf2); ci2.run(nroots=2)
+            o = abs(np.asarray(wavefunction_overlap(mf1, ci1,
+                                                    mf2, ci2))[0, 0])
+            assert o < 1.0 + 1e-10
+            assert o > o_prev - 1.0 + 0.5  # monotone toward 1
+            o_prev = o
+        assert o_prev > 0.9999
+
+    def test_nac_antisymmetric(self):
+        """Antisymmetry tau_mn = -tau_nm holds between NON-degenerate
+        states (H2/STO-3G FCI: ground sigma_g^2 and the doubly excited
+        sigma_u^2 at roots 0 and 5; the triplet manifold in between is
+        degenerate, where finite-difference NAC is gauge-dependent)."""
+        from pyqed_tpu.qchem import nonadiabatic_coupling
+        tau = nonadiabatic_coupling(
+            lambda r: self._h2(r), 1.4, None, dr=5e-3, nroots=6)
+        # norm conservation for the non-degenerate states
+        assert abs(tau[0, 0]) < 1e-4
+        assert abs(tau[5, 5]) < 1e-4
+        # antisymmetry of the 0<->5 coupling
+        assert abs(tau[0, 5] + tau[5, 0]) < 1e-4
+        # the sigma_g^2 <-> sigma_u^2 coupling is nonzero off equilibrium
+        tau2 = nonadiabatic_coupling(
+            lambda r: self._h2(r), 1.8, None, dr=5e-3, nroots=6)
+        assert abs(tau2[0, 5]) > 1e-3
