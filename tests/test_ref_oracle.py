@@ -236,3 +236,95 @@ def test_dmrg_energy_vs_reference():
     H = np.asarray(mpo_heisenberg(N, J=1.0).to_dense())
     E_exact = np.linalg.eigvalsh(H)[0]
     assert abs(E_my - E_exact) < 1e-6
+
+
+def test_fft_conventions_vs_reference():
+    """Our ops.fft vs the actual reference pyqed/fft.py on a chirped
+    Gaussian signal (continuous-FT normalization + shifted axes)."""
+    from ref_oracle import load_reference_module
+    ref_fft = load_reference_module("fft")
+    import numpy as np
+    from pyqed_tpu.ops.fft import fft as jfft, ifft as jifft
+    t = np.linspace(-40, 40, 256, endpoint=False)
+    x = np.exp(-0.1 * t ** 2 + 0.3j * t ** 2 + 1j * 0.7 * t)
+    Xr, wr = ref_fft.fft(x, t)
+    Xj, wj = jfft(x, t)
+    assert np.max(np.abs(np.asarray(Xj) - Xr)) < 1e-10
+    assert np.max(np.abs(np.asarray(wj) - wr)) < 1e-12
+    # our ifft against the reference ifft (the reference's own
+    # fft->ifft roundtrip does NOT recover x: its ifft rebuilds the time
+    # grid from zero, losing the t0 origin — parity is with its output)
+    xr_back, tr = ref_fft.ifft(Xr, wr)
+    xj_back, tj = jifft(np.asarray(Xr), wr)
+    assert np.max(np.abs(np.asarray(xj_back) - xr_back)) < 1e-10
+    assert np.max(np.abs(np.asarray(tj) - tr)) < 1e-10
+
+
+def test_sine_dvr_vs_reference():
+    """Sine-DVR kinetic matrix and Morse eigenvalues vs the actual
+    reference pyqed/dvr/dvr_1d.py SineDVR."""
+    from ref_oracle import load_reference_module
+    import numpy as np
+    ref_dvr = load_reference_module("dvr.dvr_1d")
+    from pyqed_tpu.grid import SineDVR
+    npts, xmin, xmax, mass = 64, 0.2, 12.0, 2.0
+    ours = SineDVR(xmin, xmax, npts, mass=mass)
+    ref = ref_dvr.SineDVR(xmin, xmax, npts, mass=mass)
+    Tr = np.asarray(ref.t())
+    To = np.asarray(ours.t())
+    assert Tr.shape == To.shape
+    assert np.max(np.abs(To - Tr)) < 1e-10
+
+    def V(x):
+        return 4.0 * (1 - np.exp(-0.6 * (x - 2.0))) ** 2
+    Eo, _ = ours.run(V=V, num_eigs=5)
+    Hr = Tr + np.diag(V(np.asarray(ref.x)))
+    Er = np.linalg.eigvalsh(Hr)[:5]
+    assert np.max(np.abs(np.asarray(Eo) - Er)) < 1e-9
+
+
+def test_absorption_vs_reference():
+    """linear_absorption SOS lineshape vs the actual reference
+    pyqed/signal/sos.py."""
+    from ref_oracle import load_reference_module
+    import numpy as np
+    ref_sos = load_reference_module("signal.sos")
+    from pyqed_tpu.signal.sos import linear_absorption
+    rng = np.random.default_rng(7)
+    E = np.array([0.0, 1.0, 1.3, 2.2])
+    dip = rng.normal(size=(4, 4)); dip = (dip + dip.T) / 2
+    omegas = np.linspace(0.5, 2.5, 300)
+    ref = ref_sos.linear_absorption(omegas, E[1:], dip=dip[0, 1:],
+                                    gamma=0.02, normalize=False)
+    ours = linear_absorption(omegas, E[1:], dip[0, 1:], gamma=0.02)
+    r = np.asarray(ref, dtype=float)
+    o = np.asarray(ours, dtype=float)
+    assert np.max(np.abs(o - r)) < 1e-10 * max(1.0, np.max(np.abs(r)))
+
+
+def test_dqc_vs_reference():
+    """Double-quantum-coherence R1/R2 pathways vs the actual reference,
+    in the (tau1, omega2, omega3) branch. (The reference's other branch,
+    (omega1, omega2, tau3), ignores omega1 entirely — both resolvents use
+    `probe` (pyqed/signal/sos.py:1099,1104); our DQC keeps the physical
+    reading there, so no bug-for-bug parity is asserted on it.)"""
+    from ref_oracle import load_reference_module
+    import numpy as np
+    ref_sos = load_reference_module("signal.sos")
+    from pyqed_tpu.signal.sos import DQC_R1, DQC_R2
+    E = np.array([0.0, 1.0, 1.15, 2.1])
+    rng = np.random.default_rng(1)
+    dip = rng.normal(size=(4, 4)); dip = (dip + dip.T) / 2
+    w2 = np.linspace(1.7, 2.5, 44)
+    w3 = np.linspace(0.8, 1.4, 40)
+    for ours_fn, name in ((DQC_R1, "DQC_R1"), (DQC_R2, "DQC_R2")):
+        ref_fn = getattr(ref_sos, name)
+        ref = ref_fn(E, dip, omega1=None, omega2=w2, omega3=w3, tau1=0.5,
+                     g_idx=[0], e_idx=[1, 2], f_idx=[3],
+                     gamma=[0.0, 0.05, 0.06, 0.1])
+        ours = ours_fn(E, dip, omega2=w2, omega3=w3, tau1=0.5,
+                       g_idx=[0], e_idx=[1, 2], f_idx=[3],
+                       gamma=np.array([0.0, 0.05, 0.06, 0.1]))
+        scale = np.max(np.abs(np.asarray(ref)))
+        assert np.max(np.abs(np.asarray(ours) - np.asarray(ref))) \
+            < 1e-8 * max(scale, 1.0), name
