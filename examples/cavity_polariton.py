@@ -1,5 +1,11 @@
 """Cavity-polariton dynamics (BASELINE config #5;
 reference: examples/test_cavity.py, pyqed/polariton/cavity.py)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_platforms", "cpu")   # parity surface; the
+# TPU path (re/im-split jit boundaries) is exercised by bench.py
+jax.config.update("jax_enable_x64", True)
 import numpy as np
 import jax.numpy as jnp
 from pyqed_tpu import Mol, SESolver, pauli, sigmam, basis

@@ -1,5 +1,11 @@
 """Spin-boson HEOM hierarchy (BASELINE config #3;
 reference: examples/heom.py, examples/deom.py)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_platforms", "cpu")   # parity surface; the
+# TPU path (re/im-split jit boundaries) is exercised by bench.py
+jax.config.update("jax_enable_x64", True)
 import numpy as np
 import jax.numpy as jnp
 from pyqed_tpu import pauli
