@@ -26,3 +26,4 @@ from .expm import (
 from . import fft
 from . import quadrature
 from .jointdiag import joint_diagonalize, qndiag
+from .davidson import davidson, block_davidson

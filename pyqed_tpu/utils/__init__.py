@@ -6,3 +6,4 @@ from .noise import cnoise, autocorrelation
 from .wigner import wigner, spectrogram, wvd
 from .nonherm import eig as nonherm_eig, diabatic_to_adiabatic
 from .io import write_cube, read_cube
+from . import style

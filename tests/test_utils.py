@@ -84,3 +84,87 @@ class TestNonHerm:
         for i in range(11):
             w = np.linalg.eigvalsh(v[i])
             assert np.allclose(np.asarray(apes)[i], w, atol=1e-12)
+
+
+class TestDavidson:
+    """Davidson/block-Davidson (reference: pyqed/davidson.py:70,155)."""
+
+    def test_matches_eigh(self):
+        from pyqed_tpu.ops.davidson import davidson
+        rng = np.random.default_rng(0)
+        n = 300
+        A = np.diag(np.arange(n, dtype=float)) \
+            + 1e-3 * rng.normal(size=(n, n))
+        A = (A + A.T) / 2
+        w, X = davidson(A, 4, tol=1e-10)
+        wr = np.linalg.eigvalsh(A)[:4]
+        assert np.max(np.abs(w - wr)) < 1e-9
+        assert np.max(np.abs(A @ X - X * w[None, :])) < 1e-7
+
+    def test_matrix_free_jacobi(self):
+        from pyqed_tpu.ops.davidson import davidson
+        rng = np.random.default_rng(3)
+        n = 250
+        A = np.diag(np.linspace(0, 10, n)) \
+            + 5e-3 * rng.normal(size=(n, n))
+        A = (A + A.T) / 2
+        w, _ = davidson(lambda x: A @ x, 3, diag=np.diag(A), jacobi=True)
+        wr = np.linalg.eigvalsh(A)[:3]
+        assert np.max(np.abs(w - wr)) < 1e-8
+
+    def test_tda_matrix(self):
+        """Davidson on a real TDA response matrix reproduces eigh."""
+        from pyqed_tpu.ops.davidson import block_davidson
+        from pyqed_tpu.qchem import Molecule
+        from pyqed_tpu.qchem.tdscf import tda_matrix
+        mol = Molecule([("O", (0.0, 0.0, 0.0)),
+                        ("H", (0.0, -1.43, 1.11)),
+                        ("H", (0.0, 1.43, 1.11))], basis="sto-3g")
+        mf = mol.RHF().run()
+        A = np.asarray(tda_matrix(mf))
+        w, _ = block_davidson(A, neig=3, tol=1e-10)
+        assert np.max(np.abs(w - np.linalg.eigvalsh(A)[:3])) < 1e-8
+
+
+class TestStyle:
+    """Plotting layer smoke tests (reference: pyqed/style.py)."""
+
+    def test_curve_and_export(self, tmp_path):
+        from pyqed_tpu.utils import style
+        x = np.linspace(0, 1, 20)
+        f = str(tmp_path / "c.png")
+        fig, ax = style.curve(x, np.sin(x), xlabel="t", ylabel="y",
+                              output=f)
+        import os
+        assert os.path.getsize(f) > 0
+        d = style.export(x, np.sin(x), fname=str(tmp_path / "c.dat"))
+        assert len(open(d).readlines()) == 20
+
+    def test_matplot_surf_levels(self, tmp_path):
+        from pyqed_tpu.utils import style
+        x = np.linspace(-1, 1, 16)
+        y = np.linspace(-1, 1, 18)
+        F = np.outer(np.sin(3 * x), np.cos(2 * y))
+        f1 = str(tmp_path / "m.png")
+        style.matplot(x, y, F, output=f1, diverge=True, contour=True)
+        f2 = str(tmp_path / "s.png")
+        style.surf(x, y, F, fname=f2)
+        f3 = str(tmp_path / "l.png")
+        style.level_scheme([0.0, 1.0, 1.2, 2.5], fname=f3)
+        f4 = str(tmp_path / "g.dat")
+        style.export(x, y, F, fname=f4)
+        import os
+        for f in (f1, f2, f3):
+            assert os.path.getsize(f) > 0
+        # gnuplot blocks: one blank line per x slice
+        assert open(f4).read().count("\n\n") >= len(x) - 1
+
+    def test_two_scales_and_surfaces(self, tmp_path):
+        from pyqed_tpu.utils import style
+        x = np.linspace(0, 2, 12)
+        style.two_scales(x, np.sin(x), np.cos(x),
+                         output=str(tmp_path / "t.png"))
+        y = np.linspace(0, 2, 14)
+        s1 = np.outer(x, y)
+        style.plot_surfaces(x, y, [s1, s1 + 1.0],
+                            fname=str(tmp_path / "p.png"))
