@@ -13,5 +13,6 @@ from .nawpd import NAWPD, NAWPD2
 from .smolyak import SGCT_LDR, combination_technique
 from .qtraj import NAQT
 from .rate import RateFluxSide, flux_operator
-from .ldr import LDR2Jacobi
+from .ldr import LDR2Jacobi, NonHermLDRN
+from .ehrenfest import Ehrenfest
 from .nusol import NuSol, cheb_D2

@@ -513,3 +513,93 @@ class LDR2Jacobi(LDRN):
         r.states = psis
         r.psi = psi_f
         return r
+
+
+class NonHermLDRN(LDRN):
+    """Non-Hermitian LDR: exact nonadiabatic dynamics on COMPLEX diabatic
+    potential matrices (resonances / absorbing states / non-Hermitian
+    conical intersections).
+
+    TPU-native counterpart of the reference's ``NonHermitianLDR2``
+    (reference: pyqed/ldr/nonherm.py:156 — ``buildV:290`` pointwise
+    biorthogonal eig, ``build_ovlp:464`` left/right-eigenstate overlap
+    A = L_m^dag R_n, ``run:550``).  Differences from the Hermitian LDRN:
+
+    * the local diagonalization is a biorthogonal eig (host LAPACK at
+      build time — no TPU complex-eig; the hot loop stays a single MXU
+      matmul per step exactly like LDRN),
+    * the overlap matrix A[m a, n b] = <L_a(R_m)|R_b(R_n)> is built from
+      LEFT eigenvectors on the bra side, so A is not Hermitian,
+    * the complex APES makes exp(-i V dt) non-unitary (norm decay =
+      the physical decay of the resonances).
+
+    The wavepacket is propagated in the adiabatic (right-eigenvector)
+    representation; ``to_diabatic``/``from_diabatic`` convert with the
+    pointwise right/left eigenvector stacks.
+    """
+
+    def set_diabatic(self, v):
+        """v: (*nx, ns, ns) complex diabatic potential matrix field."""
+        v = np.asarray(v)
+        assert v.shape == (*self.nx, self.nstates, self.nstates)
+        ns = self.nstates
+        vflat = v.reshape(-1, ns, ns)
+        import scipy.linalg
+        w = np.empty((vflat.shape[0], ns), dtype=complex)
+        ur = np.empty((vflat.shape[0], ns, ns), dtype=complex)
+        ul = np.empty_like(ur)   # rows = left eigvecs, ul @ ur = 1
+        for m, vm in enumerate(vflat):
+            wm, um = scipy.linalg.eig(vm)
+            idx = np.argsort(wm.real)
+            w[m] = wm[idx]
+            ur[m] = um[:, idx]
+            ul[m] = scipy.linalg.inv(ur[m])
+        self._apes = jnp.asarray(w.reshape(*self.nx, ns))
+        self.right_eigenstates = jnp.asarray(ur.reshape(*self.nx, ns, ns))
+        self.left_eigenstates = jnp.asarray(ul.reshape(*self.nx, ns, ns))
+        self._vdia = jnp.asarray(v)
+        return self
+
+    def build_ovlp(self, states=None):
+        """A[m a, n b] = (L(R_m) R(R_n))[a, b] = row-a of ul_m times
+        col-b of ur_n (reference: pyqed/ldr/nonherm.py:464)."""
+        if self.right_eigenstates is None:
+            raise ValueError("call set_diabatic(v) first")
+        ns = self.nstates
+        L = jnp.reshape(self.left_eigenstates, (self.ntot, ns, ns))
+        R = jnp.reshape(self.right_eigenstates, (self.ntot, ns, ns))
+        A = jnp.einsum("mac, ncb -> manb", L, R)
+        self.A = jnp.reshape(A, (*self.nx, ns, *self.nx, ns))
+        self._diabatic = False
+        return self.A
+
+    # ------------------------------------------------------ representation
+    def from_diabatic(self, psi_dia):
+        """Project a diabatic-basis wavepacket onto the left eigenvectors:
+        psi_adi[..., a] = L[..., a, c] psi_dia[..., c]."""
+        return jnp.einsum("...ac, ...c -> ...a",
+                          self.left_eigenstates, jnp.asarray(psi_dia))
+
+    def to_diabatic(self, psi_adi):
+        """psi_dia[..., c] = R[..., c, a] psi_adi[..., a]."""
+        return jnp.einsum("...ca, ...a -> ...c",
+                          self.right_eigenstates, jnp.asarray(psi_adi))
+
+    def rdm_el(self, psi):
+        """Electronic RDM in the DIABATIC frame (physically meaningful for
+        a non-orthogonal adiabatic representation)."""
+        dia = self.to_diabatic(psi)
+        dV = float(np.prod(self.dx))
+        axes = tuple(range(self.ndim))
+        return jnp.tensordot(jnp.conj(dia), dia,
+                             axes=(axes, axes)) * dV
+
+    def norm(self, psi):
+        """Decaying norm of the diabatic-frame wavepacket."""
+        return float(jnp.real(jnp.trace(self.rdm_el(psi))))
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.right_eigenstates = None
+        self.left_eigenstates = None
+        self._vdia = None
