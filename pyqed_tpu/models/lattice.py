@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.linalg import dag, tensor
@@ -132,3 +133,230 @@ class BoseHubbard:
             self.buildH()
         w, v = jnp.linalg.eigh(self.H)
         return w[:nstates]
+
+
+# ---------------------------------------------------------------------------
+# Real-space tight-binding models (reference: pyqed/lattice/chain.py)
+# ---------------------------------------------------------------------------
+
+class Chain:
+    """Open/periodic 1D tight-binding chain with norb orbitals per cell
+    (reference: pyqed/lattice/chain.py:21 ``Chain`` — its ``gf``/
+    ``gf_surface`` are ``pass`` stubs; here they are real, via
+    ``green_renormalization``).
+    """
+
+    def __init__(self, nsite, onsite, hopping, norb=1,
+                 boundary_condition="open"):
+        self.nsite = nsite
+        self.norb = norb
+        self.size = nsite * norb
+        self.onsite = np.atleast_1d(np.asarray(onsite, dtype=float))
+        self.hopping = np.asarray(hopping)
+        self.boundary_condition = boundary_condition
+        self.H = None
+        self.evals = self.evecs = None
+
+    def position(self):
+        """Cell-index position operator in the Wannier basis
+        (reference: pyqed/lattice/chain.py:57)."""
+        idx = np.repeat(np.arange(1, self.nsite + 1), self.norb)
+        return jnp.diag(jnp.asarray(idx, dtype=jnp.float64
+                                    if jax.config.jax_enable_x64 else None))
+
+    def buildH(self):
+        norb, nsite = self.norb, self.nsite
+        H = np.zeros((self.size, self.size))
+        if norb == 1:
+            on = np.broadcast_to(self.onsite, (nsite,))
+            H[np.arange(nsite), np.arange(nsite)] = on
+            t = float(self.hopping)
+            for n in range(nsite - 1):
+                H[n, n + 1] = H[n + 1, n] = t
+            if self.boundary_condition == "periodic" and nsite > 2:
+                H[0, -1] = H[-1, 0] = t
+        else:
+            hop = self.hopping
+            assert hop.shape == (norb, norb)
+            for n in range(nsite):
+                for j in range(norb):
+                    H[norb * n + j, norb * n + j] = self.onsite[j]
+            for n in range(nsite - 1):
+                H[norb * n:norb * (n + 1),
+                  norb * (n + 1):norb * (n + 2)] = hop
+                H[norb * (n + 1):norb * (n + 2),
+                  norb * n:norb * (n + 1)] = hop.conj().T
+            if self.boundary_condition == "periodic" and nsite > 2:
+                H[norb * (nsite - 1):, :norb] = hop
+                H[:norb, norb * (nsite - 1):] = hop.conj().T
+        self.H = jnp.asarray(H)
+        return self.H
+
+    def run(self):
+        if self.H is None:
+            self.buildH()
+        self.evals, self.evecs = jnp.linalg.eigh(self.H)
+        return self.evals, self.evecs
+
+    def gf(self, omega, eta=1e-4):
+        """Retarded lattice GF G(w) = (w + i eta - H)^{-1} as one batched
+        solve over the frequency grid (the reference inverts per-omega in
+        Python, chain.py:389)."""
+        if self.H is None:
+            self.buildH()
+        omega = jnp.atleast_1d(jnp.asarray(omega))
+        n = self.size
+        A = ((omega[:, None, None] + 1j * eta) * jnp.eye(n)[None]
+             - self.H[None])
+        G = jnp.linalg.solve(A, jnp.broadcast_to(
+            jnp.eye(n, dtype=A.dtype), A.shape))
+        return G[0] if G.shape[0] == 1 else G
+
+    def ldos(self, omega, eta=1e-4, site=0):
+        """-Im G_ii(w)/pi local density of states."""
+        G = self.gf(omega, eta)
+        if G.ndim == 2:
+            return float(-jnp.imag(G[site, site]) / jnp.pi)
+        return -jnp.imag(G[:, site, site]) / jnp.pi
+
+    def gf_surface(self, energy=0.0, delta=1e-3, max_iter=100):
+        """Semi-infinite surface/bulk GF of the chain's repeating cell
+        (reference ``Chain.gf_surface`` is a ``pass`` stub)."""
+        norb = self.norb
+        if norb == 1:
+            intra = np.array([[float(np.broadcast_to(self.onsite, (1,))[0])]])
+            inter = np.array([[float(self.hopping)]])
+        else:
+            intra = np.diag(self.onsite).astype(complex)
+            inter = np.asarray(self.hopping, dtype=complex)
+        return green_renormalization(intra, inter, energy=energy,
+                                     delta=delta, max_iter=max_iter)
+
+
+class RiceMele(Chain):
+    """Rice-Mele / SSH dimerized chain (reference:
+    pyqed/lattice/chain.py:290)."""
+
+    def __init__(self, v, w, nsites=None, boundary_condition="open"):
+        self.intra = v
+        self.inter = w
+        self.norb = 2
+        self.nsite = self.nsites = nsites
+        self.size = nsites            # reference convention: nsites = #orbitals
+        self.boundary_condition = boundary_condition
+        self.H = None
+        self.evals = self.evecs = None
+
+    def buildH(self):
+        n = self.nsite
+        H = np.zeros((n, n))
+        for i in range(0, n - 1, 2):
+            H[i, i + 1] = H[i + 1, i] = self.intra
+        for i in range(1, n - 1, 2):
+            H[i, i + 1] = H[i + 1, i] = self.inter
+        self.H = jnp.asarray(H)
+        return self.H
+
+    def band_structure(self, k=None):
+        """Analytic two-band dispersion E(k) = ±|v + w e^{ik}|."""
+        if k is None:
+            k = np.linspace(-np.pi, np.pi, 101)
+        k = jnp.asarray(k)
+        h = self.intra + self.inter * jnp.exp(1j * k)
+        e = jnp.abs(h)
+        return jnp.stack([-e, e], axis=-1)
+
+    def gf_surface(self, energy=0.0, delta=1e-3, max_iter=100):
+        intra = np.array([[0.0, self.intra], [self.intra, 0.0]], complex)
+        inter = np.array([[0.0, 0.0], [self.inter, 0.0]], complex)
+        return green_renormalization(intra, inter, energy=energy,
+                                     delta=delta, max_iter=max_iter)
+
+
+class Lattice2D:
+    """Finite 2D lattice with per-orbital offsets and bond hoppings
+    (reference: pyqed/lattice/chain.py:158 ``Lattice``)."""
+
+    def __init__(self, size=(2, 2), norb=1, lattice_vectors=None,
+                 orb_coords=None):
+        self.size = tuple(size)
+        self.norb = norb
+        self.nsites = self.size[0] * self.size[1] * norb
+        self.lattice_vectors = (np.eye(2) if lattice_vectors is None
+                                else np.asarray(lattice_vectors))
+        self.orb_coords = (np.zeros((norb, 2)) if orb_coords is None
+                           else np.asarray(orb_coords))
+        self._hops = []       # (J, a, b, R)
+        self._onsite = np.zeros(norb)
+        self.H = None
+
+    def index(self, i, j, n):
+        nx, ny = self.size
+        return (i % nx) * ny * self.norb + (j % ny) * self.norb + n
+
+    def set_onsite(self, e):
+        self._onsite = np.broadcast_to(np.asarray(e, float), (self.norb,))
+        return self
+
+    def set_hop(self, J, a, b, R, boundary_condition="open"):
+        """Hopping J between orbital a in cell (i, j) and orbital b in cell
+        (i, j) + R."""
+        self._hops.append((J, a, b, tuple(R), boundary_condition))
+        return self
+
+    def buildH(self):
+        nx, ny = self.size
+        H = np.zeros((self.nsites, self.nsites), complex)
+        for i in range(nx):
+            for j in range(ny):
+                for n in range(self.norb):
+                    H[self.index(i, j, n), self.index(i, j, n)] = \
+                        self._onsite[n]
+        for (J, a, b, R, bc) in self._hops:
+            for i in range(nx):
+                for j in range(ny):
+                    ii, jj = i + R[0], j + R[1]
+                    if bc == "open" and not (0 <= ii < nx and 0 <= jj < ny):
+                        continue
+                    p, q = self.index(i, j, a), self.index(ii, jj, b)
+                    H[p, q] += J
+                    H[q, p] += np.conj(J)
+        self.H = jnp.asarray(H)
+        return self.H
+
+    def solve(self):
+        if self.H is None:
+            self.buildH()
+        return jnp.linalg.eigh(self.H)
+
+
+def green_renormalization(intra, inter, energy=0.0, delta=1e-3,
+                          max_iter=100, tol_scale=1e-6):
+    """Sancho-Rubio decimation: bulk + surface GF of a semi-infinite
+    chain of identical cells (reference: pyqed/lattice/chain.py:451,
+    J. Phys. F 15, 851 (1985) Eq. 11).
+
+    Fixed-iteration ``lax.scan`` (alpha/beta decay quadratically, so
+    ~50 iterations reach machine precision) — XLA-friendly static
+    control flow instead of the reference's data-dependent while loop.
+    """
+    intra = jnp.asarray(intra, dtype=complex)
+    inter = jnp.asarray(inter, dtype=complex)
+    n = intra.shape[0]
+    e = (energy + 1j * abs(delta)) * jnp.eye(n, dtype=complex)
+
+    def body(carry, _):
+        alpha, beta, eps, eps_s = carry
+        einv = jnp.linalg.inv(e - eps)
+        eps_s = eps_s + alpha @ einv @ beta
+        eps = eps + alpha @ einv @ beta + beta @ einv @ alpha
+        alpha = alpha @ einv @ alpha
+        beta = beta @ einv @ beta
+        return (alpha, beta, eps, eps_s), None
+
+    init = (inter, inter.conj().T, intra, intra)
+    (alpha, beta, eps, eps_s), _ = jax.lax.scan(body, init, None,
+                                                length=max_iter)
+    g_bulk = jnp.linalg.inv(e - eps)
+    g_surf = jnp.linalg.inv(e - eps_s)
+    return g_bulk, g_surf

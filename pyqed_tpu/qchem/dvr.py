@@ -373,3 +373,83 @@ def exact_2e(mf, nroots=1):
         if len(sym_energies) >= nroots:
             break
     return np.array(sym_energies) + mf.mol.energy_nuc()
+
+
+class ElectronDVR3D:
+    """One-electron 3D real-space molecular Schrödinger solver on a
+    direct-product sinc-DVR grid.
+
+    TPU-native counterpart of the reference's sparse-grid electronic
+    structure solver (reference: pyqed/qchem/sg.py:40 ``DVRn`` — builds a
+    scipy-sparse 3D Hamiltonian with nuclear attraction and Lanczos-solves
+    it).  Here the Hamiltonian is NEVER materialized: ``DVRN.apply_H``
+    applies the per-dimension kinetic contractions and the (soft-)Coulomb
+    attraction diagonally, and the eigenpairs come from the matrix-free
+    blocked Davidson (ops/davidson.py) — each iteration is a handful of
+    MXU tensordots.
+
+    atoms: [(Z, (x, y, z)), ...] in bohr; softening R avoids the Coulomb
+    cusp on the uniform grid (R -> 0 recovers bare Coulomb).
+    """
+
+    def __init__(self, atoms, domains, nxs, soft=0.2):
+        from ..grid.dvr import SincDVR, DVRN
+        self.atoms = atoms
+        # x_n = x0 - L/2 + n L/npts spans [x0-L/2, x0+L/2-dx]; shifting
+        # x0 by dx/2 centers the grid on the domain midpoint so symmetric
+        # molecules see a symmetric grid
+        self.dvrs = [SincDVR(domains[d][1] - domains[d][0], nxs[d],
+                             x0=0.5 * (domains[d][0] + domains[d][1])
+                             + 0.5 * (domains[d][1] - domains[d][0])
+                             / nxs[d],
+                             mass=1.0)
+                     for d in range(3)]
+        self.grid = DVRN(self.dvrs)
+        self.soft = soft
+        X, Y, Z = np.meshgrid(*self.grid.x, indexing="ij")
+        V = np.zeros_like(X)
+        for (Zq, pos) in atoms:
+            r2 = ((X - pos[0]) ** 2 + (Y - pos[1]) ** 2
+                  + (Z - pos[2]) ** 2)
+            V -= Zq / np.sqrt(r2 + soft ** 2)
+        self.Vg = jnp.asarray(V)
+
+    def energy_nuc(self):
+        e = 0.0
+        for i, (Zi, ri) in enumerate(self.atoms):
+            for j, (Zj, rj) in enumerate(self.atoms[:i]):
+                e += Zi * Zj / np.linalg.norm(np.asarray(ri)
+                                              - np.asarray(rj))
+        return e
+
+    def apply_H(self, psi_flat):
+        """Matvec on (n,) or blocked (n, k) vectors."""
+        if psi_flat.ndim == 2:
+            import jax
+            return jax.vmap(self.apply_H, in_axes=1, out_axes=1)(psi_flat)
+        psi = psi_flat.reshape(self.grid.nx)
+        return self.grid.apply_H(psi, self.Vg).reshape(-1)
+
+    def run(self, neig=1, tol=1e-8, max_iterations=120):
+        """Lowest electronic eigenpairs, matrix-free Davidson."""
+        from ..ops.davidson import block_davidson
+        diag = jnp.asarray(self.Vg).reshape(-1)
+        for d in range(3):
+            t = np.diag(np.asarray(self.dvrs[d].t()))
+            shape = [1, 1, 1]
+            shape[d] = -1
+            diag = diag + jnp.asarray(
+                np.broadcast_to(t.reshape(shape), self.grid.nx)).reshape(-1)
+        E, U = block_davidson(self.apply_H, neig=neig, diag=diag,
+                              tol=tol, max_iterations=max_iterations)
+        self.mo_energy, self.mo_coeff = E, U
+        return E
+
+    def total_energy(self, nelec=1, neig=None):
+        """Independent-electron total energy (Aufbau, closed shell)."""
+        if not hasattr(self, "mo_energy"):
+            self.run(neig=max(1, (nelec + 1) // 2))
+        occ = self.mo_energy[:(nelec + 1) // 2]
+        fill = np.minimum(2, nelec - 2 * np.arange(len(occ)))
+        return float(np.sum(np.asarray(occ) * fill[:len(occ)])
+                     + self.energy_nuc())

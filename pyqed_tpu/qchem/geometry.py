@@ -119,3 +119,71 @@ def eckart_conditions(ref_coords, coords, masses, tol=1e-8):
 def masses_of(atoms) -> np.ndarray:
     """Atomic masses (a.u.) from a list of (symbol, xyz)."""
     return np.array([atomic_mass[s] / au2amu for s, _ in atoms])
+
+
+# ---------------------------------------------------------------------------
+# G-matrix for reduced curvilinear coordinates
+# (reference: pyqed/namd/gmat.py — buildGmat_linear / buildG_curvilinear are
+# untranslated MATLAB pseudocode with eval(sprintf(...)) and undefined
+# variables; the capability is made real here)
+# ---------------------------------------------------------------------------
+
+def gmatrix(geom_fn, q, masses, dq=1e-4, jac=None):
+    """Wilson G-matrix of reduced coordinates q at a single point.
+
+    The kinetic metric of curvilinear nuclear coordinates q_i is
+
+        (G^{-1})_ij = sum_A m_A  (dx_A/dq_i) . (dx_A/dq_j),
+        KEO = -1/2 sum_ij d/dq_i G_ij d/dq_j  (+ extrapotential terms)
+
+    Parameters
+    ----------
+    geom_fn : callable q (ndim,) -> Cartesian geometry (natm, 3) in bohr.
+        If jax-differentiable, the Jacobian comes from ``jax.jacfwd``
+        (exact); otherwise set ``jac=False`` for central differences.
+    q : (ndim,) coordinate values.
+    masses : (natm,) in atomic units (electron masses).
+
+    Returns (G, Ginv), each (ndim, ndim).
+    """
+    import jax
+    import jax.numpy as jnp
+    q = jnp.asarray(q, dtype=float)
+    m = jnp.asarray(masses, dtype=float)
+    use_ad = jac if jac is not None else True
+    if use_ad:
+        try:
+            J = jax.jacfwd(lambda qq: jnp.asarray(geom_fn(qq)))(q)
+            # J: (natm, 3, ndim)
+        except Exception:
+            use_ad = False
+    if not use_ad:
+        ndim = q.shape[0]
+        cols = []
+        for i in range(ndim):
+            e = np.zeros(ndim)
+            e[i] = dq
+            cols.append((np.asarray(geom_fn(np.asarray(q) + e))
+                         - np.asarray(geom_fn(np.asarray(q) - e)))
+                        / (2 * dq))
+        J = jnp.stack([jnp.asarray(c) for c in cols], axis=-1)
+    Ginv = jnp.einsum("a, axi, axj -> ij", m, J, J)
+    return jnp.linalg.inv(Ginv), Ginv
+
+
+def gmatrix_grid(geom_fn, qgrid, masses, **kwargs):
+    """Vmapped G-matrix over a grid of coordinate points.
+
+    qgrid: (npts, ndim) -> returns (G (npts, ndim, ndim), Ginv same).
+    """
+    import jax
+    import jax.numpy as jnp
+    qgrid = jnp.asarray(qgrid, dtype=float)
+    m = jnp.asarray(masses, dtype=float)
+
+    def one(q):
+        J = jax.jacfwd(lambda qq: jnp.asarray(geom_fn(qq)))(q)
+        Ginv = jnp.einsum("a, axi, axj -> ij", m, J, J)
+        return jnp.linalg.inv(Ginv), Ginv
+
+    return jax.vmap(one)(qgrid)

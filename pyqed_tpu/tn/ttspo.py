@@ -159,7 +159,9 @@ class TT_LDR:
             if dvr_type == "sine":
                 self.dvr.append(SineDVR(*domains[d], npts, mass=self.mass[d]))
             elif dvr_type == "sinc":
-                self.dvr.append(SincDVR(*domains[d], npts, mass=self.mass[d]))
+                a, b = domains[d]
+                self.dvr.append(SincDVR(b - a, npts, x0=0.5 * (a + b),
+                                        mass=self.mass[d]))
             else:
                 raise ValueError(f"DVR {dvr_type} is not supported.")
         self.x = [np.asarray(dvr.x) for dvr in self.dvr]
