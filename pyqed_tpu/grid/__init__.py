@@ -1,4 +1,4 @@
-from .spo import SPO, SPO2, SPO3, SPON, ResultSPO
+from .spo import SPO, SPO2, SPO3, SPON, SPO2NH, ResultSPO
 from .dvr import (
     SincDVR, SineDVR, HermiteDVR, ExponentialDVR, DVRN, DVR2, kinetic,
     BesselDVR, LaguerreDVR, ChebyshevDVR, LegendreDVR,

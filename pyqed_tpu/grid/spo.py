@@ -70,7 +70,14 @@ class SPON:
     """N-dimensional, ns-state split-operator propagator."""
 
     def __init__(self, grids: Sequence, masses=None, nstates: int = 2,
-                 abc: bool = False, kernel=None, mesh=None):
+                 abc: bool = False, kernel=None, mesh=None,
+                 nonherm: bool = False):
+        #: nonherm: allow a FULL non-Hermitian diabatic potential matrix
+        #: (complex surfaces/couplings, state-dependent decay) — the
+        #: potential propagator is then built with a vmapped Padé expm
+        #: instead of batched eigh (reference: pyqed/wpd.py:921 SPO2NH,
+        #: which does a per-point biorthogonal eig loop)
+        self.nonherm = nonherm
         #: kernel: None=auto (pallas on TPU) | 'xla' | 'pallas' — selects the
         #: fused phase-multiply/potential-apply Pallas kernels for the hot
         #: Strang-splitting step (north-star kernel (b), pyqed/wpd.py:837-848)
@@ -175,6 +182,32 @@ class SPON:
         ns = self.nstates
         npts = int(np.prod(self.shape))
         vflat = jnp.reshape(v, (npts, ns, ns))
+
+        if self.nonherm and ns > 1:
+            # general non-Hermitian blocks: exp(-i V dt) per grid point by
+            # a vmapped matrix exponential — exact for arbitrary complex
+            # V(x), no eigendecomposition needed
+            @jax.jit
+            def _vprop_nh(vflat):
+                vc = vflat.astype(jnp.result_type(vflat, 1j))
+                expV = jax.vmap(jax.scipy.linalg.expm)(-1j * dt * vc)
+                expV2 = jax.vmap(jax.scipy.linalg.expm)(-0.5j * dt * vc)
+                w = jnp.einsum("paa -> pa", vc)     # diag for bookkeeping
+                u = jnp.broadcast_to(jnp.eye(ns, dtype=vc.dtype),
+                                     (npts, ns, ns))
+                return _ri(w), _ri(u), _ri(expV), _ri(expV2)
+
+            w_ri, u_ri, expV_ri, expV2_ri = _vprop_nh(vflat)
+            sh = self.shape + (ns, ns)
+            self._exp_V_ri = tuple(jnp.reshape(a, sh) for a in expV_ri)
+            self._exp_V_half_ri = tuple(jnp.reshape(a, sh)
+                                        for a in expV2_ri)
+            self.apes = None          # complex eigvals not tracked here
+            self._d2a_ri = tuple(jnp.reshape(a, sh) for a in u_ri)
+            self._built_dt = dt
+            if self.kernel == "dft":
+                raise NotImplementedError("kernel='dft' with nonherm")
+            return self
 
         @jax.jit
         def _vprop(vflat):
@@ -432,17 +465,18 @@ class SPO2(SPON):
     """
 
     def __init__(self, x, y, mass=None, masses=None, nstates=2, coords="linear",
-                 G=None, abc=False, kernel=None, mesh=None):
+                 G=None, abc=False, kernel=None, mesh=None, nonherm=False):
         masses = masses if masses is not None else mass
         self.coords = coords
         if coords == "jacobi":
             mu, inertia = masses
             super().__init__([x, y], masses=[mu, 1.0], nstates=nstates,
-                             abc=abc, kernel=kernel, mesh=mesh)
+                             abc=abc, kernel=kernel, mesh=mesh,
+                             nonherm=nonherm)
             self._inertia = inertia
         elif coords == "linear":
             super().__init__([x, y], masses=masses, nstates=nstates, abc=abc,
-                             kernel=kernel, mesh=mesh)
+                             kernel=kernel, mesh=mesh, nonherm=nonherm)
         else:
             raise ValueError(f"unknown coords {coords!r}")
         self.x, self.y = np.asarray(x), np.asarray(y)
@@ -472,6 +506,21 @@ class SPO2(SPON):
         psik = jnp.fft.fft(psi, axis=1)
         psik = psik * _cc(self._exp_Ky_ri)[:, :, None]
         return jnp.fft.ifft(psik, axis=1)
+
+
+class SPO2NH(SPO2):
+    """Non-Hermitian 2D SPO: complex diabatic potential matrices
+    (reference: pyqed/wpd.py:921 ``SPO2NH`` — per-point biorthogonal eig
+    loop; here a vmapped Padé ``expm`` builds the exact non-unitary
+    potential propagator and the FFT kinetic step is unchanged)."""
+
+    def __init__(self, x, y, *args, **kwargs):
+        kwargs["nonherm"] = True
+        super().__init__(x, y, *args, **kwargs)
+
+    def norm(self, psi):
+        """Decaying norm integral |psi|^2 dV."""
+        return float(jnp.sum(jnp.abs(psi) ** 2) * self.dvol)
 
 
 class SPO3(SPON):
