@@ -184,6 +184,25 @@ class ShinMetiu:
         return jnp.einsum("mia, nib -> manb", jnp.conj(states), states) * dx
 
 
+
+class ShinMetiuInField(ShinMetiu):
+    """1D Shin-Metiu model in a static electric field, length gauge
+    (reference: pyqed/models/ShinMetiu.py:871 ``ShinMetiu2InElectricField``
+    — the 2D analogue; the field couples as +E.r for the electron
+    (charge -1, H += E x) and -E.R for the proton (charge +1)).
+    """
+
+    def __init__(self, E=0.0, **kwargs):
+        super().__init__(**kwargs)
+        self.E = float(E)
+
+    def electron_hamiltonian(self, R):
+        H = super().electron_hamiltonian(R)
+        return H + jnp.diag(jnp.asarray(self.E * self.x))
+
+    def energy_nuc(self, R):
+        return super().energy_nuc(R) - self.E * R
+
 class Pyrazine4:
     """Four-mode pyrazine S0/S1/S2 vibronic-coupling model
     (reference: pyqed/models/pyrazine_4Dimension_SparseGrid.py:1350
