@@ -375,3 +375,77 @@ class CASSCF:
         self.mo_coeff = np.asarray(self.mf.mo_coeff) @ scipy.linalg.expm(K)
         self.converged = bool(res.success)
         return self.e_tot
+
+
+# ---------------------------------------------------------------------------
+# Unrestricted CI (UCISD / UFCI) on a UHF reference
+# (reference: pyqed/qchem/ci/cisd.py ``UCISD`` — pyscf-backed there;
+# self-contained here on our own UHF + spin-orbital Slater-Condon)
+# ---------------------------------------------------------------------------
+
+def spinorb_ints_uhf(mf):
+    """Spin-orbital (h, antisymmetrized <pq||rs>) from a UHF reference:
+    2p = alpha spatial p, 2p+1 = beta spatial p, with per-spin MO
+    coefficient matrices (Ca, Cb)."""
+    Ca, Cb = [np.asarray(c) for c in mf.mo_coeff]
+    hao = np.asarray(mf.hcore)
+    eri = np.asarray(mf.eri)          # AO chemists (pq|rs)
+    n = hao.shape[0]
+    ns = 2 * n
+    ha = Ca.T @ hao @ Ca
+    hb = Cb.T @ hao @ Cb
+    h = np.zeros((ns, ns))
+    h[0::2, 0::2] = ha
+    h[1::2, 1::2] = hb
+
+    def mo_eri(C1, C2):
+        # chemists (p q | r s) with bra-pair in C1 basis, ket-pair in C2
+        return np.einsum("pi, qj, pqrs, rk, sl -> ijkl",
+                         C1, C1, eri, C2, C2, optimize=True)
+
+    eri_aa = mo_eri(Ca, Ca)
+    eri_bb = mo_eri(Cb, Cb)
+    eri_ab = mo_eri(Ca, Cb)           # (aa|bb)
+    eri_ba = mo_eri(Cb, Ca)
+    g = np.zeros((ns, ns, ns, ns))
+    # physicists <pq|rs> = chemists (pr|qs), spin(p)=spin(r), spin(q)=spin(s)
+    blocks = {(0, 0): eri_aa, (0, 1): eri_ab, (1, 0): eri_ba,
+              (1, 1): eri_bb}
+    for (sp, sq), block in blocks.items():
+        g[sp::2, sq::2, sp::2, sq::2] = block.transpose(0, 2, 1, 3)
+    return h, g - g.transpose(0, 1, 3, 2)
+
+
+class UCI(CI):
+    """CI on a UHF reference; max_exc=None -> UFCI, 2 -> UCISD."""
+
+    def run(self, nroots=1):
+        mf = self.mf
+        h, g = spinorb_ints_uhf(mf)
+        na, nb = mf.nocc
+        ns = h.shape[0]
+        ref = tuple(sorted([2 * i for i in range(na)]
+                           + [2 * i + 1 for i in range(nb)]))
+        dets = enumerate_dets(ns, na + nb, ref=ref, max_exc=self.max_exc)
+        nd = len(dets)
+        H = np.zeros((nd, nd))
+        for i in range(nd):
+            for j in range(i + 1):
+                H[i, j] = H[j, i] = slater_condon(dets[i], dets[j], h, g)
+        w, v = jnp.linalg.eigh(jnp.asarray(H))
+        enuc = mf.mol.energy_nuc()
+        self.e_tot = np.asarray(w[:nroots]) + enuc
+        self.civec = v[:, :nroots]
+        self.dets = dets
+        self.e_corr = float(self.e_tot[0] - mf.e_tot)
+        return self.e_tot
+
+
+class UCISD(UCI):
+    def __init__(self, mf):
+        super().__init__(mf, max_exc=2)
+
+
+class UFCI(UCI):
+    def __init__(self, mf):
+        super().__init__(mf, max_exc=None)
