@@ -328,3 +328,76 @@ def test_dqc_vs_reference():
         scale = np.max(np.abs(np.asarray(ref)))
         assert np.max(np.abs(np.asarray(ours) - np.asarray(ref))) \
             < 1e-8 * max(scale, 1.0), name
+
+
+# ------------------------------------------------- moving Gaussians (GWP)
+
+def test_gwp_matrix_elements_vs_reference(rng):
+    ref_mg = load_reference_module("moving_gaussian")
+    from pyqed_tpu.grid.gwp import overlap_real, kinetic_real
+
+    for _ in range(20):
+        aj, ak = rng.uniform(0.5, 3.0, 2)
+        qj, qk = rng.uniform(-2.0, 2.0, 2)
+        s_ref = ref_mg._overlap(aj, qj, ak, qk)
+        assert abs(float(overlap_real(aj, qj, ak, qk)) - s_ref) < 1e-12
+        # kinetic: reference kin_1d at p = 0, phase = 0, vs our closed form
+        t_ref = ref_mg.kin_1d(aj, qj, 0.0, 0.0, ak, qk, 0.0, 0.0, 1.0)
+        assert abs(float(kinetic_real(aj, qj, ak, qk, mass=1.0))
+                   - t_ref.real) < 1e-12
+        assert abs(t_ref.imag) < 1e-12
+
+
+# --------------------------------------------------------------- optics
+
+def test_pulse_vs_reference():
+    ref_opt = load_reference_module("optics")
+    from pyqed_tpu.models.pulse import Pulse, GaussianPulse
+
+    t = np.linspace(-40.0, 40.0, 257)
+    kw = dict(omegac=0.35, tau=8.0, tc=2.0, amplitude=0.01)
+    rp = ref_opt.Pulse(**kw)
+    mp = Pulse(**kw)
+    assert np.max(np.abs(np.asarray(mp.efield(t)) - rp.efield(t))) < 1e-14
+    w = np.linspace(0.1, 0.6, 101)
+    assert np.max(np.abs(np.asarray(mp.spectrum(w)) - rp.spectrum(w))) < 1e-14
+
+    rg = ref_opt.GaussianPulse(omegac=0.35, tau=8.0, tc=2.0, amplitude=0.01)
+    mg = GaussianPulse(**kw)
+    assert np.max(np.abs(np.asarray(mg.efield(t)) - rg.efield(t))) < 1e-14
+
+
+def test_biphoton_jsa_vs_reference():
+    ref_opt = load_reference_module("optics")
+    from pyqed_tpu.models.pulse import Biphoton
+
+    p = np.linspace(-0.2, 0.2, 33)
+    q = np.linspace(-0.2, 0.2, 33)
+    kw = dict(omegap=2.0, bw=0.05, Te=20.0)
+    rb = ref_opt.Biphoton(**kw)
+    mb = Biphoton(**kw)
+    rb.set_grid(p, q)
+    mb.set_grid(p, q)
+    ref_jsa = rb.get_jsa()
+    my_jsa = np.asarray(mb.get_jsa())
+    assert np.max(np.abs(my_jsa - ref_jsa)) < 1e-10
+
+
+# --------------------------------------------------------- Franck-Condon
+
+def test_franck_condon_vs_reference():
+    ref_fc = load_reference_module("FranckCondon")
+    from pyqed_tpu.models.named import franck_condon
+
+    # reference FranckCondon([n, w_cm-1], [m, w'_cm-1], d): analytic
+    # different-frequency displaced-HO overlap (Chang, JMS 232, 102);
+    # frequencies in wavenumbers, mass-weighted displacement in au
+    au = 8065.5 * 27.2116       # the reference's cm^-1 -> au divisor
+    for (n1, w1, n2, w2, d) in [(0, 500.0, 0, 500.0, 5.0),
+                                (0, 500.0, 2, 500.0, 5.0),
+                                (1, 400.0, 2, 650.0, 8.0),
+                                (2, 300.0, 3, 300.0, 3.0),
+                                (0, 700.0, 1, 420.0, 6.0)]:
+        ref = ref_fc.FranckCondon([n1, w1], [n2, w2], d)
+        mine = franck_condon(n1, w1 / au, n2, w2 / au, d)
+        assert abs(abs(float(mine)) - abs(ref)) < 1e-8, (n1, w1, n2, w2)
