@@ -329,3 +329,22 @@ class VectorFieldXY:
         S2 = 2 * jnp.real(Ex * jnp.conj(Ey))
         S3 = -2 * jnp.imag(Ex * jnp.conj(Ey))
         return S0, S1, S2, S3
+
+
+def laguerre_gauss_beam(field: "ScalarFieldXY", w0, l=1, p=0,
+                        x0=0.0, y0=0.0, amplitude=1.0):
+    """Laguerre-Gaussian LG_{p,l} vortex source at the waist plane
+    (reference: pyqed/beam/scalar_sources_XY.py ``laguerre_beam`` /
+    pyqed/beam.py ``LaguerreGaussian``): azimuthal phase e^{i l phi}
+    carrying orbital angular momentum l*hbar per photon.
+    """
+    from scipy.special import genlaguerre
+    X, Y = np.meshgrid(field.x, field.y, indexing="ij")
+    r2 = (X - x0) ** 2 + (Y - y0) ** 2
+    phi = np.arctan2(Y - y0, X - x0)
+    rho = 2.0 * r2 / w0 ** 2
+    L = genlaguerre(p, abs(l))(rho)
+    u = (amplitude * (np.sqrt(r2) * np.sqrt(2.0) / w0) ** abs(l) * L
+         * np.exp(-r2 / w0 ** 2) * np.exp(1j * l * phi))
+    field.u = jnp.asarray(u)
+    return field

@@ -189,3 +189,56 @@ class DHO(Mol):
                           [jnp.eye(ntrunc), zeros]])
         super().__init__(H, edip=edip)
         self.huang_rhys = d**2 / 2.0
+
+
+class Frenkel2(Mol):
+    """Frenkel chain with TWO excited states per site (3-level sites
+    |0>, |1>, |2>; reference: pyqed/models/exciton.py:33 ``Frenkel2``).
+
+    onsites: scalar or [e1, e2]; hopping: scalar or [inter, intra] where
+    ``inter`` couples |1>_i <-> |2>_i on-site and ``intra`` couples
+    |1>_i <-> |2>_{i+1} between neighbors (reference conventions).
+    """
+
+    def __init__(self, onsites, hopping, nsites):
+        if isinstance(hopping, (list, tuple)):
+            inter, intra = hopping
+        else:
+            inter = intra = hopping
+        if isinstance(onsites, (list, tuple)):
+            onsite1, onsite2 = onsites
+        else:
+            onsite1 = onsite2 = onsites
+
+        sp1 = np.zeros((3, 3))
+        sp1[0, 1] = 1.0            # lowering |1> -> |0> (reference naming)
+        sp2 = np.zeros((3, 3))
+        sp2[0, 2] = 1.0
+
+        def site_op(op, i):
+            mats = [np.eye(3)] * nsites
+            mats[i] = op
+            out = mats[0]
+            for m in mats[1:]:
+                out = np.kron(out, m)
+            return jnp.asarray(out)
+
+        low1 = [site_op(sp1, i) for i in range(nsites)]
+        low2 = [site_op(sp2, i) for i in range(nsites)]
+
+        H = 0.0
+        for i in range(nsites):
+            H = H + onsite1 * dag(low1[i]) @ low1[i] \
+                + onsite2 * dag(low2[i]) @ low2[i]
+            H = H + inter * (dag(low1[i]) @ low2[i]
+                             + dag(low2[i]) @ low1[i])
+        for i in range(nsites - 1):
+            H = H + intra * (dag(low1[i]) @ low2[i + 1]
+                             + dag(low2[i + 1]) @ low1[i])
+        edip = 0.0
+        for l in low1 + low2:
+            edip = edip + l + dag(l)
+        super().__init__(H, edip=edip)
+        self.dim = 3 ** nsites
+        self.lowering = low1 + low2
+        self.nsites = nsites
