@@ -260,3 +260,75 @@ class Analyser:
         w = window_width or (self.t[-1] - self.t[0]) / 10
         gate = jnp.exp(-((self.t - self.t[n // 2]) / w) ** 2)
         return self.frog(gate=gate)
+
+
+def field_to_intensity(E):
+    """Intensity (W/cm^2) from field amplitude (a.u.) — inverse of
+    ``intensity_to_field`` (reference: pyqed/optics.py)."""
+    return E ** 2 * au2watt_per_centimeter_squared * fine_structure \
+        / (8.0 * np.pi)
+
+
+def fwhm_to_std(fwhm):
+    """Gaussian sigma from FWHM (reference: pyqed/optics.py)."""
+    return fwhm / FWHM_FACTOR
+
+
+def schmidt_decompose(f, dp, dq, nmodes=5, method="svd"):
+    """Schmidt decomposition of a joint spectral amplitude:
+    f(p, q) = sum_a s_a phi_a(p) chi_a(q)
+    (reference: pyqed/optics.py:922 — its 'rdm' path uses a plain
+    ``np.linalg.eig`` on the non-symmetrized kernels and its 'svd' path
+    raises NotImplementedError; here SVD is the primary, numerically
+    orthogonal route, with 'rdm' kept via eigh of the Hermitian kernels).
+
+    Returns (s (nmodes,), phi (np, nmodes), chi (nq, nmodes)) with
+    continuum normalization int |phi|^2 dp = 1.
+    """
+    f = jnp.asarray(f)
+    if method == "svd":
+        U, S, Vh = jnp.linalg.svd(f, full_matrices=False)
+        s = S * jnp.sqrt(dp * dq)
+        phi = U / jnp.sqrt(dp)
+        chi = jnp.conj(Vh).T / jnp.sqrt(dq)
+    elif method == "rdm":
+        k1 = f @ jnp.conj(f).T * dp * dq
+        w1, phi = jnp.linalg.eigh(k1)
+        idx = jnp.argsort(w1)[::-1]
+        w1, phi = w1[idx], phi[:, idx]
+        s = jnp.sqrt(jnp.clip(w1, 0))
+        phi = phi / jnp.sqrt(dp)
+        # partner modes from the action of f
+        chi = jnp.conj(f).T @ phi * dp
+        chi = chi / jnp.maximum(s[None, :], 1e-300)
+        chi = chi / jnp.sqrt(dq)
+    else:
+        raise ValueError(method)
+    return s[:nmodes], phi[:, :nmodes], chi[:, :nmodes]
+
+
+def schmidt_number(f, dp, dq):
+    """Entanglement (Schmidt) number K = (sum s^2)^2 / sum s^4."""
+    s, _, _ = schmidt_decompose(f, dp, dq, nmodes=min(f.shape))
+    s2 = s ** 2
+    return float(jnp.sum(s2) ** 2 / jnp.sum(s2 ** 2))
+
+
+def hom_schmidt(p, q, f, tau, nmodes=8):
+    """HOM coincidence via Schmidt modes (reference:
+    pyqed/optics.py:881 — the reference body references an undefined
+    ``tau`` and never ran; made real here, validated against the direct
+    ``hom`` integral in tests)."""
+    p = jnp.asarray(p)
+    q = jnp.asarray(q)
+    dp = float(p[1] - p[0])
+    dq = float(q[1] - q[0])
+    s, phi, chi = schmidt_decompose(f, dp, dq, nmodes=nmodes)
+    tau = jnp.asarray(tau)
+    # tmp1[a,b](t) = int dp phi_a*(p) chi_b(p) e^{i p t}
+    eip = jnp.exp(1j * p[None, :] * tau[:, None])      # (nt, np)
+    A = jnp.einsum("pa, pb, tp -> tab", jnp.conj(phi), chi, eip) * dp
+    eiq = jnp.exp(-1j * q[None, :] * tau[:, None])
+    B = jnp.einsum("qb, qa, tq -> tab", phi, jnp.conj(chi), eiq) * dq
+    corr = jnp.einsum("a, b, tab, tab -> t", s, s, A, B)
+    return 0.5 - 0.5 * jnp.real(corr)

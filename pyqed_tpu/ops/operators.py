@@ -217,3 +217,25 @@ def multimode(omegas, nmodes, J=0.0, truncate=2):
 def delta(i, j):
     """Kronecker delta (reference: pyqed/common.py:4)."""
     return 1.0 if i == j else 0.0
+
+
+def displace(N, alpha):
+    """Displacement operator D(alpha) = expm(alpha a^dag - alpha* a)
+    (reference: pyqed/oqs.py:853 builds coherent states this way)."""
+    a = jnp.asarray(destroy(N))
+    arg = alpha * a.conj().T - jnp.conj(jnp.asarray(alpha)) * a
+    w, U = jnp.linalg.eigh(1j * jnp.asarray(arg))   # anti-Hermitian -> i*H
+    return (U * jnp.exp(-1j * w)) @ U.conj().T
+
+
+def coherent(N, alpha):
+    """Coherent state |alpha> = D(alpha)|0> in an N-level Fock space
+    (reference: pyqed/oqs.py:853)."""
+    psi = jnp.zeros(N, dtype=complex).at[0].set(1.0)
+    return displace(N, alpha) @ psi
+
+
+def coherent_dm(N, alpha):
+    """|alpha><alpha| (reference: pyqed/oqs.py:926)."""
+    psi = coherent(N, alpha)
+    return jnp.outer(psi, jnp.conj(psi))
