@@ -231,3 +231,34 @@ class NAQT:
                                  np.asarray(xave)], axis=0)
         r.x, r.p, r.c = xf, pf, cf
         return r
+
+
+def qpot(x, p, r, w, mass=1.0):
+    """Linear quantum force WITH friction (the dissipative AQP variant):
+    weighted linear fits of both the momentum field p(x) and the
+    derivative-log-amplitude r(x) over the trajectory ensemble
+    (reference: pyqed/qt/lqf.py:405 ``qpot`` — 1D only there, with its
+    ndim>1 branch ``pass``; vectorized for ndim here).
+
+    Returns (Eu, fq, fr): quantum potential energy, quantum force, and
+    friction force fr = -(2 r dp + ddp)/2m (linear fit -> ddp = 0).
+    """
+    x = jnp.atleast_2d(jnp.asarray(x).T).T      # (ntraj, ndim)
+    p = jnp.atleast_2d(jnp.asarray(p).T).T
+    r = jnp.atleast_2d(jnp.asarray(r).T).T
+    w = jnp.asarray(w)
+    ntraj, ndim = x.shape
+    mass = jnp.broadcast_to(jnp.asarray(mass, dtype=x.dtype), (ndim,))
+    f = jnp.concatenate([x, jnp.ones((ntraj, 1), dtype=x.dtype)], axis=1)
+    S = jnp.einsum("i, im, in -> mn", w, f, f)
+    bp = jnp.einsum("i, im, ik -> mk", w, f, p)
+    br = jnp.einsum("i, im, ik -> mk", w, f, r)
+    cp = jnp.linalg.solve(S, bp)                # (ndim+1, ndim)
+    cr = jnp.linalg.solve(S, br)
+    dp = cp[:ndim, :]                           # d p_k / d x_j
+    dr = cr[:ndim, :]
+    fq = jnp.einsum("ik, jk -> ij", r, dr / mass[None, :])
+    fr = -jnp.einsum("ik, jk -> ij", r, dp / mass[None, :])
+    Eu = -jnp.sum((jnp.einsum("i, ik -> k", w, r ** 2)
+                   + jnp.diagonal(dr)) / (2.0 * mass))
+    return Eu, fq, fr

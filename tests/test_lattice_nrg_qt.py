@@ -109,3 +109,24 @@ class TestQT:
         res = qt.run(dt=0.01, nt=314, nout=314)
         # <x>(t) = cos(t); at t = 3.14 ~ -1
         assert np.isclose(float(res.xAve[-1, 0]), np.cos(3.14), atol=0.05)
+
+
+def test_qpot_friction_variant():
+    """qpot (dissipative AQP, pyqed/qt/lqf.py:405): exact linear fields
+    are recovered exactly -> closed-form quantum/friction forces."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyqed_tpu.grid.qtraj import qpot
+
+    rng = np.random.default_rng(3)
+    s2, x0, p0, b, m = 0.3, 0.5, 0.7, 0.2, 2.0
+    x = rng.normal(x0, np.sqrt(s2), 4000)
+    w = np.ones_like(x) / len(x)
+    r = -(x - x0) / (2 * s2)
+    p = p0 + b * (x - x0)
+    Eu, fq, fr = qpot(x, p, r, w, mass=m)
+    assert np.max(np.abs(np.asarray(fq)[:, 0]
+                         - r * (-1 / (2 * s2)) / m)) < 1e-10
+    assert np.max(np.abs(np.asarray(fr)[:, 0] + r * b / m)) < 1e-10
+    Eu_exact = -(np.dot(w, r ** 2) + (-1 / (2 * s2))) / (2 * m)
+    assert abs(float(Eu) - Eu_exact) < 1e-10
