@@ -396,8 +396,9 @@ def main():
     t_2des_tpu = bench_2des_tpu()
 
     heom_matmul = bench_heom_tpu("matmul")
+    heom_fast = bench_heom_tpu("matmul-fast")
     heom_pallas = bench_heom_tpu("pallas")
-    heom_best = max(heom_matmul, heom_pallas)
+    heom_best = max(heom_matmul, heom_fast, heom_pallas)
 
     heom_cpu = bench_heom_cpu()
     t_2des_cpu = bench_2des_cpu()
@@ -413,6 +414,7 @@ def main():
         "extra": {
             "heom_pallas_steps_per_sec": round(heom_pallas, 2),
             "heom_matmul_steps_per_sec": round(heom_matmul, 2),
+            "heom_matmul_fast_steps_per_sec": round(heom_fast, 2),
             "heom_cpu_ref_steps_per_sec": round(heom_cpu, 3),
             "tdes_map_ms": round(t_2des_tpu * 1e3, 2),
             "tdes_cpu_ref_ms": round(t_2des_cpu * 1e3, 2),

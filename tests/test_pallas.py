@@ -219,3 +219,25 @@ def test_graft_entry_step_matches_solver_rhs(rng):
     re, im = step(ados.real.astype(np.float32), ados.imag.astype(np.float32))
     got = np.asarray(re) + 1j * np.asarray(im)
     assert np.max(np.abs(got - ref)) < 1e-4
+
+
+def test_heom_matmul_fast_parity():
+    """kernel='matmul-fast' (Precision.DEFAULT) == 'matmul' at f64 on CPU
+    (precision flags are MXU-only; CPU math is identical)."""
+    import numpy as np
+    import jax
+    from __graft_entry__ import _heom_setup, _heom_step_fn
+
+    H, keys, pi, mi, Q, c, nu = _heom_setup(nsite=3, nexp_per_bath=2,
+                                            lmax=2)
+    s1, nado, n = _heom_step_fn(H, keys, pi, mi, Q, c, nu,
+                                kernel="matmul")
+    s2, _, _ = _heom_step_fn(H, keys, pi, mi, Q, c, nu,
+                             kernel="matmul-fast")
+    re = np.zeros((nado, n, n), np.float64)
+    re[0, 0, 0] = 1.0
+    im = np.zeros_like(re)
+    o1 = jax.jit(s1)(re, im)
+    o2 = jax.jit(s2)(re, im)
+    assert float(np.max(np.abs(np.asarray(o1[0])
+                               - np.asarray(o2[0])))) < 1e-12
