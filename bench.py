@@ -128,9 +128,10 @@ def bench_2des_tpu(nw=512, nt2=16):
     w = np.linspace(0.7, 1.45, nw).astype(np.float32)
     t2s = np.linspace(0.0, 30.0, nt2).astype(np.float32)
 
-    Ej = jnp.asarray(E.astype(np.float32))
-    dj = jnp.asarray(dip.astype(np.float32))
-    gj = jnp.asarray(gamma.astype(np.float32))
+    # numpy closures: device-array jit constants cost ~30 ms/call on axon
+    Ej = E.astype(np.float32)
+    dj = dip.astype(np.float32)
+    gj = gamma.astype(np.float32)
 
     @jax.jit
     def run(w, t2s):

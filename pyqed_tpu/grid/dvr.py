@@ -541,3 +541,6 @@ class LegendreDVR(DVRBase):
     def t(self, hc=1.0, mc2=None):
         I = mc2 if mc2 is not None else self.mass
         return jnp.asarray(self.j2() * (0.5 * hc ** 2 / I))
+
+ChebDVR = ChebyshevDVR     # reference drop-in name (pyqed/dvr/dvr_1d.py:1028)
+SincDVR_PBC = ExponentialDVR   # periodic sinc == exponential DVR (pyqed/dvr/dvr_1d.py)

@@ -603,3 +603,5 @@ class NonHermLDRN(LDRN):
         self.right_eigenstates = None
         self.left_eigenstates = None
         self._vdia = None
+
+NonHermitianLDR2 = NonHermLDRN   # reference drop-in name (pyqed/ldr/nonherm.py:156)

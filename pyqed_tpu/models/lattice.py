@@ -360,3 +360,5 @@ def green_renormalization(intra, inter, energy=0.0, delta=1e-3,
     g_bulk = jnp.linalg.inv(e - eps)
     g_surf = jnp.linalg.inv(e - eps_s)
     return g_bulk, g_surf
+
+Lattice = Lattice2D              # reference drop-in name (pyqed/lattice/chain.py:158)

@@ -195,3 +195,5 @@ def _march(hs, GR0, GL0, SR, SL, dt):
         return GR, GL
 
     return jax.lax.fori_loop(1, nt, row_update, (GR0, GL0))
+
+KeldyshSolver = KBSolver2T       # reference drop-in name (pyqed/gw/keldysh.py)

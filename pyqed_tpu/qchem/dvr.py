@@ -453,3 +453,5 @@ class ElectronDVR3D:
         fill = np.minimum(2, nelec - 2 * np.arange(len(occ)))
         return float(np.sum(np.asarray(occ) * fill[:len(occ)])
                      + self.energy_nuc())
+
+DVRn = ElectronDVR3D             # reference drop-in name (pyqed/qchem/sg.py:40)

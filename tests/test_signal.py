@@ -242,3 +242,26 @@ class TestT2Batch:
             ref = np.asarray(photon_echo(m, pump, pump, t2=t2,
                                          e_idx=[1, 2, 3], f_idx=[2, 3]))
             assert np.allclose(S[i], ref, rtol=1e-12), t2
+
+
+def test_photon_echo_factored_equals_vmapped():
+    """Low-rank factored t2-series == vmapped pathway sum (exact
+    algebraic identity; machine precision)."""
+    import numpy as np
+    from pyqed_tpu.models.mol import Mol
+    from pyqed_tpu.signal.sos import (photon_echo_t2series,
+                                      photon_echo_t2series_factored)
+    rng = np.random.default_rng(5)
+    E = np.array([0.0, 1.0, 1.1, 1.25, 2.1, 2.3])
+    dip = rng.random((6, 6))
+    dip = dip + dip.T
+    mol = Mol(np.diag(E), dip)
+    mol.gamma = np.array([0.0, 0.02, 0.03, 0.025, 0.05, 0.06])
+    w = np.linspace(0.8, 1.4, 41)
+    t2s = [0.0, 3.0, 10.0]
+    S1 = np.asarray(photon_echo_t2series(mol, w, w, t2s,
+                                         e_idx=[1, 2, 3], f_idx=[4, 5]))
+    S2 = np.asarray(photon_echo_t2series_factored(mol, w, w, t2s,
+                                                  e_idx=[1, 2, 3],
+                                                  f_idx=[4, 5]))
+    assert np.max(np.abs(S1 - S2)) / np.max(np.abs(S1)) < 1e-12
