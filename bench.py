@@ -31,15 +31,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "tests"))
 
 
-def _timeit(fn, *args, repeat=1):
+def _timeit(fn, *args, repeat=3):
+    """Min-of-repeat wall time after a warmup call (min is the standard
+    noise-robust estimator for a loaded host / tunnel jitter)."""
     import jax
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    best = np.inf
     for _ in range(repeat):
+        t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / repeat
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 # ===================================================== config #3: HEOM ★
