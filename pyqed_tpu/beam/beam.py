@@ -348,3 +348,180 @@ def laguerre_gauss_beam(field: "ScalarFieldXY", w0, l=1, p=0,
          * np.exp(-r2 / w0 ** 2) * np.exp(1j * l * phi))
     field.u = jnp.asarray(u)
     return field
+
+
+# ---------------------------------------------------------------------------
+# mask zoo (reference: pyqed/beam/scalar_masks_XY.py — the most-used subset
+# of the vendored diffractio fork, rebuilt as vectorized jnp field ops)
+# ---------------------------------------------------------------------------
+
+def _XY(field):
+    return np.meshgrid(field.x, field.y, indexing="ij")
+
+
+def square(field, size, x0=0.0, y0=0.0):
+    """Square aperture (reference: scalar_masks_XY.py ``square``)."""
+    X, Y = _XY(field)
+    t = (np.abs(X - x0) <= size / 2) & (np.abs(Y - y0) <= size / 2)
+    field.u = field.u * jnp.asarray(t.astype(float))
+    return field
+
+
+def ring(field, r_in, r_out, x0=0.0, y0=0.0):
+    """Annular aperture (reference: ``ring``)."""
+    X, Y = _XY(field)
+    r = np.hypot(X - x0, Y - y0)
+    t = (r >= r_in) & (r <= r_out)
+    field.u = field.u * jnp.asarray(t.astype(float))
+    return field
+
+
+def cross(field, width, length=None):
+    """Cross aperture (reference: ``cross``)."""
+    X, Y = _XY(field)
+    L = length if length is not None else np.inf
+    t = ((np.abs(X) <= width / 2) & (np.abs(Y) <= L / 2)) | \
+        ((np.abs(Y) <= width / 2) & (np.abs(X) <= L / 2))
+    field.u = field.u * jnp.asarray(t.astype(float))
+    return field
+
+
+def super_gauss(field, w, power=8, x0=0.0, y0=0.0):
+    """Super-Gaussian soft aperture (reference: ``super_gauss``)."""
+    X, Y = _XY(field)
+    r2 = (X - x0) ** 2 + (Y - y0) ** 2
+    field.u = field.u * jnp.asarray(np.exp(-(r2 / w ** 2) ** (power // 2)))
+    return field
+
+
+def prism(field, angle_x=0.0, angle_y=0.0):
+    """Thin prism: linear phase ramp (reference: ``prism``)."""
+    X, Y = _XY(field)
+    k = field.k
+    field.u = field.u * jnp.exp(
+        1j * k * (np.sin(angle_x) * X + np.sin(angle_y) * Y))
+    return field
+
+
+def axicon(field, angle, n_refr=1.5):
+    """Conical lens: radial phase ramp producing a Bessel-like zone
+    (reference: ``axicon``)."""
+    X, Y = _XY(field)
+    r = np.hypot(X, Y)
+    kr = field.k * (n_refr - 1.0) * np.tan(angle)
+    field.u = field.u * jnp.exp(-1j * kr * r)
+    return field
+
+
+def fresnel_lens(field, focal, levels=2):
+    """Binary (or multilevel) Fresnel zone lens: the ideal quadratic
+    phase quantized to ``levels`` steps (reference: ``fresnel_lens``)."""
+    X, Y = _XY(field)
+    r2 = X ** 2 + Y ** 2
+    phi = -field.k * r2 / (2 * focal)
+    phi_q = (np.floor((phi / (2 * np.pi) % 1.0) * levels) / levels
+             * 2 * np.pi)
+    field.u = field.u * jnp.exp(1j * phi_q)
+    return field
+
+
+def sine_grating(field, period, depth=np.pi, x0=0.0):
+    """Thin sinusoidal PHASE grating t = exp(i depth/2 sin(2 pi x/p))
+    — diffraction orders weighted by J_m(depth/2)
+    (reference: ``sine_grating``)."""
+    X, _ = _XY(field)
+    field.u = field.u * jnp.exp(
+        1j * depth / 2 * np.sin(2 * np.pi * (X - x0) / period))
+    return field
+
+
+def ronchi_grating(field, period, x0=0.0, fill=0.5):
+    """Binary amplitude (Ronchi) grating (reference: ``ronchi_grating``)."""
+    X, _ = _XY(field)
+    t = ((X - x0) / period % 1.0) < fill
+    field.u = field.u * jnp.asarray(t.astype(float))
+    return field
+
+
+def binary_grating(field, period, amin=0.0, amax=1.0, phase=0.0, fill=0.5):
+    """General binary amplitude/phase grating (reference:
+    ``binary_grating``)."""
+    X, _ = _XY(field)
+    t = (X / period % 1.0) < fill
+    amp = np.where(t, amax, amin)
+    ph = np.where(t, phase, 0.0)
+    field.u = field.u * jnp.asarray(amp * np.exp(1j * ph))
+    return field
+
+
+def blazed_grating(field, period, phase_max=2 * np.pi):
+    """Sawtooth phase grating; phase_max = 2 pi throws all energy into
+    the +1 order (reference: ``blazed_grating``)."""
+    X, _ = _XY(field)
+    field.u = field.u * jnp.exp(
+        1j * phase_max * ((X / period) % 1.0))
+    return field
+
+
+def forked_grating(field, period, l=1, depth=np.pi):
+    """Fork hologram: binary grating with an embedded l-charge
+    dislocation — diffraction orders carry OAM ±l
+    (reference: ``forked_grating``)."""
+    X, Y = _XY(field)
+    phi = np.arctan2(Y, X)
+    arg = 2 * np.pi * X / period - l * phi
+    t = np.cos(arg) > 0
+    field.u = field.u * jnp.asarray(t.astype(float))
+    return field
+
+
+# ---------------------------------------------------------------------------
+# source zoo (reference: pyqed/beam/scalar_sources_XY.py)
+# ---------------------------------------------------------------------------
+
+def spherical_wave(field, z0, x0=0.0, y0=0.0, amplitude=1.0):
+    """Paraxial spherical wave from a point at distance z0 behind the
+    plane (reference: ``spherical_wave``)."""
+    X, Y = _XY(field)
+    r2 = (X - x0) ** 2 + (Y - y0) ** 2
+    field.u = jnp.asarray(amplitude * np.exp(1j * field.k * r2 / (2 * z0)))
+    return field
+
+
+def hermite_gauss_beam(field, w0, m=0, n=0, amplitude=1.0):
+    """HG_{mn} mode at the waist (reference: ``hermite_gauss_beam``)."""
+    from scipy.special import eval_hermite
+    X, Y = _XY(field)
+    s = np.sqrt(2.0) / w0
+    u = (amplitude * eval_hermite(m, s * X) * eval_hermite(n, s * Y)
+         * np.exp(-(X ** 2 + Y ** 2) / w0 ** 2))
+    field.u = jnp.asarray(u.astype(complex))
+    return field
+
+
+def bessel_beam(field, kr, l=0, amplitude=1.0):
+    """Nondiffracting Bessel beam J_l(kr r) e^{i l phi}
+    (reference: ``bessel_beam``)."""
+    from scipy.special import jv
+    X, Y = _XY(field)
+    r = np.hypot(X, Y)
+    phi = np.arctan2(Y, X)
+    field.u = jnp.asarray(amplitude * jv(l, kr * r) * np.exp(1j * l * phi))
+    return field
+
+
+def vortex_beam(field, w0, l=1, amplitude=1.0):
+    """Gaussian with an embedded l-charge vortex (reference:
+    ``vortex_beam``)."""
+    return laguerre_gauss_beam(field, w0, l=l, p=0, amplitude=amplitude)
+
+
+def plane_waves_several_inclined(field, angles, amplitude=1.0):
+    """Coherent superposition of tilted plane waves (reference:
+    ``plane_waves_several_inclined``)."""
+    X, _ = _XY(field)
+    u = np.zeros_like(X, dtype=complex)
+    for th in np.atleast_1d(angles):
+        u += amplitude * np.exp(1j * field.k * np.sin(th) * X)
+    field.u = jnp.asarray(u)
+    return field

@@ -1,0 +1,180 @@
+"""Diffractive mask/source zoo physics (beam/beam.py additions).
+
+Reference: pyqed/beam/scalar_masks_XY.py, scalar_sources_XY.py (vendored
+diffractio fork). Each test pins a closed-form diffraction result.
+"""
+import numpy as np
+import jax.numpy as jnp
+from scipy.special import jv
+
+from pyqed_tpu.beam.beam import (
+    ScalarFieldXY, plane_wave, sine_grating, ronchi_grating,
+    blazed_grating, fresnel_lens, axicon, bessel_beam,
+    hermite_gauss_beam, square, ring, forked_grating, spherical_wave)
+
+
+def _field(n=256, L=2000.0, wl=0.6):
+    x = np.linspace(-L / 2, L / 2, n, endpoint=False)
+    return ScalarFieldXY(x, x, wavelength=wl), x
+
+
+def _order_amps(field, period):
+    """Diffraction-order amplitudes along x from the FFT row spectrum."""
+    u = np.asarray(field.u)
+    spec = np.fft.fft(u[:, u.shape[1] // 2]) / u.shape[0]
+    n = u.shape[0]
+    dx = field.x[1] - field.x[0]
+    # order m sits at spatial frequency m / period
+    Lx = n * dx
+    orders = {}
+    for m in range(-3, 4):
+        idx = int(round(m * Lx / period)) % n
+        orders[m] = spec[idx]
+    return orders
+
+
+def test_sine_phase_grating_bessel_orders():
+    """Thin sinusoidal phase grating: |order m| = |J_m(depth/2)|."""
+    f, x = _field()
+    plane_wave(f)
+    depth = 1.6
+    period = 125.0
+    sine_grating(f, period, depth=depth)
+    orders = _order_amps(f, period)
+    for m in (-2, -1, 0, 1, 2):
+        assert abs(abs(orders[m]) - abs(jv(m, depth / 2))) < 5e-3, m
+
+
+def test_ronchi_grating_orders():
+    """50% duty binary amplitude grating: even orders (except 0) vanish,
+    |a_0| = 1/2, |a_1| = 1/pi."""
+    f, x = _field()
+    plane_wave(f)
+    period = 125.0
+    ronchi_grating(f, period)
+    o = _order_amps(f, period)
+    assert abs(abs(o[0]) - 0.5) < 1e-2
+    assert abs(abs(o[1]) - 1 / np.pi) < 1e-2
+    assert abs(o[2]) < 1e-2
+
+
+def test_blazed_grating_single_order():
+    """2 pi blaze: all energy into one first order."""
+    f, x = _field()
+    plane_wave(f)
+    period = 125.0
+    blazed_grating(f, period, phase_max=2 * np.pi)
+    o = _order_amps(f, period)
+    assert abs(abs(o[-1]) - 1.0) < 2e-2 or abs(abs(o[1]) - 1.0) < 2e-2
+    assert abs(o[0]) < 5e-2
+
+
+def test_fresnel_lens_focuses():
+    """Binary zone lens concentrates on-axis intensity at z = f."""
+    n, L, wl = 256, 2000.0, 0.6
+    f, x = _field(n, L, wl)
+    plane_wave(f)
+    focal = 30000.0
+    fresnel_lens(f, focal, levels=2)
+    I0 = float(np.abs(np.asarray(f.u)[n // 2, n // 2]) ** 2)
+    f.angular_spectrum(focal)
+    If = float(np.abs(np.asarray(f.u)[n // 2, n // 2]) ** 2)
+    assert If > 50 * I0
+
+
+def test_axicon_bessel_zone():
+    """Axicon on a plane wave -> transverse profile ~ J_0(kr r) in the
+    Bessel zone."""
+    n, L, wl = 512, 4000.0, 0.6
+    f, x = _field(n, L, wl)
+    plane_wave(f)
+    angle = 0.002
+    axicon(f, angle, n_refr=1.5)
+    kr = f.k * 0.5 * np.tan(angle)
+    z = 0.25 * (L / 2) / np.tan(angle) / 0.5
+    f.angular_spectrum(z)
+    I = np.abs(np.asarray(f.u)[:, n // 2]) ** 2
+    Iref = jv(0, kr * np.abs(x)) ** 2
+    # compare ring positions: first minimum of J0^2
+    core = slice(n // 2 - 40, n // 2 + 40)
+    c = np.corrcoef(I[core], Iref[core])[0, 1]
+    assert c > 0.9
+
+
+def test_bessel_beam_nondiffracting():
+    """J_0 beam: transverse profile unchanged after propagation."""
+    n, L, wl = 256, 2000.0, 0.6
+    f, x = _field(n, L, wl)
+    kr = 0.05
+    bessel_beam(f, kr, l=0)
+    I0 = np.abs(np.asarray(f.u)[:, n // 2]) ** 2
+    f.angular_spectrum(3000.0)
+    I1 = np.abs(np.asarray(f.u)[:, n // 2]) ** 2
+    core = slice(n // 4, 3 * n // 4)    # away from aperture edge
+    assert np.max(np.abs(I1[core] - I0[core])) < 0.05 * np.max(I0)
+
+
+def test_hermite_gauss_nodes_and_orthogonality():
+    n, L = 128, 40.0
+    x = np.linspace(-L / 2, L / 2, n, endpoint=False)
+    f1 = ScalarFieldXY(x, x, wavelength=0.6)
+    f2 = ScalarFieldXY(x, x, wavelength=0.6)
+    hermite_gauss_beam(f1, w0=5.0, m=1, n=0)
+    hermite_gauss_beam(f2, w0=5.0, m=2, n=0)
+    u1 = np.asarray(f1.u)
+    u2 = np.asarray(f2.u)
+    ov = abs(np.sum(u1.conj() * u2)) / np.sqrt(
+        np.sum(np.abs(u1) ** 2) * np.sum(np.abs(u2) ** 2))
+    assert ov < 1e-10                       # different parity -> orthogonal
+    assert abs(u1[n // 2, n // 2]) < 1e-12  # HG10 node on axis
+
+
+def test_forked_grating_first_order_carries_oam():
+    """Fork hologram: the +1 diffraction order is a vortex (dark core)."""
+    n, L, wl = 512, 2000.0, 0.6
+    f, x = _field(n, L, wl)
+    plane_wave(f)
+    period = 250.0
+    forked_grating(f, period, l=1)
+    u = np.asarray(f.u)
+    spec = np.fft.fftshift(np.fft.fft2(u))
+    dx = x[1] - x[0]
+    # +1 order at fx = 1/period
+    fx = np.fft.fftshift(np.fft.fftfreq(n, dx))
+    ix = np.argmin(np.abs(fx - 1.0 / period))
+    i0 = np.argmin(np.abs(fx))
+    # vortex core: central pixel of the order is dark relative to its ring
+    order_patch = np.abs(spec[ix - 6:ix + 7, i0 - 6:i0 + 7])
+    center = order_patch[6, 6]
+    ringmax = np.max(order_patch)
+    assert center < 0.25 * ringmax
+
+
+def test_aperture_masks_energy():
+    f, x = _field()
+    plane_wave(f)
+    ring(f, 200.0, 400.0)
+    u = np.asarray(f.u)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    r = np.hypot(X, Y)
+    inside = (r >= 200) & (r <= 400)
+    assert np.all(np.abs(u[~inside]) == 0)
+    assert np.all(np.abs(u[inside]) == 1)
+    f2, _ = _field()
+    plane_wave(f2)
+    square(f2, 500.0)
+    frac = np.sum(np.abs(np.asarray(f2.u)) ** 2) / f2.u.size
+    assert abs(frac - (500.0 / 2000.0) ** 2) < 1e-2
+
+
+def test_spherical_wave_cancels_lens():
+    """Spherical wave from z0 + ideal lens f = z0 -> plane wave."""
+    from pyqed_tpu.beam.beam import lens
+    n = 128
+    f, x = _field(n)
+    z0 = 50000.0
+    spherical_wave(f, z0)
+    lens(f, z0)
+    u = np.asarray(f.u)
+    ph = np.angle(u[n // 2 - 20:n // 2 + 20, n // 2])
+    assert np.max(np.abs(np.unwrap(ph) - np.unwrap(ph)[0])) < 1e-6
