@@ -333,7 +333,12 @@ class SPON:
 
     # ------------------------------------------------------------------- run
     def run(self, psi0, dt=0.01, nt=1, e_ops=None, t0=0.0, nout=1,
-            return_states=True) -> ResultSPO:
+            return_states=True, checkpoint=None, checkpoint_every=10,
+            resume=None) -> ResultSPO:
+        """``checkpoint=``: npz path written every ``checkpoint_every``
+        observation windows with (psi, window index) so long propagations
+        resume mid-run via ``resume=`` (SURVEY.md §5.4 — same contract as
+        HEOMSolver.run; resumed trajectory == uninterrupted exactly)."""
         if psi0.shape == self.shape and self.nstates == 1:
             psi0 = psi0[..., None]
         assert psi0.shape == self.shape + (self.nstates,)
@@ -376,32 +381,60 @@ class SPON:
             Mk_ri = jax.jit(lambda r, i: _ri(jnp.linalg.matrix_power(
                 r + 1j * i, nout)))(*self._step_mat_ri)
 
-        @jax.jit
-        def evolve(psi0):
-            if fold:
-                Mk = _cc(Mk_ri)
-
-            def window(psi, _):
+        def make_evolve(length):
+            @jax.jit
+            def evolve(psi0):
                 if fold:
-                    psi = jnp.reshape(
-                        jnp.matmul(Mk, jnp.reshape(psi, (-1,)),
-                                   precision=jax.lax.Precision.HIGHEST),
-                        psi.shape)
-                else:
-                    def fine(i, p):
-                        return one_step(p)
-                    psi = jax.lax.fori_loop(0, nout, fine, psi)
-                out = (observe(psi), psi if return_states else jnp.zeros((0,)))
-                return psi, out
-            psi_f, (rhos, states) = jax.lax.scan(window, psi0, None, length=ns_steps)
-            return psi_f, rhos, states
+                    Mk = _cc(Mk_ri)
 
-        psi_f, rhos, states = evolve(psi0)
+                def window(psi, _):
+                    if fold:
+                        psi = jnp.reshape(
+                            jnp.matmul(Mk, jnp.reshape(psi, (-1,)),
+                                       precision=jax.lax.Precision.HIGHEST),
+                            psi.shape)
+                    else:
+                        def fine(i, p):
+                            return one_step(p)
+                        psi = jax.lax.fori_loop(0, nout, fine, psi)
+                    out = (observe(psi),
+                           psi if return_states else jnp.zeros((0,)))
+                    return psi, out
+                psi_f, (rhos, states) = jax.lax.scan(window, psi0, None,
+                                                     length=length)
+                return psi_f, rhos, states
+            return evolve
+
+        start_window = 0
+        if resume is not None:
+            from ..core.diagnostics import load_checkpoint
+            start_window, (psi_r,), _meta = load_checkpoint(resume)
+            psi0 = jnp.asarray(psi_r)
+
+        if checkpoint is None:
+            psi_f, rhos, states = make_evolve(ns_steps - start_window)(psi0)
+        else:
+            from ..core.diagnostics import save_checkpoint
+            every = max(1, int(checkpoint_every))
+            rho_parts, state_parts = [], []
+            p = psi0
+            w = start_window
+            while w < ns_steps:
+                chunk = min(every, ns_steps - w)
+                p, rr, ss = make_evolve(chunk)(p)
+                rho_parts.append(rr)
+                state_parts.append(ss)
+                w += chunk
+                save_checkpoint(checkpoint, w, (p,), dt=dt, nout=nout)
+            psi_f = p
+            rhos = jnp.concatenate(rho_parts, axis=0)
+            states = jnp.concatenate(state_parts, axis=0)
         rho0 = observe(psi0)
         rho_el = jnp.concatenate([rho0[None], rhos], axis=0)
 
         r = ResultSPO(grids=self.grids, dt=dt, nt=nt, psi0=psi0, nout=nout)
-        r.times = t0 + np.arange(ns_steps + 1) * dt * nout
+        r.times = t0 + (start_window
+                        + np.arange(rhos.shape[0] + 1)) * dt * nout
         r.rho_el = rho_el
         r.population = jnp.real(jnp.einsum("taa -> ta", rho_el))
         if return_states:

@@ -296,3 +296,38 @@ class TestSPO3Jacobi:
         pops = np.asarray(r.population)
         assert np.isclose(pops[-1].sum(), 1.0, atol=1e-8)
         assert pops[-1, 1] > 1e-4   # population actually transfers
+
+
+def test_spo_checkpoint_resume(tmp_path):
+    """Interrupted + resumed SPO run == uninterrupted run exactly
+    (SURVEY §5.4; same contract as the HEOM checkpoint test)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyqed_tpu.grid.spo import SPO
+
+    x = np.linspace(-8, 8, 64, endpoint=False)
+    spo = SPO(x, mass=1.0)
+    spo.set_potential(0.5 * x ** 2)
+    psi0 = np.exp(-(x - 1.0) ** 2).astype(complex)
+    psi0 /= np.linalg.norm(psi0)
+
+    full = spo.run(jnp.asarray(psi0[:, None]), dt=0.02, nt=40, nout=4)
+
+    ck = str(tmp_path / "spo_ck.npz")
+    spo2 = SPO(x, mass=1.0)
+    spo2.set_potential(0.5 * x ** 2)
+    # run only the first 3 windows, checkpointing every window...
+    try:
+        spo2.run(jnp.asarray(psi0[:, None]), dt=0.02, nt=12, nout=4,
+                 checkpoint=ck, checkpoint_every=1)
+    finally:
+        pass
+    # ...then resume to the full 10 windows
+    spo3 = SPO(x, mass=1.0)
+    spo3.set_potential(0.5 * x ** 2)
+    resumed = spo3.run(jnp.asarray(psi0[:, None]), dt=0.02, nt=40, nout=4,
+                       resume=ck)
+    assert np.max(np.abs(np.asarray(resumed.psi)
+                         - np.asarray(full.psi))) < 1e-12
+    assert np.allclose(np.asarray(resumed.times)[-1],
+                       np.asarray(full.times)[-1])
