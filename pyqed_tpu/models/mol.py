@@ -53,6 +53,16 @@ class Mol:
         if lowering is not None:
             self.lowering = jnp.asarray(lowering)
             self.raising = dag(self.lowering)
+        elif edip is not None:
+            # default: split the dipole in the (ascending-energy) basis —
+            # lowering connects high -> low, i.e. the strict upper triangle
+            # (the reference leaves this commented at pyqed/mol.py:243 and
+            # its Polariton RWA branch then crashes on mol.raising; made
+            # real here so Polariton.getH(RWA=True) works out of the box)
+            self.lowering = jnp.triu(self._edip, k=1)
+            self.raising = dag(self.lowering)
+        else:
+            self.lowering = self.raising = None
         self.nstates = self.dim = self.size = self.H.shape[0]
         self.idm = jnp.eye(self.dim, dtype=self.H.dtype)
         self.gamma = gamma

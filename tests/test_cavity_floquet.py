@@ -202,3 +202,22 @@ class TestFreeElectron:
         t, q, p = cep_scan(np.array([0.0, np.pi / 4]), tf=5.0, nt=100)
         assert q.shape == (2, 101, 3)
         assert not np.allclose(np.asarray(q)[0], np.asarray(q)[1])
+
+
+def test_polariton_rwa_default_lowering():
+    """Polariton.getH(RWA=True) works for a plain Mol (lowering derived
+    from the dipole's upper triangle) and gives the JC doublet."""
+    import numpy as np
+    from pyqed_tpu.models.cavity import Cavity, Polariton
+    from pyqed_tpu.models.mol import Mol
+
+    wm = wc = 1.0
+    g = 0.08
+    mol = Mol(np.diag([0.0, wm]), np.array([[0.0, 1.0], [1.0, 0.0]]))
+    cav = Cavity(freq=wc, n_cav=3)
+    pol = Polariton(mol, cav, g=g)
+    H = np.asarray(pol.getH(RWA=True))
+    w = np.linalg.eigvalsh(H)
+    # one-excitation doublet at wc ± g
+    assert np.min(np.abs(w - (wc - g))) < 1e-10
+    assert np.min(np.abs(w - (wc + g))) < 1e-10
