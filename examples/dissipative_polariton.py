@@ -45,7 +45,8 @@ t = np.asarray(res.times)
 print("vacuum-Rabi half-period (expected ~ pi/2g = %.1f):" % (np.pi / (2 * g)))
 # first revival of molecular population
 pm = obs[:, 0]
-rebound = t[1:][np.r_[False, (pm[1:-1] < pm[:-2]) & (pm[1:-1] < pm[2:])]]
+mins = np.where((pm[1:-1] < pm[:-2]) & (pm[1:-1] < pm[2:]))[0] + 1
+rebound = t[mins]
 print("  first minimum at t =", round(float(rebound[0]), 1) if len(rebound) else "n/a")
 print("final molecular population:", round(float(pm[-1]), 4))
 print("total excitation decays:", round(float(obs[0, 0] + obs[0, 1]), 3),

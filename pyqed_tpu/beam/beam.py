@@ -390,7 +390,7 @@ def super_gauss(field, w, power=8, x0=0.0, y0=0.0):
     """Super-Gaussian soft aperture (reference: ``super_gauss``)."""
     X, Y = _XY(field)
     r2 = (X - x0) ** 2 + (Y - y0) ** 2
-    field.u = field.u * jnp.asarray(np.exp(-(r2 / w ** 2) ** (power // 2)))
+    field.u = field.u * jnp.asarray(np.exp(-(r2 / w ** 2) ** (power / 2)))
     return field
 
 

@@ -409,6 +409,12 @@ class SPON:
         if resume is not None:
             from ..core.diagnostics import load_checkpoint
             start_window, (psi_r,), _meta = load_checkpoint(resume)
+            for key, val in (("dt", dt), ("nout", nout)):
+                saved = _meta.get(key)
+                if saved is not None and abs(float(saved) - val) > 1e-15:
+                    raise ValueError(
+                        f"resume {key}={val} != checkpointed {key}={saved}"
+                        " — the resumed trajectory would silently differ")
             psi0 = jnp.asarray(psi_r)
 
         if checkpoint is None:

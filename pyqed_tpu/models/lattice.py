@@ -257,6 +257,13 @@ class RiceMele(Chain):
         self.H = jnp.asarray(H)
         return self.H
 
+    def position(self):
+        """Cell-index position operator: orbital j sits in cell j//2 + 1
+        (Chain.position assumes norb entries per cell of self.nsite cells;
+        RiceMele counts ORBITALS in self.nsite, hence the override)."""
+        idx = np.arange(self.nsite) // 2 + 1
+        return jnp.diag(jnp.asarray(idx, dtype=float))
+
     def band_structure(self, k=None):
         """Analytic two-band dispersion E(k) = ±|v + w e^{ik}|."""
         if k is None:
@@ -316,8 +323,16 @@ class Lattice2D:
             for i in range(nx):
                 for j in range(ny):
                     ii, jj = i + R[0], j + R[1]
-                    if bc == "open" and not (0 <= ii < nx and 0 <= jj < ny):
+                    wraps = not (0 <= ii < nx and 0 <= jj < ny)
+                    if bc == "open" and wraps:
                         continue
+                    if wraps:
+                        # same convention as Chain: periodic wrap only for
+                        # >2 cells along the wrapped direction (avoids the
+                        # doubled bond of a 2-cell ring and the self-bond
+                        # of a 1-cell ring)
+                        if (R[0] and nx <= 2) or (R[1] and ny <= 2):
+                            continue
                     p, q = self.index(i, j, a), self.index(ii, jj, b)
                     H[p, q] += J
                     H[q, p] += np.conj(J)

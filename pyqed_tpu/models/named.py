@@ -240,5 +240,7 @@ class Frenkel2(Mol):
             edip = edip + l + dag(l)
         super().__init__(H, edip=edip)
         self.dim = 3 ** nsites
-        self.lowering = low1 + low2
+        # per-site operator LIST under lowering_ops (the Frenkel-class
+        # convention); Mol.lowering stays the dipole-derived matrix
+        self.lowering_ops = low1 + low2
         self.nsites = nsites

@@ -290,7 +290,9 @@ def schmidt_decompose(f, dp, dq, nmodes=5, method="svd"):
         U, S, Vh = jnp.linalg.svd(f, full_matrices=False)
         s = S * jnp.sqrt(dp * dq)
         phi = U / jnp.sqrt(dp)
-        chi = jnp.conj(Vh).T / jnp.sqrt(dq)
+        # f = U S Vh -> chi_a(q) = Vh[a, q] (NOT its conjugate: conjugating
+        # breaks f = sum_a s_a phi_a chi_a for complex/chirped JSAs)
+        chi = Vh.T / jnp.sqrt(dq)
     elif method == "rdm":
         k1 = f @ jnp.conj(f).T * dp * dq
         w1, phi = jnp.linalg.eigh(k1)
@@ -298,10 +300,10 @@ def schmidt_decompose(f, dp, dq, nmodes=5, method="svd"):
         w1, phi = w1[idx], phi[:, idx]
         s = jnp.sqrt(jnp.clip(w1, 0))
         phi = phi / jnp.sqrt(dp)
-        # partner modes from the action of f
-        chi = jnp.conj(f).T @ phi * dp
+        # partner modes: s_a chi_a(q) = sum_p conj(phi_a(p)) f(p, q) dp —
+        # already continuum-normalized (no extra 1/sqrt(dq))
+        chi = f.T @ jnp.conj(phi) * dp
         chi = chi / jnp.maximum(s[None, :], 1e-300)
-        chi = chi / jnp.sqrt(dq)
     else:
         raise ValueError(method)
     return s[:nmodes], phi[:, :nmodes], chi[:, :nmodes]

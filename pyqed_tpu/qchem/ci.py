@@ -322,13 +322,19 @@ class CASSCF:
 
         tril = np.tril_indices(n, -1)
 
+        nact_tot = ncore + ncas
+
         def energy(kappa):
             K = jnp.zeros((n, n)).at[tril].set(kappa)
             K = K - K.T
             C = C0 @ jax.scipy.linalg.expm(K)
-            hmo = C.T @ hao @ C
+            # only the core+active block of the MO integrals is consumed:
+            # transform with the truncated C (n x (ncore+ncas)) so each
+            # L-BFGS evaluation is (ncore+ncas)^4, not n^4
+            Csub = C[:, :nact_tot]
+            hmo = Csub.T @ hao @ Csub
             eri_mo = jnp.einsum("pi, qj, pqrs, rk, sl -> ijkl",
-                                C, C, eri_ao, C, C)
+                                Csub, Csub, eri_ao, Csub, Csub)
             # fold the doubly-occupied core
             ecore = 2 * jnp.trace(hmo[:ncore, :ncore])
             ecore = ecore + 2 * jnp.einsum(

@@ -447,9 +447,10 @@ class ElectronDVR3D:
 
     def total_energy(self, nelec=1, neig=None):
         """Independent-electron total energy (Aufbau, closed shell)."""
-        if not hasattr(self, "mo_energy"):
-            self.run(neig=max(1, (nelec + 1) // 2))
-        occ = self.mo_energy[:(nelec + 1) // 2]
+        need = max(1, (nelec + 1) // 2)
+        if not hasattr(self, "mo_energy") or len(self.mo_energy) < need:
+            self.run(neig=need)
+        occ = self.mo_energy[:need]
         fill = np.minimum(2, nelec - 2 * np.arange(len(occ)))
         return float(np.sum(np.asarray(occ) * fill[:len(occ)])
                      + self.energy_nuc())

@@ -252,12 +252,26 @@ class TT_LDR:
         v_tt = self._v_tt(dt, rank_pes)
         T = self._kinetic_mpo(rank_ovlp) if self.A is not None else None
 
-        snaps, rdms, norms = [], [], []
+        # diagonal observables O(R, alpha): TT-decompose once, evaluate
+        # <psi| O ⊙ psi> per snapshot
+        eop_tts = []
+        for O in (e_ops or ()):
+            O = np.asarray(O)
+            assert O.shape == tuple(self.dims), \
+                f"e_op shape {O.shape} != {tuple(self.dims)} (diagonal " \
+                "grid x state observables only)"
+            eop_tts.append([jnp.asarray(G)
+                            for G in tt_svd(O, max_rank=rank_pes)])
+
+        snaps, rdms, norms, expects = [], [], [], []
 
         def record(p):
             snaps.append([np.asarray(G) for G in p])
             rdms.append(np.asarray(self.rdm_el(p)))
             norms.append(tt_norm(p))
+            if eop_tts:
+                expects.append([complex(tt_inner(p, hadamard_apply(ot, p)))
+                                for ot in eop_tts])
 
         record(psi)
         for _ in range(nt):
@@ -272,8 +286,11 @@ class TT_LDR:
                 psi = hadamard_apply(v_tt, psi, chi_max=rank_state)
             record(psi)
 
-        return {"cores_list": snaps, "rdm_el": np.array(rdms),
-                "norms": np.array(norms)}
+        out = {"cores_list": snaps, "rdm_el": np.array(rdms),
+               "norms": np.array(norms)}
+        if eop_tts:
+            out["expect"] = np.array(expects)
+        return out
 
     # ---------------------------------------------------------- observables
     def rdm_el(self, cores):

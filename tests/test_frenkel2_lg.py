@@ -26,7 +26,7 @@ def test_frenkel2_dimer_excitation_number_conserved():
     m = Frenkel2([e1, e2], [inter, intra], nsites=2)
     H = np.asarray(m.H)
     # total number operator
-    N = sum(np.asarray(l.conj().T @ l) for l in m.lowering)
+    N = sum(np.asarray(l.conj().T @ l) for l in m.lowering_ops)
     assert np.max(np.abs(H @ N - N @ H)) < 1e-12
     # single-excitation subspace: states |1>_i, |2>_i, i=1,2
     evals = np.linalg.eigvalsh(H)

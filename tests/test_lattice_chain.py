@@ -87,3 +87,21 @@ def test_lattice2d_square_spectrum():
     KX, KY = np.meshgrid(kx, ky)
     exact = np.sort((2 * np.cos(KX) + 2 * np.cos(KY)).ravel())
     assert np.allclose(np.sort(np.asarray(evals)), exact, atol=1e-10)
+
+
+def test_ricemele_position_shape():
+    """Regression: position() must match the Hamiltonian dimension."""
+    m = RiceMele(0.2, 1.0, nsites=10)
+    m.buildH()
+    P = np.asarray(m.position())
+    assert P.shape == np.asarray(m.H).shape
+    assert np.allclose(np.diag(P), np.arange(10) // 2 + 1)
+
+
+def test_lattice2d_periodic_two_cell_guard():
+    """Regression: 2-cell periodic wrap must not double the bond
+    (Chain's nsite > 2 convention)."""
+    lat = Lattice2D(size=(2, 1), norb=1)
+    lat.set_hop(1.0, 0, 0, [1, 0], boundary_condition="periodic")
+    H = np.asarray(lat.buildH())
+    assert abs(H[0, 1] - 1.0) < 1e-14

@@ -85,3 +85,25 @@ def test_coherent_state():
     dm = np.asarray(coherent_dm(N, al))
     assert abs(np.trace(dm) - 1.0) < 1e-12
     assert np.max(np.abs(dm - np.outer(psi, psi.conj()))) < 1e-14
+
+
+def test_schmidt_complex_chirped_jsa():
+    """Complex (chirped) JSA: reconstruction and HOM-via-Schmidt hold
+    (regression: svd chi was conjugated, rdm chi over-normalized)."""
+    import jax.numpy as jnp
+    from pyqed_tpu.models.pulse import hom
+    p = np.linspace(-0.3, 0.3, 64)
+    q = np.linspace(-0.3, 0.3, 64)
+    P, Q = np.meshgrid(p, q, indexing="ij")
+    f = (np.exp(-(P + Q) ** 2 / 0.002 - (P - Q) ** 2 / 0.05)
+         * np.exp(1j * 40 * P * Q))
+    dp, dq = p[1] - p[0], q[1] - q[0]
+    for m in ("svd", "rdm"):
+        s, phi, chi = schmidt_decompose(f, dp, dq, nmodes=64, method=m)
+        rec = np.einsum("a, pa, qa -> pq", np.asarray(s), np.asarray(phi),
+                        np.asarray(chi))
+        assert np.max(np.abs(rec - f)) < 1e-7, m
+    tau = np.linspace(-300, 300, 21)
+    d = np.asarray(hom(p, q, jnp.asarray(f), tau))
+    hs = np.asarray(hom_schmidt(p, q, f, tau, nmodes=64))
+    assert np.max(np.abs(d - hs)) < 1e-10

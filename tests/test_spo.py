@@ -331,3 +331,19 @@ def test_spo_checkpoint_resume(tmp_path):
                          - np.asarray(full.psi))) < 1e-12
     assert np.allclose(np.asarray(resumed.times)[-1],
                        np.asarray(full.times)[-1])
+
+
+def test_spo_resume_rejects_mismatched_dt(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+    from pyqed_tpu.grid.spo import SPO
+
+    x = np.linspace(-8, 8, 32, endpoint=False)
+    spo = SPO(x, mass=1.0)
+    spo.set_potential(0.5 * x ** 2)
+    psi0 = np.exp(-x ** 2).astype(complex)[:, None]
+    ck = str(tmp_path / "ck.npz")
+    spo.run(jnp.asarray(psi0), dt=0.02, nt=8, nout=4, checkpoint=ck)
+    with pytest.raises(ValueError, match="resume dt"):
+        spo.run(jnp.asarray(psi0), dt=0.05, nt=8, nout=4, resume=ck)

@@ -146,3 +146,17 @@ def test_ttldr_rank_truncation_converges():
     e12 = np.max(np.abs(errs[1] - full))
     assert e12 < e4
     assert e12 < 1e-3
+
+
+def test_ttspo_e_ops_expectations():
+    """run(e_ops=...) returns diagonal-observable expectations."""
+    domains, ldr, v, _, X, Y = _model2d()
+    tt = TT_LDR(domains, [3, 3], nstates=2, mass=[1.0, 1.2])
+    tt.set_apes(v)
+    psi0 = _gauss2d(X, Y, 2)
+    Xop = np.broadcast_to(X[..., None], (*X.shape, 2)).copy()
+    out = tt.run(psi0, 0.02, 3, rank_state=64, rank_pes=64, e_ops=[Xop])
+    assert "expect" in out and out["expect"].shape == (4, 1)
+    # t=0 value == dense <psi|X|psi>
+    x0 = np.sum(np.abs(psi0) ** 2 * Xop)
+    assert abs(out["expect"][0, 0].real - x0) < 1e-10
