@@ -31,17 +31,32 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "tests"))
 
 
+def _force(out):
+    """Force a REAL device->host readback of one leaf.
+
+    On the axon tunnel, ``jax.block_until_ready`` does NOT actually wait
+    for execution (measured: 3rd+ repeat calls 'complete' in 0.5 ms while
+    the honest step time is 190 ms; only a data readback synchronizes).
+    Every timed region must therefore end with a readback.
+    """
+    import jax
+    leaves = jax.tree_util.tree_leaves(out)
+    return float(np.asarray(leaves[0]).ravel()[0])
+
+
 def _timeit(fn, *args, repeat=3):
-    """Min-of-repeat wall time after a warmup call (min is the standard
-    noise-robust estimator for a loaded host / tunnel jitter)."""
+    """Min-of-repeat wall time after a warmup call; each timed call is
+    synchronized by an actual readback (see ``_force``)."""
     import jax
     out = fn(*args)
     jax.block_until_ready(out)
+    _force(out)
     best = np.inf
     for _ in range(repeat):
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
+        _force(out)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -403,7 +418,8 @@ def main():
     heom_matmul = bench_heom_tpu("matmul")
     heom_fast = bench_heom_tpu("matmul-fast")
     heom_pallas = bench_heom_tpu("pallas")
-    heom_best = max(heom_matmul, heom_fast, heom_pallas)
+    heom_pallas_fast = bench_heom_tpu("pallas-fast")
+    heom_best = max(heom_matmul, heom_fast, heom_pallas, heom_pallas_fast)
 
     heom_cpu = bench_heom_cpu()
     t_2des_cpu = bench_2des_cpu()
@@ -418,6 +434,7 @@ def main():
         "vs_baseline": round(heom_best / heom_cpu, 2),
         "extra": {
             "heom_pallas_steps_per_sec": round(heom_pallas, 2),
+            "heom_pallas_fast_steps_per_sec": round(heom_pallas_fast, 2),
             "heom_matmul_steps_per_sec": round(heom_matmul, 2),
             "heom_matmul_fast_steps_per_sec": round(heom_fast, 2),
             "heom_cpu_ref_steps_per_sec": round(heom_cpu, 3),

@@ -56,14 +56,15 @@ def _pt(dt):
     return jnp.float64 if dt == jnp.float64 else jnp.float32
 
 
-def _cdot(ar, ai, br, bi):
-    # Precision.HIGHEST: full-f32 MXU passes (default bf16 rounding would
-    # cost ~3 digits — fatal for the 1e-8 physics parity gate)
+def _cdot(ar, ai, br, bi, precision=None):
+    # Precision.HIGHEST default: full-f32 MXU passes (bf16 rounding costs
+    # ~3 digits — fatal for the 1e-8 physics parity gate); callers that
+    # have verified their workload can pass Precision.DEFAULT (single-pass)
     pt = _pt(ar.dtype)
-    hi = jax.lax.Precision.HIGHEST
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
 
     def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=pt, precision=hi)
+        return jnp.dot(a, b, preferred_element_type=pt, precision=prec)
 
     re = dot(ar, br) - dot(ai, bi)
     im = dot(ar, bi) + dot(ai, br)
@@ -97,18 +98,25 @@ def heom_superop_matrix(H, Q, c, include_plus=True):
     return np.concatenate(blocks, axis=1)
 
 
-def _heom_rhs_kernel(br_ref, bi_ref, damp_ref, xr_ref, xi_ref,
-                     outr_ref, outi_ref):
-    V = br_ref.shape[0]
-    xr = xr_ref[:]
-    xi = xi_ref[:]
-    out_r, out_i = _cdot(br_ref[:], bi_ref[:], xr, xi)
-    damp = damp_ref[:]
-    outr_ref[:] = out_r - damp * xr[:V, :]
-    outi_ref[:] = out_i - damp * xi[:V, :]
+def _make_heom_rhs_kernel(precision):
+    def _heom_rhs_kernel(br_ref, bi_ref, damp_ref, xr_ref, xi_ref,
+                         outr_ref, outi_ref):
+        V = br_ref.shape[0]
+        xr = xr_ref[:]
+        xi = xi_ref[:]
+        out_r, out_i = _cdot(br_ref[:], bi_ref[:], xr, xi,
+                             precision=precision)
+        damp = damp_ref[:]
+        outr_ref[:] = out_r - damp * xr[:V, :]
+        outi_ref[:] = out_i - damp * xi[:V, :]
+    return _heom_rhs_kernel
 
 
-def heom_rhs_pallas(B, damp, X, *, tile=None, interpret=False):
+_heom_rhs_kernel = _make_heom_rhs_kernel(None)
+
+
+def heom_rhs_pallas(B, damp, X, *, tile=None, interpret=False,
+                    precision=None):
     """Fused HEOM RHS: out = B X − damp ⊙ X[:V]  (column layout).
 
     B: (V, KV) complex static matrix; X: (KV, nado) stacked
@@ -138,7 +146,7 @@ def heom_rhs_pallas(B, damp, X, *, tile=None, interpret=False):
     col = lambda i: (0, i)
     fixed = lambda i: (0, 0)
     outr, outi = pl.pallas_call(
-        _heom_rhs_kernel,
+        _make_heom_rhs_kernel(precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((V, KV), fixed, memory_space=pltpu.VMEM),
