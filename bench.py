@@ -8,7 +8,7 @@ reference's DEOM rem_cal shape, pyqed/heom/deom.py:641-673).
 
 The single JSON line also carries an "extra" dict:
   speedup_2des   config #4 ★ — ESA+GSB+SE 2DES response map, excitonic
-                 dimer, 512x512 (omega1, omega3) x 16 t2 delays; CPU
+                 dimer, 512x512 (omega1, omega3) x 64 t2 delays; CPU
                  baseline = the ACTUAL reference pathway functions
                  (pyqed/signal/sos.py:498,624,731) exec'd via the
                  tests/ref_oracle.py shim, looped over t2.
@@ -41,7 +41,28 @@ def _force(out):
     """
     import jax
     leaves = jax.tree_util.tree_leaves(out)
-    return float(np.asarray(leaves[0]).ravel()[0])
+    x = leaves[0]
+    # index ON DEVICE first so only 4 bytes cross the tunnel — reading the
+    # whole leaf would add ~10 ms/MB of transfer to the timed region
+    if hasattr(x, "ndim") and x.ndim > 0:
+        x = x[(0,) * x.ndim]
+    return float(np.asarray(x).real)
+
+
+def _rpc_floor_ms():
+    """Measured axon round-trip latency: a trivial jitted program +
+    single-element readback costs ~55-60 ms on the tunnel. Workloads
+    below are sized so device compute dominates this floor; the floor is
+    reported in the JSON for transparency."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def tiny(x):
+        return jnp.sum(x)
+
+    x = np.ones(8, np.float32)
+    return _timeit(tiny, x) * 1e3
 
 
 def _timeit(fn, *args, repeat=3):
@@ -63,7 +84,7 @@ def _timeit(fn, *args, repeat=3):
 
 # ===================================================== config #3: HEOM ★
 
-def bench_heom_tpu(kernel, nsteps=400, dt=1e-3):
+def bench_heom_tpu(kernel, nsteps=2000, dt=1e-3):
     import jax
     from __graft_entry__ import _heom_setup, _heom_step_fn
     H, keys, plus_idx, minus_idx, Q, cvec, nuvec = _heom_setup(
@@ -139,7 +160,7 @@ def _dimer_system():
     return E, dip, gamma
 
 
-def bench_2des_tpu(nw=512, nt2=16):
+def bench_2des_tpu(nw=512, nt2=64):
     import jax
     import jax.numpy as jnp
     from pyqed_tpu.signal.sos import _photon_echo
@@ -163,7 +184,7 @@ def bench_2des_tpu(nw=512, nt2=16):
     return t
 
 
-def bench_2des_cpu(nw=512, nt2=16):
+def bench_2des_cpu(nw=512, nt2=64):
     """The ACTUAL reference pathway functions via the import shim."""
     from ref_oracle import load_reference_module
     ref_sos = load_reference_module("signal.sos")
@@ -180,7 +201,7 @@ def bench_2des_cpu(nw=512, nt2=16):
 
 # ================================================= config #1: SPO Morse
 
-def bench_spo_tpu(nx=1024, nsteps=10000, dt=0.005):
+def bench_spo_tpu(nx=1024, nsteps=400000, dt=0.005):
     import jax
     import jax.numpy as jnp
     from pyqed_tpu.grid.spo import SPO
@@ -251,7 +272,7 @@ def _vibronic_dimer(nvib=8):
     return H, c
 
 
-def bench_lindblad_tpu(nsteps=10000, dt=0.002, nout=50):
+def bench_lindblad_tpu(nsteps=400000, dt=0.002, nout=50):
     import jax
     import jax.numpy as jnp
     from pyqed_tpu.ops.superoperator import liouvillian
@@ -349,7 +370,7 @@ def _polariton_system(nmol=2, ncav=5):
     return H, mu
 
 
-def bench_polariton_tpu(nsteps=2000, dt=0.002):
+def bench_polariton_tpu(nsteps=50000, dt=0.002):
     import jax
     import jax.numpy as jnp
     H, mu = _polariton_system()
@@ -427,12 +448,14 @@ def main():
     lind_cpu = bench_lindblad_cpu()
     pol_cpu = bench_polariton_cpu()
 
+    rpc_floor = _rpc_floor_ms()
     print(json.dumps({
         "metric": "heom_hierarchy_steps_per_sec",
         "value": round(heom_best, 2),
         "unit": "steps/s",
         "vs_baseline": round(heom_best / heom_cpu, 2),
         "extra": {
+            "axon_rpc_floor_ms": round(rpc_floor, 1),
             "heom_pallas_steps_per_sec": round(heom_pallas, 2),
             "heom_pallas_fast_steps_per_sec": round(heom_pallas_fast, 2),
             "heom_matmul_steps_per_sec": round(heom_matmul, 2),
