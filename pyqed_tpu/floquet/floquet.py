@@ -310,3 +310,60 @@ def make_peierls_blocks_fn(hops, omegad, nmax):
         return blocks
 
     return hk_blocks
+
+
+def floquet_states(Hblocks, omega, nt):
+    """Floquet modes + quasienergies in the first Brillouin zone
+    [-omega/2, omega/2) from the extended-zone Hamiltonian
+    (reference: pyqed/floquet/FloquetBloch.py:72 ``FloquetHamilton`` —
+    a 2-level hardcoded script there; general here).
+
+    Hblocks: centered Fourier-block stack (2*N0+1, norb, norb) with
+    Hblocks[p + N0] = H^{(p)} and H(t) = sum_p H^{(p)} e^{-i p w t}
+    (the ``floquet_matrix`` convention); nt = Fourier components kept.
+
+    Returns (eps (norb,), modes (nt, norb, norb)): modes[m, :, a] is the
+    m-th Fourier component of Floquet state a.
+    """
+    F = floquet_matrix(Hblocks, omega, nt)
+    norb = Hblocks[0].shape[0]
+    w, V = jnp.linalg.eigh(F)
+    w = np.asarray(w)
+    V = np.asarray(V)
+    sel = np.where((w >= -omega / 2) & (w < omega / 2))[0]
+    if len(sel) != norb:
+        # numerical edge degeneracies: take the norb closest to zero
+        sel = np.argsort(np.abs(w))[:norb]
+    eps = w[sel]
+    modes = V[:, sel].reshape(nt, norb, norb)
+    return jnp.asarray(eps), jnp.asarray(modes)
+
+
+def floquet_evolution(Hblocks, omega, nt, psi0, times):
+    """Exact stroboscopic/continuous evolution of a periodically driven
+    system via its Floquet decomposition:
+
+        psi(t) = sum_a c_a e^{-i eps_a t} phi_a(t),
+        phi_a(t) = sum_m modes[m, :, a] e^{+i (m - m0) w t}
+
+    with c fixed by psi(0) = psi0 (reference:
+    pyqed/floquet/FloquetBloch.py:129-140 solves the same C G = 1
+    system for the 2-level case).
+
+    Returns psis (len(times), norb).
+    """
+    eps, modes = floquet_states(Hblocks, omega, nt)
+    norb = modes.shape[1]
+    m0 = (nt - 1) // 2
+    # phi_a(0) = sum_m modes[m, :, a]
+    phi0 = jnp.sum(modes, axis=0)                  # (norb, norb)
+    c = jnp.linalg.solve(phi0, jnp.asarray(psi0, dtype=phi0.dtype))
+    times = jnp.asarray(times)
+    # F = H^{(m-n)} + m w delta corresponds to the ansatz
+    # psi = e^{-i eps t} sum_m u_m e^{+i m w t}  (note the + sign)
+    mph = jnp.exp(+1j * (jnp.arange(nt) - m0)[:, None]
+                  * omega * times[None, :])        # (nt, T)
+    # psi(t)_k = sum_a c_a e^{-i eps_a t} sum_m modes[m,k,a] e^{-i(m-m0)wt}
+    phit = jnp.einsum("mka, mt -> tka", modes.astype(complex), mph)
+    return jnp.einsum("tka, a, ta -> tk", phit, c,
+                      jnp.exp(-1j * eps[None, :] * times[:, None]))

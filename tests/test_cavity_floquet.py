@@ -221,3 +221,44 @@ def test_polariton_rwa_default_lowering():
     # one-excitation doublet at wc ± g
     assert np.min(np.abs(w - (wc - g))) < 1e-10
     assert np.min(np.abs(w - (wc + g))) < 1e-10
+
+
+def test_floquet_evolution_vs_direct():
+    """Floquet-state evolution == direct RK4 integration at 5e-10
+    (reference: pyqed/floquet/FloquetBloch.py's 2-level script,
+    generalized)."""
+    import numpy as np
+    from pyqed_tpu.floquet.floquet import floquet_evolution, floquet_states
+
+    delta, A, w = 1.0, 0.3, 2.5
+    sz = np.diag([1.0, -1.0])
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    blocks = np.stack([0.5 * A * sx, 0.5 * delta * sz,
+                       0.5 * A * sx]).astype(complex)
+    psi0 = np.array([1.0, 0.0], complex)
+    ts = np.linspace(0, 20, 41)
+    psis = np.asarray(floquet_evolution(blocks, w, 21, psi0, ts))
+
+    def rhs(p, t):
+        return -1j * ((0.5 * delta * sz + A * np.cos(w * t) * sx) @ p)
+
+    p = psi0.copy()
+    dt = 0.0005
+    out = [p.copy()]
+    t = 0.0
+    for _ in range(int(20 / dt)):
+        k1 = rhs(p, t)
+        k2 = rhs(p + k1 * dt / 2, t + dt / 2)
+        k3 = rhs(p + k2 * dt / 2, t + dt / 2)
+        k4 = rhs(p + k3 * dt, t + dt)
+        p = p + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+        t += dt
+        out.append(p.copy())
+    idx = (ts / dt).round().astype(int)
+    direct = np.array(out)[idx]
+    assert np.max(np.abs(np.abs(psis) ** 2 - np.abs(direct) ** 2)) < 5e-10
+    # norm conserved exactly by construction
+    assert np.max(np.abs(np.sum(np.abs(psis) ** 2, 1) - 1)) < 1e-12
+    # quasienergies: weak drive ~ unperturbed +- delta/2 (mod omega)
+    eps, _ = floquet_states(blocks, w, 21)
+    assert np.all(np.abs(np.asarray(eps)) <= w / 2 + 1e-12)
