@@ -401,3 +401,93 @@ def test_franck_condon_vs_reference():
         ref = ref_fc.FranckCondon([n1, w1], [n2, w2], d)
         mine = franck_condon(n1, w1 / au, n2, w2 / au, d)
         assert abs(abs(float(mine)) - abs(ref)) < 1e-8, (n1, w1, n2, w2)
+
+
+# --------------------------------------------------- time-domain 2DES
+
+def test_tdes_pathways_vs_reference():
+    """Time-domain ESA/GSB/SE vs the ACTUAL reference signal/2DES.py.
+
+    The reference module's tail is broken script code (undefined names
+    at module scope), so only the function definitions are exec'd; its
+    ``G`` reads module globals ``en``/``decay``, which we set."""
+    import os
+    import types
+    from ref_oracle import REF
+    src = open(os.path.join(REF, "pyqed", "signal", "2DES.py")).read()
+    src = src[:src.index("p1 = Pulse()")]
+    ns = {"np": np, "scipy": __import__("scipy")}
+    import sys as _sys
+    exec(compile(src.replace("from pyqed.units import au2ev, au2mev",
+                             "au2ev, au2mev = 27.2114, 27211.4")
+                 .replace("from pyqed.optics import Pulse", "")
+                 .replace("from scipy.integrate import tplquad", ""),
+                 "ref2des", "exec"), ns)
+
+    from pyqed_tpu.signal import tdes as my
+
+    rng2 = np.random.default_rng(7)
+    E = np.array([0.0, 1.0, 1.12, 2.07])
+    dip = rng2.random((4, 4))
+    dip = dip + dip.T
+    gamma = np.array([0.0, 0.021, 0.028, 0.045])
+    ns["en"] = E
+    ns["decay"] = gamma
+    g_idx, e_idx, f_idx = [0], [1, 2], [3]
+
+    t1g = np.array([0.5, 2.0, 5.5])
+    t2g = np.array([0.0, 3.0])
+    t3g = np.array([1.0, 4.0])
+    m_esa = np.asarray(my.ESA(E, dip, g_idx, e_idx, f_idx, gamma,
+                              t1g, t2g, t3g))
+    m_gsb = np.asarray(my.GSB(E, dip, g_idx, e_idx, gamma, t1g, t2g, t3g))
+    m_se = np.asarray(my.SE(E, dip, g_idx, e_idx, gamma, t1g, t2g, t3g))
+    for i, t1 in enumerate(t1g):
+        for j, t2 in enumerate(t2g):
+            for k, t3 in enumerate(t3g):
+                r_esa = ns["ESA"](E, dip, g_idx, e_idx, f_idx, gamma,
+                                  t1, t2, t3)
+                r_gsb = ns["GSB"](E, dip, g_idx, e_idx, gamma, t1, t2, t3)
+                r_se = ns["SE"](E, dip, g_idx, e_idx, t1, t2, t3)
+                assert abs(m_esa[i, j, k] - r_esa) < 1e-10
+                assert abs(m_gsb[i, j, k] - r_gsb) < 1e-10
+                assert abs(m_se[i, j, k] - r_se) < 1e-10
+
+
+# ------------------------------------------------------- qip / nonherm
+
+def test_qip_vs_reference(rng):
+    """Entropy kernel vs pyqed/qip.py. The reference's public
+    ``reduce_dm`` path crashes on an undefined ``cast`` (a pennylane
+    leftover), so the oracle pins the working ``_compute_vn_entropy``
+    kernel against our full pipeline."""
+    ref_qip = load_reference_module("qip")
+    from pyqed_tpu.utils import qip as my_qip
+
+    # random 2-qubit pure state
+    psi = rng.standard_normal(4) + 1j * rng.standard_normal(4)
+    psi /= np.linalg.norm(psi)
+    rho = np.outer(psi, psi.conj())
+
+    m_red = np.asarray(my_qip.reduce_dm(rho, [0], dims=[2, 2]))
+    r_s = ref_qip._compute_vn_entropy(m_red)
+    m_s = float(my_qip.vn_entropy(rho, [0], dims=[2, 2]))
+    assert abs(r_s - m_s) < 1e-10
+
+
+def test_nonherm_eig_vs_reference(rng):
+    """Biorthogonal eig vs pyqed/nonherm.py (same normalization)."""
+    ref_nh = load_reference_module("nonherm")
+    from pyqed_tpu.utils.nonherm import eig as my_eig
+
+    a = rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))
+    rw, rU1, rU2 = ref_nh.eig(a)
+    mw, mU1, mU2 = my_eig(a)
+    # same eigenvalues (sorted by real part in both)
+    assert np.max(np.abs(np.asarray(mw) - rw)) < 1e-10
+    # both satisfy U2 @ U1 == 1 and A U1 = U1 diag(w)
+    assert np.max(np.abs(np.asarray(mU2) @ np.asarray(mU1)
+                         - np.eye(4))) < 1e-10
+    assert np.max(np.abs(a @ np.asarray(mU1)
+                         - np.asarray(mU1) @ np.diag(np.asarray(mw)))) \
+        < 1e-10
