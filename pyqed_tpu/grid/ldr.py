@@ -223,7 +223,8 @@ class LDRN:
         return H
 
     # ------------------------------------------------------------------ run
-    def run(self, psi0, dt, nt, nout=1, t0=0.0, mesh=None) -> ResultLDR:
+    def run(self, psi0, dt, nt, nout=1, t0=0.0, mesh=None,
+            checkpoint=None, checkpoint_every=10, resume=None) -> ResultLDR:
         """Propagate (reference hot loop: pyqed/ldr/ldr.py:611-618).
 
         Per step: one (ntot*ns)^2 MXU matmul (the A-dressed kinetic
@@ -231,6 +232,8 @@ class LDRN:
         takes a separable fast path: per-dimension expK tensordots, no
         dense propagator. With ``mesh``, the propagator rows (dense path)
         or the leading grid axis (separable path) are sharded.
+        ``checkpoint=``/``resume=``: mid-run (psi, window) npz snapshots,
+        same contract as SPON.run / HEOMSolver.run (SURVEY §5.4).
         """
         assert psi0.shape == (*self.nx, self.nstates)
         if mesh is None:
@@ -274,23 +277,53 @@ class LDRN:
                 return expV * (Us @ p)
             return expV * kin_sep(p)
 
-        @jax.jit
-        def evolve(psi):
-            def window(psi, _):
-                def fine(i, p):
-                    return fine_step(p)
-                psi = jax.lax.fori_loop(0, nout, fine, psi)
-                return psi, psi
-            return jax.lax.scan(window, psi, None, length=ns_steps)
+        def make_evolve(length):
+            @jax.jit
+            def evolve(psi):
+                def window(psi, _):
+                    def fine(i, p):
+                        return fine_step(p)
+                    psi = jax.lax.fori_loop(0, nout, fine, psi)
+                    return psi, psi
+                return jax.lax.scan(window, psi, None, length=length)
+            return evolve
 
-        psi_f, psis = evolve(psi)
+        start_window = 0
+        if resume is not None:
+            from ..core.diagnostics import load_checkpoint
+            start_window, (psi_r,), _meta = load_checkpoint(resume)
+            for key, val in (("dt", dt), ("nout", nout)):
+                saved = _meta.get(key)
+                if saved is not None and abs(float(saved) - val) > 1e-15:
+                    raise ValueError(
+                        f"resume {key}={val} != checkpointed {key}={saved}")
+            psi = jnp.asarray(psi_r)
+
+        if checkpoint is None:
+            psi_f, psis = make_evolve(ns_steps - start_window)(psi)
+        else:
+            from ..core.diagnostics import save_checkpoint
+            every = max(1, int(checkpoint_every))
+            parts = []
+            p = psi
+            w = start_window
+            while w < ns_steps:
+                chunk = min(every, ns_steps - w)
+                p, ps = make_evolve(chunk)(p)
+                parts.append(ps)
+                w += chunk
+                save_checkpoint(checkpoint, w, (p,), dt=dt, nout=nout)
+            psi_f = p
+            psis = jnp.concatenate(parts, axis=0)
         # undo the trailing half-step offset for stored states:
         # psi_sample = expV_half^{-1} * (stored) would reintroduce the split;
         # the reference stores the same offset states (ldr.py:618), keep it.
         r = ResultLDR(dx=self.dx, dt=dt, nt=nt, nout=nout,
                       psi0=jnp.asarray(psi0))
-        r.times = t0 + np.arange(1, ns_steps + 1) * dt * nout
-        r.states = jnp.reshape(psis, (ns_steps, *self.nx, self.nstates))
+        r.times = t0 + (start_window
+                        + np.arange(1, psis.shape[0] + 1)) * dt * nout
+        r.states = jnp.reshape(psis, (psis.shape[0], *self.nx,
+                                      self.nstates))
         r.psi = jnp.reshape(psi_f, (*self.nx, self.nstates))
         return r
 

@@ -523,3 +523,40 @@ class TestLaguerreChebLegendre:
                 2.0 * (l + 1) / np.sqrt((2 * l + 1) * (2 * l + 3))
         Eo = np.linalg.eigvalsh(H)[:4]
         assert np.max(np.abs(np.asarray(Eh) - Eo)) < 1e-10
+
+
+def test_ldrn_checkpoint_resume(tmp_path):
+    """Interrupted + resumed LDRN run == uninterrupted exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyqed_tpu.grid.ldr import LDRN
+
+    ldr = LDRN([(-4, 4), (-4, 4)], [3, 3], nstates=2, mass=[1.0, 1.2])
+    X, Y = np.meshgrid(ldr.x[0], ldr.x[1], indexing="ij")
+    v = np.stack([0.5 * (X ** 2 + Y ** 2),
+                  0.5 * (X ** 2 + Y ** 2) + 1.0], axis=-1)
+    theta = 0.3 * np.arctan2(Y, X + 0.1)
+    states = np.stack([np.stack([np.cos(theta), np.sin(theta)], -1),
+                       np.stack([-np.sin(theta), np.cos(theta)], -1)], -2)
+    ldr.set_apes(v)
+    ldr.build_ovlp(states)
+    psi0 = np.zeros((*X.shape, 2), complex)
+    psi0[..., 0] = np.exp(-(X - 0.8) ** 2 - Y ** 2)
+    psi0 /= np.linalg.norm(psi0)
+
+    full = ldr.run(jnp.asarray(psi0), 0.02, 20, nout=4)
+
+    ck = str(tmp_path / "ldr_ck.npz")
+    ldr2 = LDRN([(-4, 4), (-4, 4)], [3, 3], nstates=2, mass=[1.0, 1.2])
+    ldr2.set_apes(v)
+    ldr2.build_ovlp(states)
+    ldr2.run(jnp.asarray(psi0), 0.02, 8, nout=4, checkpoint=ck,
+             checkpoint_every=1)
+    ldr3 = LDRN([(-4, 4), (-4, 4)], [3, 3], nstates=2, mass=[1.0, 1.2])
+    ldr3.set_apes(v)
+    ldr3.build_ovlp(states)
+    resumed = ldr3.run(jnp.asarray(psi0), 0.02, 20, nout=4, resume=ck)
+    assert np.max(np.abs(np.asarray(resumed.psi)
+                         - np.asarray(full.psi))) < 1e-12
+    assert abs(float(np.asarray(resumed.times)[-1])
+               - float(np.asarray(full.times)[-1])) < 1e-12
