@@ -8,7 +8,7 @@ reference's DEOM rem_cal shape, pyqed/heom/deom.py:641-673).
 
 The single JSON line also carries an "extra" dict:
   speedup_2des   config #4 ★ — ESA+GSB+SE 2DES response map, excitonic
-                 dimer, 512x512 (omega1, omega3) x 64 t2 delays; CPU
+                 dimer, 512x512 (omega1, omega3) x 256 t2 delays; CPU
                  baseline = the ACTUAL reference pathway functions
                  (pyqed/signal/sos.py:498,624,731) exec'd via the
                  tests/ref_oracle.py shim, looped over t2.
@@ -160,7 +160,7 @@ def _dimer_system():
     return E, dip, gamma
 
 
-def bench_2des_tpu(nw=512, nt2=64):
+def bench_2des_tpu(nw=512, nt2=256):
     import jax
     import jax.numpy as jnp
     from pyqed_tpu.signal.sos import _photon_echo
@@ -184,7 +184,7 @@ def bench_2des_tpu(nw=512, nt2=64):
     return t
 
 
-def bench_2des_cpu(nw=512, nt2=64):
+def bench_2des_cpu(nw=512, nt2=256):
     """The ACTUAL reference pathway functions via the import shim."""
     from ref_oracle import load_reference_module
     ref_sos = load_reference_module("signal.sos")
