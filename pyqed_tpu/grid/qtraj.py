@@ -262,3 +262,44 @@ def qpot(x, p, r, w, mass=1.0):
     Eu = -jnp.sum((jnp.einsum("i, ik -> k", w, r ** 2)
                    + jnp.diagonal(dr)) / (2.0 * mass))
     return Eu, fq, fr
+
+
+def qpot_poly(x, p, r, w, mass=1.0, order=5):
+    """Higher-order (polynomial) quantum/friction forces for 1D
+    trajectory ensembles (reference: pyqed/qt/1D/HigherOrder_1D.py:81
+    ``qpot`` — hard-coded Nb=6 monomial basis there; order is a
+    parameter here, order=1 reproducing the linear ``qpot``).
+
+    Weighted least-squares fit of p(x) and r(x) in the monomial basis
+    {1, x, ..., x^order}; returns (Eu, fq, fr) with
+    fq = (2 r dr + ddr)/2m,  fr = -(2 r dp + ddp)/2m,
+    Eu = -<r^2 + dr>/2m.
+    """
+    x = jnp.asarray(x).reshape(-1)
+    p = jnp.asarray(p).reshape(-1)
+    r = jnp.asarray(r).reshape(-1)
+    w = jnp.asarray(w).reshape(-1)
+    nb = order + 1
+    powers = jnp.arange(nb)
+    F = x[:, None] ** powers[None, :]               # (ntraj, nb)
+    S = jnp.einsum("i, im, in -> mn", w, F, F)
+    bp = jnp.einsum("i, im, i -> m", w, F, p)
+    br = jnp.einsum("i, im, i -> m", w, F, r)
+    cp = jnp.linalg.solve(S, bp)
+    cr = jnp.linalg.solve(S, br)
+    # derivative bases
+    D1 = jnp.where(powers[None, :] >= 1,
+                   powers[None, :] * x[:, None]
+                   ** jnp.maximum(powers[None, :] - 1, 0), 0.0)
+    D2 = jnp.where(powers[None, :] >= 2,
+                   powers[None, :] * (powers[None, :] - 1)
+                   * x[:, None] ** jnp.maximum(powers[None, :] - 2, 0),
+                   0.0)
+    dr = D1 @ cr
+    dp = D1 @ cp
+    ddr = D2 @ cr
+    ddp = D2 @ cp
+    fq = (2.0 * r * dr + ddr) / (2.0 * mass)
+    fr = -(2.0 * r * dp + ddp) / (2.0 * mass)
+    Eu = -jnp.dot(w, r ** 2 + dr) / (2.0 * mass)
+    return Eu, fq, fr

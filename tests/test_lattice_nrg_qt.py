@@ -130,3 +130,29 @@ def test_qpot_friction_variant():
     assert np.max(np.abs(np.asarray(fr)[:, 0] + r * b / m)) < 1e-10
     Eu_exact = -(np.dot(w, r ** 2) + (-1 / (2 * s2))) / (2 * m)
     assert abs(float(Eu) - Eu_exact) < 1e-10
+
+
+def test_qpot_poly_higher_order():
+    """Polynomial AQP (pyqed/qt/1D/HigherOrder_1D.py:81, parametrized
+    order): exact cubic/quadratic fields recovered; order=1 == qpot."""
+    import numpy as np
+    from pyqed_tpu.grid.qtraj import qpot_poly, qpot
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, 3000)
+    w = np.ones_like(x) / len(x)
+    r = -0.5 * x + 0.1 * x ** 2 - 0.05 * x ** 3
+    p = 0.3 + 0.2 * x - 0.15 * x ** 2
+    m = 1.7
+    Eu, fq, fr = qpot_poly(x, p, r, w, mass=m, order=5)
+    dr = -0.5 + 0.2 * x - 0.15 * x ** 2
+    ddr = 0.2 - 0.3 * x
+    dp = 0.2 - 0.3 * x
+    assert np.max(np.abs(np.asarray(fq)
+                         - (2 * r * dr + ddr) / (2 * m))) < 1e-10
+    assert np.max(np.abs(np.asarray(fr)
+                         + (2 * r * dp + (-0.3)) / (2 * m))) < 1e-10
+    assert abs(float(Eu) + np.dot(w, r ** 2 + dr) / (2 * m)) < 1e-12
+    E1, f1, g1 = qpot_poly(x, p, r, w, mass=m, order=1)
+    E2, f2, g2 = qpot(x, p, r, w, mass=m)
+    assert np.max(np.abs(np.asarray(f1) - np.asarray(f2)[:, 0])) < 1e-12
