@@ -436,6 +436,10 @@ def bench_polariton_cpu(nsteps=500, dt=0.002):
 
 
 def main():
+    # measure the RPC floor FIRST (before any big program touches the
+    # allocator — the HEOM program degrades small programs compiled
+    # after it, which would inflate the reported floor)
+    rpc_floor = _rpc_floor_ms()
     # Order matters on-device: the HEOM hierarchy program leaves the
     # allocator in a state that degrades VMEM-resident small-matvec
     # programs compiled AFTER it (measured ~200x on the folded
@@ -450,7 +454,9 @@ def main():
     heom_fast = bench_heom_tpu("matmul-fast")
     heom_pallas = bench_heom_tpu("pallas")
     heom_pallas_fast = bench_heom_tpu("pallas-fast")
-    heom_best = max(heom_matmul, heom_fast, heom_pallas, heom_pallas_fast)
+    # headline excludes the bf16-pass pallas-fast kernel until it has the
+    # same on-chip zero-deviation validation matmul-fast has
+    heom_best = max(heom_matmul, heom_fast, heom_pallas)
 
     heom_cpu = bench_heom_cpu()
     t_2des_cpu = bench_2des_cpu()
@@ -458,7 +464,6 @@ def main():
     lind_cpu = bench_lindblad_cpu()
     pol_cpu = bench_polariton_cpu()
 
-    rpc_floor = _rpc_floor_ms()
     print(json.dumps({
         "metric": "heom_hierarchy_steps_per_sec",
         "value": round(heom_best, 2),

@@ -98,7 +98,9 @@ def floquet_matrix(Hblocks, omega, nt):
     """Sambe-space extended Hamiltonian from Fourier blocks.
 
     Hblocks: (2*N0+1, norbs, norbs) array with Hblocks[p + N0] = H^{(p)}
-    (Fourier component of H(t) = sum_p H^{(p)} e^{-i p omega t}).
+    (Fourier component of H(t) = sum_p H^{(p)} e^{+i p omega t} — note
+    the sign; for Hermitian H(t), H^{(-p)} = H^{(p)dag}, so the two
+    conventions differ by p <-> -p).
     Returns the (norbs*nt, norbs*nt) quasi-energy matrix with
     F_{(m i),(n j)} = H^{(m-n)}_{ij} + m omega delta_mn delta_ij
     (reference: pyqed/floquet/Floquet.py:495 builds the same blocks from
@@ -319,8 +321,9 @@ def floquet_states(Hblocks, omega, nt):
     a 2-level hardcoded script there; general here).
 
     Hblocks: centered Fourier-block stack (2*N0+1, norb, norb) with
-    Hblocks[p + N0] = H^{(p)} and H(t) = sum_p H^{(p)} e^{-i p w t}
-    (the ``floquet_matrix`` convention); nt = Fourier components kept.
+    Hblocks[p + N0] = H^{(p)} and H(t) = sum_p H^{(p)} e^{+i p w t}
+    (the ``floquet_matrix`` convention — chiral-drive test pins the
+    sign); nt = Fourier components kept.
 
     Returns (eps (norb,), modes (nt, norb, norb)): modes[m, :, a] is the
     m-th Fourier component of Floquet state a.
@@ -359,8 +362,8 @@ def floquet_evolution(Hblocks, omega, nt, psi0, times):
     phi0 = jnp.sum(modes, axis=0)                  # (norb, norb)
     c = jnp.linalg.solve(phi0, jnp.asarray(psi0, dtype=phi0.dtype))
     times = jnp.asarray(times)
-    # F = H^{(m-n)} + m w delta corresponds to the ansatz
-    # psi = e^{-i eps t} sum_m u_m e^{+i m w t}  (note the + sign)
+    # F = H^{(m-n)} + m w delta with H(t) = sum_p H^{(p)} e^{+ipwt}
+    # corresponds to the ansatz psi = e^{-i eps t} sum_m u_m e^{+imwt}
     mph = jnp.exp(+1j * (jnp.arange(nt) - m0)[:, None]
                   * omega * times[None, :])        # (nt, T)
     # psi(t)_k = sum_a c_a e^{-i eps_a t} sum_m modes[m,k,a] e^{-i(m-m0)wt}

@@ -297,6 +297,10 @@ class LDRN:
                 if saved is not None and abs(float(saved) - val) > 1e-15:
                     raise ValueError(
                         f"resume {key}={val} != checkpointed {key}={saved}")
+            if start_window > ns_steps:
+                raise ValueError(
+                    f"checkpoint already at window {start_window} > "
+                    f"requested nt//nout = {ns_steps}")
             psi = jnp.asarray(psi_r)
 
         if checkpoint is None:
@@ -307,14 +311,19 @@ class LDRN:
             parts = []
             p = psi
             w = start_window
+            ev_every = make_evolve(every)   # compiled once, reused per chunk
             while w < ns_steps:
                 chunk = min(every, ns_steps - w)
-                p, ps = make_evolve(chunk)(p)
+                ev = ev_every if chunk == every else make_evolve(chunk)
+                p, ps = ev(p)
                 parts.append(ps)
                 w += chunk
                 save_checkpoint(checkpoint, w, (p,), dt=dt, nout=nout)
             psi_f = p
-            psis = jnp.concatenate(parts, axis=0)
+            if parts:
+                psis = jnp.concatenate(parts, axis=0)
+            else:   # resume already covered every window
+                psis = jnp.zeros((0, psi.shape[0]), dtype=psi.dtype)
         # undo the trailing half-step offset for stored states:
         # psi_sample = expV_half^{-1} * (stored) would reintroduce the split;
         # the reference stores the same offset states (ldr.py:618), keep it.

@@ -415,6 +415,10 @@ class SPON:
                     raise ValueError(
                         f"resume {key}={val} != checkpointed {key}={saved}"
                         " — the resumed trajectory would silently differ")
+            if start_window > ns_steps:
+                raise ValueError(
+                    f"checkpoint already at window {start_window} > "
+                    f"requested nt//nout = {ns_steps}")
             psi0 = jnp.asarray(psi_r)
 
         if checkpoint is None:
@@ -425,16 +429,24 @@ class SPON:
             rho_parts, state_parts = [], []
             p = psi0
             w = start_window
+            ev_every = make_evolve(every)   # compiled once
             while w < ns_steps:
                 chunk = min(every, ns_steps - w)
-                p, rr, ss = make_evolve(chunk)(p)
+                ev = ev_every if chunk == every else make_evolve(chunk)
+                p, rr, ss = ev(p)
                 rho_parts.append(rr)
                 state_parts.append(ss)
                 w += chunk
                 save_checkpoint(checkpoint, w, (p,), dt=dt, nout=nout)
             psi_f = p
-            rhos = jnp.concatenate(rho_parts, axis=0)
-            states = jnp.concatenate(state_parts, axis=0)
+            if rho_parts:
+                rhos = jnp.concatenate(rho_parts, axis=0)
+                states = jnp.concatenate(state_parts, axis=0)
+            else:
+                ns_ = self.nstates
+                rhos = jnp.zeros((0, ns_, ns_), dtype=psi0.dtype)
+                states = jnp.zeros((0,) + (psi0.shape if return_states
+                                           else (0,)), dtype=psi0.dtype)
         rho0 = observe(psi0)
         rho_el = jnp.concatenate([rho0[None], rhos], axis=0)
 

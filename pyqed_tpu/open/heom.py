@@ -318,9 +318,11 @@ class HEOMSolver:
             obs_parts, rho_parts = [], []
             a = ados0
             w = start_window
+            ev_every = make_evolve(every)   # compiled once
             while w < ns_steps:
                 chunk = min(every, ns_steps - w)
-                a, (o, r) = make_evolve(chunk)(a)
+                ev = ev_every if chunk == every else make_evolve(chunk)
+                a, (o, r) = ev(a)
                 obs_parts.append(o)
                 rho_parts.append(r)
                 w += chunk

@@ -112,8 +112,6 @@ def _make_heom_rhs_kernel(precision):
     return _heom_rhs_kernel
 
 
-_heom_rhs_kernel = _make_heom_rhs_kernel(None)
-
 
 def heom_rhs_pallas(B, damp, X, *, tile=None, interpret=False,
                     precision=None):

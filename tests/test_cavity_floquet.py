@@ -262,3 +262,44 @@ def test_floquet_evolution_vs_direct():
     # quasienergies: weak drive ~ unperturbed +- delta/2 (mod omega)
     eps, _ = floquet_states(blocks, w, 21)
     assert np.all(np.abs(np.asarray(eps)) <= w / 2 + 1e-12)
+
+
+def test_floquet_evolution_chiral_drive_amplitudes():
+    """Chiral (circularly polarized) drive with H^{(+1)} != H^{(-1)}:
+    COMPLEX amplitudes match direct integration — pins the e^{+ipwt}
+    Fourier convention (a conjugation error passes the real-drive
+    |psi|^2 test but fails here)."""
+    import numpy as np
+    from pyqed_tpu.floquet.floquet import floquet_evolution
+
+    delta, A, w = 1.0, 0.3, 2.5
+    sz = np.diag([1.0, -1.0])
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    sy = np.array([[0.0, -1j], [1j, 0.0]])
+    H0 = 0.5 * delta * sz
+    Hp1 = A * (sx - 1j * sy) / 2      # e^{+i w t} component
+    Hm1 = A * (sx + 1j * sy) / 2
+    blocks = np.stack([Hm1, H0, Hp1])
+    psi0 = np.array([1.0, 0.0], complex)
+    ts = np.linspace(0, 15, 31)
+    psis = np.asarray(floquet_evolution(blocks, w, 31, psi0, ts))
+
+    def rhs(p, t):
+        Ht = H0 + A * (sx * np.cos(w * t) + sy * np.sin(w * t))
+        return -1j * (Ht @ p)
+
+    p = psi0.copy()
+    dt = 0.0002
+    out = [p.copy()]
+    t = 0.0
+    for _ in range(int(15 / dt)):
+        k1 = rhs(p, t)
+        k2 = rhs(p + k1 * dt / 2, t + dt / 2)
+        k3 = rhs(p + k2 * dt / 2, t + dt / 2)
+        k4 = rhs(p + k3 * dt, t + dt)
+        p = p + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+        t += dt
+        out.append(p.copy())
+    idx = (ts / dt).round().astype(int)
+    direct = np.array(out)[idx]
+    assert np.max(np.abs(psis - direct)) < 1e-8

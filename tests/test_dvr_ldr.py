@@ -560,3 +560,27 @@ def test_ldrn_checkpoint_resume(tmp_path):
                          - np.asarray(full.psi))) < 1e-12
     assert abs(float(np.asarray(resumed.times)[-1])
                - float(np.asarray(full.times)[-1])) < 1e-12
+
+
+def test_ldrn_resume_completed_checkpoint(tmp_path):
+    """Re-running with checkpoint=resume= after the job already
+    finished must not crash (regression: empty-concatenate)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyqed_tpu.grid.ldr import LDRN
+
+    ldr = LDRN([(-4, 4)], [3], nstates=1, mass=[1.0])
+    x = ldr.x[0]
+    ldr.set_apes((0.5 * x ** 2)[:, None])
+    ldr.build_ovlp(None)
+    psi0 = np.exp(-x ** 2)[:, None].astype(complex)
+    ck = str(tmp_path / "ck.npz")
+    ldr.run(jnp.asarray(psi0), 0.02, 8, nout=4, checkpoint=ck)
+    # identical restart: checkpoint covers everything already
+    r = ldr.run(jnp.asarray(psi0), 0.02, 8, nout=4, checkpoint=ck,
+                resume=ck)
+    assert np.asarray(r.states).shape[0] == 0
+    # clear error when nt shrinks below the checkpointed progress
+    import pytest
+    with pytest.raises(ValueError, match="already at window"):
+        ldr.run(jnp.asarray(psi0), 0.02, 4, nout=4, resume=ck)
