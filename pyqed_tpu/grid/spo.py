@@ -19,7 +19,9 @@ TPU mapping:
 - time loop: ``lax.scan`` storing sampled states/observables on device.
 
 The same class covers 1/2/3/N dimensions; ``SPO``, ``SPO2``, ``SPO3`` are
-thin aliases with the reference constructor signatures.
+thin aliases with the reference constructor signatures. nstates=1 covers
+the single-surface adiabatic propagator (reference: pyqed/namd/adiabatic.py
+and pyqed/spo/SPO_1D.py).
 """
 from __future__ import annotations
 
