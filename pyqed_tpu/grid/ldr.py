@@ -195,6 +195,8 @@ class LDRN:
         (reference: pyqed/ldr/ldr.py:552)."""
         if self.A is None and not self._diabatic:
             self.build_ovlp()
+        if self.exp_K is None:   # buildK not called yet: kinetic matrices
+            self.K = [dvr.t() for dvr in self.dvr]
         D = self.ndim
         abc = string.ascii_lowercase
         Ksum = 0.0

@@ -79,3 +79,21 @@ class RateFluxSide:
         plateau = float(np.mean(c[2 * ntimes // 3:]))
         Qr = float(self.reactant_partition(beta))
         return plateau / Qr, times, c
+
+
+class NonadiabaticRate(RateFluxSide):
+    """Flux-side thermal rate on an LDR Hamiltonian
+    (reference: pyqed/ldr/rate.py:22 ``NonadiabaticRate`` — an empty
+    shell there; real here by delegating to :class:`RateFluxSide` with
+    H = ldr.buildH() on the multi-state grid).
+
+    For a 1D LDR the dividing surface lives on the nuclear coordinate;
+    x is tiled over electronic states to match the flattened basis.
+    """
+
+    def __init__(self, ldr, x_div=0.0):
+        import numpy as np
+        H = np.asarray(ldr.buildH())
+        x = np.repeat(np.asarray(ldr.x[0]), ldr.nstates)
+        super().__init__(H, x, x_div=x_div)
+        self.ldr = ldr

@@ -584,3 +584,26 @@ def test_ldrn_resume_completed_checkpoint(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="already at window"):
         ldr.run(jnp.asarray(psi0), 0.02, 4, nout=4, resume=ck)
+
+
+def test_nonadiabatic_rate_on_ldr():
+    """NonadiabaticRate (reference empty shell, pyqed/ldr/rate.py:22):
+    flux-side rate on an LDR Hamiltonian, positive and consistent with
+    the grid-level RateFluxSide."""
+    import numpy as np
+    from pyqed_tpu.grid.ldr import LDRN
+    from pyqed_tpu.grid.rate import NonadiabaticRate, RateFluxSide
+
+    ldr = LDRN([(-3, 3)], [4], nstates=1, mass=[1836.0])
+    x = ldr.x[0]
+    v = 0.003 / np.cosh(2 * x) ** 2
+    ldr.set_apes(v[:, None])
+    ldr.build_ovlp(None)
+    r = NonadiabaticRate(ldr)
+    beta = 1052.0
+    k, ts, c = r.rate(beta, t_plateau=1500.0)
+    assert float(k) > 0
+    # single-state LDR == direct grid Hamiltonian rate
+    H = np.asarray(ldr.buildH())
+    k2, _, _ = RateFluxSide(H, x).rate(beta, t_plateau=1500.0)
+    assert abs(float(k) - float(k2)) < 1e-12 * max(1.0, abs(float(k2)))
