@@ -9,3 +9,4 @@ from .vibronic import VibronicMPS, lvc_mpo
 from .ttals import tt_svd, tt_als, tt_to_dense, tt_eval, tt_rank
 from .ttspo import TT_LDR, tt_compress, tt_norm, tt_inner, hadamard_apply, \
     mpo_apply
+from .ncon import ncon

@@ -122,3 +122,38 @@ class TestTEBD:
         exact = scipy.linalg.expm(-1j * H * dt * nt) @ psi0
         fidelity = abs(np.vdot(exact, psi_t))
         assert fidelity > 1 - 1e-4, fidelity
+
+
+def test_ncon_matches_reference_and_einsum():
+    """ncon label convention vs the ACTUAL reference contractor and
+    direct einsum (reference: pyqed/mps/ncon.py:14)."""
+    import sys
+    import os
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from ref_oracle import load_reference_module
+    from pyqed_tpu.tn.ncon import ncon
+
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((3, 4, 5))
+    B = rng.standard_normal((5, 4, 6))
+    C = rng.standard_normal((6, 3))
+
+    mine = np.asarray(ncon([A, B, C], [[-2, 1, 2], [2, 1, 3], [3, -1]]))
+    exp = np.einsum("dab, bac, ce -> ed", A, B, C)
+    assert np.allclose(mine, exp, atol=1e-12)
+
+    # the reference uses the py2-era `from collections import Iterable`
+    # (removed in 3.10) — shim it to load the actual code on 3.12
+    import collections
+    import collections.abc
+    if not hasattr(collections, "Iterable"):
+        collections.Iterable = collections.abc.Iterable
+    ref_ncon = load_reference_module("mps.ncon")
+    r = ref_ncon.ncon([A, B, C], [[-2, 1, 2], [2, 1, 3], [3, -1]])
+    assert np.allclose(mine, r, atol=1e-12)
+
+    # full trace (no open legs)
+    D = rng.standard_normal((4, 4))
+    tr = float(np.asarray(ncon([D], [[1, 1]])))
+    assert abs(tr - np.trace(D)) < 1e-12
