@@ -43,8 +43,6 @@ def ncon(tensors, labels, order=None, forder: Optional[Sequence] = None):
 
     all_labels = sorted({x for l in labels for x in l})
     pos = [x for x in all_labels if x > 0]
-    neg = sorted([x for x in all_labels for _ in [0] if x < 0],
-                 reverse=True)
     neg = [x for x in all_labels if x < 0]
     if forder is None:
         forder = sorted(neg, reverse=True)          # -1, -2, ...
@@ -58,7 +56,6 @@ def ncon(tensors, labels, order=None, forder: Optional[Sequence] = None):
         if cnt != 2:
             raise ValueError(f"contracted label {lab} appears {cnt} times")
 
-    inputs = [",".join([""])] * 0
     subs = []
     for l in labels:
         subs.append("".join(sym[x] for x in l))
