@@ -179,9 +179,14 @@ class ShinMetiu:
 
     def overlap_matrix(self, states):
         """Electronic overlap A[m a, n b] = <phi_a(R_m)|phi_b(R_n)> for the
-        LDR propagator (dx from the sine-DVR grid)."""
-        dx = self.x[1] - self.x[0]
-        return jnp.einsum("mia, nib -> manb", jnp.conj(states), states) * dx
+        LDR propagator.
+
+        ``pes`` returns DISCRETE-normalized eigenvectors (unit columns of
+        ``eigh``), so the plain dot product IS the physical overlap —
+        scaling by dx here (as a continuum-normalized basis would need)
+        makes A's diagonal dx instead of 1 and silently damps any LDR
+        propagation built on it."""
+        return jnp.einsum("mia, nib -> manb", jnp.conj(states), states)
 
 
 

@@ -231,3 +231,20 @@ class TestPyrrole:
         assert 0.3 < dE < 0.6                       # N-H stretch ~0.45 eV
         pc = PyrroleCation()
         assert float(pc.D1(2.0, 0.0)) > float(pc.D0(2.0, 0.0))
+
+
+def test_shinmetiu_overlap_matrix_normalized():
+    """Regression: overlap_matrix diagonal must be identity (was scaled
+    by dx, silently damping LDR propagation built on it)."""
+    import numpy as np
+    from pyqed_tpu.models.vibronic import ShinMetiu
+
+    m = ShinMetiu(nstates=2)
+    m.create_grid(64)
+    R = np.linspace(-2, 2, 5)
+    E, states = m.pes(R)
+    A = np.asarray(m.overlap_matrix(np.asarray(states)))
+    for i in range(len(R)):
+        assert np.allclose(A[i, :, i, :], np.eye(2), atol=1e-10)
+    # neighboring-geometry overlaps close to unity on the diagonal
+    assert abs(abs(A[0, 0, 1, 0])) > 0.9
