@@ -49,3 +49,34 @@ def test_total_energy_aufbau():
     e1 = sol.total_energy(nelec=1)
     e2 = sol.total_energy(nelec=2)
     assert abs(e2 - 2 * e1) < 1e-10    # independent electrons, same orbital
+
+
+def test_vibrational_dvr3d_anisotropic_ho():
+    """3-mode vibrational solver (reference Triatomic shell made real):
+    anisotropic HO levels to 1e-3."""
+    from pyqed_tpu.grid.nusol import VibrationalDVR3D
+
+    def pes(x, y, z):
+        return 0.5 * (x ** 2 + 1.5 ** 2 * y ** 2 + 2.0 ** 2 * z ** 2)
+
+    sol = VibrationalDVR3D(pes, [1.0, 1.0, 1.0], [(-7, 7)] * 3, [21] * 3)
+    E = np.asarray(sol.run(neig=4))
+    exact = np.array([2.25, 3.25, 3.75, 4.25])
+    assert np.max(np.abs(E - exact)) < 1e-3
+
+
+def test_vibrational_dvr3d_coupled_modes():
+    """Bilinear mode coupling: exact normal-mode ZPE from the coupled
+    Hessian eigenfrequencies."""
+    from pyqed_tpu.grid.nusol import VibrationalDVR3D
+
+    k = 0.3
+
+    def pes(x, y, z):
+        return 0.5 * (x ** 2 + y ** 2 + z ** 2) + k * x * y
+
+    sol = VibrationalDVR3D(pes, [1.0, 1.0, 1.0], [(-8, 8)] * 3, [21] * 3)
+    E0 = float(np.asarray(sol.run(neig=1))[0])
+    # normal modes: omega^2 = 1 +- k, 1
+    zpe = 0.5 * (np.sqrt(1 + k) + np.sqrt(1 - k) + 1.0)
+    assert abs(E0 - zpe) < 1e-3
