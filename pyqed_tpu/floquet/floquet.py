@@ -335,8 +335,31 @@ def floquet_states(Hblocks, omega, nt):
     V = np.asarray(V)
     sel = np.where((w >= -omega / 2) & (w < omega / 2))[0]
     if len(sel) != norb:
-        # numerical edge degeneracies: take the norb closest to zero
-        sel = np.argsort(np.abs(w))[:norb]
+        # Quasienergies at the BZ edge: +-omega/2 are one physical state
+        # shifted by one photon, so "norb closest to zero" can pick two
+        # replicas of the same state (singular phi0 downstream). Greedily
+        # select candidates whose t=0 mode sums are linearly independent.
+        cand = np.argsort(np.abs(w))
+        phi = V.reshape(nt, norb, -1).sum(axis=0)      # (norb, ncand)
+        sel_list, basis = [], np.zeros((norb, 0))
+        for i in cand:
+            v = phi[:, i]
+            nv = np.linalg.norm(v)
+            if nv < 1e-12:
+                continue
+            v = v / nv
+            resid = v - basis @ (basis.conj().T @ v)
+            if np.linalg.norm(resid) > 1e-6:           # new physical state
+                sel_list.append(i)
+                basis = np.column_stack([basis, resid / np.linalg.norm(resid)])
+            if len(sel_list) == norb:
+                break
+        if len(sel_list) != norb:
+            raise ValueError(
+                "floquet_states: could not select norb linearly independent "
+                "Floquet states (degenerate BZ-edge quasienergies); increase "
+                "nt or shift omega slightly.")
+        sel = np.asarray(sel_list)
     eps = w[sel]
     modes = V[:, sel].reshape(nt, norb, norb)
     return jnp.asarray(eps), jnp.asarray(modes)
@@ -366,7 +389,9 @@ def floquet_evolution(Hblocks, omega, nt, psi0, times):
     # corresponds to the ansatz psi = e^{-i eps t} sum_m u_m e^{+imwt}
     mph = jnp.exp(+1j * (jnp.arange(nt) - m0)[:, None]
                   * omega * times[None, :])        # (nt, T)
-    # psi(t)_k = sum_a c_a e^{-i eps_a t} sum_m modes[m,k,a] e^{-i(m-m0)wt}
+    # psi(t)_k = sum_a c_a e^{-i eps_a t} sum_m modes[m,k,a] e^{+i(m-m0)wt}
+    # (sign matches the floquet_matrix convention above; chiral-drive test
+    # pins it — do NOT conjugate.)
     phit = jnp.einsum("mka, mt -> tka", modes.astype(complex), mph)
     return jnp.einsum("tka, a, ta -> tk", phit, c,
                       jnp.exp(-1j * eps[None, :] * times[:, None]))

@@ -235,7 +235,9 @@ class TT_LDR:
     def run(self, psi0, dt, nt, rank_state: int = 16,
             rank_pes: int = 16, rank_ovlp: int = 16, nout: int = 1,
             e_ops=()):
-        """Propagate nt*nout steps, recording every nout.
+        """Propagate nt total steps, recording every nout (same
+        (nt, nout) convention as LDRN.run / SPON.run / Ehrenfest.run —
+        swapping the dense LDRN for TT_LDR keeps the dynamics length).
 
         psi0: dense (*nx, nstates) array or list of TT cores.
         Returns a dict with 'cores_list' (TT snapshots), 'rdm_el',
@@ -274,7 +276,7 @@ class TT_LDR:
                                 for ot in eop_tts])
 
         record(psi)
-        for _ in range(nt):
+        for _ in range(max(nt // nout, 0)):
             for _ in range(nout):
                 psi = hadamard_apply(v_tt, psi, chi_max=rank_state)
                 if T is None:

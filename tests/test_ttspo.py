@@ -115,9 +115,9 @@ def test_ttldr_nonadiabatic_vs_dense():
     assert np.max(np.abs(psi_tt - psi_dense)) < 1e-8
 
     # rdm from the TT zipper matches the dense rdm
+    # rdm_el convention pinned: rho[a, b] = sum conj(psi_a) psi_b
     rho_dense = np.einsum("ija, ijb -> ab", psi_dense.conj(), psi_dense)
-    assert np.max(np.abs(out["rdm_el"][-1] - rho_dense.T.conj())) < 1e-8 or \
-        np.max(np.abs(out["rdm_el"][-1] - rho_dense)) < 1e-8
+    assert np.max(np.abs(out["rdm_el"][-1] - rho_dense)) < 1e-8
 
 
 def test_ttldr_rank_truncation_converges():
