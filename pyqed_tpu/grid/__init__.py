@@ -10,6 +10,7 @@ from .gwp import (GWP, WPD, overlap_real, kinetic_real, moment_real,
                   GWPBasis, WPDN, WPD2, ThawedGaussian)
 from .smolyak import SparseGrid, AdaptiveSparseGrid
 from .nawpd import NAWPD, NAWPD2
+from .vmcg import VMCG, GWPMatrixElements
 from .smolyak import SGCT_LDR, combination_technique
 from .qtraj import NAQT
 from .rate import RateFluxSide, flux_operator
