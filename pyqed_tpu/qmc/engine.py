@@ -54,7 +54,54 @@ def _lib():
             ctypes.c_uint64,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ]
+        _f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        _i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        _handle.qsats_eloc.restype = None
+        _handle.qsats_eloc.argtypes = [
+            _f64, ctypes.c_int, ctypes.c_int, _i32, _f64, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, _f64, _f64,
+        ]
+        _handle.qsats_vmc.restype = ctypes.c_double
+        _handle.qsats_vmc.argtypes = [
+            _f64, ctypes.c_int, _i32, _f64, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_uint64,
+            _f64,
+        ]
     return _handle
+
+
+def qsats_eloc_native(q, ipairs, vpvec, a, b, mass):
+    """C++ local energies for configurations q (nw, natoms, 3).
+    Returns (tloc, vloc) arrays (nw,) [hartree]."""
+    lib = _lib()
+    q = np.ascontiguousarray(q, np.float64)
+    if q.ndim == 2:
+        q = q[None]
+    nw, natoms, _ = q.shape
+    ipairs = np.ascontiguousarray(ipairs, np.int32)
+    vpvec = np.ascontiguousarray(vpvec, np.float64)
+    t = np.zeros(nw)
+    v = np.zeros(nw)
+    lib.qsats_eloc(q, nw, natoms, ipairs, vpvec, ipairs.shape[0],
+                   a, b, mass, t, v)
+    return t, v
+
+
+def qsats_vmc_native(q0, ipairs, vpvec, a, b, mass, nsweeps=2000,
+                     nequil=500, step=0.35, seed=1234):
+    """C++ single-chain all-atom Metropolis VMC. Returns
+    (energy per atom [K], e_trace, final config)."""
+    lib = _lib()
+    q = np.ascontiguousarray(q0, np.float64).copy()
+    natoms = q.shape[0]
+    ipairs = np.ascontiguousarray(ipairs, np.int32)
+    vpvec = np.ascontiguousarray(vpvec, np.float64)
+    e_trace = np.zeros(nsweeps)
+    E = lib.qsats_vmc(q.reshape(-1), natoms, ipairs, vpvec,
+                      ipairs.shape[0], a, b, mass, nsweeps, nequil,
+                      step, seed, e_trace)
+    return E, e_trace, q
 
 
 def dmc_native(potential="harmonic", ndim=1, nwalkers=4096, nsteps=2000,

@@ -141,6 +141,136 @@ double dmc_run(double* walkers,       // (nwalkers, ndim), in/out
   return count > 0 ? E / count : e_trace[nsteps - 1];
 }
 
-int engine_version() { return 1; }
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// QSATS: pair-product VMC on a quantum solid (solid He) — the native
+// counterpart of the reference QSATS Fortran engine
+// (pyqed/qmc/MC_exchange/permute3d/dissipation/{eloc.f,child.f}).
+// Trial: ln psi = -a sum_i |q_i|^2 - 1/2 sum_{undirected pairs}(b/r)^5,
+// q = displacements from lattice sites, r from the directed pair
+// stencil (ipairs (P,2), vpvec (P,3) = min-image R_j - R_i).
+// Pair potential: HFD-B(He) [Aziz et al., Mol. Phys. 61, 1487 (1987)].
+
+namespace {
+
+double hfdbhe_cpp(double r2) {
+  const double astar = 1.8443101e5, alstar = 10.43329537,
+               bestar = -2.27965105, d = 1.4826, c6 = 1.36745214,
+               c8 = 0.42123807, c10 = 0.17473318, rm = 5.59926,
+               eps = 10.948, hart = 315774.65;
+  const double r = std::sqrt(r2), x = r / rm;
+  const double vstar = astar * std::exp(-alstar * x + bestar * x * x);
+  double vd = c6 / std::pow(x, 6) + c8 / std::pow(x, 8)
+            + c10 / std::pow(x, 10);
+  if (x < d) {
+    const double t = d / x - 1.0;
+    vd *= std::exp(-t * t);
+  }
+  return (vstar - vd) * eps / hart;
+}
+
+double qsats_logpsi(const double* q, int natoms, const int* ipairs,
+                    const double* vpvec, int npairs, double a, double b) {
+  double s = 0.0;
+  for (int i = 0; i < 3 * natoms; ++i) s -= a * q[i] * q[i];
+  for (int n = 0; n < npairs; ++n) {
+    const int i = ipairs[2 * n], j = ipairs[2 * n + 1];
+    double r2 = 0.0;
+    for (int d = 0; d < 3; ++d) {
+      const double dd = q[3 * j + d] - q[3 * i + d] + vpvec[3 * n + d];
+      r2 += dd * dd;
+    }
+    const double br2 = b * b / r2;
+    s -= 0.25 * br2 * br2 * std::sqrt(br2);  // directed double count
+  }
+  return s;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Local energies for nw configurations q (nw, natoms, 3): writes
+// t_out/v_out (nw,) [hartree]. Formulas = eloc.f:313 'local'.
+void qsats_eloc(const double* q, int nw, int natoms, const int* ipairs,
+                const double* vpvec, int npairs, double a, double b,
+                double mass, double* t_out, double* v_out) {
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+  for (int w = 0; w < nw; ++w) {
+    const double* qw = q + static_cast<size_t>(w) * natoms * 3;
+    std::vector<double> dlng(3 * natoms), d2lng(3 * natoms);
+    for (int i = 0; i < 3 * natoms; ++i) {
+      dlng[i] = -2.0 * a * qw[i];
+      d2lng[i] = -2.0 * a;
+    }
+    double vloc = 0.0;
+    for (int n = 0; n < npairs; ++n) {
+      const int i = ipairs[2 * n], j = ipairs[2 * n + 1];
+      double dv[3], r2 = 0.0;
+      for (int d = 0; d < 3; ++d) {
+        dv[d] = qw[3 * j + d] - qw[3 * i + d] + vpvec[3 * n + d];
+        r2 += dv[d] * dv[d];
+      }
+      const double br2 = b * b / r2;
+      const double br5 = br2 * br2 * std::sqrt(br2);
+      const double br52 = br5 / r2;
+      for (int d = 0; d < 3; ++d) {
+        dlng[3 * i + d] -= 2.5 * br52 * dv[d];
+        d2lng[3 * i + d] += 2.5 * br52 * (1.0 - 7.0 * dv[d] * dv[d] / r2);
+      }
+      vloc += hfdbhe_cpp(r2);
+    }
+    double tloc = 0.0;
+    for (int i = 0; i < 3 * natoms; ++i)
+      tloc += d2lng[i] + dlng[i] * dlng[i];
+    t_out[w] = -0.5 * tloc / mass;
+    v_out[w] = 0.5 * vloc;
+  }
+}
+
+// Per-atom Metropolis VMC — the reference child.f:398 move structure:
+// each sweep attempts one Gaussian displacement per atom in turn.
+// Returns mean energy per atom [K] over post-equilibration sweeps;
+// e_trace (nsweeps) written in place.
+double qsats_vmc(double* q, int natoms, const int* ipairs,
+                 const double* vpvec, int npairs, double a, double b,
+                 double mass, int nsweeps, int nequil, double step,
+                 uint64_t seed, double* e_trace) {
+  const double k_per_atom = 3.1668513e-6;  // hartree/K (eloc.f:257)
+  std::mt19937_64 rng(seed);
+  std::normal_distribution<double> gauss(0.0, 1.0);
+  std::uniform_real_distribution<double> uni(0.0, 1.0);
+  std::vector<double> prop(3 * natoms);
+  double lp = qsats_logpsi(q, natoms, ipairs, vpvec, npairs, a, b);
+  double esum = 0.0;
+  int count = 0;
+  for (int s = 0; s < nsweeps; ++s) {
+    for (int at = 0; at < natoms; ++at) {
+      std::memcpy(prop.data(), q, sizeof(double) * 3 * natoms);
+      for (int d = 0; d < 3; ++d)
+        prop[3 * at + d] += step * gauss(rng);
+      const double lp_new =
+          qsats_logpsi(prop.data(), natoms, ipairs, vpvec, npairs, a, b);
+      if (std::log(uni(rng)) < 2.0 * (lp_new - lp)) {
+        std::memcpy(q, prop.data(), sizeof(double) * 3 * natoms);
+        lp = lp_new;
+      }
+    }
+    double t, v;
+    qsats_eloc(q, 1, natoms, ipairs, vpvec, npairs, a, b, mass, &t, &v);
+    const double e = (t + v) / (k_per_atom * natoms);
+    e_trace[s] = e;
+    if (s >= nequil) {
+      esum += e;
+      ++count;
+    }
+  }
+  return count > 0 ? esum / count : e_trace[nsweeps - 1];
+}
+
+int engine_version() { return 2; }
 
 }  // extern "C"
