@@ -117,44 +117,172 @@ class ContractedGaussian:
         self.coefs = self.coefs / np.sqrt(S)
 
 
+# 6-31G(d) / 6-31G(d,p) polarization exponents — published values of
+# Hariharan & Pople, Theor. Chim. Acta 28, 213 (1973): a single
+# 6-component Cartesian d with exponent 0.8 on first-row heavy atoms,
+# and (for d,p) a p shell with exponent 1.1 on H/He.
+_POL_D = {"Li": 0.200, "Be": 0.400, "B": 0.600, "C": 0.800, "N": 0.800,
+          "O": 0.800, "F": 0.800, "Ne": 0.800}
+_POL_P_H = 1.1
+
+_SHELL_L = {"S": 0, "P": 1, "D": 2, "F": 3, "G": 4}
+
+
+def cartesian_components(L):
+    """All Cartesian (l, m, n) with l + m + n = L, in canonical
+    (lexicographic-descending) order: e.g. d -> xx, xy, xz, yy, yz, zz."""
+    return [(L - a, a - b, b) for a in range(L + 1) for b in range(a + 1)]
+
+
+def shells_to_bfs(atoms, shell_table) -> List["ContractedGaussian"]:
+    """Expand a per-element shell table into contracted Cartesian
+    functions. shell_table: {element: [(letter, exps, coefs[, coefs_p]),
+    ...]} with letter in S/P/D/F/G or 'SP'."""
+    bfs = []
+    for sym, xyz in atoms:
+        if sym not in shell_table:
+            raise NotImplementedError(
+                f"element {sym} missing from basis table "
+                f"(available: {sorted(shell_table)})")
+        for shell in shell_table[sym]:
+            letter = shell[0].upper()
+            if letter == "SP":
+                _, exps, cs, cp = shell
+                bfs.append(ContractedGaussian(xyz, (0, 0, 0), exps, cs))
+                for lmn in cartesian_components(1):
+                    bfs.append(ContractedGaussian(xyz, lmn, exps, cp))
+            else:
+                _, exps, cs = shell
+                for lmn in cartesian_components(_SHELL_L[letter]):
+                    bfs.append(ContractedGaussian(xyz, lmn, exps, cs))
+    return bfs
+
+
+def parse_gbs(text) -> dict:
+    """Parse a Gaussian94-format basis file ('.gbs', the format Basis
+    Set Exchange exports and the reference pulls through gbasis —
+    /root/reference/pyqed/qchem/basis.py:10-15). Returns a shell table
+    for :func:`shells_to_bfs`."""
+    table = {}
+    lines = [ln.split("!")[0].strip() for ln in text.splitlines()]
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        i += 1
+        if not ln or ln.startswith("****"):
+            continue
+        parts = ln.split()
+        # element header lines are exactly "<Sym> 0" in Gaussian94 format
+        if len(parts) == 2 and parts[1] == "0" and parts[0][0].isalpha():
+            elem = parts[0].capitalize()
+            shells = []
+            while i < len(lines) and not lines[i].startswith("****"):
+                head = lines[i].split()
+                i += 1
+                letter = head[0].upper()
+                nprim = int(head[1])
+                exps, c1, c2 = [], [], []
+                for _ in range(nprim):
+                    row = lines[i].replace("D", "E").replace("d", "e").split()
+                    i += 1
+                    exps.append(float(row[0]))
+                    c1.append(float(row[1]))
+                    if len(row) > 2:
+                        c2.append(float(row[2]))
+                if letter == "SP":
+                    shells.append(("SP", exps, c1, c2))
+                else:
+                    shells.append((letter, exps, c1))
+            table[elem] = shells
+    return table
+
+
+def parse_bse_json(text_or_dict) -> dict:
+    """Parse a Basis Set Exchange JSON document (format version 1/2)
+    into a shell table. Accepts the JSON text or the loaded dict."""
+    import json as _json
+    doc = (text_or_dict if isinstance(text_or_dict, dict)
+           else _json.loads(text_or_dict))
+    sym_of = {v: k for k, v in ATOMIC_NUMBER.items()}
+    table = {}
+    for z_str, el in doc.get("elements", {}).items():
+        sym = sym_of.get(int(z_str), f"Z{z_str}")
+        shells = []
+        for sh in el["electron_shells"]:
+            exps = [float(x) for x in sh["exponents"]]
+            coefs = [[float(c) for c in col] for col in sh["coefficients"]]
+            ang = sh["angular_momentum"]
+            if ang == [0, 1] and len(coefs) == 2:
+                shells.append(("SP", exps, coefs[0], coefs[1]))
+            else:
+                letters = "SPDFG"
+                for L, col in zip(ang, coefs):
+                    shells.append((letters[L], exps, col))
+        table[sym] = shells
+    return table
+
+
+def load_basis(path) -> dict:
+    """Load a basis-set file (.gbs / Gaussian94 text, or BSE .json)
+    into a shell table usable as ``build_basis(atoms, basis=table)``."""
+    with open(path) as fh:
+        text = fh.read()
+    if str(path).endswith(".json") or text.lstrip().startswith("{"):
+        return parse_bse_json(text)
+    return parse_gbs(text)
+
+
+def _sto3g_table():
+    table = {}
+    for sym, data in STO3G.items():
+        shells = []
+        if "1s" in data:
+            shells.append(("S", data["1s"], _STO3G_S_COEF))
+        if "2sp" in data:
+            shells.append(("SP", data["2sp"], _STO3G_2S_COEF,
+                           _STO3G_2P_COEF))
+        table[sym] = shells
+    return table
+
+
+def _631g_table(d_pol=False, p_pol=False):
+    table = {}
+    for sym, shells in BASIS_631G.items():
+        out = list(shells)
+        if d_pol and sym in _POL_D:
+            out.append(("D", [_POL_D[sym]], [1.0]))
+        if p_pol and sym in ("H", "He"):
+            out.append(("P", [_POL_P_H], [1.0]))
+        table[sym] = out
+    return table
+
+
 def build_basis(atoms: Sequence, basis="sto-3g") -> List[ContractedGaussian]:
     """atoms: list of (symbol, (x, y, z)) in bohr.
 
-    Built-in sets: STO-3G (H-Ne) and 6-31G (H, He, C, N, O)."""
+    ``basis`` may be: a built-in name — 'sto-3g', '6-31g', '6-31g*'
+    (= 6-31g(d), 6 Cartesian d), '6-31g**' (= 6-31g(d,p)); a shell
+    table from :func:`load_basis`/:func:`parse_gbs`/:func:`parse_bse_json`
+    (arbitrary elements and angular momenta — the general-basis path the
+    reference reaches through gbasis, pyqed/qchem/basis.py:10-15); or a
+    path to a .gbs/.json basis file."""
+    if isinstance(basis, dict):
+        return shells_to_bfs(atoms, basis)
+    if isinstance(basis, str) and ("/" in basis or basis.endswith(
+            (".gbs", ".json", ".txt"))):
+        return shells_to_bfs(atoms, load_basis(basis))
     name = basis.lower().replace("-", "").replace("_", "")
     if name == "sto3g":
-        bfs = []
-        for sym, xyz in atoms:
-            data = STO3G[sym]
-            if "1s" in data:
-                bfs.append(ContractedGaussian(xyz, (0, 0, 0), data["1s"],
-                                              _STO3G_S_COEF))
-            if "2sp" in data:
-                exps = data["2sp"]
-                bfs.append(ContractedGaussian(xyz, (0, 0, 0), exps,
-                                              _STO3G_2S_COEF))
-                for lmn in [(1, 0, 0), (0, 1, 0), (0, 0, 1)]:
-                    bfs.append(ContractedGaussian(xyz, lmn, exps,
-                                                  _STO3G_2P_COEF))
-        return bfs
+        return shells_to_bfs(atoms, _sto3g_table())
     if name == "631g":
-        bfs = []
-        for sym, xyz in atoms:
-            if sym not in BASIS_631G:
-                raise NotImplementedError(
-                    f"6-31G tables built in for H/He/C/N/O only (got {sym})")
-            for shell in BASIS_631G[sym]:
-                if shell[0] == "S":
-                    _, exps, cs = shell
-                    bfs.append(ContractedGaussian(xyz, (0, 0, 0), exps, cs))
-                else:
-                    _, exps, cs, cp = shell
-                    bfs.append(ContractedGaussian(xyz, (0, 0, 0), exps, cs))
-                    for lmn in [(1, 0, 0), (0, 1, 0), (0, 0, 1)]:
-                        bfs.append(ContractedGaussian(xyz, lmn, exps, cp))
-        return bfs
-    raise NotImplementedError(f"basis {basis!r} not built in "
-                              "(available: sto-3g, 6-31g)")
+        return shells_to_bfs(atoms, _631g_table())
+    if name in ("631g*", "631gd"):
+        return shells_to_bfs(atoms, _631g_table(d_pol=True))
+    if name in ("631g**", "631gdp"):
+        return shells_to_bfs(atoms, _631g_table(d_pol=True, p_pol=True))
+    raise NotImplementedError(
+        f"basis {basis!r} not built in (available: sto-3g, 6-31g, "
+        "6-31g*, 6-31g**, or a .gbs/.json file / shell table)")
 
 
 # -------------------------------------------------- McMurchie-Davidson E

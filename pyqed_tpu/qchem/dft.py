@@ -189,31 +189,287 @@ def lda_exc_vxc(rho_a, rho_b, rho_min=1e-12):
 
 
 # -------------------------------------------------------------------
+# GGA / hybrid functionals — closed-form spin-resolved energy densities
+# f(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb); every potential term
+# (v_rho, v_sigma) is jax.grad of these, so no hand-derived functional
+# derivatives anywhere. The reference dispatches RKS/UKS to pyscf
+# (/root/reference/pyqed/qchem/mol.py:817); here the functionals are
+# implemented natively from the published parameterizations.
+# -------------------------------------------------------------------
+
+def _pw92_G(rs, A, a1, b1, b2, b3, b4):
+    s = jnp.sqrt(rs)
+    den = 2 * A * (b1 * s + b2 * rs + b3 * rs * s + b4 * rs * rs)
+    return -2 * A * (1 + a1 * rs) * jnp.log1p(1.0 / den)
+
+
+def _pw92_eps_c(rs, zeta):
+    """Perdew-Wang 1992 correlation energy per electron
+    [PRB 45, 13244 (1992), Table I]."""
+    ec0 = _pw92_G(rs, 0.031091, 0.21370, 7.5957, 3.5876, 1.6382, 0.49294)
+    ec1 = _pw92_G(rs, 0.015545, 0.20548, 14.1189, 6.1977, 3.3662, 0.62517)
+    mac = _pw92_G(rs, 0.016887, 0.11125, 10.357, 3.6231, 0.88026, 0.49671)
+    f = _f_zeta(zeta)
+    fdd0 = 8.0 / (9.0 * (2 ** (4.0 / 3.0) - 2.0))
+    z4 = zeta ** 4
+    return (ec0 - mac * f / fdd0 * (1 - z4) + (ec1 - ec0) * f * z4)
+
+
+def _pbe_ex_unpol(rho, sigma):
+    """PBE exchange energy density (per volume) of an unpolarized gas
+    [Perdew, Burke, Ernzerhof, PRL 77, 3865 (1996)]."""
+    kappa, mu = 0.804, 0.2195149727645171
+    kf = (3 * np.pi ** 2 * rho) ** (1.0 / 3.0)
+    s2 = sigma / (4.0 * kf ** 2 * rho ** 2)
+    F = 1 + kappa - kappa / (1 + mu * s2 / kappa)
+    return _eps_x(rho) * rho * F
+
+
+def pbe_exc(rho_a, rho_b, s_aa, s_ab, s_bb):
+    """PBE exchange-correlation energy density (per volume)."""
+    # exchange: exact spin scaling Ex[ra, rb] = (Ex[2ra] + Ex[2rb]) / 2
+    ex = 0.5 * (_pbe_ex_unpol(2 * rho_a, 4 * s_aa)
+                + _pbe_ex_unpol(2 * rho_b, 4 * s_bb))
+    # correlation: PW92 + H gradient term
+    rho = rho_a + rho_b
+    zeta = jnp.clip((rho_a - rho_b) / rho, -1 + 1e-12, 1 - 1e-12)
+    rs = (3.0 / (4 * np.pi * rho)) ** (1.0 / 3.0)
+    eps_c = _pw92_eps_c(rs, zeta)
+    gamma = (1 - np.log(2.0)) / np.pi ** 2
+    beta = 0.06672455060314922
+    phi = 0.5 * ((1 + zeta) ** (2.0 / 3.0) + (1 - zeta) ** (2.0 / 3.0))
+    sigma = s_aa + 2 * s_ab + s_bb
+    kf = (3 * np.pi ** 2 * rho) ** (1.0 / 3.0)
+    ks = jnp.sqrt(4 * kf / np.pi)
+    t2 = sigma / (4.0 * phi ** 2 * ks ** 2 * rho ** 2)
+    A = beta / gamma / jnp.expm1(-eps_c / (gamma * phi ** 3))
+    H = gamma * phi ** 3 * jnp.log1p(
+        beta / gamma * t2 * (1 + A * t2) / (1 + A * t2 + (A * t2) ** 2))
+    return ex + rho * (eps_c + H)
+
+
+def _b88_ex_spin(rho_s, sigma_s):
+    """Becke 1988 exchange for one spin channel (energy per volume)
+    [Becke, PRA 38, 3098 (1988)], beta = 0.0042."""
+    beta = 0.0042
+    r43 = rho_s ** (4.0 / 3.0)
+    x = jnp.sqrt(sigma_s) / r43
+    lda = _CX * 2.0 ** (1.0 / 3.0) * r43      # spin-scaled Slater
+    return lda - beta * r43 * x ** 2 / (1 + 6 * beta * x * jnp.arcsinh(x))
+
+
+def b88_ex(rho_a, rho_b, s_aa, s_ab, s_bb):
+    return _b88_ex_spin(rho_a, s_aa) + _b88_ex_spin(rho_b, s_bb)
+
+
+def lyp_ec(rho_a, rho_b, s_aa, s_ab, s_bb):
+    """Lee-Yang-Parr correlation (per volume) in the Miehlich-Savin-
+    Stoll-Preuss closed form [Chem. Phys. Lett. 157, 200 (1989)]."""
+    a, b, c, d = 0.04918, 0.132, 0.2533, 0.349
+    cf = 0.3 * (3 * np.pi ** 2) ** (2.0 / 3.0)
+    rho = rho_a + rho_b
+    rm3 = rho ** (-1.0 / 3.0)
+    w = jnp.exp(-c * rm3) / (1 + d * rm3) * rho ** (-11.0 / 3.0)
+    delta = c * rm3 + d * rm3 / (1 + d * rm3)
+    sigma = s_aa + 2 * s_ab + s_bb
+    t1 = -a * 4.0 / (1 + d * rm3) * rho_a * rho_b / rho
+    t2 = 2.0 ** (11.0 / 3.0) * cf * (rho_a ** (8.0 / 3.0)
+                                     + rho_b ** (8.0 / 3.0))
+    t3 = (47.0 / 18.0 - 7.0 * delta / 18.0) * sigma
+    t4 = -(2.5 - delta / 18.0) * (s_aa + s_bb)
+    t5 = -(delta - 11.0) / 9.0 * (rho_a * s_aa + rho_b * s_bb) / rho
+    t6 = (-2.0 / 3.0 * rho ** 2 * sigma
+          + (2.0 / 3.0 * rho ** 2 - rho_a ** 2) * s_bb
+          + (2.0 / 3.0 * rho ** 2 - rho_b ** 2) * s_aa)
+    return t1 - a * b * w * (rho_a * rho_b * (t2 + t3 + t4 + t5) + t6)
+
+
+def _slater_ex(rho_a, rho_b, s_aa, s_ab, s_bb):
+    return 0.5 * (_eps_x(2 * rho_a) * 2 * rho_a
+                  + _eps_x(2 * rho_b) * 2 * rho_b)
+
+
+def _vwn5_ec(rho_a, rho_b, s_aa, s_ab, s_bb):
+    rho = rho_a + rho_b
+    z = jnp.clip((rho_a - rho_b) / rho, -1 + 1e-15, 1 - 1e-15)
+    rs = (3.0 / (4 * np.pi * rho)) ** (1.0 / 3.0)
+    ec = (_eps_c_para(rs)
+          + (_eps_c_ferro(rs) - _eps_c_para(rs)) * _f_zeta(z))
+    return rho * ec
+
+
+def _vwn3_ec(rho_a, rho_b, s_aa, s_ab, s_bb):
+    """VWN functional III (the RPA parameterization) — the correlation
+    Gaussian's canonical B3LYP mixes in [VWN, Can. J. Phys. 58, 1200
+    (1980), Table 5 RPA fits]."""
+    rho = rho_a + rho_b
+    z = jnp.clip((rho_a - rho_b) / rho, -1 + 1e-15, 1 - 1e-15)
+    rs = (3.0 / (4 * np.pi * rho)) ** (1.0 / 3.0)
+    ep = _vwn_eps(rs, 0.0310907, -0.409286, 13.0720, 42.7198)
+    ef = _vwn_eps(rs, 0.01554535, -0.743294, 20.1231, 101.578)
+    return rho * (ep + (ef - ep) * _f_zeta(z))
+
+
+def svwn_exc(rho_a, rho_b, s_aa, s_ab, s_bb):
+    return (_slater_ex(rho_a, rho_b, s_aa, s_ab, s_bb)
+            + _vwn5_ec(rho_a, rho_b, s_aa, s_ab, s_bb))
+
+
+def blyp_exc(rho_a, rho_b, s_aa, s_ab, s_bb):
+    return (b88_ex(rho_a, rho_b, s_aa, s_ab, s_bb)
+            + lyp_ec(rho_a, rho_b, s_aa, s_ab, s_bb))
+
+
+def b3lyp_exc(rho_a, rho_b, s_aa, s_ab, s_bb):
+    """Canonical B3LYP (the Gaussian definition, VWN3/RPA correlation):
+    0.08 Slater + 0.72 B88 + 0.20 HF-x (added by the SCF driver),
+    0.19 VWN3 + 0.81 LYP [Stephens et al., JPC 98, 11623 (1994)]."""
+    return (0.08 * _slater_ex(rho_a, rho_b, s_aa, s_ab, s_bb)
+            + 0.72 * b88_ex(rho_a, rho_b, s_aa, s_ab, s_bb)
+            + 0.19 * _vwn3_ec(rho_a, rho_b, s_aa, s_ab, s_bb)
+            + 0.81 * lyp_ec(rho_a, rho_b, s_aa, s_ab, s_bb))
+
+
+def b3lyp5_exc(rho_a, rho_b, s_aa, s_ab, s_bb):
+    """B3LYP with VWN5 correlation (the Turbomole/ORCA 'B3LYP' variant,
+    ~0.03 Eh above the VWN3 form for water)."""
+    return (0.08 * _slater_ex(rho_a, rho_b, s_aa, s_ab, s_bb)
+            + 0.72 * b88_ex(rho_a, rho_b, s_aa, s_ab, s_bb)
+            + 0.19 * _vwn5_ec(rho_a, rho_b, s_aa, s_ab, s_bb)
+            + 0.81 * lyp_ec(rho_a, rho_b, s_aa, s_ab, s_bb))
+
+
+def pbe0_exc(rho_a, rho_b, s_aa, s_ab, s_bb):
+    """PBE0: 0.75 PBE-x + 0.25 HF-x + full PBE-c
+    [Adamo & Barone, JCP 110, 6158 (1999)]."""
+    ex = 0.5 * (_pbe_ex_unpol(2 * rho_a, 4 * s_aa)
+                + _pbe_ex_unpol(2 * rho_b, 4 * s_bb))
+    full = pbe_exc(rho_a, rho_b, s_aa, s_ab, s_bb)
+    return full - 0.25 * ex
+
+
+#: functional registry: name -> (exc_density fn, HF-exchange fraction,
+#: needs_gradient)
+FUNCTIONALS = {
+    "svwn": (svwn_exc, 0.0, False),
+    "lda": (svwn_exc, 0.0, False),
+    "pbe": (pbe_exc, 0.0, True),
+    "blyp": (blyp_exc, 0.0, True),
+    "b3lyp": (b3lyp_exc, 0.20, True),
+    "b3lyp5": (b3lyp5_exc, 0.20, True),
+    "pbe0": (pbe0_exc, 0.25, True),
+}
+
+
+def ao_values_grad(bfs, pts):
+    """AO amplitudes and Cartesian gradients on grid points:
+    (vals (P, nao), grads (P, nao, 3))."""
+    pts = np.asarray(pts)
+    P = len(pts)
+    nao = len(bfs)
+    vals = np.zeros((P, nao))
+    grads = np.zeros((P, nao, 3))
+    for k, g in enumerate(bfs):
+        d = pts - g.center[None, :]
+        r2 = np.sum(d ** 2, axis=1)
+        expo = np.exp(-np.outer(r2, g.exps)) * (g.coefs * g.norms)[None, :]
+        rad = expo.sum(axis=1)                       # (P,)
+        drad = -2.0 * (expo * g.exps[None, :]).sum(axis=1)   # d/d(r2) * 2
+        mono = [d[:, i] ** g.lmn[i] for i in range(3)]
+        poly = mono[0] * mono[1] * mono[2]
+        vals[:, k] = poly * rad
+        for i in range(3):
+            l = g.lmn[i]
+            dpoly = (l * np.where(l > 0, d[:, i] ** max(l - 1, 0), 0.0)
+                     if l > 0 else np.zeros(P))
+            others = poly / np.where(mono[i] == 0.0, 1.0, mono[i]) \
+                if l > 0 else poly
+            # d/dx_i [poly * rad] = (dpoly * others) rad + poly * drad * x_i
+            if l > 0:
+                po = [mono[j] for j in range(3) if j != i]
+                grads[:, k, i] = (dpoly * po[0] * po[1] * rad
+                                  + poly * drad * d[:, i])
+            else:
+                grads[:, k, i] = poly * drad * d[:, i]
+    return jnp.asarray(vals), jnp.asarray(grads)
+
+
+_gga_args = (0, 1, 2, 3, 4)
+
+
+def gga_exc_vxc(f_exc, rho_a, rho_b, s_aa, s_ab, s_bb, rho_min=1e-10):
+    """(exc, v_rho_a, v_rho_b, v_saa, v_sab, v_sbb) on the grid, all by
+    autodiff of the closed-form energy density; densities below rho_min
+    are substituted before differentiation (no NaN leakage)."""
+    safe = (rho_a + rho_b) > rho_min
+    # per-spin floors: a fully spin-polarized point has rho_b == 0
+    # exactly, where B88/LYP beta-channel terms (x_b = sqrt(s_bb) /
+    # rho_b^{4/3}, rho_b^{-1/3} chains) are 0/0 — floor each channel
+    # so the dead channel contributes ~1e-20 instead of NaN
+    ra = jnp.where(safe, jnp.maximum(rho_a, 1e-15), 1.0)
+    rb = jnp.where(safe, jnp.maximum(rho_b, 1e-15), 1.0)
+    sa = jnp.where(safe, jnp.maximum(s_aa, 1e-24), 1e-6)
+    sab = jnp.where(safe, s_ab, 1e-6)
+    sb = jnp.where(safe, jnp.maximum(s_bb, 1e-24), 1e-6)
+    outs = [jnp.where(safe, jax.vmap(f_exc)(ra, rb, sa, sab, sb), 0.0)]
+    for arg in _gga_args:
+        g = jax.vmap(jax.grad(f_exc, argnums=arg))(ra, rb, sa, sab, sb)
+        outs.append(jnp.where(safe, g, 0.0))
+    return outs
+
+
+# -------------------------------------------------------------------
 # SCF drivers
 # -------------------------------------------------------------------
 
 class RKS:
-    """Restricted Kohn-Sham with the SVWN (LDA) functional."""
+    """Restricted Kohn-Sham: LDA (SVWN), GGA (PBE, BLYP), and hybrid
+    (B3LYP, PBE0) functionals — see :data:`FUNCTIONALS`. GGA/hybrid XC
+    potentials come from autodiff of the closed-form energy densities
+    (v_rho and v_sigma via ``jax.grad``; the V_xc matrix assembles the
+    standard grad-rho chain-rule term)."""
 
-    def __init__(self, mol, n_rad=60, n_theta=14, max_cycle=100,
-                 conv_tol=1e-9, diis_size=8):
+    def __init__(self, mol, xc="svwn", n_rad=60, n_theta=14,
+                 max_cycle=100, conv_tol=1e-9, diis_size=8):
         self.mol = mol
+        self.xc = xc.lower()
+        if self.xc not in FUNCTIONALS:
+            raise NotImplementedError(
+                f"functional {xc!r} (available: {sorted(FUNCTIONALS)})")
+        self.f_exc, self.hfx, self._needs_grad = FUNCTIONALS[self.xc]
         self.max_cycle = max_cycle
         self.conv_tol = conv_tol
         self.diis_size = diis_size
         self.grid = becke_grid(mol.atoms, n_rad, n_theta)
-        self.ao = ao_values(mol.bfs, self.grid[0])
+        if self._needs_grad:
+            self.ao, self.ao_grad = ao_values_grad(mol.bfs, self.grid[0])
+        else:
+            self.ao = ao_values(mol.bfs, self.grid[0])
+            self.ao_grad = None
         self.converged = False
 
     def _xc(self, D):
         """(E_xc, V_xc matrix) for a closed-shell density matrix."""
         ao, w = self.ao, self.grid[1]
-        rho = jnp.einsum("pi, ij, pj -> p", ao, D, ao)
-        rho = jnp.maximum(rho, 0.0)
-        exc, va, _ = lda_exc_vxc(rho / 2, rho / 2)
+        rho = jnp.maximum(jnp.einsum("pi, ij, pj -> p", ao, D, ao), 0.0)
+        if not self._needs_grad:
+            exc, va, _ = lda_exc_vxc(rho / 2, rho / 2)
+            E = jnp.sum(w * exc)
+            V = jnp.einsum("p, pi, pj -> ij", w * va, ao, ao)
+            return E, 0.5 * (V + V.T)
+        gao = self.ao_grad
+        grho = 2.0 * jnp.einsum("pid, ij, pj -> pd", gao, D, ao)
+        s = jnp.sum(grho * grho, axis=1)
+        exc, vra, vrb, vsaa, vsab, vsbb = gga_exc_vxc(
+            self.f_exc, rho / 2, rho / 2, s / 4, s / 4, s / 4)
         E = jnp.sum(w * exc)
-        V = jnp.einsum("p, pi, pj -> ij", w * va, ao, ao)
-        return E, 0.5 * (V + V.T)
+        # u = d exc / d grad(rho_a) = 2 v_saa grad(rho_a)
+        #     + v_sab grad(rho_b) = (v_saa + v_sab/2) grad(rho)  (CS);
+        # V_grad = A + A^T with A_ij = sum_p w u . grad(phi_i) phi_j
+        u = (vsaa + 0.5 * vsab)[:, None] * grho              # (P, 3)
+        Vr = jnp.einsum("p, pi, pj -> ij", w * vra, ao, ao)
+        A = jnp.einsum("pd, pid, pj -> ij", w[:, None] * u, gao, ao)
+        return E, 0.5 * (Vr + Vr.T) + A + A.T
 
     def run(self):
         mol = self.mol
@@ -236,6 +492,9 @@ class RKS:
             J = jnp.einsum("pqrs, rs -> pq", eri, D)
             Exc, Vxc = self._xc(D)
             F = hcore + J + Vxc
+            if self.hfx:
+                K = jnp.einsum("prqs, rs -> pq", eri, D)
+                F = F - 0.25 * self.hfx * (K + K.T)
             err = X.T @ (F @ D @ S - S @ D @ F) @ X
             diis_F.append(F)
             diis_err.append(err)
@@ -262,6 +521,9 @@ class RKS:
             J = jnp.einsum("pqrs, rs -> pq", eri, D)
             Exc, _ = self._xc(D)
             E = float(jnp.sum(D * hcore) + 0.5 * jnp.sum(D * J) + Exc)
+            if self.hfx:
+                K = jnp.einsum("prqs, rs -> pq", eri, D)
+                E -= float(0.25 * self.hfx * jnp.sum(D * K))
             if abs(E - E_old) < self.conv_tol:
                 self.converged = True
                 break
@@ -284,16 +546,55 @@ class RKS:
 
 
 class UKS:
-    """Unrestricted Kohn-Sham (LSDA: spin-scaled Slater + VWN)."""
+    """Unrestricted Kohn-Sham: LSDA, GGA, and hybrid functionals (same
+    registry as :class:`RKS`)."""
 
-    def __init__(self, mol, n_rad=60, n_theta=14, max_cycle=150,
-                 conv_tol=1e-9):
+    def __init__(self, mol, xc="svwn", n_rad=60, n_theta=14,
+                 max_cycle=150, conv_tol=1e-9):
         self.mol = mol
+        self.xc = xc.lower()
+        if self.xc not in FUNCTIONALS:
+            raise NotImplementedError(
+                f"functional {xc!r} (available: {sorted(FUNCTIONALS)})")
+        self.f_exc, self.hfx, self._needs_grad = FUNCTIONALS[self.xc]
         self.max_cycle = max_cycle
         self.conv_tol = conv_tol
         self.grid = becke_grid(mol.atoms, n_rad, n_theta)
-        self.ao = ao_values(mol.bfs, self.grid[0])
+        if self._needs_grad:
+            self.ao, self.ao_grad = ao_values_grad(mol.bfs, self.grid[0])
+        else:
+            self.ao = ao_values(mol.bfs, self.grid[0])
+            self.ao_grad = None
         self.converged = False
+
+    def _xc_uks(self, Da, Db):
+        """(E_xc, Va, Vb) for spin density matrices."""
+        ao, w = self.ao, self.grid[1]
+        ra = jnp.maximum(jnp.einsum("pi, ij, pj -> p", ao, Da, ao), 0)
+        rb = jnp.maximum(jnp.einsum("pi, ij, pj -> p", ao, Db, ao), 0)
+        if not self._needs_grad:
+            exc, va, vb = lda_exc_vxc(ra, rb)
+            Va = jnp.einsum("p, pi, pj -> ij", w * va, ao, ao)
+            Vb = jnp.einsum("p, pi, pj -> ij", w * vb, ao, ao)
+            return (jnp.sum(w * exc), 0.5 * (Va + Va.T),
+                    0.5 * (Vb + Vb.T))
+        gao = self.ao_grad
+        ga = 2.0 * jnp.einsum("pid, ij, pj -> pd", gao, Da, ao)
+        gb = 2.0 * jnp.einsum("pid, ij, pj -> pd", gao, Db, ao)
+        saa = jnp.sum(ga * ga, axis=1)
+        sab = jnp.sum(ga * gb, axis=1)
+        sbb = jnp.sum(gb * gb, axis=1)
+        exc, vra, vrb, vsaa, vsab, vsbb = gga_exc_vxc(
+            self.f_exc, ra, rb, saa, sab, sbb)
+        ua = 2.0 * vsaa[:, None] * ga + vsab[:, None] * gb
+        ub = 2.0 * vsbb[:, None] * gb + vsab[:, None] * ga
+        Va = jnp.einsum("p, pi, pj -> ij", w * vra, ao, ao)
+        Vb = jnp.einsum("p, pi, pj -> ij", w * vrb, ao, ao)
+        Aa = jnp.einsum("pd, pid, pj -> ij", w[:, None] * ua, gao, ao)
+        Ab = jnp.einsum("pd, pid, pj -> ij", w[:, None] * ub, gao, ao)
+        return (jnp.sum(w * exc),
+                0.5 * (Va + Va.T) + Aa + Aa.T,
+                0.5 * (Vb + Vb.T) + Ab + Ab.T)
 
     def run(self):
         mol = self.mol
@@ -316,20 +617,23 @@ class UKS:
         E_old, damp = 0.0, 0.35
         for it in range(self.max_cycle):
             J = jnp.einsum("pqrs, rs -> pq", eri, Da + Db)
-            ra = jnp.maximum(jnp.einsum("pi, ij, pj -> p", ao, Da, ao), 0)
-            rb = jnp.maximum(jnp.einsum("pi, ij, pj -> p", ao, Db, ao), 0)
-            exc, va, vb = lda_exc_vxc(ra, rb)
-            Exc = jnp.sum(w * exc)
-            Va = jnp.einsum("p, pi, pj -> ij", w * va, ao, ao)
-            Vb = jnp.einsum("p, pi, pj -> ij", w * vb, ao, ao)
-            Fa = hcore + J + 0.5 * (Va + Va.T)
-            Fb = hcore + J + 0.5 * (Vb + Vb.T)
+            Exc, VxcA, VxcB = self._xc_uks(Da, Db)
+            Fa = hcore + J + VxcA
+            Fb = hcore + J + VxcB
+            if self.hfx:
+                Ka = jnp.einsum("prqs, rs -> pq", eri, Da)
+                Kb = jnp.einsum("prqs, rs -> pq", eri, Db)
+                Fa = Fa - 0.5 * self.hfx * (Ka + Ka.T)
+                Fb = Fb - 0.5 * self.hfx * (Kb + Kb.T)
             Da_new, Ca, ea = density(Fa, na)
             Db_new, Cb, eb = density(Fb, nb)
             Da = (1 - damp) * Da_new + damp * Da
             Db = (1 - damp) * Db_new + damp * Db
             E = float(jnp.sum((Da + Db) * hcore)
                       + 0.5 * jnp.sum((Da + Db) * J) + Exc)
+            if self.hfx:
+                E -= float(0.5 * self.hfx * (jnp.sum(Da * Ka)
+                                             + jnp.sum(Db * Kb)))
             if abs(E - E_old) < self.conv_tol and it > 3:
                 self.converged = True
                 break

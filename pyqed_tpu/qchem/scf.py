@@ -109,6 +109,7 @@ class RHF:
         self.eri = eri
         self.S = S
         self.e_elec = E
+        self.dm = D
         return self
 
     kernel = run
