@@ -227,7 +227,10 @@ class SESolver:
         self.groundstate = None
 
     def run(self, psi0=None, dt=0.01, Nt=1, e_ops=None, nout=1, t0=0.0,
-            edip=None, pulse=None, method="rk4", store_states=True) -> Result:
+            edip=None, pulse=None, method="rk4", store_states=True,
+            nt=None) -> Result:
+        if nt is not None:       # lowercase alias, same as Mol.run
+            Nt = nt
         if psi0 is None:
             psi0 = self.groundstate
         psi0 = jnp.asarray(psi0)
