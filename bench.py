@@ -17,8 +17,8 @@ The single JSON line also carries an "extra" dict:
                  baseline = the ACTUAL reference pathway functions
                  (pyqed/signal/sos.py:498,624,731) exec'd via the
                  tests/ref_oracle.py shim, looped over t2.
-  ldr_*          flagship LDR method, 63x63 grid x 2 states: one dense
-                 (7938,7938) MXU matmul per step; CPU baseline = the
+  ldr_*          flagship LDR method, 31x31 grid x 2 states: one dense
+                 (1922,1922) MXU matmul per step; CPU baseline = the
                  ACTUAL reference LDRN class (pyqed/ldr/ldr.py:320)
                  exec'd via the oracle shim on the same model.
   heom_pallas_steps_per_sec / heom_matmul_steps_per_sec — kernel split.
@@ -542,7 +542,7 @@ def bench_polariton_cpu(nsteps=500, dt=0.002, ndrive=3, batched=False):
 
 # ================================================ flagship method: LDR
 
-def _ldr_model(level=6, ns=2):
+def _ldr_model(level=5, ns=2):
     """2D two-state avoided-crossing LDR model: harmonic APES pair +
     smooth position-dependent mixing-angle overlap (the same model family
     as tests/test_dvr_ldr.py, sized for the chip)."""
@@ -563,10 +563,10 @@ def _ldr_model(level=6, ns=2):
     return sol, apes, S, psi0
 
 
-def bench_ldr_tpu(level=6, nsteps=400, dt=0.01, batch=1):
+def bench_ldr_tpu(level=5, nsteps=400, dt=0.01, batch=1):
     """Flagship LDR method (BASELINE: "extremely expensive, ndim<4",
-    pyqed/ldr/ldr.py:329): 63x63 grid, 2 states -> the short-time
-    propagator is ONE dense (7938, 7938) complex MXU matmul per step
+    pyqed/ldr/ldr.py:329): 31x31 grid, 2 states -> the short-time
+    propagator is ONE dense (1922, 1922) complex MXU matmul per step
     (grid/ldr.py short_time_propagator). U is built ON DEVICE from the
     small APES/overlap inputs (complex device arrays never cross the axon
     tunnel). ``batch>1``: a wavepacket-parameter scan sharing U (the
@@ -578,27 +578,39 @@ def bench_ldr_tpu(level=6, nsteps=400, dt=0.01, batch=1):
     ntot = sol.ntot
     n = ntot * ns
 
-    # one-time U build, entirely on device: only the SMALL real inputs
-    # (APES (*nx, ns), states (*nx, 2, ns)) cross the tunnel; A, exp_T and
-    # U = expV/2 (A ⊙ expKx⊗expKy) expV/2 live in HBM as c64
-    sol.apes = apes.astype(np.float32)
-    sol.build_ovlp(jnp.asarray(S.astype(np.float32)).reshape(
-        *sol.nx, 2, ns))
-    U = sol.short_time_propagator(dt)
-    Ur = jnp.real(U).astype(jnp.float32)
-    Ui = jnp.imag(U).astype(jnp.float32)
+    # one-time U build, entirely inside ONE jit: only the SMALL real
+    # inputs (APES (*nx, ns), states (*nx, 2, ns)) cross the tunnel; A,
+    # exp_T and U = expV/2 (A ⊙ expKx⊗expKy) expV/2 live in HBM as c64
+    # (eager complex ops are not usable on the axon backend — complex
+    # constants cannot cross the tunnel, so the build must be compiled)
+    @jax.jit
+    def build(apes_in, S_in):
+        sol.apes = apes_in
+        sol.build_ovlp(S_in.reshape(*sol.nx, 2, ns))
+        U = sol.short_time_propagator(dt)
+        return (jnp.real(U).astype(jnp.float32),
+                jnp.imag(U).astype(jnp.float32))
+
+    Ur, Ui = build(apes.astype(np.float32), S.astype(np.float32))
     jax.block_until_ready((Ur, Ui))
 
     @jax.jit
     def run(re, im, Ur, Ui):
-        U = Ur + 1j * Ui
+        # real-arithmetic complex matvec: 4 f32 MXU matmuls per step (a
+        # single c64 matmul at this size exhausts the axon TPU's scoped
+        # memory)
+        hi = jax.lax.Precision.HIGHEST
 
         def body(p, _):
-            p = jnp.matmul(U, p, precision=jax.lax.Precision.HIGHEST)
-            return p, jnp.sum(jnp.abs(p) ** 2)
+            pr, pi = p
+            qr = (jnp.matmul(Ur, pr, precision=hi)
+                  - jnp.matmul(Ui, pi, precision=hi))
+            qi = (jnp.matmul(Ur, pi, precision=hi)
+                  + jnp.matmul(Ui, pr, precision=hi))
+            return (qr, qi), jnp.sum(qr ** 2 + qi ** 2)
 
-        p, norms = jax.lax.scan(body, re + 1j * im, None, length=nsteps)
-        return jnp.real(p), jnp.imag(p), norms
+        (pr, pi), norms = jax.lax.scan(body, (re, im), None, length=nsteps)
+        return pr, pi, norms
 
     if batch == 1:
         p0 = psi0.reshape(n)
@@ -611,9 +623,9 @@ def bench_ldr_tpu(level=6, nsteps=400, dt=0.01, batch=1):
     return nsteps * batch / t
 
 
-def bench_ldr_cpu(level=6, dt=0.01):
+def bench_ldr_cpu(level=5, dt=0.01):
     """The ACTUAL reference LDRN (pyqed/ldr/ldr.py:320) exec'd from
-    /root/reference via tests/ref_oracle.py, on the same 63x63 model.
+    /root/reference via tests/ref_oracle.py, on the same 31x31 model.
     Per-step time from the nt=6 minus nt=2 run-time delta (isolates the
     per-step opt_einsum hot loop at :611-618 from the one-time exp_T
     build). Returns steps/s."""
@@ -673,7 +685,32 @@ def _heom_kernel_parity(candidates, nsteps=200, dt=1e-3, rtol=2e-4):
     return admitted
 
 
+def _device_reachable(timeout_s=120):
+    """Probe the device in a CHILD process with a hard timeout: a dead
+    axon tunnel makes jax.devices() hang forever, which would turn a
+    bench run into a silent stall. Returns True when a trivial jitted
+    op round-trips within the timeout."""
+    import subprocess
+    code = ("import numpy as np, jax;"
+            "v = np.asarray(jax.jit(lambda a: a + 1)(np.ones(4, np.float32)));"
+            "print('ok', v[0])")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "heom_hierarchy_steps_per_sec",
+            "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
+            "extra": {"error": "device unreachable: jax.devices() did "
+                               "not respond within 120 s (axon tunnel "
+                               "down) — no measurements taken"}}))
+        return
     # measure the RPC floor FIRST (before any big program touches the
     # allocator — the HEOM program degrades small programs compiled
     # after it, which would inflate the reported floor)

@@ -172,22 +172,22 @@ class LDRN:
             self._exp_T_flat = None
             return None
 
-        D = self.ndim
-        abc = string.ascii_lowercase
-        s1 = abc[:D] + "x"
-        s3 = abc[D:2 * D] + "y"
-        s2 = s1 + s3
-        # kinetic product: K[i.., k..] = prod_d expK_d[i_d, k_d]
-        kin_str = ", ".join(abc[d] + abc[D + d] for d in range(D)) \
-            + " -> " + abc[:D] + abc[D:2 * D]
-        Kfull = jnp.einsum(kin_str, *self.exp_K)
-        exp_T = jnp.einsum(f"{abc[:D]}{abc[D:2*D]}, {s2} -> {s2}",
-                           Kfull, self.A)
-        U = jnp.einsum(f"{s1}, {s2}, {s3} -> {s2}",
-                       self.exp_V_half, exp_T, self.exp_V_half)
-        n = self.ntot * self.nstates
-        self._U = jnp.reshape(U, (n, n))
-        self._exp_T_flat = jnp.reshape(exp_T, (n, n))
+        # Flat formulation (max 4-D arrays): the reference's 2D-per-axis
+        # einsum over (nx.., ns, nx.., ns) tensors blows the TPU compiler
+        # past ~63^4 elements; U[(m a),(n b)] = vh[m,a] A[(ma),(nb)]
+        # (⊗_d expK_d)[m,n] vh[n,b] is the same operator built from 2-D
+        # krons + broadcasts and compiles at chip-scale grids.
+        ns = self.nstates
+        K2 = jnp.asarray(self.exp_K[0])
+        for k in self.exp_K[1:]:
+            K2 = jnp.kron(K2, jnp.asarray(k))      # (ntot, ntot)
+        A4 = jnp.reshape(self.A, (self.ntot, ns, self.ntot, ns))
+        expT4 = A4 * K2[:, None, :, None]
+        vh = jnp.reshape(self.exp_V_half, (self.ntot, ns))
+        U4 = vh[:, :, None, None] * expT4 * vh[None, None, :, :]
+        n = self.ntot * ns
+        self._U = jnp.reshape(U4, (n, n))
+        self._exp_T_flat = jnp.reshape(expT4, (n, n))
         return self._U
 
     def buildH(self, dense=True):
