@@ -685,7 +685,7 @@ def _heom_kernel_parity(candidates, nsteps=200, dt=1e-3, rtol=2e-4):
     return admitted
 
 
-def _device_reachable(timeout_s=120):
+def _device_reachable(timeout_s=420):
     """Probe the device in a CHILD process with a hard timeout: a dead
     axon tunnel makes jax.devices() hang forever, which would turn a
     bench run into a silent stall. Returns True when a trivial jitted
