@@ -494,8 +494,19 @@ def nuclear_matrix(bfs, atoms):
     return V
 
 
-def eri_tensor(bfs):
-    """(ij|kl) chemists' notation, 8-fold symmetry exploited."""
+def eri_tensor(bfs, native=True):
+    """(ij|kl) chemists' notation, 8-fold symmetry exploited.
+
+    With ``native=True`` (default) the C++ MD engine
+    (qchem/native/eri_engine.cpp, OpenMP) builds the tensor; the Python
+    recursion below is the fallback and the parity oracle
+    (tests/test_qchem_gga.py pins native == python at 1e-12)."""
+    if native:
+        try:
+            from .engine import eri_tensor_native
+            return eri_tensor_native(bfs)
+        except Exception:
+            pass
     n = len(bfs)
     eri = np.zeros((n, n, n, n))
 

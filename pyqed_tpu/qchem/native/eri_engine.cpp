@@ -1,0 +1,260 @@
+// Native two-electron-integral engine: McMurchie-Davidson ERIs over
+// contracted Cartesian Gaussians of arbitrary angular momentum.
+//
+// TPU-native framework counterpart of the reference's integral backend
+// (the reference leans on gbasis/pyscf for general basis sets,
+// /root/reference/pyqed/qchem/basis.py:10-15; its own Python ERI loop
+// mirrors pyqed_tpu/qchem/basis.py::_eri_prim). Same recursions as the
+// Python path — this engine exists for speed: C++/OpenMP over shell
+// quartets with 8-fold permutational symmetry.
+//
+// Build (done automatically by qchem/engine.py):
+//   g++ -O3 -march=native -fopenmp -shared -fPIC eri_engine.cpp -o liberi.so
+//
+// Basis layout (flattened contracted functions):
+//   center (nbf, 3), lmn (nbf, 3) int32, prim_off (nbf+1) int32,
+//   exps (nprim_tot), cn (nprim_tot)  [contraction coeff x prim norm]
+
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr double PI = 3.14159265358979323846;
+
+// Boys function F_0..F_nmax by downward recursion; the top order comes
+// from the series (small T) or the asymptotic form (large T).
+void boys_all(int nmax, double T, double* F) {
+  if (T < 35.0) {
+    // series for F_nmax: sum_k (2T)^k (2nmax-1)!! / (2nmax+2k+1)!! e^-T
+    const double eT = std::exp(-T);
+    double term = 1.0 / (2.0 * nmax + 1.0);
+    double sum = term;
+    for (int k = 1; k < 200; ++k) {
+      term *= 2.0 * T / (2.0 * nmax + 2.0 * k + 1.0);
+      sum += term;
+      if (term < 1e-17 * sum) break;
+    }
+    F[nmax] = sum * eT;
+    for (int n = nmax; n > 0; --n)
+      F[n - 1] = (2.0 * T * F[n] + eT) / (2.0 * n - 1.0);
+  } else {
+    F[0] = 0.5 * std::sqrt(PI / T);
+    const double eT = std::exp(-T);
+    for (int n = 1; n <= nmax; ++n)
+      F[n] = ((2.0 * n - 1.0) * F[n - 1] - eT) / (2.0 * T);
+  }
+}
+
+// Hermite expansion coefficients E_t^{ij} for one Cartesian direction
+// (same recursion as pyqed_tpu/qchem/basis.py::E_md). Table layout:
+// E[i][j][t].
+struct ETable {
+  int imax, jmax;
+  std::vector<double> v;
+  ETable(int i, int j) : imax(i), jmax(j),
+      v((i + 1) * (j + 1) * (i + j + 1), 0.0) {}
+  inline double& at(int i, int j, int t) {
+    return v[(i * (jmax + 1) + j) * (imax + jmax + 1) + t];
+  }
+};
+
+void build_E(ETable& E, double Qx, double a, double b) {
+  const double p = a + b, q = a * b / p;
+  E.at(0, 0, 0) = std::exp(-q * Qx * Qx);
+  for (int i = 1; i <= E.imax; ++i)
+    for (int t = 0; t <= i; ++t) {
+      double val = 0.0;
+      if (t > 0) val += E.at(i - 1, 0, t - 1) / (2.0 * p);
+      val += -q * Qx / a * E.at(i - 1, 0, t);
+      if (t + 1 <= i - 1) val += (t + 1) * E.at(i - 1, 0, t + 1);
+      E.at(i, 0, t) = val;
+    }
+  for (int j = 1; j <= E.jmax; ++j)
+    for (int i = 0; i <= E.imax; ++i)
+      for (int t = 0; t <= i + j; ++t) {
+        double val = 0.0;
+        if (t > 0) val += E.at(i, j - 1, t - 1) / (2.0 * p);
+        val += q * Qx / b * E.at(i, j - 1, t);
+        if (t + 1 <= i + j - 1) val += (t + 1) * E.at(i, j - 1, t + 1);
+        E.at(i, j, t) = val;
+      }
+}
+
+// Hermite Coulomb integrals R_{t,u,v} built bottom-up from Boys values.
+struct RTable {
+  int L;
+  std::vector<double> v;   // layout [n][t][u][w] with t+u+w <= L-n kept dense
+  RTable(int Lmax) : L(Lmax),
+      v((Lmax + 1) * (Lmax + 1) * (Lmax + 1) * (Lmax + 1), 0.0) {}
+  inline double& at(int n, int t, int u, int w) {
+    return v[((n * (L + 1) + t) * (L + 1) + u) * (L + 1) + w];
+  }
+};
+
+void build_R(RTable& R, int L, double p, double X, double Y, double Z) {
+  const double T = p * (X * X + Y * Y + Z * Z);
+  std::vector<double> F(L + 1);
+  boys_all(L, T, F.data());
+  double pw = 1.0;
+  for (int n = 0; n <= L; ++n) {
+    R.at(n, 0, 0, 0) = pw * F[n];
+    pw *= -2.0 * p;
+  }
+  for (int total = 1; total <= L; ++total)
+    for (int n = 0; n <= L - total; ++n)
+      for (int t = 0; t <= total; ++t)
+        for (int u = 0; u <= total - t; ++u) {
+          int w = total - t - u;
+          double val;
+          if (t > 0) {
+            val = X * R.at(n + 1, t - 1, u, w);
+            if (t > 1) val += (t - 1) * R.at(n + 1, t - 2, u, w);
+          } else if (u > 0) {
+            val = Y * R.at(n + 1, t, u - 1, w);
+            if (u > 1) val += (u - 1) * R.at(n + 1, t, u - 2, w);
+          } else {
+            val = Z * R.at(n + 1, t, u, w - 1);
+            if (w > 1) val += (w - 1) * R.at(n + 1, t, u, w - 2);
+          }
+          R.at(n, t, u, w) = val;
+        }
+}
+
+struct BF {
+  const double* center;
+  const int32_t* lmn;
+  const double* exps;
+  const double* cn;
+  int nprim;
+  int L() const { return lmn[0] + lmn[1] + lmn[2]; }
+};
+
+// contracted (ij|kl)
+double eri_contracted(const BF& gi, const BF& gj, const BF& gk,
+                      const BF& gl) {
+  const double* A = gi.center;
+  const double* B = gj.center;
+  const double* C = gk.center;
+  const double* D = gl.center;
+  const int l1 = gi.lmn[0], m1 = gi.lmn[1], n1 = gi.lmn[2];
+  const int l2 = gj.lmn[0], m2 = gj.lmn[1], n2 = gj.lmn[2];
+  const int l3 = gk.lmn[0], m3 = gk.lmn[1], n3 = gk.lmn[2];
+  const int l4 = gl.lmn[0], m4 = gl.lmn[1], n4 = gl.lmn[2];
+  const int Lbra = l1 + m1 + n1 + l2 + m2 + n2;
+  const int Lket = l3 + m3 + n3 + l4 + m4 + n4;
+  const int Ltot = Lbra + Lket;
+
+  double total = 0.0;
+  for (int pa = 0; pa < gi.nprim; ++pa)
+    for (int pb = 0; pb < gj.nprim; ++pb) {
+      const double a = gi.exps[pa], b = gj.exps[pb];
+      const double p = a + b;
+      double P[3];
+      for (int d = 0; d < 3; ++d) P[d] = (a * A[d] + b * B[d]) / p;
+      ETable E1(l1, l2), E2(m1, m2), E3(n1, n2);
+      build_E(E1, A[0] - B[0], a, b);
+      build_E(E2, A[1] - B[1], a, b);
+      build_E(E3, A[2] - B[2], a, b);
+      const double cab = gi.cn[pa] * gj.cn[pb];
+
+      for (int pc = 0; pc < gk.nprim; ++pc)
+        for (int pd = 0; pd < gl.nprim; ++pd) {
+          const double c = gk.exps[pc], dd = gl.exps[pd];
+          const double q = c + dd;
+          double Q[3];
+          for (int d2 = 0; d2 < 3; ++d2)
+            Q[d2] = (c * C[d2] + dd * D[d2]) / q;
+          ETable E4(l3, l4), E5(m3, m4), E6(n3, n4);
+          build_E(E4, C[0] - D[0], c, dd);
+          build_E(E5, C[1] - D[1], c, dd);
+          build_E(E6, C[2] - D[2], c, dd);
+          const double alpha = p * q / (p + q);
+          RTable R(Ltot);
+          build_R(R, Ltot, alpha, P[0] - Q[0], P[1] - Q[1], P[2] - Q[2]);
+
+          double val = 0.0;
+          for (int t = 0; t <= l1 + l2; ++t) {
+            const double e1 = E1.at(l1, l2, t);
+            if (e1 == 0.0) continue;
+            for (int u = 0; u <= m1 + m2; ++u) {
+              const double e2 = E2.at(m1, m2, u);
+              if (e2 == 0.0) continue;
+              for (int w = 0; w <= n1 + n2; ++w) {
+                const double e3 = E3.at(n1, n2, w);
+                if (e3 == 0.0) continue;
+                double inner = 0.0;
+                for (int tau = 0; tau <= l3 + l4; ++tau) {
+                  const double e4 = E4.at(l3, l4, tau);
+                  if (e4 == 0.0) continue;
+                  for (int nu = 0; nu <= m3 + m4; ++nu) {
+                    const double e5 = E5.at(m3, m4, nu);
+                    if (e5 == 0.0) continue;
+                    for (int ph = 0; ph <= n3 + n4; ++ph) {
+                      const double e6 = E6.at(n3, n4, ph);
+                      if (e6 == 0.0) continue;
+                      const double sgn =
+                          ((tau + nu + ph) & 1) ? -1.0 : 1.0;
+                      inner += e4 * e5 * e6 * sgn *
+                               R.at(0, t + tau, u + nu, w + ph);
+                    }
+                  }
+                }
+                val += e1 * e2 * e3 * inner;
+              }
+            }
+          }
+          total += cab * gk.cn[pc] * gl.cn[pd] * val * 2.0 *
+                   std::pow(PI, 2.5) / (p * q * std::sqrt(p + q));
+        }
+    }
+  return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full (nbf^4) ERI tensor with 8-fold symmetry; out is C-contiguous
+// (nbf, nbf, nbf, nbf) float64.
+void eri_tensor_native(const double* centers, const int32_t* lmn,
+                       const int32_t* prim_off, const double* exps,
+                       const double* cn, int nbf, double* out) {
+  std::vector<BF> bfs(nbf);
+  for (int i = 0; i < nbf; ++i) {
+    bfs[i] = BF{centers + 3 * i, lmn + 3 * i, exps + prim_off[i],
+                cn + prim_off[i], prim_off[i + 1] - prim_off[i]};
+  }
+  // unique quartets (i>=j, k>=l, ij>=kl)
+  const int64_t npair = int64_t(nbf) * (nbf + 1) / 2;
+  std::vector<std::pair<int, int>> pairs;
+  pairs.reserve(npair);
+  for (int i = 0; i < nbf; ++i)
+    for (int j = 0; j <= i; ++j) pairs.push_back({i, j});
+
+  const int64_t N = nbf;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 4)
+#endif
+  for (int64_t ij = 0; ij < npair; ++ij) {
+    const int i = pairs[ij].first, j = pairs[ij].second;
+    for (int64_t kl = 0; kl <= ij; ++kl) {
+      const int k = pairs[kl].first, l = pairs[kl].second;
+      const double v = eri_contracted(bfs[i], bfs[j], bfs[k], bfs[l]);
+      const int64_t idx[8][4] = {
+          {i, j, k, l}, {j, i, k, l}, {i, j, l, k}, {j, i, l, k},
+          {k, l, i, j}, {l, k, i, j}, {k, l, j, i}, {l, k, j, i}};
+      for (auto& q : idx)
+        out[((q[0] * N + q[1]) * N + q[2]) * N + q[3]] = v;
+    }
+  }
+}
+
+int eri_engine_version() { return 1; }
+
+}  // extern "C"

@@ -249,3 +249,20 @@ def test_gga_xc_potential_consistency():
     num = float((Ep - Em) / (2 * eps))
     ana = float(jnp.sum(V * dD))
     assert abs(num - ana) < 1e-6 * max(1.0, abs(num)), (num, ana)
+
+
+def test_native_eri_engine_parity():
+    """C++ MD ERI engine == Python recursion (the oracle) to 1e-12,
+    including d-function blocks."""
+    from pyqed_tpu.qchem.basis import eri_tensor
+    from pyqed_tpu.qchem.engine import eri_tensor_native, available
+    if not available():
+        pytest.skip("no C++ toolchain")
+    atoms = [("O", (0.0, 0.0, 0.0)), ("H", (0.0, 0.0, 1.8))]
+    bfs = build_basis(atoms, "6-31g*")
+    e_c = eri_tensor_native(bfs)
+    e_p = eri_tensor(bfs, native=False)
+    assert np.max(np.abs(e_c - e_p)) < 1e-12
+    # 8-fold symmetry of the native tensor
+    assert np.allclose(e_c, e_c.transpose(1, 0, 2, 3))
+    assert np.allclose(e_c, e_c.transpose(2, 3, 0, 1))
