@@ -4,11 +4,13 @@ Reference: pyqed/qchem/sg.py:40 DVRn (scipy-sparse 3D Hamiltonian +
 Lanczos); ours is matrix-free Davidson over per-dimension tensordots.
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pyqed_tpu.qchem.dvr import ElectronDVR3D
 
 
+@pytest.mark.slow
 def test_davidson_matches_dense_small_grid():
     sol = ElectronDVR3D([(1.0, (0, 0, 0))], [(-6, 6)] * 3, [13] * 3,
                         soft=0.5)
@@ -18,6 +20,7 @@ def test_davidson_matches_dense_small_grid():
     assert abs(float(E[0]) - w) < 1e-8
 
 
+@pytest.mark.slow
 def test_hydrogen_soft_coulomb_ground_state():
     """H atom, soft Coulomb: bound ground state near -0.5 hartree."""
     sol = ElectronDVR3D([(1.0, (0, 0, 0))], [(-9, 9)] * 3, [27] * 3,
@@ -42,6 +45,7 @@ def test_h2plus_binding():
     assert np.max(np.abs(psi - psi[::-1])) < 1e-4 * np.max(np.abs(psi))
 
 
+@pytest.mark.slow
 def test_total_energy_aufbau():
     sol = ElectronDVR3D([(2.0, (0, 0, 0))], [(-6, 6)] * 3, [15] * 3,
                         soft=0.5)

@@ -111,6 +111,7 @@ class TestPIMC:
 
 
 class TestBosonPIMC:
+    @pytest.mark.slow
     def test_two_boson_exchange_statistics(self):
         """N=2 ideal bosons in a 1D HO: the permutation-sampling PIMC
         must reproduce the BOSONIC canonical energy, distinguishable

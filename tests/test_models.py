@@ -1,5 +1,6 @@
 """Model library tests: LVC, Frenkel, DHO, Franck-Condon, TFIM."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pyqed_tpu.models import (
@@ -137,6 +138,7 @@ class TestPyrazine4:
         assert abs(h[1, 2] - 0.1825 / au2ev * 0.5) < 1e-14
         assert h[1, 1] > h[0, 0]
 
+    @pytest.mark.slow
     def test_mps_dynamics_transfers_population(self):
         from pyqed_tpu.models.vibronic import Pyrazine4
         pz = Pyrazine4()

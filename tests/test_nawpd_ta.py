@@ -195,6 +195,7 @@ class TestSusceptibilityFD:
                                     tuple(-x for x in w)))
         assert abs(cm - np.conj(c)) < 1e-12 * abs(c)
 
+    @pytest.mark.slow
     def test_third_harmonic_resonance(self):
         from pyqed_tpu.signal.pump_probe import susceptibility
         ws = np.linspace(0.25, 0.42, 120)
@@ -202,6 +203,7 @@ class TestSusceptibilityFD:
             self.en, self.dip, self.gam, (x, x, x)))) for x in ws])
         assert abs(ws[vals.argmax()] - 1.0 / 3.0) < 5e-3
 
+    @pytest.mark.slow
     def test_degenerate_one_photon_resonance(self):
         from pyqed_tpu.signal.pump_probe import susceptibility
         en = np.array([0.0, 1.0])

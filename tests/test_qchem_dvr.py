@@ -31,6 +31,7 @@ class TestDVRSCF:
         assert h2_dvr.converged
         assert -1.2 < h2_dvr.e_tot < -0.8
 
+    @pytest.mark.slow
     def test_fci_equals_exact_2e(self, h2_dvr):
         """FCI in the FULL MO space == direct 2-electron grid
         diagonalization (the strongest internal oracle)."""

@@ -88,6 +88,7 @@ def test_d_overlap_kinetic_vs_quadrature():
             assert abs(T[i, j] - t_q) < 2e-4, (i, j, T[i, j], t_q)
 
 
+@pytest.mark.slow
 def test_rhf_d_rotational_invariance():
     """Rigid rotation must not change the SCF energy — a stringent test
     of every d-function integral block (S, T, V, and all ERI classes)."""
@@ -114,6 +115,7 @@ def test_rhf_d_rotational_invariance():
     assert abs(e[0] - e[1]) < 1e-8, e
 
 
+@pytest.mark.slow
 def test_basis_variational_ordering():
     e631 = RHF(_water("6-31g")).run().e_tot
     e631d = RHF(_water("6-31g*")).run().e_tot
@@ -209,6 +211,7 @@ def test_lyp_helium_pin():
     assert abs(Ec - (-0.0437)) < 2e-3, Ec
 
 
+@pytest.mark.slow
 def test_water_dft_literature_windows():
     mol = _water("6-31g*")
     e_b3lyp = RKS(mol, xc="b3lyp").run().e_tot

@@ -152,6 +152,7 @@ def test_allatom_mode_consistent():
                                                         out2["energy"])
 
 
+@pytest.mark.slow
 def test_exchange_moves():
     """Permutation-exchange sampling: exact detailed balance (full
     trial re-evaluated), so it must not bias the energy; acceptance

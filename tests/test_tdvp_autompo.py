@@ -21,6 +21,7 @@ def dense_state(Ms):
 
 
 class TestTDVP:
+    @pytest.mark.slow
     def test_tdvp2_tfim_quench(self):
         """TDVP2 quench |up...up> under TFIM vs dense exact evolution."""
         L = 6
@@ -122,6 +123,7 @@ class TestAutoMPO:
                               chi_max=32, sweeps=10)
         assert abs(es[-1] - E0) < 1e-8
 
+    @pytest.mark.slow
     def test_dvr_electronic_dmrg_vs_fci(self):
         """DVR-space electronic DMRG == FCI for soft-Coulomb H2
         (reference: pyqed/dmrg/dvr_1d.py pipeline)."""
