@@ -685,7 +685,7 @@ def _heom_kernel_parity(candidates, nsteps=200, dt=1e-3, rtol=2e-4):
     return admitted
 
 
-def _device_reachable(timeout_s=420):
+def _device_reachable(timeout_s=900):
     """Probe the device in a CHILD process with a hard timeout: a dead
     axon tunnel makes jax.devices() hang forever, which would turn a
     bench run into a silent stall. Returns True when a trivial jitted
@@ -707,9 +707,9 @@ def main():
         print(json.dumps({
             "metric": "heom_hierarchy_steps_per_sec",
             "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
-            "extra": {"error": "device unreachable: jax.devices() did "
-                               "not respond within 120 s (axon tunnel "
-                               "down) — no measurements taken"}}))
+            "extra": {"error": "device unreachable: no response "
+                               f"within {900} s (axon tunnel down/cold) "
+                               "— no measurements taken"}}))
         return
     # measure the RPC floor FIRST (before any big program touches the
     # allocator — the HEOM program degrades small programs compiled
