@@ -639,13 +639,22 @@ def bench_ldr_cpu(level=5, dt=0.01):
         *sol_t.nx, ns, *sol_t.nx, ns)
     sol.A = A
 
+    # WARM the reference's cached exp_T/exp_K build first (its run()
+    # caches the propagator across calls, so an unwarmed nt=2 run is
+    # dominated by the one-time build and the nt=6 - nt=2 delta can go
+    # negative — measured in BENCH r02's 4e12 garbage row)
+    sol.run(psi0, dt=dt, nt=2, nout=1)
     t0 = time.perf_counter()
     sol.run(psi0, dt=dt, nt=2, nout=1)
     t2 = time.perf_counter() - t0
     t0 = time.perf_counter()
     sol.run(psi0, dt=dt, nt=6, nout=1)
     t6 = time.perf_counter() - t0
-    return 4 / max(t6 - t2, 1e-12)
+    if t6 - t2 > 0.2 * t6:          # clean per-step delta
+        return 4 / (t6 - t2)
+    # fallback: whole warmed nt=6 run (conservative — includes run()
+    # overheads, never inflates the reported speedup)
+    return 6 / t6
 
 
 def _heom_kernel_parity(candidates, nsteps=200, dt=1e-3, rtol=2e-4):
