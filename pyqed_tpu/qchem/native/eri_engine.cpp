@@ -135,6 +135,90 @@ struct BF {
   int L() const { return lmn[0] + lmn[1] + lmn[2]; }
 };
 
+// Precomputed data for one primitive pair of a basis-function pair:
+// Gaussian-product center, total exponent, weight, and the three
+// direction E-coefficient vectors E_t^{l_i l_j} (only the top (i,j)
+// row is ever contracted).
+struct PrimPair {
+  double p;        // a + b
+  double P[3];     // product center
+  double w;        // c_i n_i c_j n_j
+  std::vector<double> Ex, Ey, Ez;   // lengths l1+l2+1, m1+m2+1, n1+n2+1
+};
+
+std::vector<PrimPair> make_pair(const BF& gi, const BF& gj) {
+  const int l1 = gi.lmn[0], m1 = gi.lmn[1], n1 = gi.lmn[2];
+  const int l2 = gj.lmn[0], m2 = gj.lmn[1], n2 = gj.lmn[2];
+  std::vector<PrimPair> out;
+  out.reserve(gi.nprim * gj.nprim);
+  for (int pa = 0; pa < gi.nprim; ++pa)
+    for (int pb = 0; pb < gj.nprim; ++pb) {
+      const double a = gi.exps[pa], b = gj.exps[pb];
+      PrimPair pp;
+      pp.p = a + b;
+      for (int d = 0; d < 3; ++d)
+        pp.P[d] = (a * gi.center[d] + b * gj.center[d]) / pp.p;
+      pp.w = gi.cn[pa] * gj.cn[pb];
+      ETable E1(l1, l2), E2(m1, m2), E3(n1, n2);
+      build_E(E1, gi.center[0] - gj.center[0], a, b);
+      build_E(E2, gi.center[1] - gj.center[1], a, b);
+      build_E(E3, gi.center[2] - gj.center[2], a, b);
+      pp.Ex.resize(l1 + l2 + 1);
+      pp.Ey.resize(m1 + m2 + 1);
+      pp.Ez.resize(n1 + n2 + 1);
+      for (int t = 0; t <= l1 + l2; ++t) pp.Ex[t] = E1.at(l1, l2, t);
+      for (int t = 0; t <= m1 + m2; ++t) pp.Ey[t] = E2.at(m1, m2, t);
+      for (int t = 0; t <= n1 + n2; ++t) pp.Ez[t] = E3.at(n1, n2, t);
+      out.push_back(std::move(pp));
+    }
+  return out;
+}
+
+// contracted (ij|kl) from precomputed pair data
+double eri_pairs(const std::vector<PrimPair>& bra,
+                 const std::vector<PrimPair>& ket, int Ltot) {
+  double total = 0.0;
+  for (const auto& B : bra) {
+    const int nt = int(B.Ex.size()), nu = int(B.Ey.size()),
+              nw = int(B.Ez.size());
+    for (const auto& K : ket) {
+      const int mt = int(K.Ex.size()), mu = int(K.Ey.size()),
+                mw = int(K.Ez.size());
+      const double alpha = B.p * K.p / (B.p + K.p);
+      RTable R(Ltot);
+      build_R(R, Ltot, alpha, B.P[0] - K.P[0], B.P[1] - K.P[1],
+              B.P[2] - K.P[2]);
+      double val = 0.0;
+      for (int t = 0; t < nt; ++t) {
+        if (B.Ex[t] == 0.0) continue;
+        for (int u = 0; u < nu; ++u) {
+          if (B.Ey[u] == 0.0) continue;
+          for (int w = 0; w < nw; ++w) {
+            if (B.Ez[w] == 0.0) continue;
+            double inner = 0.0;
+            for (int tau = 0; tau < mt; ++tau) {
+              if (K.Ex[tau] == 0.0) continue;
+              for (int vv = 0; vv < mu; ++vv) {
+                if (K.Ey[vv] == 0.0) continue;
+                for (int ph = 0; ph < mw; ++ph) {
+                  if (K.Ez[ph] == 0.0) continue;
+                  const double sgn = ((tau + vv + ph) & 1) ? -1.0 : 1.0;
+                  inner += K.Ex[tau] * K.Ey[vv] * K.Ez[ph] * sgn *
+                           R.at(0, t + tau, u + vv, w + ph);
+                }
+              }
+            }
+            val += B.Ex[t] * B.Ey[u] * B.Ez[w] * inner;
+          }
+        }
+      }
+      total += B.w * K.w * val * 2.0 * std::pow(PI, 2.5) /
+               (B.p * K.p * std::sqrt(B.p + K.p));
+    }
+  }
+  return total;
+}
+
 // contracted (ij|kl)
 double eri_contracted(const BF& gi, const BF& gj, const BF& gk,
                       const BF& gl) {
@@ -230,12 +314,22 @@ void eri_tensor_native(const double* centers, const int32_t* lmn,
     bfs[i] = BF{centers + 3 * i, lmn + 3 * i, exps + prim_off[i],
                 cn + prim_off[i], prim_off[i + 1] - prim_off[i]};
   }
-  // unique quartets (i>=j, k>=l, ij>=kl)
+  // unique quartets (i>=j, k>=l, ij>=kl); precompute per-pair Hermite
+  // E coefficients once (they depend only on the bra or ket pair)
   const int64_t npair = int64_t(nbf) * (nbf + 1) / 2;
   std::vector<std::pair<int, int>> pairs;
   pairs.reserve(npair);
   for (int i = 0; i < nbf; ++i)
     for (int j = 0; j <= i; ++j) pairs.push_back({i, j});
+  std::vector<std::vector<PrimPair>> pair_data(npair);
+  std::vector<int> pair_L(npair);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+  for (int64_t ij = 0; ij < npair; ++ij) {
+    pair_data[ij] = make_pair(bfs[pairs[ij].first], bfs[pairs[ij].second]);
+    pair_L[ij] = bfs[pairs[ij].first].L() + bfs[pairs[ij].second].L();
+  }
 
   const int64_t N = nbf;
 #ifdef _OPENMP
@@ -245,7 +339,8 @@ void eri_tensor_native(const double* centers, const int32_t* lmn,
     const int i = pairs[ij].first, j = pairs[ij].second;
     for (int64_t kl = 0; kl <= ij; ++kl) {
       const int k = pairs[kl].first, l = pairs[kl].second;
-      const double v = eri_contracted(bfs[i], bfs[j], bfs[k], bfs[l]);
+      const double v = eri_pairs(pair_data[ij], pair_data[kl],
+                                 pair_L[ij] + pair_L[kl]);
       const int64_t idx[8][4] = {
           {i, j, k, l}, {j, i, k, l}, {i, j, l, k}, {j, i, l, k},
           {k, l, i, j}, {l, k, i, j}, {k, l, j, i}, {l, k, j, i}};
