@@ -93,7 +93,13 @@ def spo_rate(npts, ns, kernel, nsteps=400):
 
 def main():
     quick = "--quick" in sys.argv
-    out = {"heom": [], "spo": []}
+    platform = jax.devices()[0].platform
+    out = {"platform": platform, "heom": [], "spo": []}
+    if platform not in ("tpu", "axon") and "--allow-cpu" not in sys.argv:
+        out["error"] = ("refusing to measure on platform "
+                        f"{platform!r} (pass --allow-cpu to override)")
+        print(json.dumps(out))
+        return
 
     heom_sizes = [(4, 2, 2), (7, 2, 3), (7, 3, 3)]
     if not quick:
