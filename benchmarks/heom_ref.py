@@ -61,7 +61,8 @@ def _lib():
 
 def heom_ref_rk4(H, keys, plus_idx, minus_idx, Q, cvec, nuvec, dt, nsteps,
                  ados):
-    """Propagate ``ados`` (nado, n, n) complex in place; returns it."""
+    """Propagate ``ados`` (nado, n, n) complex; the input array is NOT
+    mutated — the propagated hierarchy is the RETURN value."""
     lib = _lib()
     nado, M = keys.shape
     n = H.shape[0]

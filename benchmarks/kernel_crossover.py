@@ -14,6 +14,7 @@ import sys
 import time
 
 import numpy as np
+import jax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -138,5 +139,4 @@ def main():
 
 
 if __name__ == "__main__":
-    import jax
     main()

@@ -1,5 +1,6 @@
 from .beam import (
-    ScalarFieldX, ScalarFieldXY, Scalar_field_X, Scalar_field_XY,
+    ScalarFieldX, ScalarFieldXY, ScalarFieldXZ, ScalarFieldXYZ,
+    Scalar_field_X, Scalar_field_XY, Scalar_field_XZ, Scalar_field_XYZ,
     plane_wave, gauss_beam, slit, double_slit, circular_aperture, lens,
 )
 from .photonic import (

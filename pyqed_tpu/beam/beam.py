@@ -236,29 +236,33 @@ class ScalarFieldXZ:
     def bpm(self, n_xz=None, has_edges=True, pow_edge=80):
         """Split-step BPM through n(z, x) (reference:
         pyqed/beam/scalar_fields_XZ.py BPM — Python z loop; one
-        ``lax.scan`` here). n_xz: (nz, nx) index sheet or None."""
+        ``lax.scan`` here). n_xz: (nz, nx) index sheet or None.
+
+        Plane k of the result lives exactly at ``self.z[k]`` (the first
+        step covers 0 -> z[0]); non-uniform z grids are supported."""
         x, z = self.x, self.z
         wl, n0 = self.wavelength, self.n
-        dz = z[1] - z[0]
+        dzs = np.diff(np.concatenate([[0.0], np.asarray(z, float)]))
         k0 = 2 * np.pi / wl
         kx = 2 * np.pi * np.fft.fftfreq(len(x), x[1] - x[0])
         kz2 = (k0 * n0) ** 2 - kx ** 2
-        H = jnp.asarray(np.where(
-            kz2 >= 0,
-            np.exp(1j * np.sqrt(np.maximum(kz2, 0.0)) * dz),
-            np.exp(-np.abs(np.sqrt(np.abs(kz2))) * dz)))
+        # complex kz with +Im branch: exp(i kz dz) decays for evanescent
+        kz = jnp.asarray(np.sqrt(kz2.astype(complex)))
         if n_xz is None:
-            screens = jnp.ones((len(z), len(x)), complex)
+            dn = jnp.zeros((len(z), len(x)))
         else:
-            screens = jnp.exp(1j * k0 * (jnp.asarray(n_xz) - n0) * dz)
+            dn = jnp.asarray(n_xz) - n0
         edge = (_edge_filter((len(x),), (x,), pow_edge)
                 if has_edges else 1.0)
 
-        def step(u, screen):
-            u = jnp.fft.ifft(H * jnp.fft.fft(u)) * screen * edge
+        def step(u, sl):
+            dz, dn_k = sl
+            H = jnp.exp(1j * kz * dz)
+            u = (jnp.fft.ifft(H * jnp.fft.fft(u))
+                 * jnp.exp(1j * k0 * dn_k * dz) * edge)
             return u, u
 
-        _, stack = jax.lax.scan(step, self.u0, screens)
+        _, stack = jax.lax.scan(step, self.u0, (jnp.asarray(dzs), dn))
         self.u = stack
         return self.u
 
@@ -317,33 +321,35 @@ class ScalarFieldXYZ:
 
         n_volume: (nz, nx, ny) refractive-index stack (None = uniform
         background, reduces to the ASM result). Each z step applies the
-        homogeneous angular-spectrum propagator over dz then the phase
-        screen exp(i k0 (n - n0) dz); the full (nz, nx, ny) field stack
-        is produced by ONE ``lax.scan``.
+        homogeneous angular-spectrum propagator then the phase screen
+        exp(i k0 (n - n0) dz); the full (nz, nx, ny) field stack is
+        produced by ONE ``lax.scan``. Plane k lives exactly at
+        ``self.z[k]`` (first step covers 0 -> z[0]); non-uniform z grids
+        are supported.
         """
         x, y, z = self.x, self.y, self.z
         wl, n0 = self.wavelength, self.n
-        dz = z[1] - z[0]
+        dzs = np.diff(np.concatenate([[0.0], np.asarray(z, float)]))
         k0 = 2 * np.pi / wl
         kx = 2 * np.pi * np.fft.fftfreq(len(x), x[1] - x[0])
         ky = 2 * np.pi * np.fft.fftfreq(len(y), y[1] - y[0])
         kz2 = (k0 * n0) ** 2 - kx[:, None] ** 2 - ky[None, :] ** 2
-        H = jnp.asarray(np.where(
-            kz2 >= 0,
-            np.exp(1j * np.sqrt(np.maximum(kz2, 0.0)) * dz),
-            np.exp(-np.abs(np.sqrt(np.abs(kz2))) * dz)))
+        kz = jnp.asarray(np.sqrt(kz2.astype(complex)))
         if n_volume is None:
-            screens = jnp.ones((len(z), len(x), len(y)), complex)
+            dn = jnp.zeros((len(z), len(x), len(y)))
         else:
-            screens = jnp.exp(1j * k0 * (jnp.asarray(n_volume) - n0) * dz)
+            dn = jnp.asarray(n_volume) - n0
         edge = (_edge_filter((len(x), len(y)), (x, y), pow_edge)
                 if has_edges else 1.0)
 
-        def step(u, screen):
-            u = jnp.fft.ifft2(H * jnp.fft.fft2(u)) * screen * edge
+        def step(u, sl):
+            dz, dn_k = sl
+            H = jnp.exp(1j * kz * dz)
+            u = (jnp.fft.ifft2(H * jnp.fft.fft2(u))
+                 * jnp.exp(1j * k0 * dn_k * dz) * edge)
             return u, u
 
-        _, stack = jax.lax.scan(step, self.u0, screens)
+        _, stack = jax.lax.scan(step, self.u0, (jnp.asarray(dzs), dn))
         self.u = stack
         return self.u
 
@@ -645,3 +651,9 @@ def plane_waves_several_inclined(field, angles, amplitude=1.0):
         u += amplitude * np.exp(1j * field.k * np.sin(th) * X)
     field.u = jnp.asarray(u)
     return field
+
+
+# reference drop-in aliases (pyqed/beam/scalar_fields_XZ.py,
+# scalar_fields_XYZ.py class names)
+Scalar_field_XZ = ScalarFieldXZ
+Scalar_field_XYZ = ScalarFieldXYZ

@@ -80,7 +80,8 @@ class SPON:
         #: instead of batched eigh (reference: pyqed/wpd.py:921 SPO2NH,
         #: which does a per-point biorthogonal eig loop)
         self.nonherm = nonherm
-        #: kernel: None=auto (pallas on TPU) | 'xla' | 'pallas' — selects the
+        #: kernel: None=XLA (measured faster at all sizes; CROSSOVER_r02) |
+        #: "xla" | "pallas" — explicit opt-in selects the
         #: fused phase-multiply/potential-apply Pallas kernels for the hot
         #: Strang-splitting step (north-star kernel (b), pyqed/wpd.py:837-848)
         self.kernel = kernel
@@ -298,7 +299,12 @@ class SPON:
             return False   # GSPMD partitions the jnp ops; pallas is per-chip
         k = self.kernel
         if k is None:
-            return pk.default_backend_is_tpu()
+            # measured crossover (benchmarks/CROSSOVER_r02.json, on-chip):
+            # the XLA einsum/broadcast formulation beats the Pallas phase
+            # kernels at EVERY grid size tested (4k-1M points), so plain
+            # XLA is the production default; kernel='pallas' stays as the
+            # explicit opt-in (parity-tested)
+            return False
         return k == "pallas"
 
     def _keo(self, psi):

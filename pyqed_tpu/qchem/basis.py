@@ -212,10 +212,21 @@ def parse_bse_json(text_or_dict) -> dict:
             exps = [float(x) for x in sh["exponents"]]
             coefs = [[float(c) for c in col] for col in sh["coefficients"]]
             ang = sh["angular_momentum"]
+            letters = "SPDFG"
             if ang == [0, 1] and len(coefs) == 2:
                 shells.append(("SP", exps, coefs[0], coefs[1]))
+            elif len(ang) == 1:
+                # general contraction: one angular momentum, several
+                # independent contraction columns -> one shell per column
+                # (e.g. cc-pVDZ H: angular_momentum [0], 2 columns)
+                for col in coefs:
+                    shells.append((letters[ang[0]], exps, col))
             else:
-                letters = "SPDFG"
+                if len(ang) != len(coefs):
+                    raise ValueError(
+                        f"BSE shell with angular_momentum {ang} has "
+                        f"{len(coefs)} coefficient columns — unsupported "
+                        "combination")
                 for L, col in zip(ang, coefs):
                     shells.append((letters[L], exps, col))
         table[sym] = shells
@@ -505,8 +516,11 @@ def eri_tensor(bfs, native=True):
         try:
             from .engine import eri_tensor_native
             return eri_tensor_native(bfs)
-        except Exception:
-            pass
+        except Exception as exc:    # pragma: no cover - env-dependent
+            import warnings
+            warnings.warn(
+                f"native ERI engine unavailable ({exc!r}); falling back "
+                "to the ~100x slower Python path", RuntimeWarning)
     n = len(bfs)
     eri = np.zeros((n, n, n, n))
 

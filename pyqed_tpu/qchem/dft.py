@@ -380,15 +380,12 @@ def ao_values_grad(bfs, pts):
         vals[:, k] = poly * rad
         for i in range(3):
             l = g.lmn[i]
-            dpoly = (l * np.where(l > 0, d[:, i] ** max(l - 1, 0), 0.0)
-                     if l > 0 else np.zeros(P))
-            others = poly / np.where(mono[i] == 0.0, 1.0, mono[i]) \
-                if l > 0 else poly
-            # d/dx_i [poly * rad] = (dpoly * others) rad + poly * drad * x_i
+            # d/dx_i [poly * rad] = l x^{l-1} (other monomials) rad
+            #                       + poly * drad * x_i
             if l > 0:
                 po = [mono[j] for j in range(3) if j != i]
-                grads[:, k, i] = (dpoly * po[0] * po[1] * rad
-                                  + poly * drad * d[:, i])
+                grads[:, k, i] = (l * d[:, i] ** (l - 1) * po[0] * po[1]
+                                  * rad + poly * drad * d[:, i])
             else:
                 grads[:, k, i] = poly * drad * d[:, i]
     return jnp.asarray(vals), jnp.asarray(grads)
@@ -411,11 +408,10 @@ def gga_exc_vxc(f_exc, rho_a, rho_b, s_aa, s_ab, s_bb, rho_min=1e-10):
     sa = jnp.where(safe, jnp.maximum(s_aa, 1e-24), 1e-6)
     sab = jnp.where(safe, s_ab, 1e-6)
     sb = jnp.where(safe, jnp.maximum(s_bb, 1e-24), 1e-6)
-    outs = [jnp.where(safe, jax.vmap(f_exc)(ra, rb, sa, sab, sb), 0.0)]
-    for arg in _gga_args:
-        g = jax.vmap(jax.grad(f_exc, argnums=arg))(ra, rb, sa, sab, sb)
-        outs.append(jnp.where(safe, g, 0.0))
-    return outs
+    val, grads = jax.vmap(jax.value_and_grad(
+        f_exc, argnums=_gga_args))(ra, rb, sa, sab, sb)
+    return ([jnp.where(safe, val, 0.0)]
+            + [jnp.where(safe, g, 0.0) for g in grads])
 
 
 # -------------------------------------------------------------------

@@ -58,6 +58,20 @@ class Molecule:
         from .scf import RHF
         return RHF(self, **kwargs)
 
+    def UHF(self, **kwargs):
+        from .scf import UHF
+        return UHF(self, **kwargs)
+
+    def RKS(self, xc="svwn", **kwargs):
+        """Restricted Kohn-Sham dispatch (reference: pyqed/qchem/mol.py:817
+        ``Mole.RKS``)."""
+        from .dft import RKS
+        return RKS(self, xc=xc, **kwargs)
+
+    def UKS(self, xc="svwn", **kwargs):
+        from .dft import UKS
+        return UKS(self, xc=xc, **kwargs)
+
     def FCI(self, **kwargs):
         from .ci import FCI
         return FCI(self.RHF().run(), **kwargs)

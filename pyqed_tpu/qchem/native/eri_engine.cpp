@@ -219,87 +219,6 @@ double eri_pairs(const std::vector<PrimPair>& bra,
   return total;
 }
 
-// contracted (ij|kl)
-double eri_contracted(const BF& gi, const BF& gj, const BF& gk,
-                      const BF& gl) {
-  const double* A = gi.center;
-  const double* B = gj.center;
-  const double* C = gk.center;
-  const double* D = gl.center;
-  const int l1 = gi.lmn[0], m1 = gi.lmn[1], n1 = gi.lmn[2];
-  const int l2 = gj.lmn[0], m2 = gj.lmn[1], n2 = gj.lmn[2];
-  const int l3 = gk.lmn[0], m3 = gk.lmn[1], n3 = gk.lmn[2];
-  const int l4 = gl.lmn[0], m4 = gl.lmn[1], n4 = gl.lmn[2];
-  const int Lbra = l1 + m1 + n1 + l2 + m2 + n2;
-  const int Lket = l3 + m3 + n3 + l4 + m4 + n4;
-  const int Ltot = Lbra + Lket;
-
-  double total = 0.0;
-  for (int pa = 0; pa < gi.nprim; ++pa)
-    for (int pb = 0; pb < gj.nprim; ++pb) {
-      const double a = gi.exps[pa], b = gj.exps[pb];
-      const double p = a + b;
-      double P[3];
-      for (int d = 0; d < 3; ++d) P[d] = (a * A[d] + b * B[d]) / p;
-      ETable E1(l1, l2), E2(m1, m2), E3(n1, n2);
-      build_E(E1, A[0] - B[0], a, b);
-      build_E(E2, A[1] - B[1], a, b);
-      build_E(E3, A[2] - B[2], a, b);
-      const double cab = gi.cn[pa] * gj.cn[pb];
-
-      for (int pc = 0; pc < gk.nprim; ++pc)
-        for (int pd = 0; pd < gl.nprim; ++pd) {
-          const double c = gk.exps[pc], dd = gl.exps[pd];
-          const double q = c + dd;
-          double Q[3];
-          for (int d2 = 0; d2 < 3; ++d2)
-            Q[d2] = (c * C[d2] + dd * D[d2]) / q;
-          ETable E4(l3, l4), E5(m3, m4), E6(n3, n4);
-          build_E(E4, C[0] - D[0], c, dd);
-          build_E(E5, C[1] - D[1], c, dd);
-          build_E(E6, C[2] - D[2], c, dd);
-          const double alpha = p * q / (p + q);
-          RTable R(Ltot);
-          build_R(R, Ltot, alpha, P[0] - Q[0], P[1] - Q[1], P[2] - Q[2]);
-
-          double val = 0.0;
-          for (int t = 0; t <= l1 + l2; ++t) {
-            const double e1 = E1.at(l1, l2, t);
-            if (e1 == 0.0) continue;
-            for (int u = 0; u <= m1 + m2; ++u) {
-              const double e2 = E2.at(m1, m2, u);
-              if (e2 == 0.0) continue;
-              for (int w = 0; w <= n1 + n2; ++w) {
-                const double e3 = E3.at(n1, n2, w);
-                if (e3 == 0.0) continue;
-                double inner = 0.0;
-                for (int tau = 0; tau <= l3 + l4; ++tau) {
-                  const double e4 = E4.at(l3, l4, tau);
-                  if (e4 == 0.0) continue;
-                  for (int nu = 0; nu <= m3 + m4; ++nu) {
-                    const double e5 = E5.at(m3, m4, nu);
-                    if (e5 == 0.0) continue;
-                    for (int ph = 0; ph <= n3 + n4; ++ph) {
-                      const double e6 = E6.at(n3, n4, ph);
-                      if (e6 == 0.0) continue;
-                      const double sgn =
-                          ((tau + nu + ph) & 1) ? -1.0 : 1.0;
-                      inner += e4 * e5 * e6 * sgn *
-                               R.at(0, t + tau, u + nu, w + ph);
-                    }
-                  }
-                }
-                val += e1 * e2 * e3 * inner;
-              }
-            }
-          }
-          total += cab * gk.cn[pc] * gl.cn[pd] * val * 2.0 *
-                   std::pow(PI, 2.5) / (p * q * std::sqrt(p + q));
-        }
-    }
-  return total;
-}
-
 }  // namespace
 
 extern "C" {

@@ -240,6 +240,7 @@ double qsats_vmc(double* q, int natoms, const int* ipairs,
                  double mass, int nsweeps, int nequil, double step,
                  uint64_t seed, double* e_trace) {
   const double k_per_atom = 3.1668513e-6;  // hartree/K (eloc.f:257)
+  if (nsweeps <= 0) return 0.0;
   std::mt19937_64 rng(seed);
   std::normal_distribution<double> gauss(0.0, 1.0);
   std::uniform_real_distribution<double> uni(0.0, 1.0);

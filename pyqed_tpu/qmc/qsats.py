@@ -26,8 +26,9 @@ r_ij = |q_j - q_i + R_ij| with R_ij the minimum-image lattice vector
 (eloc.f:325-330: Einstein-site localization x McMillan b^5 Jastrow).
 Permutation-exchange moves swap the site assignment of neighbouring
 atoms (the 'MC_exchange' in the reference's directory name): positions
-are untouched, displacements are rebased, and only the Einstein factor
-changes the acceptance weight.
+are untouched and displacements are rebased; the acceptance evaluates
+the full trial (with an infinite stencil only the Einstein factor
+would change).
 
 All quantities in atomic units (bohr / hartree); ``HART2K`` converts to
 Kelvin (eloc.f:257).
@@ -107,8 +108,9 @@ def hcp_lattice(ncell, density):
 def build_pairs(sites, box, ratio=1.8):
     """Directed interacting-pair stencil: all (i, j), j != i, whose
     minimum-image LATTICE separation is below ratio * r_nn
-    (eloc.f:158-221). Returns (ipairs (P, 2) int, vpvec (P, 3) float
-    with vpvec = min-image R_j - R_i)."""
+    (eloc.f:158-221). Returns (ipairs (P, 2) int,
+    vpvec (P, 3) float with vpvec = min-image R_j - R_i, and the
+    nearest-neighbor distance rnn)."""
     sites = np.asarray(sites)
     box = np.asarray(box)
     dv = sites[None, :, :] - sites[:, None, :]

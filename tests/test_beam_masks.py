@@ -195,13 +195,14 @@ def test_bpm_homogeneous_matches_asm():
     u0 = np.exp(-x ** 2 / 15 ** 2).astype(complex)
     f.incident_field(u0)
     u_asm = np.asarray(f.propagate())
-    f2 = ScalarFieldXZ(x, np.linspace(0, 59.5, 120) + 0.5, wl)
+    f2 = ScalarFieldXZ(x, z, wl)          # same grid: planes coincide
     f2.incident_field(u0)
     u_bpm = np.asarray(f2.bpm(has_edges=False))
-    # compare mid-plane intensity profiles
-    i_asm = np.abs(u_asm[60]) ** 2
-    i_bpm = np.abs(u_bpm[60]) ** 2
-    assert np.max(np.abs(i_asm - i_bpm)) < 1e-6 * i_asm.max()
+    # every recorded plane agrees with the one-shot angular spectrum
+    for k in (0, 30, 60, 119):
+        i_asm = np.abs(u_asm[k]) ** 2
+        i_bpm = np.abs(u_bpm[k]) ** 2
+        assert np.max(np.abs(i_asm - i_bpm)) < 1e-6 * i_asm.max(), k
 
 
 def test_bpm_grin_waveguide_mode_invariant():
@@ -240,8 +241,7 @@ def test_xyz_volume_utilities():
     wl = 0.6328
     x = np.linspace(-40, 40, 64)
     y = np.linspace(-40, 40, 64)
-    # BPM records after each full step: u[k] lives at z = (k+1) dz
-    z = np.arange(1, 81) * 0.5
+    z = np.linspace(0.25, 40, 80)        # bpm plane k == z[k] exactly
     f = ScalarFieldXYZ(x, y, z, wl)
     u0 = np.exp(-(x[:, None] ** 2 + y[None, :] ** 2) / 10 ** 2)
     f.incident_field(u0.astype(complex))
