@@ -1,7 +1,13 @@
 from .beam import (
     ScalarFieldX, ScalarFieldXY, ScalarFieldXZ, ScalarFieldXYZ,
     Scalar_field_X, Scalar_field_XY, Scalar_field_XZ, Scalar_field_XYZ,
+    VectorFieldXY,
     plane_wave, gauss_beam, slit, double_slit, circular_aperture, lens,
+)
+from .vector import (
+    VectorMaskXY, VectorSourceXY, Vector_mask_XY, Vector_source_XY,
+    polarizer_linear, quarter_waveplate, half_waveplate, retarder,
+    polarization_states, polarization_ellipse,
 )
 from .photonic import (
     transfer_matrix, rt_coefficients, transmittance_spectrum,
