@@ -159,6 +159,9 @@ class LDRN:
     def short_time_propagator(self, dt):
         """U = expV_half (A ⊙ ⊗ expK) expV_half, flattened to a matrix
         (reference: pyqed/ldr/ldr.py:525)."""
+        if (self._U is not None
+                and getattr(self, "_blocked_dt", None) == float(dt)):
+            return self._U   # blocked chip-scale build already cached
         if self._apes is None:
             raise ValueError("APES not provided. Set self.apes = ...")
         self.buildV(dt)
@@ -188,6 +191,67 @@ class LDRN:
         n = self.ntot * ns
         self._U = jnp.reshape(U4, (n, n))
         self._exp_T_flat = jnp.reshape(expT4, (n, n))
+        return self._U
+
+    def short_time_propagator_blocked(self, dt, states, block=None):
+        """Chip-scale variant of :meth:`short_time_propagator`: builds the
+        same dense U (and ``_exp_T_flat``) in ROW BLOCKS with one
+        ``lax.scan`` so each compiled block graph stays tiny.
+
+        The fused dense build exhausts the XLA TPU compiler above ~31x31
+        2-state grids (measured: 63x63 = a 7938^2 propagator never
+        finishes compiling); here each block multiplies a (block, nbasis,
+        ns) slice of ``states`` against the full set, forms the matching
+        rows of the kron kinetic factor by digit decomposition of the row
+        index, and scales by the half-step potential phases — the
+        (ntot*ns)^2 overlap tensor A is never materialized on its own.
+
+        states: ``grid_shape + (nbasis, nstates)`` local electronic
+        eigenvectors (same contract as :meth:`build_ovlp`); the diabatic
+        ``states=None`` case has no dense U (use the separable path).
+        block: row-block size; must divide ``ntot`` (default
+        ``nx[-1]``, which always does).
+        """
+        if states is None:
+            raise ValueError("blocked build needs electronic states; "
+                             "diabatic dynamics uses the separable path")
+        self.buildV(dt)
+        self.buildK(dt)
+        ns, ntot, D = self.nstates, self.ntot, self.ndim
+        n = ntot * ns
+        if block is None:
+            block = self.nx[-1]
+        if ntot % block:
+            raise ValueError(f"block {block} must divide ntot {ntot}")
+        S = jnp.asarray(states)
+        S = jnp.reshape(S, (ntot, S.shape[-2], ns))
+        expKs = [jnp.asarray(k) for k in self.exp_K]
+        cdtype = jnp.result_type(self._apes, S, 1j)
+        strides = [int(np.prod(self.nx[d + 1:])) for d in range(D)]
+        vf = jnp.reshape(self.exp_V_half, (n,)).astype(cdtype)
+        Sc = S.conj()
+
+        def body(_, m0):
+            m = m0 + jnp.arange(block)
+            rows = jnp.ones((block, 1), dtype=cdtype)
+            for d in range(D):
+                idx = (m // strides[d]) % self.nx[d]
+                Kd = expKs[d].astype(cdtype)[idx]          # (block, nx_d)
+                rows = (rows[:, :, None] * Kd[:, None, :]).reshape(
+                    block, -1)                             # (block, ∏nx_d)
+            Sb = jnp.take(Sc, m, axis=0)                   # (block, nb, ns)
+            # A-rows on the fly: A[b a, n β] = Σ_c S*[b,c,a] S[n,c,β]
+            Ab = jnp.einsum("bca, ncd -> band", Sb,
+                            S.astype(cdtype))              # (blk,ns,ntot,ns)
+            Tb = Ab * rows[:, None, :, None]
+            return None, jnp.reshape(Tb, (block * ns, n))
+
+        _, T = jax.lax.scan(body, None, jnp.arange(0, ntot, block))
+        T = jnp.reshape(T, (n, n))
+        self._exp_T_flat = T
+        self._U = vf[:, None] * T * vf[None, :]
+        self._blocked_dt = float(dt)   # short_time_propagator reuses this
+        self._diabatic = False
         return self._U
 
     def buildH(self, dense=True):

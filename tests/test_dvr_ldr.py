@@ -607,3 +607,79 @@ def test_nonadiabatic_rate_on_ldr():
     H = np.asarray(ldr.buildH())
     k2, _, _ = RateFluxSide(H, x).rate(beta, t_plateau=1500.0)
     assert abs(float(k) - float(k2)) < 1e-12 * max(1.0, abs(float(k2)))
+
+
+def test_blocked_propagator_matches_dense_2d():
+    """short_time_propagator_blocked == short_time_propagator (2D,
+    nbasis > nstates, several block sizes)."""
+    rng = np.random.default_rng(3)
+    sol = LDRN([(-3.0, 3.0), (-2.0, 2.0)], [3, 2], nstates=2)
+    nx, ny = sol.nx
+    apes = rng.normal(size=(nx, ny, 2))
+    states = rng.normal(size=(nx, ny, 3, 2)) \
+        + 1j * rng.normal(size=(nx, ny, 3, 2))
+    dt = 0.013
+
+    sol.apes = jnp.asarray(apes)
+    sol.build_ovlp(jnp.asarray(states))
+    U_dense = np.asarray(sol.short_time_propagator(dt))
+    T_dense = np.asarray(sol._exp_T_flat)
+
+    for block in (None, 1, 3, 7, 21):
+        s2 = LDRN([(-3.0, 3.0), (-2.0, 2.0)], [3, 2], nstates=2)
+        s2.apes = jnp.asarray(apes)
+        U_blk = np.asarray(s2.short_time_propagator_blocked(
+            dt, jnp.asarray(states), block=block))
+        assert np.max(np.abs(U_blk - U_dense)) < 1e-12, block
+        assert np.max(np.abs(np.asarray(s2._exp_T_flat)
+                             - T_dense)) < 1e-12, block
+
+
+def test_blocked_propagator_matches_dense_3d():
+    """Digit decomposition of the kron row index exercised in 3D."""
+    rng = np.random.default_rng(7)
+    sol = LDRN([(-3, 3), (-2, 2), (-2.5, 2.5)], [2, 2, 2], nstates=2)
+    shp = tuple(sol.nx)
+    apes = rng.normal(size=shp + (2,))
+    states = rng.normal(size=shp + (2, 2))
+    dt = 0.02
+    sol.apes = jnp.asarray(apes)
+    sol.build_ovlp(jnp.asarray(states))
+    U_dense = np.asarray(sol.short_time_propagator(dt))
+    s2 = LDRN([(-3, 3), (-2, 2), (-2.5, 2.5)], [2, 2, 2], nstates=2)
+    s2.apes = jnp.asarray(apes)
+    U_blk = np.asarray(s2.short_time_propagator_blocked(
+        dt, jnp.asarray(states)))
+    assert np.max(np.abs(U_blk - U_dense)) < 1e-12
+
+
+def test_blocked_build_feeds_run():
+    """run() must REUSE a cached blocked build (same dt) instead of
+    re-materializing the dense A tensor."""
+    nx = ny = 7
+    dom = [(-6.0, 6.0), (-6.0, 6.0)]
+    rng = np.random.default_rng(11)
+
+    def make(apply_blocked):
+        sol = LDRN(domains=dom, levels=[3, 3], nstates=2)
+        x, y = sol.x
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        v = np.zeros((nx, ny, 2, 2))
+        v[..., 0, 0] = 0.5 * (X ** 2 + Y ** 2)
+        v[..., 1, 1] = 0.5 * ((X - 0.5) ** 2 + Y ** 2) + 0.5
+        v[..., 0, 1] = v[..., 1, 0] = 0.1
+        w, u = np.linalg.eigh(v.reshape(-1, 2, 2))
+        sol.apes = jnp.asarray(w.reshape(nx, ny, 2))
+        states = jnp.asarray(u.reshape(nx, ny, 2, 2))
+        if apply_blocked:
+            sol.short_time_propagator_blocked(0.005, states)
+        else:
+            sol.build_ovlp(states)
+        g = np.exp(-0.5 * (X ** 2 + Y ** 2)).astype(complex)
+        psi0 = np.zeros((nx, ny, 2), complex)
+        psi0[..., 0] = g / np.linalg.norm(g)
+        return sol.run(jnp.asarray(psi0), 0.005, 40, nout=40)
+
+    pa = np.asarray(make(True).psi)
+    pb = np.asarray(make(False).psi)
+    assert np.max(np.abs(pa - pb)) < 1e-12
