@@ -563,7 +563,7 @@ def _ldr_model(level=5, ns=2):
     return sol, apes, S, psi0
 
 
-def bench_ldr_tpu(level=5, nsteps=400, dt=0.01, batch=1):
+def bench_ldr_tpu(level=5, nsteps=400, dt=0.01, batch=1, blocked=False):
     """Flagship LDR method (BASELINE: "extremely expensive, ndim<4",
     pyqed/ldr/ldr.py:329): 31x31 grid, 2 states -> the short-time
     propagator is ONE dense (1922, 1922) complex MXU matmul per step
@@ -586,8 +586,14 @@ def bench_ldr_tpu(level=5, nsteps=400, dt=0.01, batch=1):
     @jax.jit
     def build(apes_in, S_in):
         sol.apes = apes_in
-        sol.build_ovlp(S_in.reshape(*sol.nx, 2, ns))
-        U = sol.short_time_propagator(dt)
+        if blocked:
+            # row-blocked build (grid/ldr.py): required above level 5 —
+            # the fused dense build graph kills the TPU compiler there
+            U = sol.short_time_propagator_blocked(
+                dt, S_in.reshape(*sol.nx, 2, ns))
+        else:
+            sol.build_ovlp(S_in.reshape(*sol.nx, 2, ns))
+            U = sol.short_time_propagator(dt)
         return (jnp.real(U).astype(jnp.float32),
                 jnp.imag(U).astype(jnp.float32))
 
@@ -735,6 +741,11 @@ def main():
     t_2des_tpu = bench_2des_tpu()
     ldr = bench_ldr_tpu(batch=1)
     ldr_b8 = bench_ldr_tpu(batch=8)
+    # chip-scale flagship (63x63 grid, 7938^2 propagator — the size the
+    # reference cannot run at all): opt-in, the one-time blocked build
+    # adds ~2-4 min (measured 1192 steps/s on v5e, 2026-08-17)
+    ldr6 = (bench_ldr_tpu(level=6, nsteps=200, blocked=True)
+            if os.environ.get("PYQED_BENCH_LDR6") else None)
 
     # on-device parity gate before any fast kernel can set the headline
     fast_ok = _heom_kernel_parity(["matmul-fast", "pallas",
@@ -780,6 +791,8 @@ def main():
             "ldr_vs_cpu_ref": round(ldr / ldr_cpu, 2),
             "ldr_cpu_ref_steps_per_sec": round(ldr_cpu, 3),
             "ldr_batch8_traj_steps_per_sec": round(ldr_b8, 1),
+            **({"ldr_level6_steps_per_sec": round(ldr6, 1)}
+               if ldr6 is not None else {}),
             "spo_steps_per_sec": round(spo, 1),
             "spo_vs_cpu": round(spo / spo_cpu, 2),
             "lindblad_steps_per_sec": round(lind, 1),
