@@ -20,7 +20,10 @@ from .models import (
     Pulse, GaussianPulse, ChirpedPulse, Biphoton, intensity_to_field,
 )
 from .models.cavity import Cavity, Composite, Polariton
-from .grid import SPO, SPO2, SPO3, SPON
+from .models.lvc import LVC
+from .grid import SPO, SPO2, SPO3, SPON, LDRN
+from .grid import SincDVR, SineDVR, HermiteDVR, ExponentialDVR
+from .ops.linalg import sort_eig as sort   # reference: pyqed/phys.py:554
 from .open import (
     LindbladSolver, LiouvilleSolver, RedfieldSolver, HEOMSolver,
     HEOMSolverDrude, DrudeBath, OhmicBath,

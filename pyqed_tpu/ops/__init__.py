@@ -7,6 +7,7 @@ from .operators import (
     pauli, sigmax, sigmay, sigmaz, sigmam, sigmap, destroy, create, basis,
     coh_op, jump, ham_ho, boson, quadrature, position, momentum, num,
     thermal_dm, spin_ops, multispin, multiboson, multimode, delta,
+    displace, coherent, coherent_dm,
 )
 from .math import (
     lorentzian, gaussian, coth, heaviside, fermi, sinc, rect, interval,
