@@ -247,20 +247,32 @@ class ScalarFieldXZ:
         kx = 2 * np.pi * np.fft.fftfreq(len(x), x[1] - x[0])
         kz2 = (k0 * n0) ** 2 - kx ** 2
         # complex kz with +Im branch: exp(i kz dz) decays for evanescent
-        kz = jnp.asarray(np.sqrt(kz2.astype(complex)))
+        kz = np.sqrt(kz2.astype(complex))
         if n_xz is None:
             dn = jnp.zeros((len(z), len(x)))
         else:
             dn = jnp.asarray(n_xz) - n0
         edge = (_edge_filter((len(x),), (x,), pow_edge)
                 if has_edges else 1.0)
+        uniform = np.ptp(dzs) <= 1e-12 * np.max(np.abs(dzs))
 
-        def step(u, sl):
-            dz, dn_k = sl
-            H = jnp.exp(1j * kz * dz)
-            u = (jnp.fft.ifft(H * jnp.fft.fft(u))
-                 * jnp.exp(1j * k0 * dn_k * dz) * edge)
-            return u, u
+        if uniform:       # hoist H out of the scan (the common case)
+            H = jnp.asarray(np.exp(1j * kz * dzs[0]))
+
+            def step(u, sl):
+                _, dn_k = sl
+                u = (jnp.fft.ifft(H * jnp.fft.fft(u))
+                     * jnp.exp(1j * k0 * dn_k * dzs[0]) * edge)
+                return u, u
+        else:
+            kzj = jnp.asarray(kz)
+
+            def step(u, sl):
+                dz, dn_k = sl
+                u = (jnp.fft.ifft(jnp.exp(1j * kzj * dz)
+                                  * jnp.fft.fft(u))
+                     * jnp.exp(1j * k0 * dn_k * dz) * edge)
+                return u, u
 
         _, stack = jax.lax.scan(step, self.u0, (jnp.asarray(dzs), dn))
         self.u = stack
@@ -334,20 +346,32 @@ class ScalarFieldXYZ:
         kx = 2 * np.pi * np.fft.fftfreq(len(x), x[1] - x[0])
         ky = 2 * np.pi * np.fft.fftfreq(len(y), y[1] - y[0])
         kz2 = (k0 * n0) ** 2 - kx[:, None] ** 2 - ky[None, :] ** 2
-        kz = jnp.asarray(np.sqrt(kz2.astype(complex)))
+        kz = np.sqrt(kz2.astype(complex))
         if n_volume is None:
             dn = jnp.zeros((len(z), len(x), len(y)))
         else:
             dn = jnp.asarray(n_volume) - n0
         edge = (_edge_filter((len(x), len(y)), (x, y), pow_edge)
                 if has_edges else 1.0)
+        uniform = np.ptp(dzs) <= 1e-12 * np.max(np.abs(dzs))
 
-        def step(u, sl):
-            dz, dn_k = sl
-            H = jnp.exp(1j * kz * dz)
-            u = (jnp.fft.ifft2(H * jnp.fft.fft2(u))
-                 * jnp.exp(1j * k0 * dn_k * dz) * edge)
-            return u, u
+        if uniform:       # hoist H out of the scan (the common case)
+            H = jnp.asarray(np.exp(1j * kz * dzs[0]))
+
+            def step(u, sl):
+                _, dn_k = sl
+                u = (jnp.fft.ifft2(H * jnp.fft.fft2(u))
+                     * jnp.exp(1j * k0 * dn_k * dzs[0]) * edge)
+                return u, u
+        else:
+            kzj = jnp.asarray(kz)
+
+            def step(u, sl):
+                dz, dn_k = sl
+                u = (jnp.fft.ifft2(jnp.exp(1j * kzj * dz)
+                                   * jnp.fft.fft2(u))
+                     * jnp.exp(1j * k0 * dn_k * dz) * edge)
+                return u, u
 
         _, stack = jax.lax.scan(step, self.u0, (jnp.asarray(dzs), dn))
         self.u = stack

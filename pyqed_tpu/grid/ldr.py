@@ -95,6 +95,9 @@ class LDRN:
         assert v.shape == (*self.nx, self.nstates), \
             f"APES shape {v.shape} != {(*self.nx, self.nstates)}"
         self._apes = v
+        # new surfaces invalidate any cached (blocked) propagator
+        self._blocked_dt = None
+        self._U = None
 
     # adiabatic PES per grid point and state
     @property
@@ -119,6 +122,8 @@ class LDRN:
         If ``states`` is None, A = identity overlap (diabatic dynamics).
         """
         ns = self.nstates
+        self._blocked_dt = None   # explicit (re)build supersedes the cache
+        self._U = None
         if states is None:
             # identity overlap = diabatic dynamics: the propagator is then
             # SEPARABLE (electronic-diagonal), so we do NOT materialize the
@@ -159,9 +164,20 @@ class LDRN:
     def short_time_propagator(self, dt):
         """U = expV_half (A ⊙ ⊗ expK) expV_half, flattened to a matrix
         (reference: pyqed/ldr/ldr.py:525)."""
-        if (self._U is not None
-                and getattr(self, "_blocked_dt", None) == float(dt)):
-            return self._U   # blocked chip-scale build already cached
+        blocked_dt = getattr(self, "_blocked_dt", None)
+        if self._U is not None and blocked_dt is not None:
+            try:
+                same_dt = complex(dt) == blocked_dt
+            except TypeError:      # traced dt: cannot compare, rebuild
+                same_dt = False
+            if same_dt:
+                return self._U     # blocked chip-scale build cached
+            # blocked build active but dt changed: rebuild through the
+            # blocked path with the retained states (falling through
+            # would hit build_ovlp(None) = the DIABATIC identity overlap
+            # and silently drop the nonadiabatic coupling)
+            return self.short_time_propagator_blocked(
+                dt, self._blocked_states, block=self._blocked_block)
         if self._apes is None:
             raise ValueError("APES not provided. Set self.apes = ...")
         self.buildV(dt)
@@ -215,6 +231,8 @@ class LDRN:
         if states is None:
             raise ValueError("blocked build needs electronic states; "
                              "diabatic dynamics uses the separable path")
+        if self._apes is None:
+            raise ValueError("APES not provided. Set self.apes = ...")
         self.buildV(dt)
         self.buildK(dt)
         ns, ntot, D = self.nstates, self.ntot, self.ndim
@@ -250,7 +268,21 @@ class LDRN:
         T = jnp.reshape(T, (n, n))
         self._exp_T_flat = T
         self._U = vf[:, None] * T * vf[None, :]
-        self._blocked_dt = float(dt)   # short_time_propagator reuses this
+        # cache key + rebuild inputs: short_time_propagator returns the
+        # cached U for the same dt and REBUILDS through this path (same
+        # states/block) for a different dt; the apes setter and
+        # build_ovlp invalidate the cache
+        try:
+            self._blocked_dt = complex(dt)
+        except TypeError:              # traced dt (inside jit): no cache
+            self._blocked_dt = None
+        if isinstance(S, jax.core.Tracer) or isinstance(
+                self._U, jax.core.Tracer):
+            # called under an outer jit (e.g. bench builds): caching
+            # tracers on self would leak them into later eager calls
+            self._blocked_dt = None
+        self._blocked_states = S
+        self._blocked_block = block
         self._diabatic = False
         return self._U
 

@@ -683,3 +683,45 @@ def test_blocked_build_feeds_run():
     pa = np.asarray(make(True).psi)
     pb = np.asarray(make(False).psi)
     assert np.max(np.abs(pa - pb)) < 1e-12
+
+
+def test_blocked_cache_invalidation():
+    """Code-review regressions: (a) a different dt after a blocked build
+    must REBUILD with the retained states (not silently fall to the
+    diabatic identity-overlap path); (b) changing apes must invalidate
+    the cached propagator; (c) run_imag (complex dt) after a real-time
+    build must not crash on the cache check."""
+    rng = np.random.default_rng(5)
+    dom = [(-4.0, 4.0), (-4.0, 4.0)]
+
+    def dense(apes, states, dt):
+        s = LDRN(domains=dom, levels=[3, 3], nstates=2)
+        s.apes = jnp.asarray(apes)
+        s.build_ovlp(jnp.asarray(states))
+        return np.asarray(s.short_time_propagator(dt))
+
+    s = LDRN(domains=dom, levels=[3, 3], nstates=2)
+    shp = tuple(s.nx)
+    apes = rng.normal(size=shp + (2,))
+    v = rng.normal(size=shp + (2, 2))
+    _, u = np.linalg.eigh(v + np.swapaxes(v, -1, -2))
+    s.apes = jnp.asarray(apes)
+    s.short_time_propagator_blocked(0.01, jnp.asarray(u))
+
+    # (a) different dt: rebuilt through the blocked path, == dense
+    U2 = np.asarray(s.short_time_propagator(0.02))
+    assert np.max(np.abs(U2 - dense(apes, u, 0.02))) < 1e-12
+
+    # (b) new surfaces: cache invalidated, == dense on the new apes
+    apes2 = apes + 0.3
+    s.apes = jnp.asarray(apes2)
+    s.short_time_propagator_blocked(0.01, jnp.asarray(u))
+    U3 = np.asarray(s.short_time_propagator(0.01))
+    assert np.max(np.abs(U3 - dense(apes2, u, 0.01))) < 1e-12
+    assert np.max(np.abs(U3 - dense(apes, u, 0.01))) > 1e-6
+
+    # (c) imaginary-time after a real-time build: no crash, finite result
+    g = rng.normal(size=shp + (2,)) + 0.1
+    psi0 = jnp.asarray(g / np.linalg.norm(g), dtype=complex)
+    r = s.run_imag(psi0, 0.01, 8, nout=4)
+    assert np.all(np.isfinite(np.asarray(r.psi).real))
