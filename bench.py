@@ -602,24 +602,29 @@ def bench_ldr_tpu(level=5, nsteps=400, dt=0.01, batch=1, blocked=False):
 
     @jax.jit
     def run(re, im, Ur, Ui):
-        # real-arithmetic complex matvec: 4 f32 MXU matmuls per step (a
+        # real-arithmetic complex matvec with the re|im columns STACKED
+        # into one rhs: TWO f32 MXU matmuls per step instead of four, so
+        # Ur and Ui stream from HBM once per step instead of twice (the
+        # step is HBM-bound at chip scale: U is ~0.5 GB at level 6). A
         # single c64 matmul at this size exhausts the axon TPU's scoped
-        # memory)
+        # memory.
         hi = jax.lax.Precision.HIGHEST
+        b = re.shape[1]
 
         def body(p, _):
-            pr, pi = p
-            qr = (jnp.matmul(Ur, pr, precision=hi)
-                  - jnp.matmul(Ui, pi, precision=hi))
-            qi = (jnp.matmul(Ur, pi, precision=hi)
-                  + jnp.matmul(Ui, pr, precision=hi))
-            return (qr, qi), jnp.sum(qr ** 2 + qi ** 2)
+            A = jnp.matmul(Ur, p, precision=hi)     # (n, 2b)
+            B = jnp.matmul(Ui, p, precision=hi)
+            qr = A[:, :b] - B[:, b:]
+            qi = A[:, b:] + B[:, :b]
+            q = jnp.concatenate([qr, qi], axis=1)
+            return q, jnp.sum(q ** 2)
 
-        (pr, pi), norms = jax.lax.scan(body, (re, im), None, length=nsteps)
-        return pr, pi, norms
+        p0 = jnp.concatenate([re, im], axis=1)      # (n, 2b)
+        pf, norms = jax.lax.scan(body, p0, None, length=nsteps)
+        return pf[:, :b], pf[:, b:], norms
 
     if batch == 1:
-        p0 = psi0.reshape(n)
+        p0 = psi0.reshape(n, 1)
     else:
         # displaced-wavepacket scan sharing the same propagator
         p0 = np.stack([np.roll(psi0.reshape(n), 7 * b)
