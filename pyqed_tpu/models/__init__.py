@@ -5,7 +5,8 @@ from .pulse import (
 )
 from .lvc import LVC, Mode, multimode
 from .named import (
-    HarmonicOscillator, Morse, Frenkel, TFIM, HeisenbergModel,
+    HarmonicOscillator, Morse, Frenkel, Frenkel2, Frenkel2s, Frenkel2_s,
+    TFIM, HeisenbergModel,
     franck_condon, FranckCondon, franck_condon_analytic, DHO,
 )
 from .cavity import Cavity, Composite, Polariton

@@ -244,3 +244,57 @@ class Frenkel2(Mol):
         # convention); Mol.lowering stays the dipole-derived matrix
         self.lowering_ops = low1 + low2
         self.nsites = nsites
+
+
+class Frenkel2s(Mol):
+    """Frenkel2 restricted to the single-excitation sector (reference:
+    pyqed/models/exciton.py:100 ``Frenkel2_s``): dim = 2*nsites + 1
+    instead of 3**nsites.  Basis |g>, |e1_i> (i=1..n), |e2_i| (i=1..n);
+    couplings follow the reference CODE (its docstring lists [j11, j22,
+    j12] but the body unpacks ``inter, intra = hopping``): ``inter``
+    couples |1>_i <-> |2>_i on-site, ``intra`` couples
+    |1>_i <-> |2>_{i+1} between neighbors — the same topology as
+    :class:`Frenkel2`, so the single-excitation blocks agree exactly.
+    """
+
+    def __init__(self, onsites, hopping, nsites):
+        if isinstance(hopping, (list, tuple)):
+            inter, intra = hopping
+        else:
+            inter = intra = hopping
+        if isinstance(onsites, (list, tuple)):
+            onsite1, onsite2 = onsites
+        else:
+            onsite1 = onsite2 = onsites
+
+        dim = 2 * nsites + 1
+        # |g> = 0, |e1_i> = 1 + i, |e2_i> = 1 + nsites + i — build the
+        # one-exciton block directly instead of looping over operator
+        # products (the reference assembles dim x dim lowering matrices
+        # and multiplies them; here H is written down index-wise)
+        H = np.zeros((dim, dim))
+        for i in range(nsites):
+            H[1 + i, 1 + i] = onsite1
+            H[1 + nsites + i, 1 + nsites + i] = onsite2
+            H[1 + i, 1 + nsites + i] = inter           # |1>_i <-> |2>_i
+            H[1 + nsites + i, 1 + i] = inter
+        for i in range(nsites - 1):
+            # |1>_i <-> |2>_{i+1}
+            H[1 + i, 1 + nsites + i + 1] = intra
+            H[1 + nsites + i + 1, 1 + i] = intra
+
+        low = []
+        for i in range(2 * nsites):
+            l = np.zeros((dim, dim))
+            l[0, 1 + i] = 1.0
+            low.append(jnp.asarray(l))
+        edip = 0.0
+        for l in low:
+            edip = edip + l + dag(l)
+        super().__init__(jnp.asarray(H), edip=edip)
+        self.dim = dim
+        self.lowering_ops = low
+        self.nsites = nsites
+
+
+Frenkel2_s = Frenkel2s      # reference drop-in name

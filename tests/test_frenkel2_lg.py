@@ -60,3 +60,28 @@ def test_laguerre_gauss_orbital_angular_momentum():
         ph = np.unwrap(np.angle(u[ix, iy]))
         winding = (ph[-1] - ph[0] + (ph[1] - ph[0])) / (2 * np.pi)
         assert abs(winding - l) < 0.1
+
+
+def test_frenkel2s_matches_full_single_excitation_block():
+    """Frenkel2s (single-excitation sector, dim 2n+1; reference
+    pyqed/models/exciton.py:100) reproduces the one-exciton eigenvalues
+    of the full 3^n-dimensional Frenkel2 Hamiltonian."""
+    from pyqed_tpu.models.named import Frenkel2s
+    e1, e2, inter, intra = 1.0, 1.3, 0.15, 0.1
+    n = 3
+    full = Frenkel2([e1, e2], [inter, intra], nsites=n)
+    sect = Frenkel2s([e1, e2], [inter, intra], nsites=n)
+    assert np.asarray(sect.H).shape == (2 * n + 1, 2 * n + 1)
+
+    Hf = np.asarray(full.H)
+    N = sum(np.asarray(l.conj().T @ l) for l in full.lowering_ops)
+    w, v = np.linalg.eigh(Hf)
+    nexc = np.einsum("ia, ij, ja -> a", v.conj(), N, v).real
+    one_exc = np.sort(w[np.abs(nexc - 1.0) < 1e-8])
+
+    ws = np.sort(np.linalg.eigvalsh(np.asarray(sect.H)))
+    # drop the ground state (0) from the sector spectrum
+    assert np.allclose(ws[1:], one_exc, atol=1e-10)
+    # scalar args broadcast like the reference
+    m1 = Frenkel2s(1.0, 0.2, nsites=2)
+    assert np.allclose(np.asarray(m1.H), np.asarray(m1.H).T)
