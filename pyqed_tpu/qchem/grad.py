@@ -1,0 +1,162 @@
+"""Nuclear gradients and geometry optimization.
+
+TPU-native counterpart of the reference gradient layer (reference:
+pyqed/qchem/grad.py:9 ``Grad`` — there a 21-line skeleton whose
+``get_hcore``/``get_overlap``/``run`` bodies are empty; made real here).
+
+Gradients are central finite differences of the total energy of any of
+the in-house mean-field methods (RHF/UHF/RKS/UKS).  The GTO integrals
+are built in NumPy (recursion-heavy, host-side), so autodiff cannot flow
+through them; FD over the 3N Cartesian displacements is embarrassingly
+parallel and each displaced SCF runs its dense linear algebra (Fock
+builds, eigh, DIIS) on device.  Geometry optimization is BFGS over the
+flattened coordinates with the FD gradient as the Jacobian.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import numpy as np
+
+from .mol import Molecule
+
+__all__ = ["Grad", "optimize_geometry", "GeometryOptimizer"]
+
+
+def _method_energy(atoms, basis, method, charge=0, spin=0, xc=None,
+                   **method_kw):
+    """Total energy of ``method`` at geometry ``atoms`` (bohr)."""
+    mol = Molecule(atoms, charge=charge, spin=spin, basis=basis)
+    method = method.upper()
+    if method == "RHF":
+        mf = mol.RHF(**method_kw)
+    elif method == "UHF":
+        mf = mol.UHF(**method_kw)
+    elif method == "RKS":
+        mf = mol.RKS(xc=xc or "svwn", **method_kw)
+    elif method == "UKS":
+        mf = mol.UKS(xc=xc or "svwn", **method_kw)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    mf.run()
+    if not mf.converged:
+        raise RuntimeError(f"{method} SCF failed to converge during "
+                           "gradient evaluation")
+    return float(mf.e_tot)
+
+
+class Grad:
+    """Central-difference nuclear gradient dE/dR, shape (natm, 3).
+
+    Accepts either a converged (or not-yet-run) mean-field object from
+    :mod:`pyqed_tpu.qchem.scf`/:mod:`~pyqed_tpu.qchem.dft` — the
+    reference calling convention ``Grad(mf)``
+    (pyqed/qchem/grad.py:10) — or an explicit geometry:
+
+    >>> g = Grad(mol.RHF()).run()          # pyscf-style
+    >>> g = Grad(atoms=[...], method="RKS", xc="pbe").run()
+
+    After ``run()``, ``self.de`` holds the gradient (Eh/bohr).
+    """
+
+    def __init__(self, mf=None, atoms=None, basis="sto-3g", method="RHF",
+                 step=5e-3, charge=0, spin=0, xc=None, **method_kw):
+        if mf is not None:
+            mol = mf.mol
+            atoms = mol.atoms
+            basis = mol.basis_name
+            charge = mol.charge
+            spin = mol.spin
+            method = type(mf).__name__
+            xc = getattr(mf, "xc", xc)
+        if atoms is None:
+            raise ValueError("pass a mean-field object or atoms=")
+        self.atoms = [(s, np.asarray(x, dtype=float)) for s, x in atoms]
+        self.basis = basis
+        self.method = method
+        self.charge = charge
+        self.spin = spin
+        self.xc = xc
+        self.step = step
+        self.method_kw = method_kw
+        self.natm = len(self.atoms)
+        self.de = None
+        self.e_tot = None
+
+    def _energy(self, coords_flat):
+        coords = np.asarray(coords_flat, dtype=float).reshape(self.natm, 3)
+        atoms = [(s, c) for (s, _), c in zip(self.atoms, coords)]
+        return _method_energy(atoms, self.basis, self.method,
+                              charge=self.charge, spin=self.spin,
+                              xc=self.xc, **self.method_kw)
+
+    def run(self):
+        """Compute the (natm, 3) gradient; returns ``self``."""
+        x0 = np.concatenate([x for _, x in self.atoms])
+        h = self.step
+        g = np.zeros_like(x0)
+        for i in range(x0.size):
+            dp = x0.copy(); dp[i] += h
+            dm = x0.copy(); dm[i] -= h
+            g[i] = (self._energy(dp) - self._energy(dm)) / (2 * h)
+        self.e_tot = self._energy(x0)
+        self.de = g.reshape(self.natm, 3)
+        return self
+
+    def kernel(self):
+        """pyscf-style alias: run and return the gradient array."""
+        return self.run().de
+
+
+class GeometryOptimizer:
+    """BFGS geometry optimization on the FD-gradient surface.
+
+    The reference exposes no working optimizer (its Grad.run is empty);
+    this drives :class:`scipy.optimize.minimize` with the central-
+    difference Jacobian, stopping on ``gtol`` (max |dE/dR| component).
+    """
+
+    def __init__(self, atoms, basis="sto-3g", method="RHF", charge=0,
+                 spin=0, xc=None, step=5e-3, gtol=3e-4, maxiter=60,
+                 **method_kw):
+        self.grad = Grad(atoms=atoms, basis=basis, method=method,
+                         charge=charge, spin=spin, xc=xc, step=step,
+                         **method_kw)
+        self.gtol = gtol
+        self.maxiter = maxiter
+        self.atoms_opt = None
+        self.e_tot = None
+        self.converged = False
+
+    def run(self):
+        from scipy.optimize import minimize
+        g = self.grad
+        x0 = np.concatenate([x for _, x in g.atoms])
+
+        def fun(x):
+            return g._energy(x)
+
+        def jac(x):
+            h = g.step
+            out = np.zeros_like(x)
+            for i in range(x.size):
+                dp = x.copy(); dp[i] += h
+                dm = x.copy(); dm[i] -= h
+                out[i] = (fun(dp) - fun(dm)) / (2 * h)
+            return out
+
+        res = minimize(fun, x0, jac=jac, method="BFGS",
+                       options=dict(gtol=self.gtol, maxiter=self.maxiter))
+        coords = res.x.reshape(g.natm, 3)
+        self.atoms_opt = [(s, c) for (s, _), c in zip(g.atoms, coords)]
+        self.e_tot = float(res.fun)
+        self.grad_final = res.jac.reshape(g.natm, 3)
+        self.converged = bool(np.max(np.abs(res.jac)) < 10 * self.gtol)
+        self.niter = int(res.nit)
+        return self
+
+
+def optimize_geometry(atoms, basis="sto-3g", method="RHF", **kw):
+    """Convenience wrapper: optimized ``(atoms, e_tot)``."""
+    opt = GeometryOptimizer(atoms, basis=basis, method=method, **kw).run()
+    return opt.atoms_opt, opt.e_tot
