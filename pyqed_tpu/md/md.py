@@ -89,6 +89,86 @@ class LJMD:
         (xf, vf), (U, T, P) = evolve(x0, v0)
         return dict(x=xf, v=vf, U=U, T=T, P=P)
 
+    def minimize(self, x0=None, nsteps=200, step0=1e-3):
+        """Steepest-descent energy minimization (the reference's
+        ``MinimizeEnergy`` class, pyqed/md/measure.py:29, is an empty
+        skeleton — made real).  Backtracking step control under one
+        ``lax.scan``: a move that raises U is rejected and the step
+        halved; an accepted move grows the step 10%.  Returns
+        (positions, U trace)."""
+        L, rc = self.L, self.rc
+        x0 = jnp.asarray(self.x0 if x0 is None else x0)
+
+        def body(carry, _):
+            x, step = carry
+            U, F, _ = lj_forces(x, L, rc)
+            fmax = jnp.max(jnp.linalg.norm(F, axis=1))
+            trial = jnp.mod(x + step * F / jnp.maximum(fmax, 1e-12), L)
+            U2, _, _ = lj_forces(trial, L, rc)
+            ok = U2 < U
+            x_new = jnp.where(ok, trial, x)
+            step_new = jnp.where(ok, step * 1.1, step * 0.5)
+            return (x_new, step_new), jnp.where(ok, U2, U)
+
+        @jax.jit
+        def run(x):
+            return jax.lax.scan(body, (x, jnp.asarray(step0)), None,
+                                length=nsteps)
+
+        (xf, _), Utrace = run(x0)
+        return xf, Utrace
+
+    def monte_carlo(self, key, nmoves=20000, delta=0.1, x0=None,
+                    temperature=None, sample_every=100):
+        """Metropolis NVT Monte Carlo (the reference's ``MonteCarlo``
+        class, pyqed/md/measure.py:40, is an empty skeleton — made
+        real).  One single-particle trial move per scan step; the energy
+        change uses only the moved particle's interaction ROW (O(N) per
+        move, not O(N^2)).  Returns dict with positions, U samples and
+        the acceptance ratio."""
+        L, rc, n = self.L, self.rc, self.n
+        T = self.T0 if temperature is None else temperature
+        beta = 1.0 / T
+        x0 = jnp.asarray(self.x0 if x0 is None else x0)
+
+        def row_energy(x, i, xi):
+            """LJ energy of particle i at position xi with all others."""
+            disp = xi[None, :] - x
+            disp = disp - L * jnp.round(disp / L)
+            r2 = jnp.sum(disp**2, axis=-1)
+            mask = (jnp.arange(n) != i) & (r2 < rc**2)
+            r2 = jnp.where(mask, r2, 1.0)
+            inv6 = 1.0 / r2**3
+            u_c = 4.0 * (rc**-12 - rc**-6)
+            return jnp.sum(jnp.where(mask, 4.0 * (inv6**2 - inv6) - u_c,
+                                     0.0))
+
+        def body(carry, k):
+            x, U, nacc = carry
+            ki, kd, ka = jax.random.split(k, 3)
+            i = jax.random.randint(ki, (), 0, n)
+            xi = x[i]
+            trial = jnp.mod(xi + jax.random.uniform(
+                kd, (3,), minval=-delta, maxval=delta), L)
+            dU = row_energy(x, i, trial) - row_energy(x, i, xi)
+            accept = jax.random.uniform(ka) < jnp.exp(
+                jnp.minimum(-beta * dU, 0.0))
+            x_new = jnp.where(accept, x.at[i].set(trial), x)
+            U_new = jnp.where(accept, U + dU, U)
+            return (x_new, U_new, nacc + accept), U_new
+
+        @jax.jit
+        def run(key, x):
+            U0, _, _ = lj_forces(x, L, rc)
+            keys = jax.random.split(key, nmoves)
+            (xf, Uf, nacc), Utrace = jax.lax.scan(
+                body, (x, U0, jnp.asarray(0, jnp.int32)), keys)
+            return xf, Uf, nacc, Utrace[::sample_every]
+
+        xf, Uf, nacc, Usamp = run(key, x0)
+        return dict(x=xf, U=float(Uf), samples=Usamp,
+                    acceptance=float(nacc) / nmoves)
+
     def rdf(self, x, nbins=100):
         """Radial distribution function g(r)."""
         x = np.asarray(x)

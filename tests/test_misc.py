@@ -43,6 +43,42 @@ class TestMD:
         U, F, W = lj_forces(jnp.asarray(md.x0) + 0.01, md.L)
         assert np.allclose(np.asarray(F).sum(0), 0.0, atol=1e-9)
 
+    def test_minimize_energy(self):
+        """Steepest descent (reference MinimizeEnergy skeleton made
+        real): perturbed FCC relaxes monotonically toward the lattice
+        energy."""
+        md = LJMD(ncell=2, density=1.0)
+        rng = np.random.default_rng(1)
+        x0 = np.mod(md.x0 + 0.05 * rng.standard_normal(md.x0.shape),
+                    md.L)
+        U_fcc = float(lj_forces(jnp.asarray(md.x0), md.L)[0])
+        U_pert = float(lj_forces(jnp.asarray(x0), md.L)[0])
+        xf, Utr = md.minimize(x0=x0, nsteps=300)
+        Utr = np.asarray(Utr)
+        assert Utr[-1] < U_pert
+        # monotone non-increasing by construction
+        assert np.all(np.diff(Utr) <= 1e-10)
+        # recovers (close to) the perfect-lattice energy
+        assert Utr[-1] < U_fcc + 0.05 * abs(U_fcc)
+
+    def test_monte_carlo_nvt(self):
+        """Metropolis NVT (reference MonteCarlo skeleton made real):
+        running energy bookkeeping consistent with a full recompute, and
+        sane acceptance."""
+        md = LJMD(ncell=2, density=0.6, temperature=2.0)
+        out = md.monte_carlo(jax.random.PRNGKey(2), nmoves=4000,
+                             delta=0.12)
+        assert 0.05 < out["acceptance"] < 0.98
+        U_recomputed = float(lj_forces(out["x"], md.L)[0])
+        assert abs(out["U"] - U_recomputed) < 1e-6 * max(
+            1.0, abs(U_recomputed))
+        # at very low T, almost no uphill moves are accepted from the
+        # minimum: energy stays near the lattice energy
+        cold = md.monte_carlo(jax.random.PRNGKey(3), nmoves=2000,
+                              delta=0.05, temperature=1e-4)
+        U_fcc = float(lj_forces(jnp.asarray(md.x0), md.L)[0])
+        assert cold["U"] <= U_fcc + 1e-6
+
 
 class TestML:
     def test_fit_1d_pes(self):
