@@ -9,7 +9,7 @@ from .named import (
     TFIM, HeisenbergModel,
     franck_condon, FranckCondon, franck_condon_analytic, DHO,
 )
-from .cavity import Cavity, Composite, Polariton
+from .cavity import Cavity, Composite, Polariton, QRM
 from .lattice import FermiHubbard, BoseHubbard, jordan_wigner_ops
 from .vibronic import Pyrazine, JahnTeller, ShinMetiu
 from .polariton_grid import GridMol, VibronicPolariton, VSC, TDH

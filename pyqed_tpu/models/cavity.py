@@ -291,3 +291,19 @@ class Polariton(Composite):
         return SESolver(self.H).run(psi0=psi0, dt=dt, Nt=nt, e_ops=e_ops,
                                     nout=nout, t0=t0, pulse=pulse,
                                     edip=self.get_edip())
+
+
+def QRM(omega0, omegac, ncav=2):
+    """Quantum Rabi model / Jaynes-Cummings factory (reference:
+    pyqed/cavity.py:741 ``QRM``): a two-level atom with transition
+    frequency ``omega0`` and sigma_x dipole coupled to an ``ncav``-level
+    cavity at ``omegac``.  Returns a :class:`Polariton`; call
+    ``getH(RWA=...)`` for the Rabi (False) or Jaynes-Cummings (True)
+    Hamiltonian."""
+    from .mol import Mol
+    from ..ops.operators import pauli
+    s0, sx, sy, sz = pauli()
+    hmol = 0.5 * omega0 * (-sz + s0)
+    mol = Mol(hmol, edip=sx)
+    cav = Cavity(omegac, ncav)
+    return Polariton(mol, cav)

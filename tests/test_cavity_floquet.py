@@ -303,3 +303,22 @@ def test_floquet_evolution_chiral_drive_amplitudes():
     idx = (ts / dt).round().astype(int)
     direct = np.array(out)[idx]
     assert np.max(np.abs(psis - direct)) < 1e-8
+
+
+def test_qrm_factory_jaynes_cummings_splitting():
+    """QRM factory (reference pyqed/cavity.py:741): at resonance the
+    RWA (Jaynes-Cummings) polariton doublet splits by 2 g sqrt(n+1)."""
+    import numpy as np
+    from pyqed_tpu.models import QRM
+    w = 1.0
+    g = 0.05
+    pol = QRM(w, w, ncav=6)
+    pol.g = g
+    H = np.asarray(pol.getH(RWA=True))
+    evals = np.sort(np.linalg.eigvalsh(H))
+    # ground state at 0; first doublet at w -/+ g
+    assert abs(evals[0]) < 1e-10
+    assert abs(evals[1] - (w - g)) < 1e-8
+    assert abs(evals[2] - (w + g)) < 1e-8
+    # second doublet splits by 2 g sqrt(2)
+    assert abs((evals[4] - evals[3]) - 2 * g * np.sqrt(2)) < 1e-6
