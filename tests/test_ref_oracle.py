@@ -491,3 +491,18 @@ def test_nonherm_eig_vs_reference(rng):
     assert np.max(np.abs(a @ np.asarray(mU1)
                          - np.asarray(mU1) @ np.diag(np.asarray(mw)))) \
         < 1e-10
+
+
+def test_frenkel2s_vs_reference():
+    """Frenkel2_s Hamiltonian/dipole vs the ACTUAL reference class
+    (pyqed/models/exciton.py:100) exec'd from /root/reference."""
+    from pyqed_tpu.models.named import Frenkel2s
+    ref = load_reference_module("models.exciton")
+    for onsites, hopping, n in ([[1.0, 1.3], [0.15, 0.1], 3],
+                                [1.1, 0.2, 4]):
+        ours = Frenkel2s(onsites, hopping, n)
+        theirs = ref.Frenkel2_s(onsites, hopping, n)
+        assert np.allclose(np.asarray(ours.H), np.asarray(theirs.H),
+                           atol=1e-12)
+        assert np.allclose(np.asarray(ours.edip),
+                           np.asarray(theirs.edip), atol=1e-12)
