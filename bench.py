@@ -603,11 +603,14 @@ def bench_ldr_tpu(level=5, nsteps=400, dt=0.01, batch=1, blocked=False):
     @jax.jit
     def run(re, im, Ur, Ui):
         # real-arithmetic complex matvec with the re|im columns STACKED
-        # into one rhs: TWO f32 MXU matmuls per step instead of four, so
-        # Ur and Ui stream from HBM once per step instead of twice (the
-        # step is HBM-bound at chip scale: U is ~0.5 GB at level 6). A
-        # single c64 matmul at this size exhausts the axon TPU's scoped
-        # memory.
+        # into one rhs: TWO f32 MXU matmuls per step, so Ur and Ui are
+        # GUARANTEED to stream from HBM once per step (the step is
+        # HBM-bound at chip scale: U is ~0.5 GB at level 6). Measured
+        # head-to-head on v5e at level 6: equal to the naive 4-matmul
+        # form (1181 vs 1209 steps/s) because XLA's dot-merger pass
+        # already coalesces dots sharing an operand — the explicit stack
+        # keeps that property out of the optimizer's hands. A single
+        # c64 matmul at this size exhausts the axon TPU's scoped memory.
         hi = jax.lax.Precision.HIGHEST
         b = re.shape[1]
 
@@ -623,15 +626,18 @@ def bench_ldr_tpu(level=5, nsteps=400, dt=0.01, batch=1, blocked=False):
         pf, norms = jax.lax.scan(body, p0, None, length=nsteps)
         return pf[:, :b], pf[:, b:], norms
 
-    if batch == 1:
-        p0 = psi0.reshape(n, 1)
-    else:
-        # displaced-wavepacket scan sharing the same propagator
-        p0 = np.stack([np.roll(psi0.reshape(n), 7 * b)
-                       for b in range(batch)], axis=1)
-    re = np.ascontiguousarray(p0.real, np.float32)
-    t = _timeit(run, re, np.zeros_like(re), Ur, Ui)
-    return nsteps * batch / t
+    rates = []
+    for b in (batch if isinstance(batch, (tuple, list)) else [batch]):
+        if b == 1:
+            p0 = psi0.reshape(n, 1)
+        else:
+            # displaced-wavepacket scan sharing the same propagator
+            p0 = np.stack([np.roll(psi0.reshape(n), 7 * k)
+                           for k in range(b)], axis=1)
+        re = np.ascontiguousarray(p0.real, np.float32)
+        t = _timeit(run, re, np.zeros_like(re), Ur, Ui)
+        rates.append(nsteps * b / t)
+    return rates if isinstance(batch, (tuple, list)) else rates[0]
 
 
 def bench_ldr_cpu(level=5, dt=0.01):
@@ -747,10 +753,16 @@ def main():
     ldr = bench_ldr_tpu(batch=1)
     ldr_b8 = bench_ldr_tpu(batch=8)
     # chip-scale flagship (63x63 grid, 7938^2 propagator — the size the
-    # reference cannot run at all): opt-in, the one-time blocked build
-    # adds ~2-4 min (measured 1192 steps/s on v5e, 2026-08-17)
-    ldr6 = (bench_ldr_tpu(level=6, nsteps=200, blocked=True)
-            if os.environ.get("PYQED_BENCH_LDR6") else None)
+    # reference cannot run at all): ON by default (two clean runs on
+    # v5e: ~1200 steps/s single-trajectory, batching the rhs amortizes
+    # the 0.5 GB/step HBM stream: 31.7k traj-steps/s at batch=64);
+    # PYQED_BENCH_NO_LDR6=1 skips it (kill-switch for a flaky tunnel)
+    if os.environ.get("PYQED_BENCH_NO_LDR6"):
+        ldr6 = ldr6_b64 = None
+    else:
+        # one propagator build shared by both batch sizes
+        ldr6, ldr6_b64 = bench_ldr_tpu(level=6, nsteps=200, blocked=True,
+                                       batch=(1, 64))
 
     # on-device parity gate before any fast kernel can set the headline
     fast_ok = _heom_kernel_parity(["matmul-fast", "pallas",
@@ -796,7 +808,8 @@ def main():
             "ldr_vs_cpu_ref": round(ldr / ldr_cpu, 2),
             "ldr_cpu_ref_steps_per_sec": round(ldr_cpu, 3),
             "ldr_batch8_traj_steps_per_sec": round(ldr_b8, 1),
-            **({"ldr_level6_steps_per_sec": round(ldr6, 1)}
+            **({"ldr_level6_steps_per_sec": round(ldr6, 1),
+                "ldr_level6_batch64_traj_steps_per_sec": round(ldr6_b64, 1)}
                if ldr6 is not None else {}),
             "spo_steps_per_sec": round(spo, 1),
             "spo_vs_cpu": round(spo / spo_cpu, 2),

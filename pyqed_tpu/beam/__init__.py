@@ -1,7 +1,7 @@
 from .beam import (
     ScalarFieldX, ScalarFieldXY, ScalarFieldXZ, ScalarFieldXYZ,
     Scalar_field_X, Scalar_field_XY, Scalar_field_XZ, Scalar_field_XYZ,
-    VectorFieldXY,
+    VectorFieldXY, VectorFieldXYZ,
     plane_wave, gauss_beam, slit, double_slit, circular_aperture, lens,
 )
 from .vector import (

@@ -418,6 +418,18 @@ class ScalarFieldXYZ:
         return jnp.abs(self.u) ** 2
 
 
+def _ez_spectrum(Exk, Eyk, kx, ky, kz, k0, ring_tol=1e-3):
+    """Ez(kx,ky) = -(kx Ex + ky Ey)/kz from transversality k·E = 0.
+
+    The reconstruction is singular on the cutoff ring |kz| -> 0 (Ez
+    physically diverges at grazing propagation); modes within
+    ``ring_tol * k0`` of the ring are zeroed instead of amplifying
+    float noise by 1/kz."""
+    ring = jnp.abs(kz) < ring_tol * k0
+    return jnp.where(ring, 0.0,
+                     -(kx * Exk + ky * Eyk) / jnp.where(ring, 1.0, kz))
+
+
 class VectorFieldXY:
     """Paraxial vector field (Ex, Ey) on a transverse plane with the
     longitudinal Ez reconstructed from transversality
@@ -446,17 +458,23 @@ class VectorFieldXY:
         return jnp.asarray(kx), jnp.asarray(ky)
 
     def _kz(self, kx, ky):
+        """Complex kz = sqrt(k0^2 - kx^2 - ky^2 + 0i): real for
+        propagating modes, +i|kz| for evanescent ones (the principal
+        branch is the decaying choice) — the former maximum(kz2, 1e-30)
+        clamp divided evanescent Ez components by 1e-15, amplifying
+        numerical noise by ~1e15."""
         k0 = 2 * np.pi * self.n / self.wavelength
         kz2 = k0 ** 2 - kx[:, None] ** 2 - ky[None, :] ** 2
-        return jnp.sqrt(jnp.maximum(kz2, 1e-30) + 0j)
+        return jnp.sqrt(kz2 + 0j)
 
     def _fill_Ez(self):
         kx, ky = self._kgrids()
         kz = self._kz(kx, ky)
         Exk = jnp.fft.fft2(self.Ex)
         Eyk = jnp.fft.fft2(self.Ey)
-        Ezk = -(kx[:, None] * Exk + ky[None, :] * Eyk) / kz
-        self.Ez = jnp.fft.ifft2(Ezk)
+        self.Ez = jnp.fft.ifft2(_ez_spectrum(
+            Exk, Eyk, kx[:, None], ky[None, :], kz,
+            2 * np.pi * self.n / self.wavelength))
 
     def propagate(self, z):
         """ASM on each Cartesian component; Ez re-derived after."""
@@ -473,6 +491,90 @@ class VectorFieldXY:
 
     def stokes(self):
         """(S0, S1, S2, S3) transverse Stokes parameters."""
+        Ex, Ey = self.Ex, self.Ey
+        S0 = jnp.abs(Ex) ** 2 + jnp.abs(Ey) ** 2
+        S1 = jnp.abs(Ex) ** 2 - jnp.abs(Ey) ** 2
+        S2 = 2 * jnp.real(Ex * jnp.conj(Ey))
+        S3 = -2 * jnp.imag(Ex * jnp.conj(Ey))
+        return S0, S1, S2, S3
+
+
+class VectorFieldXYZ:
+    """Vector field over a full (x, y, z) volume.
+
+    The reference's vendored diffractio stops at the transverse plane
+    (pyqed/beam/vector_fields_XY.py — no vector XYZ module exists
+    there); this extends :class:`VectorFieldXY` to z-stacks the same way
+    :class:`ScalarFieldXYZ` extends XY: one batched angular-spectrum
+    kernel over all planes (Exk/Eyk are FFT'd ONCE and reused for every
+    z), with the longitudinal Ez reconstructed per plane from
+    transversality Ez(kx,ky) = -(kx Ex + ky Ey)/kz.  Free-space /
+    uniform-background propagation; for inhomogeneous isotropic media
+    run the two transverse components through ``ScalarFieldXYZ.bpm``
+    (polarization-decoupled in the paraxial isotropic limit).
+    """
+
+    def __init__(self, x, y, z, wavelength, n_background=1.0):
+        self.x = np.asarray(x)
+        self.y = np.asarray(y)
+        self.z = np.asarray(z)
+        self.wavelength = wavelength
+        self.n = n_background
+        self.Ex = self.Ey = self.Ez = None      # (nz, nx, ny)
+
+    def incident_field(self, Ex, Ey):
+        self.Ex0 = jnp.asarray(Ex, dtype=complex)
+        self.Ey0 = jnp.asarray(Ey, dtype=complex)
+        return self
+
+    def propagate(self):
+        x, y, wl, n = self.x, self.y, self.wavelength, self.n
+        kx = 2 * np.pi * np.fft.fftfreq(len(x), x[1] - x[0])
+        ky = 2 * np.pi * np.fft.fftfreq(len(y), y[1] - y[0])
+        kx = jnp.asarray(kx)[:, None]
+        ky = jnp.asarray(ky)[None, :]
+        k0 = 2 * np.pi * n / wl
+        kz2 = k0 ** 2 - kx ** 2 - ky ** 2
+        kz_prop = jnp.sqrt(jnp.abs(kz2))
+        kz_c = jnp.sqrt(kz2 + 0j)
+        Exk0 = jnp.fft.fft2(self.Ex0)
+        Eyk0 = jnp.fft.fft2(self.Ey0)
+
+        def plane(z):
+            H = jnp.where(kz2 >= 0, jnp.exp(1j * kz_prop * z),
+                          jnp.exp(-kz_prop * jnp.abs(z)))
+            Exk = Exk0 * H
+            Eyk = Eyk0 * H
+            Ezk = _ez_spectrum(Exk, Eyk, kx, ky, kz_c, k0)
+            return (jnp.fft.ifft2(Exk), jnp.fft.ifft2(Eyk),
+                    jnp.fft.ifft2(Ezk))
+
+        self.Ex, self.Ey, self.Ez = jax.vmap(plane)(jnp.asarray(self.z))
+        return self
+
+    def to_xy(self, z0):
+        """Nearest-plane VectorFieldXY view at z ~ z0."""
+        k = int(np.argmin(np.abs(self.z - z0)))
+        out = VectorFieldXY(self.x, self.y, self.wavelength, self.n)
+        out.Ex, out.Ey, out.Ez = self.Ex[k], self.Ey[k], self.Ez[k]
+        return out
+
+    def intensity(self):
+        """(nz, nx, ny) total intensity |Ex|^2 + |Ey|^2 + |Ez|^2."""
+        return (jnp.abs(self.Ex) ** 2 + jnp.abs(self.Ey) ** 2
+                + jnp.abs(self.Ez) ** 2)
+
+    def on_axis(self, x0=0.0, y0=0.0):
+        """(|Ex|^2+|Ey|^2, |Ez|^2) along z at the nearest (x0, y0)."""
+        i = int(np.argmin(np.abs(self.x - x0)))
+        j = int(np.argmin(np.abs(self.y - y0)))
+        It = (jnp.abs(self.Ex[:, i, j]) ** 2
+              + jnp.abs(self.Ey[:, i, j]) ** 2)
+        Iz = jnp.abs(self.Ez[:, i, j]) ** 2
+        return It, Iz
+
+    def stokes(self):
+        """Transverse Stokes stacks, each (nz, nx, ny)."""
         Ex, Ey = self.Ex, self.Ey
         S0 = jnp.abs(Ex) ** 2 + jnp.abs(Ey) ** 2
         S1 = jnp.abs(Ex) ** 2 - jnp.abs(Ey) ** 2

@@ -155,3 +155,83 @@ def test_scalar_mask_and_pupil():
 def test_reference_aliases():
     assert Vector_mask_XY is VectorMaskXY
     assert Vector_source_XY is VectorSourceXY
+
+
+class TestVectorFieldXYZ:
+    """Vector volume propagation (extends the reference surface — its
+    vendored diffractio has no vector XYZ module)."""
+
+    def _grid(self, n=96, L=40.0):
+        x = np.linspace(-L / 2, L / 2, n, endpoint=False)
+        return x, x
+
+    def test_single_plane_matches_vector_xy(self):
+        from pyqed_tpu.beam import VectorFieldXY, VectorFieldXYZ
+        x, y = self._grid()
+        wl = 0.6
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        Ex = np.exp(-(X**2 + Y**2) / 9.0) * np.exp(0.3j * X)
+        Ey = 0.5j * np.exp(-(X**2 + Y**2) / 16.0)
+        z0 = 23.0
+        vol = VectorFieldXYZ(x, y, [z0], wl).incident_field(Ex, Ey)
+        vol.propagate()
+        ref = VectorFieldXY(x, y, wl).incident_field(Ex, Ey)
+        ref.propagate(z0)
+        assert np.allclose(np.asarray(vol.Ex[0]), np.asarray(ref.Ex),
+                           atol=1e-10)
+        assert np.allclose(np.asarray(vol.Ey[0]), np.asarray(ref.Ey),
+                           atol=1e-10)
+        assert np.allclose(np.asarray(vol.Ez[0]), np.asarray(ref.Ez),
+                           atol=1e-10)
+
+    def test_focused_radial_beam_longitudinal_on_axis(self):
+        """Dorn-Quabis-Leuchs physics: a focused RADIALLY polarized
+        doughnut develops a strong longitudinal Ez on axis at focus,
+        while the transverse intensity stays null there; the focused
+        AZIMUTHAL beam has Ez = 0 on axis."""
+        from pyqed_tpu.beam import VectorFieldXYZ
+        from pyqed_tpu.beam.vector import VectorSourceXY
+        x, y = self._grid(n=128, L=60.0)
+        wl = 1.0
+        f = 60.0
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        r2 = X**2 + Y**2
+        env = np.sqrt(r2) / 6.0 * np.exp(-r2 / 36.0)   # doughnut
+        lens_ph = np.exp(-1j * np.pi / (wl * f) * r2)
+        # low-Fresnel-number focusing shifts the axial peak toward the
+        # lens — scan a wide interior window rather than pinning z = f
+        zs = np.linspace(0.5 * f, 1.3 * f, 17)
+
+        def focus(kind):
+            src = VectorSourceXY(x, y, wl)
+            getattr(src, kind)(u=env)
+            vol = VectorFieldXYZ(x, y, zs, wl).incident_field(
+                np.asarray(src.Ex) * lens_ph, np.asarray(src.Ey) * lens_ph)
+            vol.propagate()
+            return vol
+
+        rad = focus("radial_wave")
+        It, Iz = rad.on_axis()
+        It, Iz = np.asarray(It), np.asarray(Iz)
+        # longitudinal field dominates on axis for radial polarization
+        assert Iz.max() > 30 * It.max()
+        # axial peak interior to the scan (focal region, shifted toward
+        # the lens at this Fresnel number)
+        kpk = int(np.argmax(Iz))
+        assert 0 < kpk < len(zs) - 1
+
+        azi = focus("azimuthal_wave")
+        _, Iz_azi = azi.on_axis()
+        assert np.asarray(Iz_azi).max() < 1e-3 * Iz.max()
+
+    def test_energy_conservation_free_space(self):
+        from pyqed_tpu.beam import VectorFieldXYZ
+        x, y = self._grid()
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        Ex = np.exp(-(X**2 + Y**2) / 25.0)
+        vol = VectorFieldXYZ(x, y, [0.0, 15.0, 30.0], 0.8)
+        vol.incident_field(Ex, 0.0 * Ex).propagate()
+        # transverse power conserved plane to plane (paraxial beam,
+        # no evanescent content, no clipping)
+        S0 = np.asarray(vol.stokes()[0]).sum(axis=(1, 2))
+        assert np.allclose(S0, S0[0], rtol=1e-6)
