@@ -216,6 +216,23 @@ class Biphoton:
             return rdm(self.jsa, dy=self.dq, which="x")
         return rdm(self.jsa, dx=self.dp, which="y")
 
+    def schmidt_number(self):
+        """Schmidt number K of the JSA (effective mode count)."""
+        if self.jsa is None:
+            self.get_jsa()
+        return schmidt_number(self.jsa, self.dp, self.dq)
+
+    def g2(self):
+        """Unheralded second-order coherence of the signal beam
+        (reference: pyqed/optics.py:672 ``Biphoton.g2`` — a ``pass``
+        stub, made real).
+
+        For SPDC twin beams each marginal is a K-mode thermal state, so
+        g2(0) = 1 + Tr(rho_s^2) = 1 + 1/K  with K the Schmidt number:
+        2 for a separable (single-Schmidt-mode) JSA, -> 1 for highly
+        entangled multimode light."""
+        return 1.0 + 1.0 / self.schmidt_number()
+
 
 class Analyser:
     """Pulse characterization: FROG trace and spectrogram of a sampled

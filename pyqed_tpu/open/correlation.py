@@ -92,3 +92,44 @@ def correlation_4p_2t(H, rho0, ops, c_ops=(), dt=0.01, nt1=100, nt2=100,
 
     _, cmat = jax.lax.scan(outer, rho1, None, length=int(nt1))
     return cmat
+
+
+def g2_coherence(H, rho0, a, c_ops=(), dt=0.01, nt=500, dyn=None):
+    """Normalized second-order optical coherence
+
+        g2(tau) = <a+(0) a+(tau) a(tau) a(0)> / (<n>(0) <n>(tau))
+
+    by the quantum regression theorem: the numerator is
+    Tr[n U(tau)[a rho0 a+]] (the reference ships this workflow only as
+    qutip scripts, examples/g2_qutip.py and optical_coherence.py; its
+    own ``Biphoton.g2`` at pyqed/optics.py:672 is a ``pass`` stub).
+
+    Returns (times, g2) as arrays.  ``rho0`` should be the (steady)
+    state of interest; for a coherent state g2 = 1, for thermal light
+    g2(0) = 2 with g2(tau) = 1 + |g1(tau)|^2.
+    """
+    a = jnp.asarray(a)
+    ad = jnp.conj(a.T)
+    n_op = ad @ a
+    rho0 = jnp.asarray(rho0)
+    tlist, num = correlation_3p_1t(H, rho0, (ad, n_op, a), c_ops=c_ops,
+                                  dt=dt, nt=nt, dyn=dyn)
+    # <n>(tau) from the plain evolution of rho0 (constant in steady
+    # state, but computed honestly for any input state)
+    if dyn is None:
+        dyn = _default_dyn
+    Hj = jnp.asarray(H)
+    c_ops_j = [jnp.asarray(c) for c in c_ops]
+
+    def step(rho, _):
+        k1 = dyn(rho, Hj, c_ops_j)
+        k2 = dyn(rho + 0.5 * dt * k1, Hj, c_ops_j)
+        k3 = dyn(rho + 0.5 * dt * k2, Hj, c_ops_j)
+        k4 = dyn(rho + dt * k3, Hj, c_ops_j)
+        rho = rho + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+        return rho, jnp.trace(n_op @ rho)
+
+    _, nbar_t = jax.lax.scan(
+        step, rho0.astype(jnp.result_type(rho0, 1j)), None, length=int(nt))
+    nbar0 = jnp.trace(n_op @ rho0)
+    return tlist, jnp.real(num) / jnp.real(nbar0 * nbar_t)
