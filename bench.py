@@ -99,11 +99,12 @@ def _timeit(fn, *args, repeat=3):
 
 # ===================================================== config #3: HEOM ★
 
-def bench_heom_tpu(kernel, nsteps=2000, dt=1e-3):
+def bench_heom_tpu(kernel, nsteps=2000, dt=1e-3, nsite=7,
+                   nexp_per_bath=2, lmax=3):
     import jax
     from __graft_entry__ import _heom_setup, _heom_step_fn
     H, keys, plus_idx, minus_idx, Q, cvec, nuvec = _heom_setup(
-        nsite=7, nexp_per_bath=2, lmax=3)
+        nsite=nsite, nexp_per_bath=nexp_per_bath, lmax=lmax)
     step, nado, n = _heom_step_fn(H, keys, plus_idx, minus_idx, Q, cvec,
                                   nuvec, dt=dt, kernel=kernel)
 
@@ -777,6 +778,13 @@ def main():
         (k for k in rates if k == "matmul" or fast_ok.get(k, False)),
         key=lambda k: rates[k])
 
+    # large-shape HEOM (10 sites, nado=1771): the regime where the
+    # hand-written Pallas hierarchy kernel BEATS the XLA matmul path
+    # (CROSSOVER_r02: 356 vs 304 steps/s) — measured in the official
+    # artifact, not just the side crossover file
+    heom_L = {k: bench_heom_tpu(k, nsteps=300, nsite=10)
+              for k in ("matmul-fast", "pallas-fast")}
+
     heom_cpu = bench_heom_cpu()            # C++ reference transcription
     heom_refpy = bench_heom_cpu_refpy()    # actual reference code, no numba
     t_2des_cpu = bench_2des_cpu()
@@ -799,6 +807,9 @@ def main():
             "heom_pallas_fast_steps_per_sec": round(rates["pallas-fast"], 2),
             "heom_matmul_steps_per_sec": round(heom_matmul, 2),
             "heom_matmul_fast_steps_per_sec": round(rates["matmul-fast"], 2),
+            "heom_large_xla_steps_per_sec": round(heom_L["matmul-fast"], 2),
+            "heom_large_pallas_steps_per_sec": round(
+                heom_L["pallas-fast"], 2),
             "heom_cpu_ref_steps_per_sec": round(heom_cpu, 3),
             "heom_cpu_refpy_nonumba_steps_per_sec": round(heom_refpy, 3),
             "tdes_map_ms": round(t_2des_tpu * 1e3, 2),
