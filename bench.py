@@ -675,16 +675,19 @@ def bench_ldr_cpu(level=5, dt=0.01):
     return 6 / t6
 
 
-def _heom_kernel_parity(candidates, nsteps=200, dt=1e-3, rtol=2e-4):
+def _heom_kernel_parity(candidates, nsteps=200, dt=1e-3, rtol=2e-4,
+                        nsite=7, nexp_per_bath=2, lmax=3):
     """On-device parity gate (round-1 advisor finding): propagate nsteps
     with each candidate kernel and compare the full final hierarchy state
     against the matmul/HIGHEST path ON THE CHIP (where the precision flag
     is live — the CPU f64 suite can't see an MXU rounding regression).
     Kernels deviating beyond rtol of the state scale are excluded from
-    the headline."""
+    the headline.  Shape-parametrized: each benched shape runs its OWN
+    gate (a kernel bug can be shape-dependent)."""
     import jax
     from __graft_entry__ import _heom_setup, _heom_step_fn
-    setup = _heom_setup(nsite=7, nexp_per_bath=2, lmax=3)
+    setup = _heom_setup(nsite=nsite, nexp_per_bath=nexp_per_bath,
+                        lmax=lmax)
 
     def final_state(kernel):
         step, nado, n = _heom_step_fn(*setup, dt=dt, kernel=kernel)
@@ -781,8 +784,13 @@ def main():
     # large-shape HEOM (10 sites, nado=1771): the regime where the
     # hand-written Pallas hierarchy kernel BEATS the XLA matmul path
     # (CROSSOVER_r02: 356 vs 304 steps/s) — measured in the official
-    # artifact, not just the side crossover file
-    heom_L = {k: bench_heom_tpu(k, nsteps=300, nsite=10)
+    # artifact, not just the side crossover file. Parity-gated AT THIS
+    # SHAPE (kernel bugs can be shape-dependent); a failing kernel
+    # reports 0.0 rather than an unverified rate.
+    fast_ok_L = _heom_kernel_parity(["matmul-fast", "pallas-fast"],
+                                    nsteps=60, nsite=10)
+    heom_L = {k: (bench_heom_tpu(k, nsteps=300, nsite=10)
+                  if fast_ok_L.get(k, False) else 0.0)
               for k in ("matmul-fast", "pallas-fast")}
 
     heom_cpu = bench_heom_cpu()            # C++ reference transcription
@@ -810,6 +818,7 @@ def main():
             "heom_large_xla_steps_per_sec": round(heom_L["matmul-fast"], 2),
             "heom_large_pallas_steps_per_sec": round(
                 heom_L["pallas-fast"], 2),
+            "heom_large_parity_ok": fast_ok_L,
             "heom_cpu_ref_steps_per_sec": round(heom_cpu, 3),
             "heom_cpu_refpy_nonumba_steps_per_sec": round(heom_refpy, 3),
             "tdes_map_ms": round(t_2des_tpu * 1e3, 2),

@@ -39,3 +39,26 @@ from . import tn
 from . import md
 from . import ml
 from . import beam
+
+# reference top-level drop-ins (`from pyqed import X` surface): plotting
+# helpers (pyqed/style.py), pulse/biphoton utilities (pyqed/optics.py),
+# phys.py conveniences — all real implementations living in their
+# natural submodules, re-exported here for name parity
+from .utils.style import (
+    set_style, subplots, curve, matplot, imshow, level_scheme,
+    two_scales, surf, plot_surface, plot_surfaces, export, read_result,
+)
+from .models.pulse import (
+    Analyser, schmidt_decompose, schmidt_number, hom_schmidt,
+    field_to_intensity, fwhm_to_std, std_to_fwhm,
+)
+from .models.mol import quantum_dynamics, driven_dynamics
+from .models.named import Frenkel, Frenkel2, Frenkel2s, Frenkel2_s
+from .models.cavity import QRM
+from .ops.operators import (
+    lowering, raising, multi_spin, norm2, is_positive_def,
+    direct_product, jacobi_anger, propagator, propagator_H_const,
+)
+from .ops.superoperator import liouvillian
+from .open.lindblad import driven_dissipative_dynamics
+from .grid import ChebDVR

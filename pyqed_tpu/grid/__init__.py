@@ -1,7 +1,7 @@
 from .spo import SPO, SPO2, SPO3, SPON, SPO2NH, ResultSPO
 from .dvr import (
     SincDVR, SineDVR, HermiteDVR, ExponentialDVR, DVRN, DVR2, kinetic,
-    BesselDVR, LaguerreDVR, ChebyshevDVR, LegendreDVR,
+    BesselDVR, LaguerreDVR, ChebyshevDVR, LegendreDVR, ChebDVR,
 )
 from .ldr import LDRN, LDR2, ResultLDR
 from .scattering import LippmannSchwingerSolver, LippmannSchwinger2DSolver

@@ -312,3 +312,20 @@ class SESolver:
     def correlation_4op_2t(self, psi0, oplist, dt=0.005, Nt=1, Ntau=1):
         a, b, c, d = oplist
         return self.correlation_3op_2t(psi0, [a, b @ c, d], dt, Nt, Ntau)
+
+
+def quantum_dynamics(ham, psi0, dt=0.001, Nt=1, obs_ops=None, nout=1,
+                     t0=0.0):
+    """Field-free TDSE propagation, reference drop-in (reference:
+    pyqed/phys.py:1325 — there an RK4 loop writing obs.dat; here the
+    SESolver scan returning a Result)."""
+    return SESolver(ham).run(psi0=psi0, dt=dt, Nt=Nt, e_ops=obs_ops,
+                             nout=nout, t0=t0)
+
+
+def driven_dynamics(ham, dip, psi0, pulse, dt=0.001, Nt=1, obs_ops=None,
+                    nout=1, t0=0.0):
+    """Laser-driven TDSE propagation, reference drop-in (reference:
+    pyqed/phys.py:1393): H(t) = H - E(t) mu."""
+    return SESolver(ham).run(psi0=psi0, dt=dt, Nt=Nt, e_ops=obs_ops,
+                             nout=nout, t0=t0, pulse=pulse, edip=dip)

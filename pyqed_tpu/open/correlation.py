@@ -115,21 +115,11 @@ def g2_coherence(H, rho0, a, c_ops=(), dt=0.01, nt=500, dyn=None):
     tlist, num = correlation_3p_1t(H, rho0, (ad, n_op, a), c_ops=c_ops,
                                   dt=dt, nt=nt, dyn=dyn)
     # <n>(tau) from the plain evolution of rho0 (constant in steady
-    # state, but computed honestly for any input state)
-    if dyn is None:
-        dyn = _default_dyn
-    Hj = jnp.asarray(H)
-    c_ops_j = [jnp.asarray(c) for c in c_ops]
-
-    def step(rho, _):
-        k1 = dyn(rho, Hj, c_ops_j)
-        k2 = dyn(rho + 0.5 * dt * k1, Hj, c_ops_j)
-        k3 = dyn(rho + 0.5 * dt * k2, Hj, c_ops_j)
-        k4 = dyn(rho + dt * k3, Hj, c_ops_j)
-        rho = rho + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
-        return rho, jnp.trace(n_op @ rho)
-
-    _, nbar_t = jax.lax.scan(
-        step, rho0.astype(jnp.result_type(rho0, 1j)), None, length=int(nt))
+    # state, but computed honestly for any input state) — the SAME
+    # quantum-regression driver with A = C = 1 so the two time grids
+    # and steppers can never desynchronize
+    eye = jnp.eye(rho0.shape[0], dtype=rho0.dtype)
+    _, nbar_t = correlation_3p_1t(H, rho0, (eye, n_op, eye), c_ops=c_ops,
+                                  dt=dt, nt=nt, dyn=dyn)
     nbar0 = jnp.trace(n_op @ rho0)
     return tlist, jnp.real(num) / jnp.real(nbar0 * nbar_t)

@@ -331,3 +331,12 @@ class LiouvilleSolver:
 
 # Reference-compatible alias (pyqed/superoperator.py:455)
 Lindblad_solver = LiouvilleSolver
+
+
+def driven_dissipative_dynamics(ham, dip, rho0, pulse, c_ops=(),
+                                dt=0.001, Nt=1, obs_ops=None, nout=1):
+    """Laser-driven Lindblad dynamics, H(t) = H0 - E(t) mu (reference:
+    pyqed/phys.py:1464 ``driven_dissipative_dynamics`` — an empty
+    ``return`` stub there; here the time-dependent LindbladSolver)."""
+    sol = LindbladSolver([ham, [dip, pulse.efield]], c_ops=list(c_ops))
+    return sol.run(rho0, dt=dt, Nt=Nt, e_ops=obs_ops, nout=nout)

@@ -239,3 +239,74 @@ def coherent_dm(N, alpha):
     """|alpha><alpha| (reference: pyqed/oqs.py:926)."""
     psi = coherent(N, alpha)
     return jnp.outer(psi, jnp.conj(psi))
+
+
+# ---------------------------------------------------------- phys.py compat
+
+def lowering(dims=2):
+    """Spin-1/2 lowering operator |0><1| (reference: pyqed/phys.py:778;
+    dense here instead of scipy.sparse)."""
+    if dims != 2:
+        raise ValueError("dims can only be 2.")
+    return sigmam()
+
+
+def raising(dims=2):
+    """Spin-1/2 raising operator |1><0| (reference: pyqed/phys.py:786)."""
+    if dims != 2:
+        raise ValueError("dims can only be 2.")
+    return sigmap()
+
+
+def multi_spin(onsite, nsites):
+    """Hamiltonian + collective lowering operator of non-interacting
+    spins (reference: pyqed/phys.py:1759 — NOTE a different API from
+    ``multispin``, which also takes a hopping and returns the per-site
+    list).  Returns (H, sum_i sm_i)."""
+    onsite = jnp.atleast_1d(jnp.asarray(onsite))
+    if onsite.shape[0] == 1:
+        onsite = jnp.repeat(onsite, nsites)
+    H, lowerings = multispin(0.0, 0.0, nsites)
+    H = sum(float(onsite[i]) * dag(l) @ l
+            for i, l in enumerate(lowerings))
+    return H, sum(lowerings)
+
+
+def norm2(f, dx=1.0, dy=1.0):
+    """L2 norm of a 2D field, int |f|^2 dx dy (reference:
+    pyqed/phys.py:824)."""
+    return jnp.sum(jnp.abs(jnp.asarray(f)) ** 2) * dx * dy
+
+
+def is_positive_def(A):
+    """Hermitian positive-definiteness via eigenvalues (reference:
+    pyqed/phys.py:304)."""
+    return bool(jnp.all(jnp.linalg.eigvalsh(jnp.asarray(A)) > 0))
+
+
+def direct_product(*ops):
+    """Kronecker product of a sequence of operators (reference
+    phys.py's kron chains)."""
+    return tensor(*ops)
+
+
+def jacobi_anger(n, z=1.0):
+    """Jacobi-Anger coefficient i^n J_n(z) of e^{iz cos(theta)} =
+    sum_n i^n J_n(z) e^{i n theta} (reference: pyqed/phys.py:281)."""
+    from scipy.special import jv
+    return (1j) ** n * jv(n, z)
+
+
+def propagator(H, t):
+    """U(t) = e^{-i H t} by eigendecomposition (reference:
+    pyqed/phys.py ``propagator``/``propagator_H_const``)."""
+    H = jnp.asarray(H)
+    w, U = jnp.linalg.eigh(H)
+    t = jnp.asarray(t)
+    if t.ndim == 0:
+        return (U * jnp.exp(-1j * w * t)) @ jnp.conj(U.T)
+    phase = jnp.exp(-1j * w[None, :] * t[:, None])      # (nt, n)
+    return jnp.einsum("an, tn, bn -> tab", U, phase, jnp.conj(U))
+
+
+propagator_H_const = propagator    # reference drop-in name

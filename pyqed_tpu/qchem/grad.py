@@ -14,8 +14,6 @@ flattened coordinates with the FD gradient as the Jacobian.
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
-
 import numpy as np
 
 from .mol import Molecule
@@ -90,15 +88,20 @@ class Grad:
                               charge=self.charge, spin=self.spin,
                               xc=self.xc, **self.method_kw)
 
+    def _grad_flat(self, x):
+        """Central-difference gradient at flat coordinates x (3N,)."""
+        h = self.step
+        g = np.zeros_like(x)
+        for i in range(x.size):
+            dp = x.copy(); dp[i] += h
+            dm = x.copy(); dm[i] -= h
+            g[i] = (self._energy(dp) - self._energy(dm)) / (2 * h)
+        return g
+
     def run(self):
         """Compute the (natm, 3) gradient; returns ``self``."""
         x0 = np.concatenate([x for _, x in self.atoms])
-        h = self.step
-        g = np.zeros_like(x0)
-        for i in range(x0.size):
-            dp = x0.copy(); dp[i] += h
-            dm = x0.copy(); dm[i] -= h
-            g[i] = (self._energy(dp) - self._energy(dm)) / (2 * h)
+        g = self._grad_flat(x0)
         self.e_tot = self._energy(x0)
         self.de = g.reshape(self.natm, 3)
         return self
@@ -133,25 +136,17 @@ class GeometryOptimizer:
         g = self.grad
         x0 = np.concatenate([x for _, x in g.atoms])
 
-        def fun(x):
-            return g._energy(x)
-
-        def jac(x):
-            h = g.step
-            out = np.zeros_like(x)
-            for i in range(x.size):
-                dp = x.copy(); dp[i] += h
-                dm = x.copy(); dm[i] -= h
-                out[i] = (fun(dp) - fun(dm)) / (2 * h)
-            return out
-
-        res = minimize(fun, x0, jac=jac, method="BFGS",
+        res = minimize(g._energy, x0, jac=g._grad_flat, method="BFGS",
                        options=dict(gtol=self.gtol, maxiter=self.maxiter))
         coords = res.x.reshape(g.natm, 3)
         self.atoms_opt = [(s, c) for (s, _), c in zip(g.atoms, coords)]
         self.e_tot = float(res.fun)
         self.grad_final = res.jac.reshape(g.natm, 3)
-        self.converged = bool(np.max(np.abs(res.jac)) < 10 * self.gtol)
+        # honest convergence: scipy's own verdict, or the gradient
+        # actually meeting the requested tolerance (BFGS can stop on
+        # "precision loss" after having converged)
+        self.converged = bool(res.success
+                              or np.max(np.abs(res.jac)) < self.gtol)
         self.niter = int(res.nit)
         return self
 
