@@ -57,3 +57,43 @@ def test_h2_geometry_optimization_sto3g():
     assert opt.e_tot < e_18
     # gradient ~ 0 at the optimum
     assert np.max(np.abs(opt.grad_final)) < 1e-4
+
+
+@pytest.mark.slow
+def test_water_geometry_optimization_sto3g():
+    """Polyatomic optimizer check: RHF/STO-3G water relaxes to the
+    literature structure r(OH) = 0.989 A, HOH = 100.0 deg,
+    E = -74.9659 Eh (standard STO-3G result; the reference's Grad/
+    optimizer do not exist to compare against)."""
+    atoms0 = [("O", (0.0, 0.0, 0.25)),
+              ("H", (0.0, 1.50, -0.85)),
+              ("H", (0.0, -1.50, -0.85))]
+    opt = GeometryOptimizer(atoms0, basis="sto-3g", gtol=3e-4,
+                            maxiter=40).run()
+    assert opt.converged
+    xo = np.asarray(opt.atoms_opt[0][1])
+    xh1 = np.asarray(opt.atoms_opt[1][1])
+    xh2 = np.asarray(opt.atoms_opt[2][1])
+    r1 = np.linalg.norm(xh1 - xo) * 0.529177
+    r2 = np.linalg.norm(xh2 - xo) * 0.529177
+    cosang = np.dot(xh1 - xo, xh2 - xo) / np.linalg.norm(
+        xh1 - xo) / np.linalg.norm(xh2 - xo)
+    ang = np.degrees(np.arccos(cosang))
+    assert abs(r1 - 0.989) < 0.01 and abs(r2 - 0.989) < 0.01, (r1, r2)
+    assert abs(ang - 100.0) < 1.0, ang
+    assert abs(opt.e_tot - (-74.9659)) < 5e-4
+
+
+def test_uhf_gradient_oh_radical():
+    """Open-shell gradient path: OH radical (doublet) UHF/STO-3G net
+    force vanishes by translational invariance and the bond force has
+    the right sign on both sides of equilibrium."""
+    def oh(r):
+        return [("O", (0.0, 0.0, 0.0)), ("H", (0.0, 0.0, r))]
+    g_long = Grad(atoms=oh(2.2), basis="sto-3g", method="UHF",
+                  spin=1).run()
+    assert np.max(np.abs(g_long.de.sum(axis=0))) < 1e-6
+    assert g_long.de[1, 2] > 1e-3
+    g_short = Grad(atoms=oh(1.5), basis="sto-3g", method="UHF",
+                   spin=1).run()
+    assert g_short.de[1, 2] < -1e-3
