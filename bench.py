@@ -143,10 +143,16 @@ def bench_heom_cpu(nsteps=40, dt=1e-3):
         ados[0, 0, 0] = 1.0
         heom_ref_rk4(H, keys, plus_idx, minus_idx, Q, cvec, nuvec, dt, 2,
                      ados.copy())          # warm the .so build/load
-        t0 = time.perf_counter()
-        heom_ref_rk4(H, keys, plus_idx, minus_idx, Q, cvec, nuvec, dt,
-                     nsteps, ados)
-        return nsteps / (time.perf_counter() - t0)
+        # best of 3: machine load makes single-shot CPU timings swing
+        # ~2x; taking the FASTEST CPU run keeps the reported speedup
+        # conservative
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            heom_ref_rk4(H, keys, plus_idx, minus_idx, Q, cvec, nuvec,
+                         dt, nsteps, ados.copy())
+            best = min(best, time.perf_counter() - t0)
+        return nsteps / best
     except Exception:
         return _bench_heom_cpu_python()
 
@@ -309,13 +315,19 @@ def bench_spo_cpu(nx=1024, nsteps=200, dt=0.005):
     k = 2 * np.pi * np.fft.fftfreq(nx, x[1] - x[0])
     expV2 = np.exp(-0.5j * v * dt)
     expK = np.exp(-1j * k ** 2 / 2 * dt)
-    psi = np.exp(-(x - 2.0) ** 2).astype(complex)
-    t0 = time.perf_counter()
-    for _ in range(nsteps):
-        psi = expV2 * psi
-        psi = np.fft.ifft(expK * np.fft.fft(psi))
-        psi = expV2 * psi
-    return nsteps / (time.perf_counter() - t0)
+    psi0 = np.exp(-(x - 2.0) ** 2).astype(complex)
+    # best of 3 (machine-load robustness; fastest CPU run = most
+    # conservative reported speedup)
+    best = np.inf
+    for _ in range(3):
+        psi = psi0.copy()
+        t0 = time.perf_counter()
+        for _ in range(nsteps):
+            psi = expV2 * psi
+            psi = np.fft.ifft(expK * np.fft.fft(psi))
+            psi = expV2 * psi
+        best = min(best, time.perf_counter() - t0)
+    return nsteps / best
 
 
 # ============================================ config #2: Lindblad dimer
@@ -390,16 +402,20 @@ def bench_lindblad_cpu(nsteps=200, dt=0.002):
         return (-1j * (H @ rho - rho @ H) + c @ rho @ cd
                 - 0.5 * (ldl @ rho + rho @ ldl))
 
-    rho = np.zeros_like(H)
-    rho[H.shape[0] // 2, H.shape[0] // 2] = 1.0
-    t0 = time.perf_counter()
-    for _ in range(nsteps):
-        k1 = L(rho)
-        k2 = L(rho + k1 * (dt / 2))
-        k3 = L(rho + k2 * (dt / 2))
-        k4 = L(rho + k3 * dt)
-        rho = rho + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
-    return nsteps / (time.perf_counter() - t0)
+    rho0 = np.zeros_like(H)
+    rho0[H.shape[0] // 2, H.shape[0] // 2] = 1.0
+    best = np.inf       # best of 3 (see bench_spo_cpu)
+    for _ in range(3):
+        rho = rho0.copy()
+        t0 = time.perf_counter()
+        for _ in range(nsteps):
+            k1 = L(rho)
+            k2 = L(rho + k1 * (dt / 2))
+            k3 = L(rho + k2 * (dt / 2))
+            k4 = L(rho + k3 * dt)
+            rho = rho + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+        best = min(best, time.perf_counter() - t0)
+    return nsteps / best
 
 
 # ====================================== config #5: driven polariton
