@@ -17,3 +17,4 @@ from .rate import RateFluxSide, flux_operator
 from .ldr import LDR2Jacobi, NonHermLDRN
 from .ehrenfest import Ehrenfest
 from .nusol import NuSol, cheb_D2
+from .adt import adt_1d, adt_angle, ADT
