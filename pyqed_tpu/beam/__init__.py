@@ -15,3 +15,4 @@ from .photonic import (
     dyadic_G0, dyadic_Gs_interface, dyadic_Gs_slab, dyadic_G_slab,
     ChiralMultilayer, purcell_factor, helmholtz_g0,
 )
+from .zoom import czt, zoom_dft, zoom_dft2, fraunhofer_zoom
