@@ -340,3 +340,35 @@ def driven_dissipative_dynamics(ham, dip, rho0, pulse, c_ops=(),
     ``return`` stub there; here the time-dependent LindbladSolver)."""
     sol = LindbladSolver([ham, [dip, pulse.efield]], c_ops=list(c_ops))
     return sol.run(rho0, dt=dt, Nt=Nt, e_ops=obs_ops, nout=nout)
+
+
+def absorption_eseries(omegas, L, edip, rho0, ntrans=None):
+    """Absorption from the eigen-series of the Liouvillian (reference:
+    pyqed/signal/liouville.py:27 — sparse ARPACK eigs there; full
+    host-LAPACK eig here, then the frequency sweep is one batched
+    contraction):
+
+        S(w) = int_0^inf dt e^{i w t} Tr[mu e^{Lt}(mu rho0)]
+             = - sum_n <mu, U_n> (U^{-1} mu rho0)_n / (lam_n + i w)
+
+    with U the right eigenvectors of L (our convention: rho(t) =
+    e^{Lt} rho0, so a transition at +w0 appears as Im lam = -w0 and the
+    pole sits at w = w0; the reference's 1/(w - lam) assumes the
+    opposite sign of L).  ``ntrans`` keeps the modes with the largest
+    |amplitude| (None = all)."""
+    import numpy as np
+    L = np.asarray(L)
+    lam, U = np.linalg.eig(L)
+    # left eigenvectors = rows of U^{-1} (exactly biorthogonal to the
+    # right ones — no sort-and-pair fragility for clustered eigenvalues)
+    W = np.linalg.inv(U)
+    mu = np.asarray(edip).flatten()
+    src = (np.asarray(edip) @ np.asarray(rho0)).flatten()
+    amp = (mu.conj() @ U) * (W @ src)
+    if ntrans is not None:
+        keep = np.argsort(-np.abs(amp))[:ntrans]
+        amp, lam = amp[keep], lam[keep]
+    om = jnp.asarray(omegas)
+    return -jnp.sum(jnp.asarray(amp)[None, :]
+                    / (jnp.asarray(lam)[None, :] + 1j * om[:, None]),
+                    axis=1)

@@ -67,3 +67,28 @@ def test_biphoton_g2_schmidt():
     b.jsa = np.exp(-(P**2) / 0.1) * np.exp(-(Q**2) / 0.05)
     assert abs(float(b.g2()) - 2.0) < 1e-6
     assert abs(float(b.schmidt_number()) - 1.0) < 1e-8
+
+
+def test_absorption_eseries_lorentzian():
+    """Eigen-series absorption of a decaying 2-level system is a
+    Lorentzian at w0 with HWHM gamma/2 (reference:
+    pyqed/signal/liouville.py:27, made real)."""
+    from pyqed_tpu.open.lindblad import absorption_eseries
+    from pyqed_tpu.ops.superoperator import liouvillian
+    from pyqed_tpu.ops.operators import pauli, sigmam
+    s0, sx, sy, sz = pauli()
+    w0, gamma = 1.0, 0.1
+    H = np.diag([0.0, w0]).astype(complex)
+    L = np.asarray(liouvillian(H, [np.sqrt(gamma) * np.asarray(sigmam())]))
+    rho0 = np.diag([1.0, 0.0]).astype(complex)
+    w = np.linspace(0.5, 1.5, 801)
+    S = np.asarray(absorption_eseries(w, L, np.asarray(sx), rho0))
+    # one-sided FT of a decaying cosine: absorption = Re S (Lorentzian,
+    # peak 2/gamma), dispersion = Im S
+    assert abs(S.real.max() - 2 / gamma) / (2 / gamma) < 2e-2
+    A = S.real
+    A = A / A.max()
+    # peak at w0, half-maximum at w0 +- gamma/2
+    assert abs(w[np.argmax(A)] - w0) < 2e-3
+    exact = (gamma / 2)**2 / ((w - w0)**2 + (gamma / 2)**2)
+    assert np.max(np.abs(A - exact)) < 2e-2
