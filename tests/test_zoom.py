@@ -57,3 +57,49 @@ def test_fraunhofer_zoom_slit_sinc():
     # first zero at x' = lambda z / a = 2.5 within the zoom resolution
     zero_idx = np.argmin(I[np.abs(xo - 2.5) < 0.2])
     assert abs(xo[np.abs(xo - 2.5) < 0.2][zero_idx] - 2.5) < 0.02
+
+
+def test_zoom_dft_vs_reference_bluestein():
+    """TRUE-ORACLE parity: the reference's vendored Bluestein_dft_xy
+    (pyqed/beam/utils_math.py:128) exec'd from /root/reference equals
+    our czt-based zoom_dft on the same frequency window (the reference
+    references samples to the grid center, n - m/2 + 1/2)."""
+    import sys, types, importlib.util, os
+    ref_path = os.environ.get("PYQED_REFERENCE", "/root/reference")
+    src = os.path.join(ref_path, "pyqed/beam/utils_math.py")
+    if not os.path.exists(src):
+        import pytest
+        pytest.skip("reference tree not available")
+    pkg = types.ModuleType("refbeam")
+    pkg.__path__ = [os.path.dirname(src)]
+    pkg.mm = 1e-3
+    sys.modules.setdefault("refbeam", pkg)
+    spec = importlib.util.spec_from_file_location("refbeam.utils_math",
+                                                  src)
+    m_ref = importlib.util.module_from_spec(spec)
+    sys.modules["refbeam.utils_math"] = m_ref
+    spec.loader.exec_module(m_ref)
+
+    rng = np.random.default_rng(3)
+    m, ncols, mout = 64, 3, 50
+    f1, f2, fs = -2.0, 2.0, 10.0
+    u = rng.standard_normal((m, ncols)) + 1j * rng.standard_normal(
+        (m, ncols))
+    ref = np.asarray(m_ref.Bluestein_dft_xy(u, f1, f2, fs, mout))
+
+    # the reference's nominal output grid l — but its convolution takes
+    # index m + k instead of m - 1 + k (utils_math.py:157), so what it
+    # actually evaluates is the DFT at l + df with samples referenced
+    # to n - m/2 - 3/2 (pinned empirically to 5e-14 by brute-force DFT)
+    f11 = f1 + (mout * fs + f2 - f1) / (2 * mout)
+    f22 = f2 + (mout * fs + f2 - f1) / (2 * mout)
+    df = (f22 - f11) / mout
+    l_actual = np.arange(mout) * df + f11 + df
+    xn = (np.arange(m) - m / 2 - 1.5) / fs
+    ours = np.asarray(zoom_dft(u.T, xn, l_actual, axis=-1)) / (xn[1] - xn[0])
+    assert np.max(np.abs(np.abs(ours) - np.abs(ref))) \
+        < 1e-10 * np.max(np.abs(ref))
+    # phase agreement up to the reference's Mshift convention: the
+    # ratio must be a pure per-frequency phase (|ratio| = 1)
+    ratio = ours / ref
+    assert np.max(np.abs(np.abs(ratio) - 1.0)) < 1e-10
