@@ -121,6 +121,19 @@ def bench_heom_tpu(kernel, nsteps=2000, dt=1e-3, nsite=7,
     return nsteps / t
 
 
+def _best_of(run_once, repeat=3):
+    """Fastest of ``repeat`` timed calls of run_once() (which must
+    rebuild/copy its own initial state).  Machine load makes single-shot
+    CPU timings swing ~2x; the FASTEST CPU run gives the most
+    conservative reported speedup."""
+    best = np.inf
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        run_once()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def bench_heom_cpu(nsteps=40, dt=1e-3):
     """Honest CPU denominator: single-thread C++ -O3 -ffast-math
     transcription of the reference DEOM rem_cal RK4 loop
@@ -143,14 +156,12 @@ def bench_heom_cpu(nsteps=40, dt=1e-3):
         ados[0, 0, 0] = 1.0
         heom_ref_rk4(H, keys, plus_idx, minus_idx, Q, cvec, nuvec, dt, 2,
                      ados.copy())          # warm the .so build/load
-        # best of 3: machine load makes single-shot CPU timings swing
-        # ~2x; taking the FASTEST CPU run keeps the reported speedup
-        # conservative
-        best = float("inf")
+        best = np.inf
         for _ in range(3):
+            a = ados.copy()          # state copy outside the timed region
             t0 = time.perf_counter()
             heom_ref_rk4(H, keys, plus_idx, minus_idx, Q, cvec, nuvec,
-                         dt, nsteps, ados.copy())
+                         dt, nsteps, a)
             best = min(best, time.perf_counter() - t0)
         return nsteps / best
     except Exception:
@@ -316,18 +327,15 @@ def bench_spo_cpu(nx=1024, nsteps=200, dt=0.005):
     expV2 = np.exp(-0.5j * v * dt)
     expK = np.exp(-1j * k ** 2 / 2 * dt)
     psi0 = np.exp(-(x - 2.0) ** 2).astype(complex)
-    # best of 3 (machine-load robustness; fastest CPU run = most
-    # conservative reported speedup)
-    best = np.inf
-    for _ in range(3):
+
+    def once():
         psi = psi0.copy()
-        t0 = time.perf_counter()
         for _ in range(nsteps):
             psi = expV2 * psi
             psi = np.fft.ifft(expK * np.fft.fft(psi))
             psi = expV2 * psi
-        best = min(best, time.perf_counter() - t0)
-    return nsteps / best
+
+    return nsteps / _best_of(once)
 
 
 # ============================================ config #2: Lindblad dimer
@@ -404,18 +412,17 @@ def bench_lindblad_cpu(nsteps=200, dt=0.002):
 
     rho0 = np.zeros_like(H)
     rho0[H.shape[0] // 2, H.shape[0] // 2] = 1.0
-    best = np.inf       # best of 3 (see bench_spo_cpu)
-    for _ in range(3):
+
+    def once():
         rho = rho0.copy()
-        t0 = time.perf_counter()
         for _ in range(nsteps):
             k1 = L(rho)
             k2 = L(rho + k1 * (dt / 2))
             k3 = L(rho + k2 * (dt / 2))
             k4 = L(rho + k3 * dt)
             rho = rho + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
-        best = min(best, time.perf_counter() - t0)
-    return nsteps / best
+
+    return nsteps / _best_of(once)
 
 
 # ====================================== config #5: driven polariton
@@ -522,39 +529,42 @@ def bench_polariton_cpu(nsteps=500, dt=0.002, ndrive=3, batched=False):
     if batched:
         B = 64
         w = np.linspace(0.8, 1.2, B)
-        P = np.zeros((H.shape[0], B), complex)
-        P[0] = 1.0
+        P0 = np.zeros((H.shape[0], B), complex)
+        P0[0] = 1.0
 
         def rhs(P, t):
             return -1j * (H @ P + (mu @ P) * (E0 * np.cos(w * t))[None, :])
 
-        t0 = time.perf_counter()
-        t = 0.0
-        for _ in range(nsteps):
-            k1 = rhs(P, t)
-            k2 = rhs(P + k1 * (dt / 2), t + dt / 2)
-            k3 = rhs(P + k2 * (dt / 2), t + dt / 2)
-            k4 = rhs(P + k3 * dt, t + dt)
-            P = P + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
-            t += dt
-        return nsteps * B / (time.perf_counter() - t0)
+        def once():
+            P = P0.copy()
+            t = 0.0
+            for _ in range(nsteps):
+                k1 = rhs(P, t)
+                k2 = rhs(P + k1 * (dt / 2), t + dt / 2)
+                k3 = rhs(P + k2 * (dt / 2), t + dt / 2)
+                k4 = rhs(P + k3 * dt, t + dt)
+                P = P + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+                t += dt
 
-    t0 = time.perf_counter()
-    for omega_d in omegas:
-        def rhs(psi, t):
-            return -1j * ((H + E0 * np.cos(omega_d * t) * mu) @ psi)
+        return nsteps * B / _best_of(once, repeat=2)
 
-        psi = np.zeros(H.shape[0], complex)
-        psi[0] = 1.0
-        t = 0.0
-        for _ in range(nsteps):
-            k1 = rhs(psi, t)
-            k2 = rhs(psi + k1 * (dt / 2), t + dt / 2)
-            k3 = rhs(psi + k2 * (dt / 2), t + dt / 2)
-            k4 = rhs(psi + k3 * dt, t + dt)
-            psi = psi + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
-            t += dt
-    return nsteps * ndrive / (time.perf_counter() - t0)
+    def once():
+        for omega_d in omegas:
+            def rhs(psi, t):
+                return -1j * ((H + E0 * np.cos(omega_d * t) * mu) @ psi)
+
+            psi = np.zeros(H.shape[0], complex)
+            psi[0] = 1.0
+            t = 0.0
+            for _ in range(nsteps):
+                k1 = rhs(psi, t)
+                k2 = rhs(psi + k1 * (dt / 2), t + dt / 2)
+                k3 = rhs(psi + k2 * (dt / 2), t + dt / 2)
+                k4 = rhs(psi + k3 * dt, t + dt)
+                psi = psi + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+                t += dt
+
+    return nsteps * ndrive / _best_of(once, repeat=2)
 
 
 # ================================================ flagship method: LDR
@@ -678,12 +688,8 @@ def bench_ldr_cpu(level=5, dt=0.01):
     # dominated by the one-time build and the nt=6 - nt=2 delta can go
     # negative — measured in BENCH r02's 4e12 garbage row)
     sol.run(psi0, dt=dt, nt=2, nout=1)
-    t0 = time.perf_counter()
-    sol.run(psi0, dt=dt, nt=2, nout=1)
-    t2 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sol.run(psi0, dt=dt, nt=6, nout=1)
-    t6 = time.perf_counter() - t0
+    t2 = _best_of(lambda: sol.run(psi0, dt=dt, nt=2, nout=1), repeat=2)
+    t6 = _best_of(lambda: sol.run(psi0, dt=dt, nt=6, nout=1), repeat=2)
     if t6 - t2 > 0.2 * t6:          # clean per-step delta
         return 4 / (t6 - t2)
     # fallback: whole warmed nt=6 run (conservative — includes run()

@@ -13,6 +13,7 @@ i.e. one zero-padded FFT convolution — all jnp, jit/vmap friendly.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = ["czt", "zoom_dft", "zoom_dft2", "fraunhofer_zoom"]
@@ -30,20 +31,44 @@ def czt(x, m, w, a=1.0 + 0.0j, axis=-1):
     n = x.shape[-1]
     L = int(2 ** np.ceil(np.log2(n + m - 1)))
 
-    ns = jnp.arange(n)
-    ks = jnp.arange(m)
+    try:
+        # concrete w/a (the normal case: numpy grids): build the chirp
+        # phases on the HOST in float64 with mod-2pi argument reduction
+        # — w**(n^2/2) evaluated in on-device f32 loses ~3 digits by
+        # n ~ 256 (huge arguments into cos/sin) and n**2 overflows
+        # int32 beyond n = 46341
+        wc, ac = complex(w), complex(a)
+        ns64 = np.arange(n, dtype=np.float64)
+        j64 = np.arange(-(n - 1), m, dtype=np.float64)
+        ks64 = np.arange(m, dtype=np.float64)
+
+        def cpow(base, expo):
+            ang = np.mod(np.angle(base) * expo, 2 * np.pi)
+            mag = np.abs(base) ** expo
+            return (mag * np.exp(1j * ang))
+
+        pre = jnp.asarray(cpow(ac, -ns64) * cpow(wc, ns64**2 / 2.0))
+        v = jnp.asarray(cpow(wc, -(j64**2) / 2.0))
+        post = jnp.asarray(cpow(wc, ks64**2 / 2.0))
+    except TypeError:
+        # traced w/a inside jit: fall back to direct powers
+        ns = jnp.arange(n).astype(x.real.dtype)
+        j = jnp.arange(-(n - 1), m).astype(x.real.dtype)
+        ks = jnp.arange(m).astype(x.real.dtype)
+        pre = a ** (-ns) * w ** (ns**2 / 2.0)
+        v = w ** (-(j**2) / 2.0)
+        post = w ** (ks**2 / 2.0)
+
     # chirp premultiply: y_n = x_n a^{-n} w^{n^2/2}
-    y = x * a ** (-ns) * w ** (ns**2 / 2.0)
-    # convolution kernel v_j = w^{-j^2/2} for j = -(n-1) .. (m-1)
-    j = jnp.arange(-(n - 1), m)
-    v = w ** (-(j**2) / 2.0)
-    vpad = jnp.zeros(L, dtype=v.dtype).at[: j.shape[0]].set(v)
+    y = x * pre
+    nv = n + m - 1      # kernel length (j = -(n-1) .. m-1)
+    vpad = jnp.zeros(L, dtype=complex).at[:nv].set(v)
     ypad = jnp.zeros(x.shape[:-1] + (L,), dtype=y.dtype).at[..., :n].set(y)
     conv = jnp.fft.ifft(jnp.fft.fft(ypad, axis=-1) * jnp.fft.fft(vpad),
                         axis=-1)
     # index k of the output sits at position (n - 1 + k) of the
     # linear convolution
-    Xk = conv[..., n - 1: n - 1 + m] * w ** (ks**2 / 2.0)
+    Xk = conv[..., n - 1: n - 1 + m] * post
     return jnp.moveaxis(Xk, -1, axis)
 
 
@@ -51,19 +76,31 @@ def zoom_dft(u, x, fout, axis=-1):
     """Continuous-FT samples U(f) = sum_n u_n e^{-2 pi i f x_n} dx on an
     ARBITRARY uniform frequency window ``fout`` (len m), independent of
     the fftfreq grid — the zoom that motivates Bluestein."""
-    x = jnp.asarray(x)
-    fout = jnp.asarray(fout)
-    dx = x[1] - x[0]
-    m = fout.shape[0]
-    df = fout[1] - fout[0] if m > 1 else jnp.asarray(0.0)
-    w = jnp.exp(-2j * jnp.pi * df * dx)
-    a = jnp.exp(+2j * jnp.pi * fout[0] * dx)
+    m = np.shape(fout)[0]
+    try:
+        # concrete grids (the normal case): chirp parameters and the
+        # reference phase in host float64 (f32 device trig on the large
+        # arguments 2 pi f x loses ~3 digits)
+        xh = np.asarray(x, dtype=np.float64)
+        fh = np.asarray(fout, dtype=np.float64)
+        dx = float(xh[1] - xh[0])
+        df = float(fh[1] - fh[0]) if m > 1 else 0.0
+        w = complex(np.exp(-2j * np.pi * df * dx))
+        a = complex(np.exp(+2j * np.pi * fh[0] * dx))
+        phase_np = np.exp(-2j * np.pi * np.mod(fh * xh[0], 1.0))
+        phase = jnp.asarray(phase_np)
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        x = jnp.asarray(x)
+        fout = jnp.asarray(fout)
+        dx = x[1] - x[0]
+        df = fout[1] - fout[0] if m > 1 else jnp.asarray(0.0)
+        w = jnp.exp(-2j * jnp.pi * df * dx)
+        a = jnp.exp(+2j * jnp.pi * fout[0] * dx)
+        phase = jnp.exp(-2j * jnp.pi * fout * x[0])
     X = czt(u, m, w, a, axis=axis)
-    # phase referencing x[0] (czt indexes n from 0)
     shape = [1] * jnp.asarray(u).ndim
     shape[axis] = m
-    phase = jnp.exp(-2j * jnp.pi * fout * x[0]).reshape(shape)
-    return X * phase * dx
+    return X * phase.reshape(shape) * dx
 
 
 def zoom_dft2(u, x, y, fx_out, fy_out):

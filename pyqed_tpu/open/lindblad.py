@@ -356,7 +356,6 @@ def absorption_eseries(omegas, L, edip, rho0, ntrans=None):
     pole sits at w = w0; the reference's 1/(w - lam) assumes the
     opposite sign of L).  ``ntrans`` keeps the modes with the largest
     |amplitude| (None = all)."""
-    import numpy as np
     L = np.asarray(L)
     lam, U = np.linalg.eig(L)
     # left eigenvectors = rows of U^{-1} (exactly biorthogonal to the
