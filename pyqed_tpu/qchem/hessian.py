@@ -77,7 +77,7 @@ class Hessian:
         if not hasattr(self, "hessian"):
             self.run()
         masses = np.repeat(
-            [atomic_mass[s] * 1822.888486 for s, _ in self.atoms], 3)
+            [atomic_mass[s.upper()] * 1822.888486 for s, _ in self.atoms], 3)
         M = 1.0 / np.sqrt(masses)
         Hmw = self.hessian * np.outer(M, M)
         w2, modes = np.linalg.eigh(Hmw)
