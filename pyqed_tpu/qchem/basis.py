@@ -564,3 +564,146 @@ def nuclear_repulsion(atoms):
             R = np.linalg.norm(np.asarray(x1) - np.asarray(x2))
             E += ATOMIC_NUMBER[s1] * ATOMIC_NUMBER[s2] / R
     return E
+
+
+# ----------------------------------------------------------------------
+# Real-spherical (pure) angular functions.
+#
+# The reference obtains spherical-harmonic bases through gbasis
+# (/root/reference/pyqed/qchem/basis.py:10-15); here the cart->spherical
+# transform is built from first principles for ANY angular momentum: the
+# real solid harmonic r^L Y_{Lm} is a degree-L homogeneous polynomial,
+# and homogeneous polynomials restricted to the unit sphere are linearly
+# independent, so an exact (residual ~1e-15) least-squares projection of
+# scipy's Y_{Lm} onto the degree-L monomials recovers the unique
+# coefficient table — no hand-copied constant tables.
+# ----------------------------------------------------------------------
+
+def _sphere_points(n):
+    """Deterministic golden-spiral nodes on S^2 (no RNG)."""
+    k = np.arange(n, dtype=float) + 0.5
+    phi = np.pi * (1.0 + np.sqrt(5.0)) * k
+    z = 1.0 - 2.0 * k / n
+    r = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+    return np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=1)
+
+
+def real_solid_harmonic_coefs(L):
+    """(2L+1, ncart) matrix c with  r^L Y_{Lm}^real = sum_i c[m, i] *
+    x^a y^b z^c  over ``cartesian_components(L)`` (rows ordered
+    m = -L..L, pyscf convention; each row scaled so the polynomial
+    equals the unit-normalized real spherical harmonic on the sphere).
+
+    Exact by construction: lstsq residual is checked to ~1e-12.
+    """
+    try:                                   # scipy >= 1.15
+        from scipy.special import sph_harm_y
+
+        def _ylm(m, l, phi, theta):
+            return sph_harm_y(l, m, theta, phi)
+    except ImportError:                    # older scipy
+        from scipy.special import sph_harm
+
+        def _ylm(m, l, phi, theta):
+            return sph_harm(m, l, phi, theta)
+    comps = cartesian_components(L)
+    pts = _sphere_points(4 * (L + 2) ** 2 + 13)
+    x, y, z = pts.T
+    theta = np.arccos(np.clip(z, -1.0, 1.0))
+    phi = np.arctan2(y, x)
+    M = np.stack([x ** a * y ** b * z ** c for (a, b, c) in comps], axis=1)
+    rows = []
+    for m in range(-L, L + 1):
+        ylm = _ylm(abs(m), L, phi, theta)
+        if m > 0:
+            yr = np.sqrt(2.0) * (-1.0) ** m * ylm.real
+        elif m < 0:
+            yr = np.sqrt(2.0) * (-1.0) ** m * ylm.imag
+        else:
+            yr = ylm.real
+        c, res, _, _ = np.linalg.lstsq(M, yr, rcond=None)
+        err = np.max(np.abs(M @ c - yr))
+        if err > 1e-10:
+            raise RuntimeError(f"solid-harmonic projection failed L={L} "
+                               f"m={m}: residual {err:.2e}")
+        rows.append(c)
+    return np.asarray(rows)
+
+
+def _shell_groups(bfs):
+    """Group a flat bf list (as emitted by shells_to_bfs) into shells:
+    yields (start_index, L, count). Cartesian components of one shell are
+    contiguous and begin with lmn = (L, 0, 0)."""
+    i, n = 0, len(bfs)
+    while i < n:
+        L = int(sum(bfs[i].lmn))
+        ncart = (L + 1) * (L + 2) // 2
+        if tuple(bfs[i].lmn) != (L, 0, 0) or i + ncart > n:
+            raise ValueError("basis list is not in canonical shell order")
+        for k, lmn in enumerate(cartesian_components(L)):
+            if tuple(bfs[i + k].lmn) != tuple(lmn):
+                raise ValueError("basis list is not in canonical shell order")
+        yield i, L, ncart
+        i += ncart
+
+
+def spherical_transform(bfs, complete=False):
+    """Matrix C (nsph x ncart) expressing a normalized real-spherical AO
+    basis in terms of the normalized Cartesian AOs ``bfs``:
+    ``chi_sph = C @ chi_cart``.  One-electron integrals transform as
+    C M C^T, the ERI on all four indices (:func:`transform_eri`).
+
+    s/p shells pass through unchanged; an L>=2 shell of (L+1)(L+2)/2
+    Cartesians contracts to 2L+1 pure functions (dropping the r^2-times-
+    lower-L contaminants).  With ``complete=True`` the dropped
+    combinations are appended as extra orthonormalized rows so C is
+    square/invertible — useful to verify exact basis-span invariance.
+
+    (reference counterpart: gbasis spherical basis construction,
+    /root/reference/pyqed/qchem/basis.py:10-15.)
+    """
+    from scipy.special import factorial2
+    ncart_tot = len(bfs)
+    rows = []
+    for i0, L, ncart in _shell_groups(bfs):
+        shell = bfs[i0:i0 + ncart]
+        if L < 2:
+            for k in range(ncart):
+                r = np.zeros(ncart_tot)
+                r[i0 + k] = 1.0
+                rows.append(r)
+            continue
+        # monomial_i * G(r) = t_i * chi_i  (shared radial G): recover the
+        # per-component scale t_i from the stored normalized contraction.
+        # t_i  ∝  sqrt(f_i) / ctilde_p*(i)   (see ContractedGaussian:
+        # ctilde_p = c_p / sqrt(S_i) with shell-common c_p).
+        pstar = int(np.argmax(np.abs(shell[0].coefs)))
+        t = np.empty(ncart)
+        for k, g in enumerate(shell):
+            a, b, c = g.lmn
+            f = (factorial2(2 * a - 1) * factorial2(2 * b - 1)
+                 * factorial2(2 * c - 1))
+            t[k] = np.sqrt(max(float(f), 1.0)) * (
+                shell[0].coefs[pstar] / g.coefs[pstar])
+        Sblk = overlap_matrix(shell)
+        cmono = real_solid_harmonic_coefs(L)          # (2L+1, ncart)
+        W = cmono * t[None, :]
+        if complete:
+            # contaminant subspace: nullspace of the harmonic rows in the
+            # metric-free coefficient space, then Gram-Schmidt in S_blk.
+            _, _, Vt = np.linalg.svd(cmono)
+            W = np.vstack([W, Vt[2 * L + 1:] * t[None, :]])
+        for w in W:
+            w = w / np.sqrt(float(w @ Sblk @ w))
+            r = np.zeros(ncart_tot)
+            r[i0:i0 + ncart] = w
+            rows.append(r)
+    return np.asarray(rows)
+
+
+def transform_eri(C, eri):
+    """Four-index basis transform of the ERI tensor (chemist layout)."""
+    e = np.einsum("pi, ijkl -> pjkl", C, np.asarray(eri), optimize=True)
+    e = np.einsum("qj, pjkl -> pqkl", C, e, optimize=True)
+    e = np.einsum("rk, pqkl -> pqrl", C, e, optimize=True)
+    return np.einsum("sl, pqrl -> pqrs", C, e, optimize=True)

@@ -442,6 +442,13 @@ class RKS:
         else:
             self.ao = ao_values(mol.bfs, self.grid[0])
             self.ao_grad = None
+        if getattr(mol, "csph", None) is not None:
+            # pure-spherical AOs: contract the Cartesian grid values so
+            # the density einsums run in the same basis as mol.intor()
+            self.ao = np.asarray(self.ao) @ mol.csph.T
+            if self.ao_grad is not None:
+                self.ao_grad = np.einsum(
+                    "pid, qi -> pqd", np.asarray(self.ao_grad), mol.csph)
         self.converged = False
 
     def _xc(self, D):
@@ -561,6 +568,13 @@ class UKS:
         else:
             self.ao = ao_values(mol.bfs, self.grid[0])
             self.ao_grad = None
+        if getattr(mol, "csph", None) is not None:
+            # pure-spherical AOs: contract the Cartesian grid values so
+            # the density einsums run in the same basis as mol.intor()
+            self.ao = np.asarray(self.ao) @ mol.csph.T
+            if self.ao_grad is not None:
+                self.ao_grad = np.einsum(
+                    "pid, qi -> pqd", np.asarray(self.ao_grad), mol.csph)
         self.converged = False
 
     def _xc_uks(self, Da, Db):

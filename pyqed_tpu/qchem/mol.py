@@ -25,16 +25,26 @@ class Molecule:
     """
 
     def __init__(self, atoms: Sequence[Tuple], charge=0, spin=0,
-                 basis="sto-3g", unit="bohr"):
+                 basis="sto-3g", unit="bohr", spherical=False):
         scale = 1.0 if unit.lower().startswith("b") else 1.0 / au2angstrom
         self.atoms = [(s, np.asarray(x, dtype=float) * scale)
                       for (s, x) in atoms]
         self.charge = charge
         self.spin = spin
         self.basis_name = basis
+        self.spherical = bool(spherical)
         self.nelec = sum(ATOMIC_NUMBER[s] for s, _ in self.atoms) - charge
         self.bfs = build_basis(self.atoms, basis)
-        self.nao = len(self.bfs)
+        # pure (real-spherical) angular functions: keep the Cartesian bfs
+        # for integral evaluation and contract through csph everywhere
+        # (chi_sph = csph @ chi_cart); L<2 shells pass through unchanged.
+        if self.spherical:
+            from .basis import spherical_transform
+            self.csph = spherical_transform(self.bfs)
+            self.nao = self.csph.shape[0]
+        else:
+            self.csph = None
+            self.nao = len(self.bfs)
         self._ints = None
 
     @property
@@ -45,12 +55,18 @@ class Molecule:
         return nuclear_repulsion(self.atoms)
 
     def intor(self):
-        """Compute and cache (S, T, V, ERI) as jnp arrays."""
+        """Compute and cache (S, T, V, ERI) as jnp arrays (in the pure
+        spherical AO basis when ``spherical=True``)."""
         if self._ints is None:
             S = overlap_matrix(self.bfs)
             T = kinetic_matrix(self.bfs)
             V = nuclear_matrix(self.bfs, self.atoms)
             eri = eri_tensor(self.bfs)
+            if self.csph is not None:
+                from .basis import transform_eri
+                C = self.csph
+                S, T, V = (C @ M @ C.T for M in (S, T, V))
+                eri = transform_eri(C, eri)
             self._ints = tuple(jnp.asarray(x) for x in (S, T, V, eri))
         return self._ints
 

@@ -127,7 +127,11 @@ class RHF:
         """AO dipole matrices (3, nao, nao) about ``origin``
         (reference: gbasis-backed path, pyqed/qchem/basis.py:10-15)."""
         from .basis import dipole_matrix
-        return jnp.asarray(dipole_matrix(self.mol.bfs, origin))
+        mu = dipole_matrix(self.mol.bfs, origin)
+        C = getattr(self.mol, "csph", None)
+        if C is not None:
+            mu = np.einsum("pi, kij, qj -> kpq", C, mu, C)
+        return jnp.asarray(mu)
 
     def transition_dipoles(self, xy=None):
         """MO-basis occ->virt dipole blocks (feeds TDA/TDHF oscillator
