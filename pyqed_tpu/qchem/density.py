@@ -118,3 +118,34 @@ def write_density_cube(fname, atoms, bfs, dm, nx=40, ny=40, nz=40,
         write_cube(f, atoms_ang, cell * au2angstrom, data=rho,
                    origin=origin * au2angstrom)
     return rho
+
+
+def ao_on_grid(mol, pts):
+    """AO values (P, nao) on arbitrary points, in the SAME basis as
+    ``mol.intor()`` (contracts through the pure-spherical transform when
+    ``mol.spherical``)."""
+    from .dft import ao_values
+    ao = np.asarray(ao_values(mol.bfs, pts))
+    C = getattr(mol, "csph", None)
+    return ao if C is None else ao @ C.T
+
+
+def write_mo_cube(fname, mol, mo, nx=40, ny=40, nz=40, margin=4.0):
+    """Write one molecular orbital phi(r) = sum_p mo[p] chi_p(r) as a
+    Gaussian cube file (reference: pyqed/qchem/mol.py:1544 ``view_mo``,
+    a pyscf-cubegen wrapper; here evaluated with the native AO engine).
+
+    mo: (nao,) MO coefficient column (e.g. ``mf.mo_coeff[:, i]``).
+    """
+    from ..utils.io import write_cube
+    from ..units import au2angstrom
+    atoms = mol.atoms
+    pts, origin, axes, shape = cube_grid(atoms, nx, ny, nz, margin)
+    phi = (ao_on_grid(mol, pts) @ np.asarray(mo)).reshape(shape)
+    cell = axes * (np.asarray(shape) - 1)[:, None]
+    atoms_ang = [(a[0], np.asarray(a[1], dtype=float) * au2angstrom)
+                 for a in atoms]
+    with open(fname, "w") as f:
+        write_cube(f, atoms_ang, cell * au2angstrom, data=phi,
+                   origin=origin * au2angstrom)
+    return phi

@@ -187,3 +187,15 @@ def gmatrix_grid(geom_fn, qgrid, masses, **kwargs):
         return jnp.linalg.inv(Ginv), Ginv
 
     return jax.vmap(one)(qgrid)
+
+
+def save_to_xyz(mol, fname):
+    """Write the geometry as a standard .xyz file in Angstrom
+    (reference: pyqed/qchem/hessian.py:441 ``save_to_xyz``, which writes
+    bohr; the .xyz convention is Angstrom, so we convert)."""
+    from ..units import au2angstrom
+    with open(fname, "w") as f:
+        f.write(f"{mol.natm}\n\n")
+        for s, x in mol.atoms:
+            x = np.asarray(x, dtype=float) * au2angstrom
+            f.write(f"{s} {x[0]:.10f} {x[1]:.10f} {x[2]:.10f}\n")

@@ -116,3 +116,22 @@ class TDHF:
 
 
 CIS = TDA
+
+
+def tda_density_matrix(td, state_id):
+    """AO density matrix of TDA excited state ``state_id`` (0 = first
+    excited state), taking the TDA amplitudes as CIS coefficients
+    (reference: pyqed/qchem/core.py:840 ``tda_denisty_matrix`` [sic]):
+
+        D = D_gs + 2 (-X X^T)_oo + 2 (X^T X)_vv   in the MO basis.
+    """
+    mf = td.mf
+    nocc = mf.nocc
+    nmo = np.asarray(mf.mo_coeff).shape[1]
+    X = np.asarray(td.xy)[:, state_id].reshape(nocc, nmo - nocc)
+    dm = np.zeros((nmo, nmo))
+    dm[:nocc, :nocc] = 2.0 * np.eye(nocc)
+    dm[:nocc, :nocc] += -2.0 * np.einsum("ia, ka -> ik", X.conj(), X)
+    dm[nocc:, nocc:] += 2.0 * np.einsum("ia, ic -> ac", X, X.conj())
+    mo = np.asarray(mf.mo_coeff)
+    return np.einsum("pi, ij, qj -> pq", mo, dm, mo.conj())

@@ -145,3 +145,50 @@ def test_spherical_dipole_consistent():
     d_s = dip(Molecule(WATER, basis="6-31g*", spherical=True))
     assert np.linalg.norm(d_c - d_s) < 5e-3
     assert 0.7 < np.linalg.norm(d_c) < 1.1   # ~0.8-1.0 au for water
+
+
+# ---------------------------------------------------- analysis helpers
+def test_tda_density_matrix_trace_and_idempotency_limit():
+    """Excited-state AO density from TDA amplitudes conserves electron
+    number in both Cartesian and spherical bases (reference:
+    pyqed/qchem/core.py:840)."""
+    from pyqed_tpu.qchem.tdscf import TDA, tda_density_matrix
+    for sph in (False, True):
+        m = Molecule(WATER, basis="sto-3g", spherical=sph)
+        mf = m.RHF(); mf.run()
+        td = TDA(mf); td.run(nroots=3)
+        S = np.asarray(m.intor()[0])
+        for n in range(3):
+            D = tda_density_matrix(td, n)
+            assert abs(np.trace(D @ S) - m.nelec) < 1e-8
+
+
+def test_write_mo_cube_norm():
+    """MO evaluated through ao_on_grid integrates to ~1 on a box grid."""
+    import tempfile, os
+    from pyqed_tpu.qchem.density import write_mo_cube, cube_grid, ao_on_grid
+    m = Molecule(WATER, basis="sto-3g")
+    mf = m.RHF(); mf.run()
+    pts, origin, axes, shape = cube_grid(m.atoms, 25, 25, 25, margin=5.0)
+    phi = ao_on_grid(m, pts) @ np.asarray(mf.mo_coeff)[:, mf.nocc - 1]
+    dv = np.prod(np.diag(axes))
+    assert abs(np.sum(phi ** 2) * dv - 1.0) < 5e-2
+    with tempfile.TemporaryDirectory() as d:
+        out = write_mo_cube(os.path.join(d, "mo.cube"), m,
+                            np.asarray(mf.mo_coeff)[:, 0], nx=8, ny=8, nz=8)
+        assert out.shape == (8, 8, 8) and np.isfinite(out).all()
+
+
+def test_save_to_xyz_roundtrip():
+    import tempfile, os
+    from pyqed_tpu.qchem.geometry import save_to_xyz
+    from pyqed_tpu.units import au2angstrom
+    m = Molecule(WATER, basis="sto-3g")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "w.xyz")
+        save_to_xyz(m, p)
+        lines = open(p).read().strip().splitlines()
+    assert lines[0] == "3"
+    sym, *xyz = lines[2].split()
+    assert sym == "O"
+    assert abs(float(xyz[2]) - 0.22140 * au2angstrom) < 1e-8
