@@ -851,7 +851,17 @@ def main():
             "ldr_cpu_ref_steps_per_sec": round(ldr_cpu, 3),
             "ldr_batch8_traj_steps_per_sec": round(ldr_b8, 1),
             **({"ldr_level6_steps_per_sec": round(ldr6, 1),
-                "ldr_level6_batch64_traj_steps_per_sec": round(ldr6_b64, 1)}
+                "ldr_level6_batch64_traj_steps_per_sec": round(ldr6_b64, 1),
+                # speed-of-light accounting: each level-6 step MUST
+                # stream Ur+Ui (2 x 7938^2 f32 = 504 MB) from HBM, so
+                # achieved HBM bandwidth = steps/s x 504 MB, quoted as a
+                # fraction of the v5e peak (819 GB/s). This is a true
+                # lower bound on traffic (rhs/activations excluded), so
+                # the fraction is conservative.
+                "ldr_level6_hbm_gbps": round(
+                    ldr6 * 2 * 4 * 7938 ** 2 / 1e9, 1),
+                "ldr_level6_hbm_frac_of_peak": round(
+                    ldr6 * 2 * 4 * 7938 ** 2 / 819e9, 3)}
                if ldr6 is not None else {}),
             "spo_steps_per_sec": round(spo, 1),
             "spo_vs_cpu": round(spo / spo_cpu, 2),
