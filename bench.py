@@ -21,6 +21,11 @@ The single JSON line also carries an "extra" dict:
                  (1922,1922) MXU matmul per step; CPU baseline = the
                  ACTUAL reference LDRN class (pyqed/ldr/ldr.py:320)
                  exec'd via the oracle shim on the same model.
+  ldr_factored_* the factored nonadiabatic path (A = S S† applied
+                 through its rank factor; grid/ldr.py run(method=
+                 'factored')): same dynamics, no dense U — parity-gated
+                 on-device, plus level-7 (127x127) rows at a size whose
+                 dense propagator (8.3 GB) cannot be materialized.
   heom_pallas_steps_per_sec / heom_matmul_steps_per_sec — kernel split.
   spo_steps_per_sec      config #1 — 1D split-operator, Morse, 1024 pts.
   lindblad_steps_per_sec config #2 — vibronic dimer (n=32) Lindblad RK4.
@@ -667,6 +672,119 @@ def bench_ldr_tpu(level=5, nsteps=400, dt=0.01, batch=1, blocked=False):
     return rates if isinstance(batch, (tuple, list)) else rates[0]
 
 
+def _ldr_factored_run(level, nsteps, dt, batch):
+    """One jitted program for the FACTORED nonadiabatic LDR path
+    (grid/ldr.py run(method='factored')): the A-dressed kinetic
+    propagator applied through its rank factor A = S S† — per-dimension
+    expK tensordots on nbasis scalar fields, the dense (ntot·ns)²
+    propagator is NEVER materialized. Only small real f32 arrays cross
+    the axon tunnel; all complex lives in HBM."""
+    import jax
+    import jax.numpy as jnp
+    sol, apes, S, psi0 = _ldr_model(level)
+    ns = sol.nstates
+    ntot = sol.ntot
+    n = ntot * ns
+    nx = tuple(sol.nx)
+    nb = S.shape[1]
+
+    @jax.jit
+    def run(apes_in, S_in, re, im):
+        sol.apes = apes_in
+        sol.buildV(dt)
+        sol.buildK(dt)
+        c64 = jnp.complex64
+        expV = jnp.reshape(sol.exp_V, (n,)).astype(c64)[:, None]
+        expV2 = jnp.reshape(sol.exp_V_half, (n,)).astype(c64)[:, None]
+        expKs = [jnp.asarray(k).astype(c64) for k in sol.exp_K]
+        Sf = S_in.astype(c64)                        # (ntot, nb, ns)
+        Sfc = jnp.conj(Sf)
+        B = re.shape[1]
+
+        hi = jax.lax.Precision.HIGHEST
+
+        def kin_fact(p):                             # p: (n, B)
+            p3 = jnp.reshape(p, (ntot, ns, B))
+            phi = jnp.einsum("ncb, nbq -> ncq", Sf, p3, precision=hi)
+            phi = jnp.reshape(phi, nx + (nb * B,))
+            for d in range(len(nx)):
+                phi = jnp.tensordot(expKs[d], phi, axes=([1], [d]),
+                                    precision=hi)
+                phi = jnp.moveaxis(phi, 0, d)
+            chi = jnp.reshape(phi, (ntot, nb, B))
+            out = jnp.einsum("mca, mcq -> maq", Sfc, chi, precision=hi)
+            return jnp.reshape(out, (n, B))
+
+        def body(p, _):
+            q = expV * kin_fact(p)
+            return q, None
+
+        p0 = (re + 1j * im).astype(c64) * expV2
+        pf, _ = jax.lax.scan(body, p0, None, length=nsteps)
+        return jnp.real(pf), jnp.imag(pf), jnp.sum(jnp.abs(pf) ** 2)
+
+    if batch == 1:
+        p0 = psi0.reshape(n, 1)
+    else:
+        p0 = np.stack([np.roll(psi0.reshape(n), 7 * k)
+                       for k in range(batch)], axis=1)
+    args = (apes.astype(np.float32), S.astype(np.float32),
+            np.ascontiguousarray(p0.real, np.float32),
+            np.ascontiguousarray(p0.imag, np.float32))
+    return run, args
+
+
+def bench_ldr_factored_tpu(level=5, nsteps=400, dt=0.01, batch=1):
+    """Factored-path throughput (trajectory-steps/s)."""
+    run, args = _ldr_factored_run(level, nsteps, dt, batch)
+    t = _timeit(run, *args)
+    return nsteps * batch / t
+
+
+def _ldr_factored_parity(level=5, nsteps=30, dt=0.01):
+    """On-device gate: factored ≡ dense propagation at the benched model
+    before any factored row is admitted. The two f32 programs agree to
+    ~3e-3 over 30 steps — dominated by the DENSE program's own f32 kron/
+    matmul accumulation (on CPU f64 the two paths agree to 1e-15,
+    tests/test_dvr_ldr.py::test_factored_matches_dense) — while a wiring
+    bug would be O(1); the gate threshold is 1e-2."""
+    import jax
+    run, args = _ldr_factored_run(level, nsteps, dt, batch=1)
+    re_f, im_f, _ = run(*args)
+    re_f, im_f = np.asarray(re_f), np.asarray(im_f)
+
+    # dense comparator: same model through the U-matmul program
+    import jax.numpy as jnp
+    sol, apes, S, psi0 = _ldr_model(level)
+    n = sol.ntot * sol.nstates
+
+    @jax.jit
+    def dense(apes_in, S_in, re, im):
+        sol.apes = apes_in
+        sol.build_ovlp(S_in.reshape(*sol.nx, 2, sol.nstates))
+        U = sol.short_time_propagator(dt).astype(jnp.complex64)
+        vh = jnp.reshape(sol.exp_V_half, (n,)).astype(jnp.complex64)
+        p = (re + 1j * im).astype(jnp.complex64)
+
+        def body(p, _):
+            return jnp.matmul(U, p[:, None],
+                              precision=jax.lax.Precision.HIGHEST)[:, 0], None
+
+        # dense U includes BOTH half-steps: strip the leading half so the
+        # trailing offset matches the factored program's stored state
+        pf, _ = jax.lax.scan(body, p, None, length=nsteps)
+        pf = vh * pf
+        return jnp.real(pf), jnp.imag(pf)
+
+    p0 = psi0.reshape(n)
+    re_d, im_d = dense(apes.astype(np.float32), S.astype(np.float32),
+                       np.ascontiguousarray(p0.real, np.float32),
+                       np.ascontiguousarray(p0.imag, np.float32))
+    err = float(np.max(np.abs((re_f[:, 0] + 1j * im_f[:, 0])
+                              - (np.asarray(re_d) + 1j * np.asarray(im_d)))))
+    return err
+
+
 def bench_ldr_cpu(level=5, dt=0.01):
     """The ACTUAL reference LDRN (pyqed/ldr/ldr.py:320) exec'd from
     /root/reference via tests/ref_oracle.py, on the same 31x31 model.
@@ -778,6 +896,19 @@ def main():
     t_2des_tpu = bench_2des_tpu()
     ldr = bench_ldr_tpu(batch=1)
     ldr_b8 = bench_ldr_tpu(batch=8)
+    # factored nonadiabatic path (rank-nbasis overlap): parity-gated
+    # on-device against the dense U program, then timed at the dense
+    # shape and at level 7 (127x127: the dense propagator would be an
+    # unmaterializable 8.3 GB — only this path can run it)
+    ldr_fact_err = _ldr_factored_parity()
+    ldr_fact_ok = ldr_fact_err < 1e-2
+    ldr_fact = (bench_ldr_factored_tpu(level=5, nsteps=2000)
+                if ldr_fact_ok else 0.0)
+    if os.environ.get("PYQED_BENCH_NO_LDR7") or not ldr_fact_ok:
+        ldr7 = ldr7_b16 = None
+    else:
+        ldr7 = bench_ldr_factored_tpu(level=7, nsteps=400)
+        ldr7_b16 = bench_ldr_factored_tpu(level=7, nsteps=400, batch=16)
     # chip-scale flagship (63x63 grid, 7938^2 propagator — the size the
     # reference cannot run at all): ON by default (two clean runs on
     # v5e: ~1200 steps/s single-trajectory, batching the rhs amortizes
@@ -850,6 +981,13 @@ def main():
             "ldr_vs_cpu_ref": round(ldr / ldr_cpu, 2),
             "ldr_cpu_ref_steps_per_sec": round(ldr_cpu, 3),
             "ldr_batch8_traj_steps_per_sec": round(ldr_b8, 1),
+            "ldr_factored_steps_per_sec": round(ldr_fact, 1),
+            "ldr_factored_vs_cpu_ref": round(ldr_fact / ldr_cpu, 2),
+            "ldr_factored_parity_err": float(f"{ldr_fact_err:.2e}"),
+            **({"ldr_level7_factored_steps_per_sec": round(ldr7, 1),
+                "ldr_level7_factored_batch16_traj_steps_per_sec":
+                    round(ldr7_b16, 1)}
+               if ldr7 is not None else {}),
             **({"ldr_level6_steps_per_sec": round(ldr6, 1),
                 "ldr_level6_batch64_traj_steps_per_sec": round(ldr6_b64, 1),
                 # speed-of-light accounting: each level-6 step MUST

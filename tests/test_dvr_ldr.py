@@ -725,3 +725,75 @@ def test_blocked_cache_invalidation():
     psi0 = jnp.asarray(g / np.linalg.norm(g), dtype=complex)
     r = s.run_imag(psi0, 0.01, 8, nout=4)
     assert np.all(np.isfinite(np.asarray(r.psi).real))
+
+
+class TestFactoredLDR:
+    """run(method='factored'): the A-dressed kinetic propagator applied
+    through its rank factor A = S S† (build_ovlp) — exact reassociation,
+    never materializing the dense (ntot*ns)^2 U."""
+
+    def _model(self):
+        ldr = LDRN([(-4, 4), (-3.5, 3.5)], [3, 3], ndim=2, nstates=2)
+        X, Y = np.meshgrid(ldr.x[0], ldr.x[1], indexing="ij")
+        v0 = 0.5 * (X ** 2 + Y ** 2)
+        gap = 1.0 + 0.3 * X
+        apes = np.stack([v0 - gap / 2, v0 + gap / 2], axis=-1)
+        th = 0.4 * np.tanh(X * Y)
+        states = np.stack(
+            [np.stack([np.cos(th), -np.sin(th)], -1),
+             np.stack([np.sin(th), np.cos(th)], -1)], -2)
+        psi0 = np.zeros((*ldr.nx, 2), complex)
+        g = np.exp(-((X + 1) ** 2 + Y ** 2))
+        psi0[..., 0] = g / np.sqrt((np.abs(g) ** 2).sum())
+        return ldr, apes, states, psi0
+
+    def test_factored_matches_dense(self):
+        ldr, apes, states, psi0 = self._model()
+        ldr.apes = apes
+        ldr.build_ovlp(states)
+        rd = ldr.run(psi0, dt=0.01, nt=40, nout=10, method="dense")
+        ldr.apes = apes
+        ldr.build_ovlp(states)
+        rf = ldr.run(psi0, dt=0.01, nt=40, nout=10, method="factored")
+        err = np.max(np.abs(np.asarray(rd.states) - np.asarray(rf.states)))
+        assert err < 1e-12
+        # auto prefers the factored path when states are known
+        ra = ldr.run(psi0, dt=0.01, nt=40, nout=10)
+        assert np.max(np.abs(np.asarray(ra.states)
+                             - np.asarray(rf.states))) < 1e-14
+
+    def test_factored_after_blocked_build(self):
+        """The blocked chip-scale build also exposes the factor."""
+        ldr, apes, states, psi0 = self._model()
+        ldr.apes = apes
+        ldr.short_time_propagator_blocked(0.01, states)
+        rf = ldr.run(psi0, dt=0.01, nt=20, nout=10, method="factored")
+        ldr2, _, _, _ = self._model()
+        ldr2.apes = apes
+        ldr2.build_ovlp(states)
+        rd = ldr2.run(psi0, dt=0.01, nt=20, nout=10, method="dense")
+        assert np.max(np.abs(np.asarray(rf.states)
+                             - np.asarray(rd.states))) < 1e-12
+
+    def test_factored_requires_states(self):
+        ldr, apes, states, psi0 = self._model()
+        ldr.apes = apes
+        with pytest.raises(ValueError):
+            ldr.run(psi0, dt=0.01, nt=2, method="factored")
+
+    def test_factored_sharded_matches_unsharded(self):
+        """Factored path under an 8-device mesh == single-device."""
+        import jax
+        from jax.sharding import Mesh
+        devs = np.array(jax.devices()[:8])
+        ldr, apes, states, psi0 = self._model()
+        ldr.apes = apes
+        ldr.build_ovlp(states)
+        rf = ldr.run(psi0, dt=0.01, nt=20, nout=10, method="factored")
+        with Mesh(devs, ("grid",)) as mesh:
+            ldr.apes = apes
+            ldr.build_ovlp(states)
+            rs = ldr.run(psi0, dt=0.01, nt=20, nout=10,
+                         method="factored", mesh=mesh)
+        assert np.max(np.abs(np.asarray(rf.states)
+                             - np.asarray(rs.states))) < 1e-12
