@@ -174,6 +174,37 @@ class LDRN:
         s2 = s1 + s3
         return f"{s1}, {s2}, {s3} -> {s2}"
 
+    def _factored_kernel(self, expKs, cdtype):
+        """Build kin(p) applying (A ⊙ ⊗expK) through the overlap factor
+        A = S S†: contract the electronic index into nbasis scalar
+        fields, kinetic-propagate each with per-dimension tensordots,
+        contract back. Accepts flat (n,) vectors or (n, B) batches; the
+        dense (ntot·ns)² operator is never materialized."""
+        Sf = jnp.asarray(self._S).astype(cdtype)
+        Sfc = jnp.conj(Sf)
+        nx, D = tuple(self.nx), self.ndim
+        ns, ntot = self.nstates, self.ntot
+        nb = Sf.shape[1]
+        prec = self.precision
+
+        def kin(p):
+            vec = p.ndim == 1
+            p2 = p[:, None] if vec else p
+            B = p2.shape[1]
+            p3 = jnp.reshape(p2, (ntot, ns, B))
+            phi = jnp.einsum("ncb, nbq -> ncq", Sf, p3, precision=prec)
+            phi = jnp.reshape(phi, nx + (nb * B,))
+            for d in range(D):
+                phi = jnp.tensordot(expKs[d], phi, axes=([1], [d]),
+                                    precision=prec)
+                phi = jnp.moveaxis(phi, 0, d)
+            chi = jnp.reshape(phi, (ntot, nb, B))
+            out = jnp.einsum("mca, mcq -> maq", Sfc, chi, precision=prec)
+            out = jnp.reshape(out, (ntot * ns, B))
+            return out[:, 0] if vec else out
+
+        return kin
+
     def short_time_propagator(self, dt):
         """U = expV_half (A ⊙ ⊗ expK) expV_half, flattened to a matrix
         (reference: pyqed/ldr/ldr.py:525)."""
@@ -410,26 +441,9 @@ class LDRN:
                 p = jnp.moveaxis(p, 0, d)
             return jnp.reshape(p, (-1,))
 
-        if use_fact:
-            Sf = jnp.asarray(S_fact).astype(cdtype)       # (ntot, nb, ns)
-            Sfc = Sf.conj()
+        kin_fact = (self._factored_kernel(expKs, cdtype)
+                    if use_fact else None)
 
-        def kin_fact(p):
-            # (A ⊙ ⊗expK) p  through the overlap factor: contract the
-            # electronic index into nbasis scalar fields, kinetic-propagate
-            # each with per-dimension tensordots, contract back.
-            p2 = jnp.reshape(p, (-1, ns))                 # (ntot, ns)
-            phi = jnp.einsum("ncb, nb -> nc", Sf, p2,
-                             precision=prec)               # (ntot, nb)
-            phi = jnp.reshape(phi, nx + (phi.shape[-1],))
-            for d in range(D):
-                phi = jnp.tensordot(expKs[d], phi, axes=([1], [d]),
-                                    precision=prec)
-                phi = jnp.moveaxis(phi, 0, d)
-            chi = jnp.reshape(phi, (-1, Sf.shape[1]))     # (ntot, nb)
-            out = jnp.einsum("mca, mc -> ma", Sfc, chi,
-                             precision=prec)
-            return jnp.reshape(out, (-1,))
 
         def fine_step(p):
             if mesh is not None:
@@ -513,13 +527,22 @@ class LDRN:
         """
         assert psi0.shape == (*self.nx, self.nstates)
         tau = -1j * dt
-        self.short_time_propagator(tau)
-        U = self._exp_T_flat
+        use_fact = getattr(self, "_S", None) is not None
+        if use_fact:
+            # factored nonadiabatic application (see run/method='factored')
+            self.buildV(tau)
+            self.buildK(tau)
+            U = None
+        else:
+            self.short_time_propagator(tau)
+            U = self._exp_T_flat
         expV = jnp.reshape(self.exp_V, (-1,))
         expV2 = jnp.reshape(self.exp_V_half, (-1,))
         D, nx, ns = self.ndim, tuple(self.nx), self.nstates
         expKs = [jnp.asarray(K) for K in self.exp_K]
         dvol = float(np.prod(self.dx))
+        kin_fact = (self._factored_kernel(expKs, jnp.result_type(
+            self._apes, 1j)) if use_fact else None)
 
         def kin_sep(p):
             p = jnp.reshape(p, nx + (ns,))
@@ -529,7 +552,10 @@ class LDRN:
             return jnp.reshape(p, (-1,))
 
         def fine_step(p):
-            p = expV * (U @ p) if U is not None else expV * kin_sep(p)
+            if use_fact:
+                p = expV * kin_fact(p)
+            else:
+                p = expV * (U @ p) if U is not None else expV * kin_sep(p)
             nrm = jnp.linalg.norm(p) * np.sqrt(dvol)
             return p / nrm, nrm
 
@@ -567,19 +593,41 @@ class LDRN:
         """
         n = self.ntot * self.nstates
         rho0 = jnp.asarray(rho0, dtype=complex).reshape(n, n)
-        self.short_time_propagator(dt)
-        if self._U is None:
-            # separable diabatic: build the dense kinetic factor once
-            D = self.ndim
-            expKs = [np.asarray(K) for K in self.exp_K]
-            Kfull = expKs[0]
-            for Kd in expKs[1:]:
-                Kfull = np.kron(Kfull, Kd)
-            P = jnp.asarray(np.kron(Kfull, np.eye(self.nstates)))
+        use_fact = getattr(self, "_S", None) is not None
+        if use_fact:
+            # factored nonadiabatic application on both sides:
+            # U rho U† = expV ⊙ K_A (expV ⊙ K_A rho)† )† with K_A the
+            # rank-factored kernel — the dense U is never materialized
+            self.buildV(dt)
+            self.buildK(dt)
+            expKs_f = [jnp.asarray(K) for K in self.exp_K]
+            kin = self._factored_kernel(
+                expKs_f, jnp.result_type(self._apes, 1j))
+            expVc = jnp.reshape(self.exp_V, (-1,))[:, None]
+
+            def apply_U(x):
+                return expVc * kin(x)
+
+            def lvn_step(x):
+                y = apply_U(x)                       # U rho
+                return jnp.conj(apply_U(jnp.conj(y.T)).T)   # (U (U rho)†)†
         else:
-            P = self._exp_T_flat
-        expV = jnp.reshape(self.exp_V, (-1,))
-        U = expV[:, None] * P       # full-step propagator
+            self.short_time_propagator(dt)
+            if self._U is None:
+                # separable diabatic: build the dense kinetic factor once
+                D = self.ndim
+                expKs = [np.asarray(K) for K in self.exp_K]
+                Kfull = expKs[0]
+                for Kd in expKs[1:]:
+                    Kfull = np.kron(Kfull, Kd)
+                P = jnp.asarray(np.kron(Kfull, np.eye(self.nstates)))
+            else:
+                P = self._exp_T_flat
+            expV = jnp.reshape(self.exp_V, (-1,))
+            U = expV[:, None] * P       # full-step propagator
+
+            def lvn_step(x):
+                return U @ x @ jnp.conj(U.T)
 
         ns_steps = nt // nout
 
@@ -587,7 +635,7 @@ class LDRN:
         def evolve(rho):
             def window(r, _):
                 def fine(i, x):
-                    return U @ x @ jnp.conj(U.T)
+                    return lvn_step(x)
                 r = jax.lax.fori_loop(0, nout, fine, r)
                 return r, r
             return jax.lax.scan(window, rho, None, length=ns_steps)

@@ -797,3 +797,34 @@ class TestFactoredLDR:
                          method="factored", mesh=mesh)
         assert np.max(np.abs(np.asarray(rf.states)
                              - np.asarray(rs.states))) < 1e-12
+
+    def test_factored_run_imag_matches_dense(self):
+        """Imaginary-time relaxation through the factored kernel equals
+        the dense build (and converges to the same ground energy)."""
+        ldr, apes, states, psi0 = self._model()
+        ldr.apes = apes
+        ldr.build_ovlp(states)
+        rf = ldr.run_imag(psi0, dt=0.02, nt=200, nout=20)
+        ldr2, _, _, _ = self._model()
+        ldr2.apes = apes
+        ldr2.build_ovlp(states)
+        ldr2._S = None                 # force the dense branch
+        rd = ldr2.run_imag(psi0, dt=0.02, nt=200, nout=20)
+        assert abs(rf.e_tot - rd.e_tot) < 1e-10
+        assert np.max(np.abs(np.asarray(rf.psi) - np.asarray(rd.psi))) < 1e-10
+
+    def test_factored_run_lvn_matches_dense_and_pure_state(self):
+        ldr, apes, states, psi0 = self._model()
+        n = ldr.ntot * ldr.nstates
+        rho0 = np.outer(psi0.reshape(n), psi0.reshape(n).conj())
+        ldr.apes = apes
+        ldr.build_ovlp(states)
+        rf = ldr.run_lvn(rho0, dt=0.01, nt=20, nout=10)
+        ldr2, _, _, _ = self._model()
+        ldr2.apes = apes
+        ldr2.build_ovlp(states)
+        ldr2._S = None                 # force the dense-U branch
+        rd = ldr2.run_lvn(rho0, dt=0.01, nt=20, nout=10)
+        assert np.max(np.abs(np.asarray(rf.rho) - np.asarray(rd.rho))) < 1e-12
+        # trace preserved
+        assert abs(np.trace(np.asarray(rf.rho)) - np.trace(rho0)) < 1e-10
