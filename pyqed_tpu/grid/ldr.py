@@ -731,12 +731,49 @@ class LDR2Jacobi(LDRN):
         self._U = self._exp_T_flat
         return self._U
 
-    def run(self, psi0, dt, nt, nout=1, t0=0.0, mesh=None) -> ResultLDR:
+    def _factored_kernel(self, expKs, cdtype):
+        """Jacobi variant of the rank-factored application: the rotor
+        propagator is r-BATCHED (expTy[k, j, l], source r-index k), so
+        (A ⊙ K_jac) phi = expTx[i,k] expTy[k,j,l] A-factor contraction:
+        tmp[k,j,c] = sum_l expTy[k,j,l] phi[k,l,c];
+        out[i,j,c]  = sum_k expTx[i,k] tmp[k,j,c]."""
+        Sf = jnp.asarray(self._S).astype(cdtype)
+        Sfc = jnp.conj(Sf)
+        nx, ny = self.nx
+        ns, ntot = self.nstates, self.ntot
+        nb = Sf.shape[1]
+        prec = self.precision
+        expTx = jnp.asarray(expKs[0]).astype(cdtype)
+        expTy = jnp.asarray(expKs[1]).astype(cdtype)
+
+        def kin(p):
+            vec = p.ndim == 1
+            p2 = p[:, None] if vec else p
+            B = p2.shape[1]
+            p3 = jnp.reshape(p2, (ntot, ns, B))
+            phi = jnp.einsum("ncb, nbq -> ncq", Sf, p3, precision=prec)
+            phi = jnp.reshape(phi, (nx, ny, nb * B))
+            tmp = jnp.einsum("kjl, klc -> kjc", expTy, phi,
+                             precision=prec)
+            out = jnp.einsum("ik, kjc -> ijc", expTx, tmp,
+                             precision=prec)
+            chi = jnp.reshape(out, (ntot, nb, B))
+            res = jnp.einsum("mca, mcq -> maq", Sfc, chi, precision=prec)
+            res = jnp.reshape(res, (ntot * ns, B))
+            return res[:, 0] if vec else res
+
+        return kin
+
+    def run(self, psi0, dt, nt, nout=1, t0=0.0, mesh=None,
+            method="auto") -> ResultLDR:
         """Diabatic fast path applies the factorized kinetic directly;
-        nonadiabatic (A set) uses the dense dressed propagator through
-        LDRN.run's machinery."""
+        nonadiabatic (A set) goes through LDRN.run's machinery — by
+        default the FACTORED application (via the Jacobi
+        ``_factored_kernel`` above), ``method='dense'`` for the dressed
+        dense propagator."""
         if self.A is not None:
-            return super().run(psi0, dt, nt, nout=nout, t0=t0, mesh=mesh)
+            return super().run(psi0, dt, nt, nout=nout, t0=t0, mesh=mesh,
+                               method=method)
         # diabatic separable Jacobi stepping
         assert psi0.shape == (*self.nx, self.nstates)
         self.buildV(dt)

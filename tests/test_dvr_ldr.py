@@ -828,3 +828,30 @@ class TestFactoredLDR:
         assert np.max(np.abs(np.asarray(rf.rho) - np.asarray(rd.rho))) < 1e-12
         # trace preserved
         assert abs(np.trace(np.asarray(rf.rho)) - np.trace(rho0)) < 1e-10
+
+
+def test_jacobi_factored_matches_dense():
+    """LDR2Jacobi nonadiabatic: the Jacobi-specific factored kernel
+    (r-batched rotor propagator) equals the dense dressed propagator."""
+    from pyqed_tpu.grid.ldr import LDR2Jacobi
+    ldr = LDR2Jacobi([(1.0, 5.0), (0.3, 2.8)], [3, 3], nstates=2,
+                     mass=(2.0, lambda r: 2.0 * r ** 2))
+    nx, ny = ldr.nx
+    R, TH = np.meshgrid(ldr.x[0], ldr.x[1], indexing="ij")
+    v0 = 0.5 * (R - 3.0) ** 2 + 0.3 * (TH - 1.5) ** 2
+    gap = 1.0 + 0.2 * (R - 3.0)
+    apes = np.stack([v0 - gap / 2, v0 + gap / 2], -1)
+    th = 0.3 * np.tanh((R - 3.0) * (TH - 1.5))
+    states = np.stack([np.stack([np.cos(th), -np.sin(th)], -1),
+                       np.stack([np.sin(th), np.cos(th)], -1)], -2)
+    psi0 = np.zeros((nx, ny, 2), complex)
+    g = np.exp(-((R - 2.5) ** 2 + (TH - 1.2) ** 2))
+    psi0[..., 0] = g / np.sqrt((np.abs(g) ** 2).sum())
+    ldr.apes = apes
+    ldr.build_ovlp(states)
+    rd = ldr.run(psi0, dt=0.005, nt=40, nout=10, method="dense")
+    ldr.apes = apes
+    ldr.build_ovlp(states)
+    rf = ldr.run(psi0, dt=0.005, nt=40, nout=10, method="factored")
+    assert np.max(np.abs(np.asarray(rd.states)
+                         - np.asarray(rf.states))) < 1e-12

@@ -85,7 +85,10 @@ class TestLDRVariants:
         psi0[:, 0] = np.exp(-(x - 1) ** 2)
         rho0 = np.outer(psi0.reshape(-1), psi0.reshape(-1).conj())
         r = sol.run_lvn(rho0, dt=0.01, nt=40)
-        # reference pure-state propagation with the same full-step U
+        # reference pure-state propagation with the same full-step U —
+        # materialized explicitly (the factored run_lvn no longer builds
+        # the dense _exp_T_flat as a side effect)
+        sol.short_time_propagator(0.01)
         U = np.asarray(sol.exp_V.reshape(-1)[:, None]
                        * np.asarray(sol._exp_T_flat))
         p = psi0.reshape(-1).astype(complex)
