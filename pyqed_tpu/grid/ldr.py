@@ -88,6 +88,7 @@ class LDRN:
         self._apes = None
         self.A = self.wf_overlap = None
         self._S = None   # (ntot, nbasis, ns) overlap factor (A = S S†)
+        self._S_bra = None   # distinct bra factor (non-Hermitian A = L R)
         self._diabatic = False
         self.exp_K = None
         self._U = None   # flattened short-time propagator
@@ -139,6 +140,7 @@ class LDRN:
             # run() takes the per-dimension tensordot fast path instead.
             self.A = None
             self._S = None
+            self._S_bra = None
             self._diabatic = True
             return None
         else:
@@ -148,6 +150,7 @@ class LDRN:
             # factored path exploits to apply A ⊙ (⊗ expK) without ever
             # materializing the dense (ntot·ns)² propagator
             self._S = S
+            self._S_bra = None    # Hermitian: bra = conj(ket)
             A = jnp.einsum("mca, ncb -> manb", S.conj(), S)
             self.A = jnp.reshape(A, (*self.nx, ns, *self.nx, ns))
         return self.A
@@ -181,7 +184,11 @@ class LDRN:
         contract back. Accepts flat (n,) vectors or (n, B) batches; the
         dense (ntot·ns)² operator is never materialized."""
         Sf = jnp.asarray(self._S).astype(cdtype)
-        Sfc = jnp.conj(Sf)
+        bra = getattr(self, "_S_bra", None)
+        # bra factor: conj(ket) for the Hermitian A = S S†; a distinct
+        # left-eigenvector factor for non-Hermitian A = L R (NonHermLDRN)
+        Sfc = (jnp.conj(Sf) if bra is None
+               else jnp.asarray(bra).astype(cdtype))
         nx, D = tuple(self.nx), self.ndim
         ns, ntot = self.nstates, self.ntot
         nb = Sf.shape[1]
@@ -328,6 +335,7 @@ class LDRN:
         self._blocked_states = S
         self._blocked_block = block
         self._S = S          # expose the factor to run()'s factored path
+        self._S_bra = None
         self._diabatic = False
         return self._U
 
@@ -738,7 +746,9 @@ class LDR2Jacobi(LDRN):
         tmp[k,j,c] = sum_l expTy[k,j,l] phi[k,l,c];
         out[i,j,c]  = sum_k expTx[i,k] tmp[k,j,c]."""
         Sf = jnp.asarray(self._S).astype(cdtype)
-        Sfc = jnp.conj(Sf)
+        bra = getattr(self, "_S_bra", None)
+        Sfc = (jnp.conj(Sf) if bra is None
+               else jnp.asarray(bra).astype(cdtype))
         nx, ny = self.nx
         ns, ntot = self.nstates, self.ntot
         nb = Sf.shape[1]
@@ -862,6 +872,10 @@ class NonHermLDRN(LDRN):
         R = jnp.reshape(self.right_eigenstates, (self.ntot, ns, ns))
         A = jnp.einsum("mac, ncb -> manb", L, R)
         self.A = jnp.reshape(A, (*self.nx, ns, *self.nx, ns))
+        # rank factors for the dense-free application (A = bra.ket):
+        # ket[n,c,b] = R[n,c,b]; bra[m,c,a] = L[m,a,c]
+        self._S = R
+        self._S_bra = jnp.transpose(L, (0, 2, 1))
         self._diabatic = False
         return self.A
 

@@ -105,3 +105,27 @@ def test_nonherm_ldr_decay_physics():
     n_final = sol.norm(jnp.asarray(psi_adi))
     t = dt * nt
     assert abs(n_final - np.exp(-gamma * t)) < 1e-6
+
+
+def test_nonherm_factored_matches_dense():
+    """Non-Hermitian factored path: A = L·R applied through the distinct
+    bra (left-eigenvector) and ket (right-eigenvector) factors equals
+    the dense dressed propagator to machine precision."""
+    from pyqed_tpu.grid.ldr import NonHermLDRN
+    ldr = NonHermLDRN([(-5, 5), (-4, 4)], [3, 3], ndim=2, nstates=2)
+    X, Y = np.meshgrid(ldr.x[0], ldr.x[1], indexing="ij")
+    v = np.zeros((*ldr.nx, 2, 2), complex)
+    v[..., 0, 0] = 0.5 * (X ** 2 + Y ** 2) - 0.05j
+    v[..., 1, 1] = 0.5 * (X ** 2 + Y ** 2) + 1.0 - 0.15j * np.exp(-X ** 2)
+    v[..., 0, 1] = v[..., 1, 0] = 0.2 * X
+    ldr.set_diabatic(v)
+    ldr.build_ovlp()
+    psi0 = np.zeros((*ldr.nx, 2), complex)
+    g = np.exp(-((X - 0.5) ** 2 + Y ** 2))
+    psi0[..., 0] = g / np.sqrt((np.abs(g) ** 2).sum())
+    rd = ldr.run(psi0, dt=0.005, nt=40, nout=10, method="dense")
+    ldr.set_diabatic(v)
+    ldr.build_ovlp()
+    rf = ldr.run(psi0, dt=0.005, nt=40, nout=10, method="factored")
+    assert np.max(np.abs(np.asarray(rd.states)
+                         - np.asarray(rf.states))) < 1e-12
