@@ -783,3 +783,114 @@ def plane_waves_several_inclined(field, angles, amplitude=1.0):
 # scalar_fields_XYZ.py class names)
 Scalar_field_XZ = ScalarFieldXZ
 Scalar_field_XYZ = ScalarFieldXYZ
+
+
+# ----------------------------------------------------------------------
+# drawing conveniences (the vendored diffractio ships draw()/draw_profile
+# on every field class — reference: pyqed/beam/scalar_fields_X.py:1008,
+# scalar_fields_XY.py:1407,1936, scalar_fields_XYZ.py:1202-1356).
+# Implemented once here against utils.style's Agg-safe matplotlib.
+# ----------------------------------------------------------------------
+
+def _field_view(u, kind, logarithm=False, normalize=False, cut_value=None):
+    """Extract the requested view of a complex field: 'intensity',
+    'amplitude', or 'phase' (same kind names as the reference draw)."""
+    u = np.asarray(u)
+    if kind == "phase":
+        return np.angle(u)
+    data = np.abs(u) if kind == "amplitude" else np.abs(u) ** 2
+    if normalize and data.max() > 0:
+        data = data / data.max()
+    if cut_value is not None:
+        data = np.minimum(data, cut_value)
+    if logarithm:
+        data = np.log10(1.0 + data)
+    return data
+
+
+def _draw_1d(x, u, kind, logarithm, normalize, cut_value, filename,
+             xlabel="x"):
+    from ..utils.style import _mpl
+    plt = _mpl()
+    data = _field_view(u, kind, logarithm, normalize, cut_value)
+    fig, ax = plt.subplots(figsize=(4.5, 3))
+    ax.plot(np.asarray(x), data)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(kind)
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename, dpi=150)
+        plt.close(fig)
+    return fig, ax
+
+
+def _draw_2d(x, y, u, kind, logarithm, normalize, cut_value, filename,
+             xlabel="x", ylabel="y"):
+    from ..utils.style import _mpl
+    plt = _mpl()
+    data = _field_view(u, kind, logarithm, normalize, cut_value)
+    fig, ax = plt.subplots(figsize=(4.5, 3.6))
+    ext = [float(np.min(x)), float(np.max(x)),
+           float(np.min(y)), float(np.max(y))]
+    im = ax.imshow(data.T, origin="lower", extent=ext, aspect="auto",
+                   cmap="inferno" if kind != "phase" else "twilight")
+    fig.colorbar(im, ax=ax, label=kind)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename, dpi=150)
+        plt.close(fig)
+    return fig, ax
+
+
+def _add_draw_methods():
+    def draw_x(self, kind="intensity", logarithm=False, normalize=False,
+               cut_value=None, filename=""):
+        """Plot the 1D field (reference: scalar_fields_X.py:1008)."""
+        return _draw_1d(self.x, self.u, kind, logarithm, normalize,
+                        cut_value, filename)
+
+    def draw_xy(self, kind="intensity", logarithm=False, normalize=False,
+                cut_value=None, filename=""):
+        """Plot the 2D field (reference: scalar_fields_XY.py:1936)."""
+        return _draw_2d(self.x, self.y, self.u, kind, logarithm,
+                        normalize, cut_value, filename)
+
+    def draw_profile(self, point1, point2, npoints=256, kind="intensity",
+                     filename=""):
+        """Field profile along the segment point1 -> point2 by bilinear
+        interpolation (reference: scalar_fields_XY.py:1407)."""
+        x0, y0 = point1
+        x1, y1 = point2
+        ts = np.linspace(0.0, 1.0, npoints)
+        xs = x0 + ts * (x1 - x0)
+        ys = y0 + ts * (y1 - y0)
+        from scipy.interpolate import RegularGridInterpolator
+        u = np.asarray(self.u)
+        itp_r = RegularGridInterpolator((self.x, self.y), u.real)
+        itp_i = RegularGridInterpolator((self.x, self.y), u.imag)
+        pts = np.stack([xs, ys], axis=1)
+        prof = itp_r(pts) + 1j * itp_i(pts)
+        s = np.hypot(xs - x0, ys - y0)
+        if filename:
+            _draw_1d(s, prof, kind, False, False, None, filename,
+                     xlabel="s")
+        return s, prof
+
+    def draw_xz(self, kind="intensity", logarithm=False, normalize=False,
+                cut_value=None, filename=""):
+        """Plot the XZ field (reference: scalar_fields_XZ.py)."""
+        # self.u is (nz, nx): rows follow self.z, columns self.x
+        return _draw_2d(self.z, self.x, np.asarray(self.u), kind,
+                        logarithm, normalize, cut_value, filename,
+                        xlabel="z", ylabel="x")
+
+    ScalarFieldX.draw = draw_x
+    ScalarFieldXY.draw = draw_xy
+    ScalarFieldXY.draw_profile = draw_profile
+
+    ScalarFieldXZ.draw = draw_xz
+
+
+_add_draw_methods()
