@@ -894,3 +894,57 @@ def _add_draw_methods():
 
 
 _add_draw_methods()
+
+
+# ----------------------------------------------------------- MTF utilities
+def mtf_ideal(frequencies, wavelength, diameter, focal, kind="2D"):
+    """Diffraction-limited MTF of an ideal lens at the given spatial
+    frequencies in lines/mm (reference: pyqed/beam/utils_optics.py:531
+    ``MTF_ideal``; standard diffraction-limit formulas — 1D slit:
+    triangle; 2D circular pupil: the autocorrelation-of-disks arc
+    formula). Returns (mtf, cutoff_frequency_lines_per_mm)."""
+    f_number = focal / diameter
+    f_cut = 1000.0 / (wavelength * f_number)      # um -> lines/mm
+    fn = np.abs(np.asarray(frequencies, dtype=float)) / f_cut
+    if kind == "1D":
+        mtf = np.clip(1.0 - fn, 0.0, None)
+    elif kind == "2D":
+        fn_c = np.minimum(fn, 1.0)
+        phi = np.arccos(fn_c)
+        mtf = np.where(fn <= 1.0,
+                       (2.0 / np.pi) * (phi - np.cos(phi) * np.sin(phi)),
+                       0.0)
+    else:
+        raise ValueError(f"kind {kind!r}")
+    return mtf, f_cut
+
+
+def _mtf_1d(self):
+    """Normalized MTF of the 1D field: |FT of the intensity PSF|,
+    normalized at zero frequency (reference:
+    pyqed/beam/scalar_fields_X.py:914 ``MTF``). Returns (fx_lines_per_mm,
+    mtf)."""
+    dx = self.x[1] - self.x[0]
+    psf = np.abs(np.asarray(self.u)) ** 2
+    otf = np.fft.fftshift(np.fft.fft(np.fft.ifftshift(psf)))
+    mtf = np.abs(otf)
+    mtf = mtf / mtf[len(mtf) // 2]
+    fx = 1000.0 * np.fft.fftshift(np.fft.fftfreq(len(self.x), dx))
+    return fx, mtf
+
+
+def _mtf_2d(self):
+    """2D MTF (reference: pyqed/beam/scalar_fields_XY.py:1492)."""
+    dx = self.x[1] - self.x[0]
+    dy = self.y[1] - self.y[0]
+    psf = np.abs(np.asarray(self.u)) ** 2
+    otf = np.fft.fftshift(np.fft.fft2(np.fft.ifftshift(psf)))
+    mtf = np.abs(otf)
+    mtf = mtf / mtf[mtf.shape[0] // 2, mtf.shape[1] // 2]
+    fx = 1000.0 * np.fft.fftshift(np.fft.fftfreq(len(self.x), dx))
+    fy = 1000.0 * np.fft.fftshift(np.fft.fftfreq(len(self.y), dy))
+    return fx, fy, mtf
+
+
+ScalarFieldX.MTF = _mtf_1d
+ScalarFieldXY.MTF = _mtf_2d

@@ -34,3 +34,36 @@ class TestDraw:
         h.propagate()
         h.draw(filename=str(tmp_path / "xz.png"))
         assert (tmp_path / "xz.png").stat().st_size > 1000
+
+
+class TestMTF:
+    def test_slit_mtf_is_triangle(self):
+        """The incoherent MTF of an ideal slit (sinc PSF) is the
+        triangle function up to the diffraction cutoff (reference:
+        scalar_fields_X.py:914, utils_optics.py:531)."""
+        from pyqed_tpu.beam.beam import ScalarFieldX, mtf_ideal
+        lam, D, f = 0.6328, 5000.0, 100000.0
+        x = np.linspace(-400, 400, 4096)
+        fld = ScalarFieldX(x, lam)
+        fld.u = np.sinc(D * x / (lam * f)).astype(complex)
+        fx, mtf = fld.MTF()
+        ideal, fcut = mtf_ideal(fx, lam, D, f, kind="1D")
+        sel = np.abs(fx) < 0.9 * fcut
+        assert np.max(np.abs(mtf[sel] - ideal[sel])) < 0.02
+        # 2D circular-pupil ideal curve: monotone, 0 at cutoff, 1 at 0
+        m2, fc2 = mtf_ideal(np.linspace(0, 2 * fcut, 100), lam, D, f,
+                            kind="2D")
+        assert abs(m2[0] - 1.0) < 1e-12
+        assert m2[-1] == 0.0
+        assert np.all(np.diff(m2) < 1e-12)
+
+    def test_mtf_2d_normalized(self):
+        from pyqed_tpu.beam.beam import ScalarFieldXY
+        x = np.linspace(-100, 100, 64)
+        y = np.linspace(-100, 100, 64)
+        g = ScalarFieldXY(x, y, 0.6328)
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        g.u = np.exp(-(X ** 2 + Y ** 2) / 200.0)
+        fx, fy, mtf = g.MTF()
+        assert abs(mtf[32, 32] - 1.0) < 1e-12
+        assert mtf.max() <= 1.0 + 1e-9
