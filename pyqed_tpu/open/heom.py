@@ -236,7 +236,16 @@ class HEOMSolver:
     # ------------------------------------------------------------ run
     def run(self, rho0, dt, nt, e_ops=None, nout=1, method="rk4",
             store_ados=False, mesh=None, kernel=None, checkpoint=None,
-            checkpoint_every=10, resume=None) -> Result:
+            checkpoint_every=10, resume=None, edip=None, pulse=None,
+            t0=0.0) -> Result:
+        """Propagate the hierarchy. ``edip``/``pulse`` switch on DRIVEN
+        dissipative dynamics: H(t) = H + edip * pulse(t) (reference:
+        pyqed/heom/deom.py:676 ``generate_time`` — its optional
+        time-dependent system-BATH coupling ``coupling_dip`` is not
+        supported; the system drive is). ``pulse`` must be a
+        jax-traceable scalar function of time (e.g. ``Pulse.efield``);
+        the drive enters every ADO as the batched commutator
+        -i E(t) [mu, ado]."""
         if e_ops is None:
             e_ops = self.e_ops or []
         if mesh is None:
@@ -276,30 +285,50 @@ class HEOMSolver:
                 return jnp.zeros((0,), dtype=dtype)
             return jnp.einsum("kij, ji -> k", eops, ados[0])
 
+        if edip is not None:
+            if pulse is None:
+                raise ValueError("edip given without pulse")
+            mu = jnp.asarray(edip).astype(dtype)
+            base_rhs_t = rhs
+
+            def rhs_t(y, t):
+                E = pulse(t)
+                drive = (-1j * E) * (jnp.einsum("ij, ajk -> aik", mu, y)
+                                     - jnp.einsum("aij, jk -> aik", y, mu))
+                return base_rhs_t(y) + drive
+        else:
+            def rhs_t(y, t):
+                return rhs(y)
+
         if method == "rk4":
-            def stepper(y):
-                k1 = rhs(y)
-                k2 = rhs(y + k1 * (dt / 2))
-                k3 = rhs(y + k2 * (dt / 2))
-                k4 = rhs(y + k3 * dt)
+            def stepper(y, t):
+                k1 = rhs_t(y, t)
+                k2 = rhs_t(y + k1 * (dt / 2), t + dt / 2)
+                k3 = rhs_t(y + k2 * (dt / 2), t + dt / 2)
+                k4 = rhs_t(y + k3 * dt, t + dt)
                 return y + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
         elif method == "euler":
-            def stepper(y):
-                return y + dt * rhs(y)
+            def stepper(y, t):
+                return y + dt * rhs_t(y, t)
         else:
             raise ValueError(method)
 
         def make_evolve(length):
             @jax.jit
-            def evolve(a0):
-                def window(ados, _):
+            def evolve(a0, w0):
+                # w0: traced window offset (array, so chunked/resumed
+                # calls reuse the same compilation) — drives the absolute
+                # time seen by pulse(t)
+                def window(ados, widx):
                     def fine(i, a):
-                        return stepper(a)
+                        t = t0 + (widx * nout + i) * dt
+                        return stepper(a, t)
                     ados = jax.lax.fori_loop(0, nout, fine, ados)
                     out = (obs_of(ados),
                            ados[0] if not store_ados else ados)
                     return ados, out
-                return jax.lax.scan(window, a0, None, length=length)
+                return jax.lax.scan(window, a0,
+                                    w0 + jnp.arange(length))
             return evolve
 
         start_window = 0
@@ -309,7 +338,8 @@ class HEOMSolver:
 
         if checkpoint is None:
             ados_f, (obs, rhos) = make_evolve(
-                ns_steps - start_window)(ados0)
+                ns_steps - start_window)(ados0,
+                                         jnp.asarray(start_window))
         else:
             # chunked propagation with mid-run ADO-stack checkpoints
             # (SURVEY.md §5.4; round-1 VERDICT row 57)
@@ -322,7 +352,7 @@ class HEOMSolver:
             while w < ns_steps:
                 chunk = min(every, ns_steps - w)
                 ev = ev_every if chunk == every else make_evolve(chunk)
-                a, (o, r) = ev(a)
+                a, (o, r) = ev(a, jnp.asarray(w))
                 obs_parts.append(o)
                 rho_parts.append(r)
                 w += chunk
