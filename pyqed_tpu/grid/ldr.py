@@ -911,3 +911,5 @@ class NonHermLDRN(LDRN):
         self._vdia = None
 
 NonHermitianLDR2 = NonHermLDRN   # reference drop-in name (pyqed/ldr/nonherm.py:156)
+
+LDR2_Jacobi = LDR2Jacobi    # reference drop-in name (pyqed/ldr/ldr.py:1779)

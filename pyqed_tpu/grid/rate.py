@@ -97,3 +97,5 @@ class NonadiabaticRate(RateFluxSide):
         x = np.repeat(np.asarray(ldr.x[0]), ldr.nstates)
         super().__init__(H, x, x_div=x_div)
         self.ldr = ldr
+
+Rate = RateFluxSide         # reference drop-in name (pyqed/ldr/rate.py)

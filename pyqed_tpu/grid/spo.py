@@ -653,3 +653,5 @@ class SPO3(SPON):
         psik = jnp.fft.fft(psi, axis=2)
         psik = psik * _cc(self._exp_Kz_ri)[:, :, :, None]
         return jnp.fft.ifft(psik, axis=2)
+
+ResultSPO2 = ResultSPO      # reference drop-in name (pyqed/spo.py)

@@ -77,3 +77,5 @@ class MLP:
 
     def predict(self, x):
         return forward(self.params, jnp.asarray(x), self.activation)
+
+NeuralNetwork = MLP         # reference drop-in name (pyqed/ml)

@@ -244,3 +244,5 @@ def prony_decomposition(C, dt, nmodes, return_error=False):
 def prony_fitting(C, dt, nmodes):
     """Reference-compatible alias (pyqed/heom/deom.py:447)."""
     return prony_decomposition(C, dt, nmodes)
+
+Ohmic = OhmicBath           # reference drop-in name (pyqed/oqs.py Ohmic)

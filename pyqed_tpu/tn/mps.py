@@ -604,3 +604,5 @@ def tebd(mps: MPS, bond_op, dt, nt, chi_max=32, order=2):
             for i in even + odd:
                 apply_gate(psi, i, U_full)
     return psi
+
+MatrixProductState = MPS    # reference drop-in name (pyqed/mps/mps.py)

@@ -84,3 +84,20 @@ def test_misc_utilities():
     assert abs(float(norm2(f, 0.5, 0.5)) - 4 * 5 * 0.25) < 1e-12
     from scipy.special import jv
     assert np.allclose(complex(jacobi_anger(2, 0.3)), -jv(2, 0.3))
+
+
+def test_residual_class_name_aliases():
+    """Reference drop-in class names added in round 2 (see
+    docs/migration.md class-name index)."""
+    from pyqed_tpu.grid.ldr import LDR2_Jacobi, LDR2Jacobi
+    from pyqed_tpu.tn.mps import MatrixProductState, MPS
+    from pyqed_tpu.open.bath import Ohmic, OhmicBath
+    from pyqed_tpu.ml.nn import NeuralNetwork, MLP
+    from pyqed_tpu.grid.rate import Rate, RateFluxSide
+    from pyqed_tpu.grid.spo import ResultSPO2, ResultSPO
+    assert LDR2_Jacobi is LDR2Jacobi
+    assert MatrixProductState is MPS
+    assert Ohmic is OhmicBath
+    assert NeuralNetwork is MLP
+    assert Rate is RateFluxSide
+    assert ResultSPO2 is ResultSPO
