@@ -4,6 +4,7 @@ from .sos import (
     DQC_R1, DQC_R2, etpa, cars, mcd, polarizability,
 )
 from . import tdes
+from .field2des import field_2des_rephasing, rephasing_spectrum
 from .pump_probe import (TransientAbsorption, chi1, chi3,
                          response1_freq, response2_freq,
                          response3_freq, response4_freq,
