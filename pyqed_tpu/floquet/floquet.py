@@ -395,3 +395,60 @@ def floquet_evolution(Hblocks, omega, nt, psi0, times):
     phit = jnp.einsum("mka, mt -> tka", modes.astype(complex), mph)
     return jnp.einsum("tka, a, ta -> tk", phit, c,
                       jnp.exp(-1j * eps[None, :] * times[:, None]))
+
+
+class Floquet:
+    """Finite N-level system under a monochromatic dipole drive,
+
+        H(t) = H0 - E0 cos(omegad t) mu,
+
+    solved exactly by Sambe-space diagonalization. The reference names
+    this class (pyqed/floquet/Floquet.py:1043 and Mol.Floquet at
+    pyqed/mol.py) but ships it fully commented out — made real here on
+    the same machinery as :class:`FloquetBloch`.
+
+    The cosine drive contributes the m = +-1 Fourier blocks
+    H^{(+-1)} = -(E0/2) mu in the H(t) = sum_p H^{(p)} e^{+ipwt}
+    convention of :func:`floquet_matrix`.
+    """
+
+    def __init__(self, H, edip, omegad, E0, nt=31):
+        self.H = jnp.asarray(H)
+        self.edip = jnp.asarray(edip)
+        self.omegad = float(omegad)
+        self.E0 = float(E0)
+        if nt % 2 == 0:
+            nt += 1
+        self.nt = int(nt)
+        self.norb = self.H.shape[0]
+
+    def _blocks(self):
+        n = self.norb
+        blocks = jnp.zeros((3, n, n), dtype=complex)
+        blocks = blocks.at[1].set(self.H.astype(complex))
+        drive = (-0.5 * self.E0) * self.edip.astype(complex)
+        return blocks.at[0].set(drive).at[2].set(drive)
+
+    def extended_hamiltonian(self):
+        """The truncated Sambe-space (extended-zone) Hamiltonian."""
+        return floquet_matrix(self._blocks(), self.omegad, self.nt)
+
+    def quasienergies(self, first_bz=True):
+        w = jnp.linalg.eigvalsh(self.extended_hamiltonian())
+        if first_bz:
+            om = self.omegad
+            w = jnp.mod(w + om / 2, om) - om / 2
+        return w
+
+    def states(self):
+        """(quasienergies (norb,), modes (nt, norb, norb)) in the first
+        Floquet BZ — the physical set, one per system state."""
+        return floquet_states(self._blocks(), self.omegad, self.nt)
+
+    def run(self, psi0, times):
+        """Exact driven evolution psi(t) via the Floquet decomposition
+        (no time stepping — arbitrary t, stroboscopic or not)."""
+        return floquet_evolution(self._blocks(), self.omegad, self.nt,
+                                 psi0, times)
+
+    evolve = run

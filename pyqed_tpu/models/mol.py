@@ -132,6 +132,26 @@ class Mol:
     def getH(self):
         return self.H
 
+    def get_dip(self):
+        return self.dip
+
+    def get_edip(self):
+        return self._edip
+
+    def get_dm(self):
+        """Ground-state density matrix |0><0| (reference: pyqed/mol.py:434)."""
+        psi = self.groundstate()
+        return jnp.outer(psi, psi.conj())
+
+    def get_p_from_r(self):
+        """Momentum matrix from the position/dipole matrix,
+        p_ij = i m (E_i - E_j) x_ij from p = i m [H, x] (reference:
+        pyqed/mol.py:304 — inert there: it calls the nonexistent
+        ``np.substract``, and its sign contradicts its own docstring;
+        the harmonic-oscillator test pins the sign here)."""
+        E = self.E if self.E is not None else self.eigenenergies()
+        return 1j * (E[:, None] - E[None, :]) * self.edip
+
     # ----------------------------------------------------------- eigenstates
     def eigenenergies(self):
         return jnp.linalg.eigvalsh(self.H)
@@ -183,6 +203,50 @@ class Mol:
         return SESolver(self.H).run(psi0=psi0, dt=dt, Nt=Nt, e_ops=e_ops,
                                     nout=nout, t0=t0, pulse=pulse,
                                     edip=self.edip)
+
+    def Floquet(self, omegad, E0, nt=31):
+        """Sambe-space Floquet treatment of this system under a
+        monochromatic dipole drive (reference: pyqed/mol.py Mol.Floquet —
+        dangling there, its target class is commented out at
+        pyqed/floquet/Floquet.py:1043)."""
+        from ..floquet import Floquet as _Floquet
+        return _Floquet(self.H, self.edip, omegad, E0, nt=nt)
+
+    def deom(self, bath, coupling=None, lmax=4, decomposition="pade",
+             nexp=2, **kwargs):
+        """Hierarchical-equations-of-motion solver for this system in
+        `bath` (reference: pyqed/mol.py Mol.deom -> DEOMSolver).
+
+        `coupling`: system operator(s) the bath couples to (defaults to
+        the dipole). Returns a :class:`~pyqed_tpu.open.heom.HEOMSolver`;
+        drive it with ``run(edip=, pulse=)`` for laser-driven DEOM."""
+        from ..open.heom import HEOMSolver
+        if coupling is None:
+            coupling = self.edip
+        ops = coupling if isinstance(coupling, (list, tuple)) else [coupling]
+        if hasattr(bath, "set_bath_ops") and getattr(bath, "bath_ops", None) is None:
+            bath.set_bath_ops([jnp.asarray(o, dtype=complex) for o in ops])
+        return HEOMSolver(self.H.astype(complex), bath=bath, lmax=lmax,
+                          decomposition=decomposition, nexp=nexp, **kwargs)
+
+    def multi(self, nmol=2):
+        """Direct-product aggregate of `nmol` identical copies:
+        H_tot = sum_n 1x..xHx..x1 and the total dipole likewise
+        (reference: pyqed/mol.py Mol.multi with scipy.sparse kron).
+        Returns (H_tot, edip_tot)."""
+        H, I, edip = self.H, self.idm, self.edip
+
+        def embed(op, n):
+            ops = [I] * nmol
+            ops[n] = op
+            out = ops[0]
+            for o in ops[1:]:
+                out = jnp.kron(out, o)
+            return out
+
+        h_tot = sum(embed(H, n) for n in range(nmol))
+        edip_tot = sum(embed(edip, n) for n in range(nmol))
+        return h_tot, edip_tot
 
     # ---------------------------------------------------------- spectroscopy
     def absorption(self, omegas, method="sos", **kwargs):
