@@ -37,6 +37,20 @@ class ResultLDR(Result):
         super().__init__(**kwargs)
         self.dx = dx
 
+    def get_population(self, fname=None):
+        """Electronic populations from the stored snapshots
+        (reference: pyqed/ldr/ldr.py:6727 ``ResultLDR.get_population`` —
+        a per-snapshot Python loop there; one einsum over the full
+        (time, grid..., nstates) stack here). Returns (nt, nstates)."""
+        psis = jnp.asarray(self.psilist)
+        dvol = float(np.prod(self.dx)) if self.dx is not None else 1.0
+        # contract every nuclear axis, keep (time, state)
+        p = jnp.einsum("t...a, t...a -> ta", jnp.conj(psis), psis).real * dvol
+        self.population = np.asarray(p)
+        if fname is not None:
+            np.savez(fname, self.population)
+        return self.population
+
 
 class LDRN:
     """N-dimensional, multi-state LDR propagator
@@ -663,6 +677,39 @@ class LDRN:
 
     def population(self, psi):
         return jnp.real(jnp.diagonal(self.rdm_el(psi)))
+
+    def rdm_nuc(self, psi):
+        """Nuclear reduced density matrix rho(x, x') = sum_a
+        psi*(x, a) psi(x', a) (reference: pyqed/ldr/ldr.py:15798) —
+        a dense (prod(nx), prod(nx)) object; use for small grids."""
+        flat = jnp.reshape(psi, (-1, self.nstates))
+        dvol = float(np.prod(self.dx))
+        rho = (jnp.conj(flat) @ flat.T) * dvol
+        shape = tuple(self.nx) * 2
+        return jnp.reshape(rho, shape)
+
+    def heom(self, bath, coupling, lmax=3, **kwargs):
+        """Couple the full vibronic Hamiltonian to a harmonic bath via
+        HEOM (reference: pyqed/ldr/ldr.py:18916 ``LDRN.HEOM`` — returns
+        a bare, bathless HEOMSolver there; wired for real here).
+
+        coupling : (ntot, ntot) system-bath operator on the flattened
+            (grid x states) vibronic space, or 'population' for a
+            diabatic-state projector bath on state 1.
+        """
+        from ..open.heom import HEOMSolver
+        if getattr(self, "H", None) is None:
+            raise ValueError("call buildH() first")
+        ntot = int(np.prod(self.nx)) * self.nstates
+        H = jnp.reshape(jnp.asarray(self.H), (ntot, ntot))
+        if isinstance(coupling, str) and coupling == "population":
+            proj = jnp.zeros((self.nstates, self.nstates)).at[1, 1].set(1.0)
+            coupling = jnp.kron(jnp.eye(int(np.prod(self.nx))), proj)
+        if hasattr(bath, "set_bath_ops") and getattr(bath, "bath_ops", None) is None:
+            bath.set_bath_ops([jnp.asarray(coupling, dtype=complex)])
+        return HEOMSolver(H.astype(complex), bath=bath, lmax=lmax, **kwargs)
+
+    HEOM = heom
 
 
 class LDR2(LDRN):
