@@ -153,6 +153,45 @@ class Composite(Mol):
         rho = ket2dm(jnp.asarray(psi))
         return ptrace(rho, self.dims, which="B" if which == "A" else "A")
 
+    def spectrum(self):
+        """(eigvals, eigvecs) of the composite — reference:
+        pyqed/polariton/cavity.py Composite.spectrum."""
+        if self.H is None:
+            raise ValueError("Call getH() to compute the full Hamiltonian first.")
+        return self.eigenstates()
+
+    def transform_basis(self, a):
+        """Operator from the product basis to the eigen (polariton)
+        basis: U† a U (reference: pyqed/polariton/cavity.py)."""
+        if self.eigvecs_ is None:
+            self.eigenstates()
+        return transform(a, self.eigvecs_)
+
+    def purity(self, psi, which="A"):
+        """tr(rdm^2) of a subsystem — 1 for a product state
+        (reference: pyqed/polariton/cavity.py Composite.purity)."""
+        r = self.rdm(psi, which=which)
+        return jnp.real(jnp.trace(r @ r))
+
+    def get_nonhermH(self, a_ops=None, b_ops=None, g=0):
+        """Composite non-Hermitian H from the subsystems' nonhermH
+        plus V_AB = sum_i g_i a_i (x) b_i (reference:
+        pyqed/polariton/cavity.py Composite.get_nonhermH)."""
+        ha = self.A.get_nonhermH() if hasattr(self.A, "get_nonhermH") \
+            else self.A.nonhermH
+        hb = self.B.get_nonhermH() if hasattr(self.B, "get_nonhermH") \
+            else self.B.nonhermH
+        H = (jnp.kron(ha, self.idb.astype(ha.dtype))
+             + jnp.kron(self.ida.astype(hb.dtype), hb))
+        if a_ops is not None:
+            if not isinstance(a_ops, (list, tuple)):
+                a_ops, b_ops, g = [a_ops], [b_ops], [g]
+            for gi, a_op, b_op in zip(np.atleast_1d(g), a_ops, b_ops):
+                H = H + gi * jnp.kron(a_op.astype(H.dtype),
+                                      b_op.astype(H.dtype))
+        self.nonhermH = H
+        return H
+
 
 class Polariton(Composite):
     """Molecule + cavity (reference: pyqed/polariton/cavity.py:577)."""
@@ -241,6 +280,11 @@ class Polariton(Composite):
              + jnp.kron(Imol.astype(hcav.dtype), hcav) + hint)
         self.nonhermH = H
         return H
+
+    def get_dm(self):
+        """Product initial density matrix: molecular ground state x
+        cavity vacuum (reference: pyqed/polariton/cavity.py)."""
+        return jnp.kron(self.mol.get_dm(), self.cav.vacuum_dm())
 
     def get_edip(self, basis="product"):
         return jnp.kron(self.mol.edip, self.cav.idm)

@@ -322,3 +322,64 @@ def test_qrm_factory_jaynes_cummings_splitting():
     assert abs(evals[2] - (w + g)) < 1e-8
     # second doublet splits by 2 g sqrt(2)
     assert abs((evals[4] - evals[3]) - 2 * g * np.sqrt(2)) < 1e-6
+
+
+class TestCompositeExtras:
+    """Composite spectrum/transform_basis/purity/get_nonhermH +
+    Polariton.get_dm (reference: pyqed/polariton/cavity.py)."""
+
+    def _jc(self, g=0.1):
+        s0, sx, sy, sz = pauli()
+        mol = Mol(0.5 * (jnp.eye(2) - jnp.asarray(np.asarray(sz))),
+                  edip=jnp.asarray(np.asarray(sx), dtype=complex))
+        cav = Cavity(1.0, 3, decay=0.01, quality_factor=50.0)
+        pol = Polariton(mol, cav, g=g)
+        pol.getH()
+        return pol
+
+    def test_spectrum_and_transform_basis(self):
+        pol = self._jc()
+        w, v = pol.spectrum()[:2]
+        Ht = np.asarray(pol.transform_basis(pol.H))
+        # H in its own eigenbasis is diagonal with the spectrum
+        assert np.allclose(Ht, np.diag(np.asarray(w)), atol=1e-10)
+
+    def test_purity_product_vs_entangled(self):
+        pol = self._jc()
+        # product state |g, 0>
+        psi_prod = np.zeros(pol.dim, complex)
+        psi_prod[0] = 1.0
+        assert abs(float(pol.purity(jnp.asarray(psi_prod))) - 1.0) < 1e-12
+        # Bell-like (|e,0> + |g,1>)/sqrt(2): purity = 1/2
+        psi = np.zeros(pol.dim, complex)
+        psi[pol.cav.n_cav] = 1 / np.sqrt(2)       # |e, 0>
+        psi[1] = 1 / np.sqrt(2)                   # |g, 1>
+        assert abs(float(pol.purity(jnp.asarray(psi))) - 0.5) < 1e-12
+
+    def test_get_dm_product_vacuum(self):
+        pol = self._jc()
+        dm = np.asarray(pol.get_dm())
+        assert abs(np.trace(dm) - 1.0) < 1e-12
+        ref = np.zeros((pol.dim, pol.dim), complex)
+        ref[0, 0] = 1.0
+        assert np.allclose(dm, ref, atol=1e-12)
+
+    def test_composite_get_nonhermH(self):
+        s0, sx, sy, sz = pauli()
+        mol = Mol(0.5 * (jnp.eye(2) - jnp.asarray(np.asarray(sz))),
+                  edip=jnp.asarray(np.asarray(sx), dtype=complex),
+                  gamma=[0.0, 0.05])
+        cav = Cavity(1.0, 3, quality_factor=100.0)
+        comp = Composite(mol, cav)
+        a = cav.annihilate()
+        H = np.asarray(comp.get_nonhermH(
+            a_ops=[jnp.asarray(np.asarray(sx), complex)],
+            b_ops=[a + dag(a)], g=[0.1]))
+        # anti-Hermitian part strictly dissipative (eigvals <= 0)
+        gamma = (H - H.conj().T) / 2j
+        assert np.max(np.linalg.eigvalsh(gamma)) < 1e-12
+        # Hermitian part == Hermitian composite H with same coupling
+        comp2 = Composite(mol, cav)
+        Hh = np.asarray(comp2.getH(a_ops=[jnp.asarray(np.asarray(sx), complex)],
+                                   b_ops=[a + dag(a)], g=[0.1]))
+        assert np.allclose((H + H.conj().T) / 2, Hh, atol=1e-10)
