@@ -2,6 +2,7 @@ from .linalg import (
     dag, dagger, commutator, comm, anticommutator, anticomm, tensor,
     tensor_power, ptrace, transform, basis_transform, obs, obs_dm, expect,
     overlap, ket2dm, norm, rk4, isherm, isunitary, isdiag, project, sort_eig,
+    eigh, eig_asymm, lindbladian, ldo,
 )
 from .operators import (
     pauli, sigmax, sigmay, sigmaz, sigmam, sigmap, destroy, create, basis,
@@ -12,6 +13,8 @@ from .operators import (
 from .math import (
     lorentzian, gaussian, coth, heaviside, fermi, sinc, rect, interval,
     stepsize, fftfreq, morse, pdf_normal, discretize, cartesian_product,
+    meshgrid, cartesian, logarithmic_discretize, polar2cartesian,
+    cartesian2polar, nlargest, get_index, polarization_vector, rotate,
 )
 from .superoperator import (
     dm2vec, vec2dm, vec2mat, operator_to_vector, left, right,
@@ -22,7 +25,7 @@ from .superoperator import (
 from .wavepacket import gwp, rgwp, gwp_k, gwp2
 from .expm import (
     expm_eig, expm_herm, propagators, expm_multiply_taylor,
-    krylov_expm_multiply,
+    krylov_expm_multiply, expm,
 )
 from . import fft
 from . import quadrature

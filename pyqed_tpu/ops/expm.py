@@ -172,3 +172,22 @@ def chebyshev_expm_multiply(H, b, dt, emin, emax, order=32):
 
     _, _, acc = jax.lax.fori_loop(1, order, body, (phi0, phi1, acc))
     return acc * jnp.exp(-1j * c * dt)
+
+
+def expm(A, t, method="eig"):
+    """U(t) = e^{A t} for one or many times (reference: pyqed/phys.py
+    expm — an RK4 'EOM' loop there; exact eig/vmapped here).
+
+    A : (n, n); t : scalar or (nt,). Returns (n, n) or (nt, n, n).
+    """
+    A = jnp.asarray(A)
+    w, V = jnp.linalg.eig(A)
+    Vinv = jnp.linalg.inv(V)
+
+    def at(tt):
+        return (V * jnp.exp(w * tt)[None, :]) @ Vinv
+
+    t = jnp.asarray(t)
+    if t.ndim == 0:
+        return at(t)
+    return jax.vmap(at)(t)

@@ -190,3 +190,41 @@ def magnus2_propagators(H_mid, dt):
     phase = jnp.exp(-1j * w * dt)
     return jnp.einsum("tab, tb, tcb -> tac", V, phase, V.conj(),
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def eigh(a, k=None):
+    """Eigendecomposition with optional truncation to the lowest k
+    (reference: pyqed/phys.py eigh)."""
+    w, v = jnp.linalg.eigh(jnp.asarray(a))
+    if k is not None and k < w.shape[-1]:
+        return w[..., :k], v[..., :, :k]
+    return w, v
+
+
+def eig_asymm(h):
+    """Diagonalize a general (non-symmetric) matrix, sorted ascending by
+    real part; real eigenvalues returned real (reference: pyqed/phys.py
+    eig_asymm)."""
+    e, c = jnp.linalg.eig(jnp.asarray(h))
+    if bool(jnp.allclose(e.imag, 0.0)):
+        e = e.real
+    idx = jnp.argsort(e.real)
+    return e[idx], c[:, idx]
+
+
+# reference-name alias: pyqed/phys.py `sort(eigvals, eigvecs)`
+sort = sort_eig
+
+
+def lindbladian(l, rho):
+    """Single-jump Lindblad dissipator applied to rho:
+    l rho l† − (1/2){l†l, rho} (reference: pyqed/phys.py lindbladian)."""
+    l = jnp.asarray(l)
+    rho = jnp.asarray(rho)
+    return l @ rho @ dag(l) - 0.5 * anticommutator(dag(l) @ l, rho)
+
+
+def ldo(b, A):
+    """Linear differential operator application A b
+    (reference: pyqed/phys.py ldo)."""
+    return jnp.asarray(A) @ jnp.asarray(b)

@@ -96,3 +96,72 @@ def is_positive_def(A):
         return True
     except np.linalg.LinAlgError:
         return False
+
+
+def meshgrid(*args):
+    """ij-indexed meshgrid (reference: pyqed/phys.py meshgrid — "fix the
+    indexing of the Numpy meshgrid")."""
+    return jnp.meshgrid(*args, indexing="ij")
+
+
+def cartesian(*args):
+    """Cartesian product as a list of lists (reference: pyqed/phys.py)."""
+    ans = [[]]
+    for arg in args:
+        ans = [x + [y] for x in ans for y in arg]
+    return ans
+
+
+def logarithmic_discretize(n, base=2.0):
+    """Logarithmic discretization points Lambda^-k, k = 0..n, of (0, 1]
+    in descending order (reference: pyqed/phys.py; used by NRG)."""
+    return jnp.asarray(float(base) ** (-jnp.arange(n + 1, dtype=float)))
+
+
+def polar2cartesian(r, theta):
+    """(r, theta) -> (x, y) (reference: pyqed/phys.py)."""
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def cartesian2polar(x, y):
+    """(x, y) -> (r, theta) (reference: pyqed/phys.py)."""
+    return jnp.sqrt(x ** 2 + y ** 2), jnp.arctan2(y, x)
+
+
+def nlargest(a, n=1, with_index=False):
+    """Largest n elements (optionally with indices), descending
+    (reference: pyqed/phys.py — heapq there; one argsort here)."""
+    a = jnp.asarray(a)
+    idx = jnp.argsort(a)[::-1][:n]
+    if with_index:
+        return a[idx], idx
+    return a[idx]
+
+
+def get_index(array, value):
+    """Index of the element closest to `value` (reference: pyqed/phys.py)."""
+    return int(jnp.argmin(jnp.abs(jnp.asarray(array) - value)))
+
+
+def polarization_vector(pol="x"):
+    """Unit polarization vector: 'x', 'y', 'z', 'lcp', 'rcp'
+    (reference: pyqed/phys.py — x/y/lcp/rcp there)."""
+    import numpy as _np
+    vecs = {
+        "x": _np.array([1.0, 0.0, 0.0]),
+        "y": _np.array([0.0, 1.0, 0.0]),
+        "z": _np.array([0.0, 0.0, 1.0]),
+        "lcp": _np.array([1.0, 1j, 0.0]) / _np.sqrt(2),
+        "rcp": _np.array([1.0, -1j, 0.0]) / _np.sqrt(2),
+    }
+    try:
+        return jnp.asarray(vecs[pol])
+    except KeyError:
+        raise ValueError(f"unknown polarization {pol!r}") from None
+
+
+def rotate(angle):
+    """2D rotation matrix (reference: pyqed/phys.py rotate — which
+    returns the invalid ``np.array()`` there; made real)."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.array([[c, -s], [s, c]])

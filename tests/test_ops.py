@@ -180,3 +180,87 @@ class TestWavepacket:
         x = np.linspace(-2000, 2000, 400001)
         y = lorentzian(jnp.asarray(x), width=2.0)
         assert np.isclose(np.trapezoid(np.asarray(y), x), 1.0, atol=1e-3)
+
+
+class TestPhysUtilityDropins:
+    """Small reference phys.py utilities made real (several are broken
+    in the reference: rotate returns np.array(), integrate recurses)."""
+
+    def test_eigh_truncated(self):
+        from pyqed_tpu.ops import eigh
+        rng = np.random.default_rng(3)
+        A = rng.standard_normal((6, 6))
+        A = A + A.T
+        w, v = eigh(A, k=3)
+        wf = np.linalg.eigvalsh(A)
+        assert np.allclose(np.asarray(w), wf[:3], atol=1e-10)
+        assert v.shape == (6, 3)
+
+    def test_eig_asymm_sorted_real(self):
+        from pyqed_tpu.ops import eig_asymm
+        rng = np.random.default_rng(5)
+        # real-spectrum nonsymmetric matrix: S D S^-1
+        D = np.diag([3.0, -1.0, 0.5])
+        S = rng.standard_normal((3, 3))
+        A = S @ D @ np.linalg.inv(S)
+        e, c = eig_asymm(A)
+        assert np.allclose(np.asarray(e), [-1.0, 0.5, 3.0], atol=1e-8)
+        # eigenvector property
+        r = A @ np.asarray(c[:, 0]) - np.asarray(e[0]) * np.asarray(c[:, 0])
+        assert np.max(np.abs(r)) < 1e-8
+
+    def test_expm_vs_scipy(self):
+        import scipy.linalg
+        from pyqed_tpu.ops import expm
+        rng = np.random.default_rng(7)
+        A = rng.standard_normal((4, 4)) * 0.3
+        U = np.asarray(expm(A, 0.7))
+        assert np.allclose(U, scipy.linalg.expm(A * 0.7), atol=1e-9)
+        Us = np.asarray(expm(A, np.array([0.0, 0.7])))
+        assert np.allclose(Us[0], np.eye(4), atol=1e-10)
+        assert np.allclose(Us[1], U, atol=1e-10)
+
+    def test_lindbladian_trace_free(self):
+        from pyqed_tpu.ops import lindbladian
+        from pyqed_tpu import destroy
+        a = destroy(3)
+        rng = np.random.default_rng(11)
+        r = rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3))
+        rho = r @ r.conj().T
+        rho = rho / np.trace(rho)
+        d = np.asarray(lindbladian(a, jnp.asarray(rho)))
+        assert abs(np.trace(d)) < 1e-12
+
+    def test_rotate_orthogonal(self):
+        from pyqed_tpu.ops import rotate
+        R = np.asarray(rotate(0.3))
+        assert np.allclose(R @ R.T, np.eye(2), atol=1e-12)
+        assert np.allclose(R @ [1, 0], [np.cos(0.3), np.sin(0.3)], atol=1e-12)
+
+    def test_polarization_vectors(self):
+        from pyqed_tpu.ops import polarization_vector
+        for p in ("x", "y", "z", "lcp", "rcp"):
+            v = np.asarray(polarization_vector(p))
+            assert abs(np.vdot(v, v) - 1.0) < 1e-12
+        l = np.asarray(polarization_vector("lcp"))
+        r = np.asarray(polarization_vector("rcp"))
+        assert abs(np.vdot(l, r)) < 1e-12
+
+    def test_misc_small(self):
+        from pyqed_tpu.ops import (nlargest, get_index, cartesian,
+                                   logarithmic_discretize, polar2cartesian,
+                                   cartesian2polar, meshgrid, ldo)
+        a = np.array([3.0, 1.0, 4.0, 1.5])
+        top, idx = nlargest(a, 2, with_index=True)
+        assert np.allclose(np.asarray(top), [4.0, 3.0])
+        assert list(np.asarray(idx)) == [2, 0]
+        assert get_index(a, 1.4) == 3
+        assert cartesian([1, 2], [3, 4]) == [[1, 3], [1, 4], [2, 3], [2, 4]]
+        lam = np.asarray(logarithmic_discretize(3, base=2.0))
+        assert np.allclose(lam, [1.0, 0.5, 0.25, 0.125])
+        x, y = polar2cartesian(jnp.asarray(2.0), jnp.asarray(np.pi / 6))
+        r, th = cartesian2polar(x, y)
+        assert abs(float(r) - 2.0) < 1e-12 and abs(float(th) - np.pi / 6) < 1e-12
+        X, Y = meshgrid(jnp.arange(2), jnp.arange(3))
+        assert X.shape == (2, 3)
+        assert np.allclose(np.asarray(ldo(np.ones(2), np.eye(2) * 2)), 2.0)
