@@ -92,11 +92,118 @@ class Molecule:
         from .ci import FCI
         return FCI(self.RHF().run(), **kwargs)
 
+    # ------------------------------------------------- atom accessors
+    # (reference: pyqed/qchem/mol.py Molecule.atom_coord(s)/atom_symbol(s)/
+    # atom_charge(s)/atom_mass_list)
+    def atom_coord(self, a):
+        return self.atoms[a][1]
+
+    def atom_coords(self):
+        return np.array([x for _, x in self.atoms])
+
+    def atom_symbol(self, i):
+        return self.atoms[i][0]
+
+    def atom_symbols(self):
+        return [s for s, _ in self.atoms]
+
+    def atom_charge(self, i):
+        return ATOMIC_NUMBER[self.atoms[i][0]]
+
+    def atom_charges(self):
+        return np.array([ATOMIC_NUMBER[s] for s, _ in self.atoms])
+
+    def atom_mass_list(self):
+        from ..units import atomic_mass
+        return np.array([atomic_mass[s.upper()] for s, _ in self.atoms])
+
     def center_of_mass(self):
         from ..units import atomic_mass, amu2au
         masses = np.array([atomic_mass[s.upper()] for s, _ in self.atoms])
         coords = np.array([x for _, x in self.atoms])
         return (masses[:, None] * coords).sum(0) / masses.sum()
+
+    # ------------------------------------------------- molecular frames
+    def molecular_frame(self):
+        """Shift to the center-of-mass frame in place; returns self
+        (reference: pyqed/qchem/mol.py Molecule.molecular_frame)."""
+        com = self.center_of_mass()
+        self.atoms = [(s, x - com) for s, x in self.atoms]
+        self._ints = None
+        return self
+
+    def eckart_frame(self, ref):
+        """Rotate/translate into the Eckart frame of a reference geometry
+        (reference: pyqed/qchem/mol.py:928; mass-weighted Kabsch here).
+        `ref`: (natm, 3) coordinates or another Molecule. Returns the
+        new coordinates."""
+        from .geometry import eckart_frame as _eckart
+        ref_coords = ref.atom_coords() if hasattr(ref, "atom_coords") else \
+            np.asarray(ref, float)
+        aligned, _, _ = _eckart(ref_coords, self.atom_coords(),
+                                self.atom_mass_list())
+        # eckart_frame returns COM-frame coords of ref; re-anchor to the
+        # reference's center of mass
+        m = self.atom_mass_list()
+        ref_com = np.average(ref_coords, axis=0, weights=m)
+        coords = aligned + ref_com
+        self.atoms = [(s, c) for (s, _), c in zip(self.atoms, coords)]
+        self._ints = None
+        return coords
+
+    def principle_axes(self):
+        """Principal axes of inertia: (moments, axes) with axes[:, i]
+        the i-th axis (reference: pyqed/qchem/mol.py — a ``pass`` stub
+        there)."""
+        I = self.inertia_tensor()
+        w, v = np.linalg.eigh(I)
+        return w, v
+
+    def zmat(self):
+        """Z-matrix representation (symbol, bond, angle, dihedral) as a
+        string (reference: pyqed/qchem/mol.py Molecule.zmat — prints to
+        stdout there; returned here)."""
+        coords = self.atom_coords()
+        syms = self.atom_symbols()
+        lines = []
+
+        def dist(i, j):
+            return np.linalg.norm(coords[i] - coords[j])
+
+        def angle(i, j, k):
+            u = coords[i] - coords[j]
+            v = coords[k] - coords[j]
+            c = np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v))
+            return np.degrees(np.arccos(np.clip(c, -1.0, 1.0)))
+
+        def dihedral(i, j, k, l):
+            b1 = coords[j] - coords[i]
+            b2 = coords[k] - coords[j]
+            b3 = coords[l] - coords[k]
+            n1 = np.cross(b1, b2)
+            n2 = np.cross(b2, b3)
+            m1 = np.cross(n1, b2 / np.linalg.norm(b2))
+            return np.degrees(np.arctan2(np.dot(m1, n2), np.dot(n1, n2)))
+
+        for i, s in enumerate(syms):
+            if i == 0:
+                lines.append(f"{s}")
+            elif i == 1:
+                lines.append(f"{s} 1 {dist(1, 0):.5f}")
+            elif i == 2:
+                lines.append(f"{s} 2 {dist(2, 1):.5f} 1 {angle(2, 1, 0):.3f}")
+            else:
+                lines.append(
+                    f"{s} {i} {dist(i, i-1):.5f} {i-1} "
+                    f"{angle(i, i-1, i-2):.3f} {i-2} "
+                    f"{dihedral(i, i-1, i-2, i-3):.3f}")
+        return "\n".join(lines)
+
+    def tofile(self, fname):
+        """Write an .xyz file (reference: pyqed/qchem/mol.py — a ``pass``
+        stub there)."""
+        from .geometry import save_to_xyz
+        return save_to_xyz(self, fname)
 
     def inertia_tensor(self):
         from ..units import atomic_mass
@@ -106,3 +213,5 @@ class Molecule:
         for m, r in zip(masses, coords):
             I += m * (np.dot(r, r) * np.eye(3) - np.outer(r, r))
         return I
+
+    inertia_moment = inertia_tensor

@@ -282,3 +282,66 @@ class TestCIOverlap:
         tau2 = nonadiabatic_coupling(
             lambda r: self._h2(r), 1.8, None, dr=5e-3, nroots=6)
         assert abs(tau2[0, 5]) > 1e-3
+
+
+class TestMoleculeGeometryAPI:
+    """Atom accessors + frames (reference: pyqed/qchem/mol.py —
+    principle_axes/tofile are pass stubs there, zmat prints to stdout)."""
+
+    def _water(self):
+        from pyqed_tpu.qchem.mol import Molecule
+        return Molecule([("O", (0.0, 0.0, 0.22)),
+                         ("H", (0.0, 1.43, -0.89)),
+                         ("H", (0.0, -1.43, -0.89))])
+
+    def test_accessors(self):
+        mol = self._water()
+        assert mol.atom_symbols() == ["O", "H", "H"]
+        assert list(mol.atom_charges()) == [8, 1, 1]
+        assert mol.atom_charge(0) == 8
+        assert np.allclose(mol.atom_coord(1), [0.0, 1.43, -0.89])
+        m = mol.atom_mass_list()
+        assert abs(m[0] - 15.999) < 0.01 and abs(m[1] - 1.008) < 0.01
+
+    def test_molecular_frame_and_principal_axes(self):
+        mol = self._water()
+        mol.molecular_frame()
+        assert np.allclose(mol.center_of_mass(), 0.0, atol=1e-12)
+        w, v = mol.principle_axes()
+        # planar molecule: largest moment = sum of the other two
+        assert abs(w[2] - (w[0] + w[1])) < 1e-8
+        assert np.allclose(v @ v.T, np.eye(3), atol=1e-12)
+
+    def test_zmat(self):
+        mol = self._water()
+        lines = mol.zmat().splitlines()
+        assert lines[0] == "O"
+        r1 = float(lines[1].split()[2])
+        assert abs(r1 - np.linalg.norm([0.0, 1.43, -1.11])) < 1e-4
+        ang = float(lines[2].split()[4])
+        assert 30.0 < ang < 45.0
+
+    def test_eckart_frame_realigns_rotation(self):
+        from pyqed_tpu.qchem.mol import Molecule
+        from pyqed_tpu.qchem.geometry import eckart_conditions
+        ref = self._water().molecular_frame()
+        th = 0.3
+        R = np.array([[1, 0, 0],
+                      [0, np.cos(th), -np.sin(th)],
+                      [0, np.sin(th), np.cos(th)]])
+        rot = Molecule([(s, R @ x) for s, x in ref.atoms])
+        rot.eckart_frame(ref)
+        assert eckart_conditions(ref.atom_coords(), rot.atom_coords(),
+                                 ref.atom_mass_list())
+        assert np.abs(rot.atom_coords() - ref.atom_coords()).max() < 1e-12
+
+    def test_tofile_roundtrip(self, tmp_path):
+        from pyqed_tpu.units import au2angstrom
+        mol = self._water()
+        f = tmp_path / "w.xyz"
+        mol.tofile(str(f))
+        lines = f.read_text().splitlines()
+        assert lines[0].strip() == "3"
+        vals = np.array([[float(v) for v in l.split()[1:]]
+                         for l in lines[2:]])
+        assert np.allclose(vals, mol.atom_coords() * au2angstrom, atol=1e-8)
