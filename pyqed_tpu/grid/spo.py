@@ -63,6 +63,34 @@ class ResultSPO(Result):
     def x(self):
         return self.grids[0] if self.grids else None
 
+    def get_population(self, fname=None):
+        """Per-state populations from the stored snapshots (reference:
+        pyqed/wpd.py ResultSPO2.get_population — a per-snapshot loop
+        there; one einsum here). Returns (nt, nstates)."""
+        psis = jnp.asarray(self.psilist)
+        dvol = float(np.prod([g[1] - g[0] for g in self.grids]))
+        p = jnp.einsum("t...a, t...a -> ta",
+                       jnp.conj(psis), psis).real * dvol
+        self.population = np.asarray(p)
+        if fname is not None:
+            np.savez(fname, self.population)
+        return self.population
+
+    def position(self):
+        """Position expectations <x_d>(t), all dims in one einsum each
+        (reference: pyqed/wpd.py ResultSPO2.position). Returns
+        (nt, ndim)."""
+        psis = jnp.asarray(self.psilist)
+        dvol = float(np.prod([g[1] - g[0] for g in self.grids]))
+        ndim = len(self.grids)
+        cols = []
+        abc = "ijklm"[:ndim]
+        for d, g in enumerate(self.grids):
+            sub = f"t{abc}n, {abc[d]}, t{abc}n -> t"
+            cols.append(jnp.einsum(sub, jnp.conj(psis), jnp.asarray(g),
+                                   psis).real * dvol)
+        return np.asarray(jnp.stack(cols, axis=-1))
+
     @property
     def y(self):
         return self.grids[1] if self.grids and len(self.grids) > 1 else None
@@ -494,6 +522,27 @@ class SPON:
     def position_expectation(self, psi, axis=0):
         X = jnp.asarray(np.meshgrid(*self.grids, indexing="ij")[axis])
         return jnp.sum(X[..., None] * jnp.abs(psi) ** 2) * self.dvol
+
+    def current_density(self, psi, state_id=0):
+        """Probability-current vector field of one electronic component,
+        j_d = Im(chi* d_d chi)/m_d, via spectral (FFT) derivatives
+        (reference: pyqed/wpd.py:796 ``SPO2.current_density`` — a
+        finite-difference quiver PLOT there; the physical current is
+        computed and returned here).
+
+        Returns a list of ndim arrays, each with the grid shape.
+        """
+        chi = jnp.asarray(psi)[..., state_id]
+        js = []
+        for d in range(self.ndim):
+            n = chi.shape[d]
+            k = 2 * np.pi * jnp.fft.fftfreq(n, d=self.dxs[d])
+            shape = [1] * self.ndim
+            shape[d] = n
+            dchi = jnp.fft.ifft(1j * k.reshape(shape)
+                                * jnp.fft.fft(chi, axis=d), axis=d)
+            js.append(jnp.imag(jnp.conj(chi) * dchi) / self.masses[d])
+        return js
 
 
 class SPO(SPON):

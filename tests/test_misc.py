@@ -154,3 +154,45 @@ class TestDiagnostics:
             check_finite({"x": np.array([1.0, np.nan])})
         with debug_nans(False):
             pass
+
+
+class TestSPOAuxMethods:
+    """SPON.current_density + ResultSPO.get_population/position
+    (reference: pyqed/wpd.py:796 current_density is a quiver plot;
+    ResultSPO2 loops per snapshot)."""
+
+    def test_current_density_plane_wave_packet(self):
+        from pyqed_tpu.grid.spo import SPON
+        import jax.numpy as jnp
+        x = np.linspace(-12.0, 12.0, 128, endpoint=False)
+        sol = SPON([x], masses=[2.0], nstates=1)
+        k0 = 1.7
+        chi = np.exp(-0.5 * x ** 2 + 1j * k0 * x)
+        chi /= np.sqrt((np.abs(chi) ** 2).sum() * sol.dxs[0])
+        psi = chi[:, None]
+        (j,) = sol.current_density(jnp.asarray(psi))
+        j = np.asarray(j)
+        # j = |chi|^2 k0 / m for a constant-phase-gradient packet
+        ref = np.abs(chi) ** 2 * k0 / 2.0
+        sel = np.abs(chi) ** 2 > 1e-6
+        assert np.allclose(j[sel], ref[sel], rtol=1e-6)
+
+    def test_result_population_and_position(self):
+        from pyqed_tpu.grid.spo import SPON
+        import jax.numpy as jnp
+        x = np.linspace(-10.0, 10.0, 128, endpoint=False)
+        sol = SPON([x], masses=[1.0], nstates=1)
+        sol.set_dpes(np.stack([0.5 * x ** 2], axis=-1)[..., None]
+                     if False else (0.5 * x ** 2)[:, None, None])
+        chi = np.exp(-0.5 * (x - 1.0) ** 2).astype(complex)
+        chi /= np.sqrt((np.abs(chi) ** 2).sum() * sol.dxs[0])
+        res = sol.run(jnp.asarray(chi[:, None]), dt=0.02, nt=157, nout=10)
+        p = res.get_population()
+        assert np.allclose(p.sum(axis=1), 1.0, atol=1e-8)
+        xs = res.position()
+        # coherent state in HO: <x>(t) = cos(t); snapshot at ~pi gives -1
+        assert xs.shape[1] == 1
+        assert xs[0, 0] > 0.9
+        t = np.asarray(res.times)
+        ref = 1.0 * np.cos(t)
+        assert np.allclose(xs[:, 0], ref, atol=5e-3)
