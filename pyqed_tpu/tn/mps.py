@@ -225,6 +225,54 @@ class MPS:
     def norm(self):
         return jnp.linalg.norm(self.to_dense())
 
+    def compress(self, chi_max, return_error=False):
+        """Truncate every bond to dimension <= chi_max by a two-pass
+        canonicalization sweep (L->R QR, then R->L truncated SVD)
+        (reference: pyqed/mps/mps.py MPS.compress). Returns a new MPS
+        (and the summed discarded weight if return_error)."""
+        L = self.L
+        Ms = [B for B in self.Bs]
+        for i in range(L - 1):
+            chiL, d, chiR = Ms[i].shape
+            Q, R = jnp.linalg.qr(Ms[i].reshape(chiL * d, chiR))
+            Ms[i] = Q.reshape(chiL, d, Q.shape[1])
+            Ms[i + 1] = jnp.einsum("ab, bpc -> apc", R, Ms[i + 1])
+        Bs = [None] * L
+        Ss = [jnp.ones(1)] * L
+        err = 0.0
+        M = Ms[-1]
+        for i in range(L - 1, 0, -1):
+            chiL, d, chiR = M.shape
+            U, S, Vh = jnp.linalg.svd(M.reshape(chiL, d * chiR),
+                                      full_matrices=False)
+            keep = min(chi_max, S.shape[0])
+            err += float(jnp.sum(S[keep:] ** 2))
+            U, S, Vh = U[:, :keep], S[:keep], Vh[:keep]
+            Bs[i] = Vh.reshape(keep, d, chiR)
+            nrm = jnp.linalg.norm(S)
+            Ss[i] = S / nrm
+            M = jnp.einsum("apb, bc, c -> apc", Ms[i - 1], U, S)
+        Bs[0] = M / jnp.linalg.norm(M.reshape(-1))
+        out = MPS(Bs, Ss, bc=self.bc, form=self.form)
+        return (out, err) if return_error else out
+
+    def correlation_length(self):
+        """Correlation length from the second-largest transfer-matrix
+        eigenvalue, xi = -L / ln|lambda_2 / lambda_1| (reference:
+        pyqed/mps/mps.py MPS.correlation_length — infinite bc only)."""
+        if self.bc != "infinite":
+            raise ValueError("correlation_length requires bc='infinite'")
+        B = self.Bs[0]
+        chi = B.shape[0]
+        T = jnp.einsum("apb, cpd -> acbd", B, jnp.conj(B))
+        for i in range(1, self.L):
+            B = self.Bs[i]
+            T = jnp.einsum("acbd, bpe, dpf -> acef", T, B, jnp.conj(B))
+        T = T.reshape(chi * chi, chi * chi)
+        lam = jnp.linalg.eigvals(T)
+        mags = jnp.sort(jnp.abs(lam))[::-1]
+        return float(-self.L / jnp.log(mags[1] / mags[0]))
+
     def overlap(self, other):
         C = jnp.einsum("apb, apc -> bc", self.Bs[0].conj(), other.Bs[0])
         for k in range(1, self.L):

@@ -157,3 +157,46 @@ def test_ncon_matches_reference_and_einsum():
     D = rng.standard_normal((4, 4))
     tr = float(np.asarray(ncon([D], [[1, 1]])))
     assert abs(tr - np.trace(D)) < 1e-12
+
+
+class TestMPSCompressCorrlen:
+    def test_compress_exact_when_rank_small(self):
+        """A chi=2 state compressed at chi_max=4 is unchanged."""
+        from pyqed_tpu.tn.mps import MPS
+        rng = np.random.default_rng(2)
+        v = rng.standard_normal(2 ** 6) + 1j * rng.standard_normal(2 ** 6)
+        v /= np.linalg.norm(v)
+        mps = MPS.from_dense(v, [2] * 6)
+        small = mps.compress(2)
+        again = small.compress(4)
+        assert np.abs(np.abs(np.vdot(np.asarray(small.to_dense()),
+                                     np.asarray(again.to_dense()))) - 1.0) < 1e-10
+
+    def test_compress_truncation_error_monotone(self):
+        from pyqed_tpu.tn.mps import MPS
+        rng = np.random.default_rng(4)
+        v = rng.standard_normal(2 ** 8) + 1j * rng.standard_normal(2 ** 8)
+        v /= np.linalg.norm(v)
+        mps = MPS.from_dense(v, [2] * 8)
+        dense = np.asarray(mps.to_dense())
+        fids = []
+        for chi in (2, 4, 8, 16):
+            c = mps.compress(chi)
+            fids.append(abs(np.vdot(dense, np.asarray(c.to_dense()))))
+        assert all(fids[i] <= fids[i + 1] + 1e-12 for i in range(3))
+        assert fids[-1] > 1 - 1e-10          # chi=16 is exact for L=8
+
+    def test_correlation_length_ising_like(self):
+        """Uniform infinite MPS built from a known 2x2 transfer structure:
+        product state has xi -> 0 (lambda2 = 0 -> -inf log -> xi = 0);
+        use a weakly entangled B and check xi matches the dense transfer
+        matrix eigenvalue ratio."""
+        from pyqed_tpu.tn.mps import MPS
+        rng = np.random.default_rng(7)
+        B = rng.standard_normal((3, 2, 3)) * 0.5
+        B = B / np.sqrt(np.einsum("apb, apb ->", B, B))
+        mps = MPS([jnp.asarray(B)], bc="infinite")
+        xi = mps.correlation_length()
+        T = np.einsum("apb, cpd -> acbd", B, B).reshape(9, 9)
+        lam = np.sort(np.abs(np.linalg.eigvals(T)))[::-1]
+        assert abs(xi - (-1.0 / np.log(lam[1] / lam[0]))) < 1e-8
