@@ -201,6 +201,35 @@ class Biphoton:
         self.jta = jta_
         return ts, ti, jta_
 
+    def pump(self, bandwidth=None):
+        """Pump spectral envelope alpha(p + q) on the (p, q) grid
+        (reference: pyqed/optics.py Biphoton.pump — which references
+        undefined globals p, q there; evaluated on the stored grid
+        here)."""
+        if bandwidth is None:
+            bandwidth = self.pump_bandwidth
+        P, Q = jnp.meshgrid(jnp.asarray(self.p), jnp.asarray(self.q),
+                            indexing="ij")
+        return jnp.sqrt(1.0 / (jnp.sqrt(2.0 * jnp.pi) * bandwidth)) * \
+            jnp.exp(-(P + Q) ** 2 / (4.0 * bandwidth ** 2))
+
+    def detect(self):
+        """Two-photon detection amplitude <0|E(t1)E(t2)|Phi> on the
+        temporal grid conjugate to (p, q): both photon-ordering terms,
+        carrier phases restored (reference: pyqed/optics.py
+        ``_detection_amplitude``). Returns (t1, t2, d)."""
+        from ..ops.fft import fft2
+        if self.jsa is None:
+            raise ValueError("Please call get_jsa() first.")
+        om_s = self.signal_center_frequency
+        om_i = self.idler_center_frequency
+        t1, t2, jta_ = fft2(self.jsa, self.dp, self.dq)
+        T1, T2 = jnp.meshgrid(jnp.asarray(t1), jnp.asarray(t2))
+        amp = jnp.sqrt(om_s * om_i)
+        d = (jnp.exp(-1j * om_i * T1 - 1j * om_s * T2) * amp * jta_.T
+             + jnp.exp(-1j * om_s * T1 - 1j * om_i * T2) * amp * jta_)
+        return t1, t2, d
+
     def bandwidth(self, which="signal"):
         p, q = self.p, self.q
         dp, dq = interval(p), interval(q)

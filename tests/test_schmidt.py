@@ -107,3 +107,42 @@ def test_schmidt_complex_chirped_jsa():
     d = np.asarray(hom(p, q, jnp.asarray(f), tau))
     hs = np.asarray(hom_schmidt(p, q, f, tau, nmodes=64))
     assert np.max(np.abs(d - hs)) < 1e-10
+
+
+class TestBiphotonDetect:
+    """Biphoton.pump/detect (reference: pyqed/optics.py — pump references
+    undefined globals there; _detection_amplitude transcribed from the
+    physics)."""
+
+    def _epp(self):
+        from pyqed_tpu.models.pulse import Biphoton
+        from pyqed_tpu.units import au2ev, au2fs
+        p = np.linspace(-2, 2, 64) / au2ev
+        epp = Biphoton(omegap=3 / au2ev, bw=0.2 / au2ev, Te=10 / au2fs,
+                       p=p, q=p)
+        epp.get_jsa()
+        return epp
+
+    def test_pump_normalized_gaussian_ridge(self):
+        epp = self._epp()
+        a = np.asarray(epp.pump())
+        # peak on the anti-diagonal p + q = 0
+        i, j = np.unravel_index(np.argmax(a), a.shape)
+        assert abs(epp.p[i] + epp.q[j]) < 2 * (epp.p[1] - epp.p[0])
+        # |alpha|^2 integrates to 1 along the p+q axis
+        s = np.linspace(-4, 4, 2001) / 27.211386245988
+        bw = epp.pump_bandwidth
+        val = np.trapezoid(np.abs(np.sqrt(1 / (np.sqrt(2 * np.pi) * bw))
+                                  * np.exp(-s**2 / (4 * bw**2))) ** 2, s)
+        assert abs(val - 1.0) < 1e-6
+
+    def test_detect_symmetric_exchange(self):
+        """With omega_s = omega_i the detection amplitude is symmetric
+        under t1 <-> t2 when the JTA is exchange-symmetric."""
+        epp = self._epp()
+        t1, t2, d = epp.detect()
+        d = np.asarray(d)
+        assert d.shape == (len(epp.p), len(epp.q))
+        # JSA symmetric in (p, q) -> d(t1,t2) = d(t2,t1)
+        assert np.allclose(d, d.T, atol=1e-8 * np.abs(d).max())
+        assert np.abs(d).max() > 0
