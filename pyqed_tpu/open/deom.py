@@ -116,6 +116,23 @@ class DEOMSolver:
         c = np.asarray(coupling, dtype=complex)
         self.coupling = c[None] if c.ndim == 2 else c
 
+    def set_system_dipole(self, system_dipole):
+        """(reference: pyqed/heom/deom.py set_system_dipole)."""
+        self.system_dipole = np.asarray(system_dipole, dtype=complex)
+
+    def set_coupling_dipole(self, coupling_dipole):
+        self.coupling_dipole = np.asarray(coupling_dipole, dtype=complex)
+
+    def set_pulse_system_func(self, fn):
+        """Time-dependent drive on the system: H(t) = H + f(t) * mu_sys
+        (must be jax-traceable; reference: pyqed/heom/deom.py)."""
+        self.pulse_system_func = fn
+
+    def set_pulse_coupling_func(self, fn):
+        """Time-dependent drive on the system-bath coupling:
+        Q(t) = Q + f(t) * mu_cpl (reference: pyqed/heom/deom.py)."""
+        self.pulse_coupling_func = fn
+
     def _structure(self):
         nind = len(self.bath.expn)
         keys, index = enumerate_hierarchy(nind, self.lmax)
