@@ -393,3 +393,17 @@ def driven_dynamics(ham, dip, psi0, pulse, dt=0.001, Nt=1, obs_ops=None,
     pyqed/phys.py:1393): H(t) = H - E(t) mu."""
     return SESolver(ham).run(psi0=psi0, dt=dt, Nt=Nt, e_ops=obs_ops,
                              nout=nout, t0=t0, pulse=pulse, edip=dip)
+
+
+def read_input(fname_e, fname_edip, g_included=True):
+    """Read energy levels + Cartesian dipole-moment files from quantum
+    chemistry output (reference: pyqed/mol.py read_input). Returns
+    (E (nstates,), edip (nstates, nstates, 3))."""
+    E = np.genfromtxt(fname_e)
+    if not g_included:
+        E = np.insert(E, 0, 0.0)
+    nstates = len(E)
+    edip = np.zeros((nstates, nstates, 3))
+    for k in range(3):
+        edip[:, :, k] = np.genfromtxt(fname_edip[k], unpack=False)
+    return E, edip

@@ -50,3 +50,24 @@ def autocorrelation(eps, nlag=None):
     for lag in range(nlag):
         out.append(jnp.mean(eps[: nstep - lag] * eps[lag:nstep]))
     return jnp.stack(out)
+
+
+def cross_correlation(a, b, nlag=None):
+    """Sample cross-correlation <a(t) b(t+lag)> over the ensemble
+    (reference: pyqed/noise.py ``cross_corr`` — which opens an unused
+    file handle and normalizes by nstep*nsample regardless of lag;
+    here the mean is over the actual (nstep-lag)*nsample products).
+
+    a, b : (nstep, nsample). Returns (nlag,)."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    nstep, _ = a.shape
+    if nlag is None:
+        nlag = nstep // 2
+    out = []
+    for lag in range(nlag):
+        out.append(jnp.mean(a[: nstep - lag] * b[lag:nstep]))
+    return jnp.stack(out)
+
+
+cross_corr = cross_correlation

@@ -196,3 +196,46 @@ class TestSPOAuxMethods:
         t = np.asarray(res.times)
         ref = 1.0 * np.cos(t)
         assert np.allclose(xs[:, 0], ref, atol=5e-3)
+
+
+def test_cross_correlation_white_noise():
+    """cross_correlation: autocorrelation of white noise has a lag-0
+    peak = variance and ~0 elsewhere; a lagged copy peaks at that lag
+    (reference: pyqed/noise.py cross_corr is broken — unused file
+    handle, wrong normalization)."""
+    from pyqed_tpu.utils.noise import cross_correlation
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((400, 64))
+    c = np.asarray(cross_correlation(a, a, nlag=6))
+    assert abs(c[0] - 1.0) < 0.02
+    assert np.all(np.abs(c[1:]) < 0.03)
+    # b = a delayed by 3 steps -> peak at lag 3
+    b = np.roll(a, 3, axis=0)
+    c2 = np.asarray(cross_correlation(a, b, nlag=6))
+    assert np.argmax(np.abs(c2)) == 3
+
+
+def test_read_input(tmp_path):
+    from pyqed_tpu.models.mol import read_input
+    E = np.array([0.0, 1.0, 2.5])
+    np.savetxt(tmp_path / "e.dat", E)
+    names = []
+    rng = np.random.default_rng(1)
+    for k in range(3):
+        d = rng.standard_normal((3, 3))
+        f = tmp_path / f"dip{k}.dat"
+        np.savetxt(f, d)
+        names.append(str(f))
+    E2, edip = read_input(str(tmp_path / "e.dat"), names)
+    assert np.allclose(E2, E)
+    assert edip.shape == (3, 3, 3)
+    # g_included=False prepends the ground state
+    np.savetxt(tmp_path / "e2.dat", E[1:])
+    names2 = []
+    for k in range(3):
+        d = rng.standard_normal((3, 3))
+        f = tmp_path / f"d2{k}.dat"
+        np.savetxt(f, d)
+        names2.append(str(f))
+    E3, _ = read_input(str(tmp_path / "e2.dat"), names2, g_included=False)
+    assert E3[0] == 0.0 and len(E3) == 3
