@@ -506,3 +506,40 @@ def test_frenkel2s_vs_reference():
                            atol=1e-12)
         assert np.allclose(np.asarray(ours.edip),
                            np.asarray(theirs.edip), atol=1e-12)
+
+
+def test_etpa_amplitude_vs_reference():
+    """Analytic ETPA transition amplitude vs the ACTUAL reference
+    pyqed/signal/ETPA.py transition_amplitude. The reference sets
+    c = 1/137 (the fine-structure constant) inside vacuum_efield where
+    the speed of light 137 a.u. belongs, so its amplitudes are a
+    constant 137.036^2 too large (one factor per photon field); parity
+    is pinned up to that constant."""
+    import sys, types
+    load_reference_module("signal.sos")   # bootstrap the pyqed stub
+    # ETPA.py imports from the package's pre-rename name `lime`
+    if "lime" not in sys.modules:
+        lime = types.ModuleType("lime")
+        lime.__path__ = []
+        sys.modules["lime"] = lime
+        sys.modules["lime.phys"] = sys.modules["pyqed.phys"]
+        sys.modules["lime.units"] = sys.modules["pyqed.units"]
+        lime.phys = sys.modules["pyqed.phys"]
+        lime.units = sys.modules["pyqed.units"]
+    ref = load_reference_module("signal.ETPA")
+    from pyqed_tpu.signal import etpa_amplitude
+
+    rng = np.random.default_rng(0)
+    N = 6
+    E = np.sort(np.concatenate([[0.0], rng.uniform(0.3, 1.5, N - 1)]))
+    edip = rng.standard_normal((N, N))
+    edip = edip + edip.T
+    kw = dict(Te=10.0, omegap=1.2, sigmap=0.05)
+    A_ref = ref.transition_amplitude(E, edip, g_idx=[0], e_idx=[1, 2, 3],
+                                     f_idx=[4, 5], **kw)
+    A = np.asarray(etpa_amplitude(E, edip, g_idx=0, e_idx=[1, 2, 3],
+                                  f_idx=[4, 5], **kw))
+    sel = np.abs(A_ref) > 0
+    c_au = 137.035999
+    assert np.allclose(A[sel] * c_au ** 2, A_ref[sel], rtol=1e-6)
+    assert np.all(A[~sel] == 0)
