@@ -385,6 +385,76 @@ class HEOMSolver:
         eye = jnp.eye(self.n)
         return self.correlation_3op_1t(rho0, [eye, a_op, b_op], dt, nt, **kwargs)
 
+    def liouvillian_dense(self, dtype=None, kernel="einsum"):
+        """Materialize the FULL hierarchy Liouvillian as a dense
+        (nado*n*n, nado*n*n) matrix by applying the (linear) RHS to a
+        vmapped identity basis. Small hierarchies only."""
+        if dtype is None:
+            dtype = (jnp.complex128 if jax.config.jax_enable_x64
+                     else jnp.complex64)
+        rhs, nado = self.rhs_fn(dtype, kernel=kernel)
+        n = self.n
+        D = nado * n * n
+        basis = jnp.eye(D, dtype=dtype).reshape(D, nado, n, n)
+        cols = jax.lax.map(lambda b: rhs(b).reshape(D), basis)
+        return cols.T   # column j = L e_j
+
+    def propagator(self, dt, nt, kernel="einsum"):
+        """Exact hierarchy propagators U(k dt) = e^{L k dt}, k = 0..nt
+        (reference: pyqed/oqs.py HEOMSolver.propagator — an RK4 march
+        on the stacked identity there; one eig of the dense L here).
+        Returns (nt+1, D, D) with D = nado*n*n; apply to a flattened
+        ADO stack. Small hierarchies only (D^2 memory)."""
+        L = self.liouvillian_dense(kernel=kernel)
+        w, V = jnp.linalg.eig(L)
+        Vinv = jnp.linalg.inv(V)
+        ks = jnp.arange(nt + 1)
+        return jax.vmap(
+            lambda k: (V * jnp.exp(w * (k * dt))[None, :]) @ Vinv)(ks)
+
+    def correlation_3op_2t(self, rho0, oplist, dt, nt, ntau, **kwargs):
+        """Two-time correlator <A(t) B(t+tau) C(t)> through the FULL
+        hierarchy — both time legs propagated by HEOM (the reference's
+        HEOMSolver.correlation_3op_2t silently falls back to a Lindblad
+        solver, pyqed/oqs.py; the genuine hierarchy version here).
+
+        System operators act on every ADO (left/right multiplication
+        commutes with the bath indices). Returns (nt, ntau) complex."""
+        a_op, b_op, c_op = [jnp.asarray(o) for o in oplist]
+        dtype = (jnp.complex128 if jax.config.jax_enable_x64
+                 else jnp.complex64)
+        rhs, nado = self.rhs_fn(dtype, kernel=kwargs.get("kernel"))
+        n = self.n
+        rho0 = jnp.asarray(rho0, dtype=dtype)
+        ados0 = jnp.zeros((nado, n, n), dtype=dtype).at[0].set(rho0)
+
+        def rk4(y):
+            k1 = rhs(y)
+            k2 = rhs(y + k1 * (dt / 2))
+            k3 = rhs(y + k2 * (dt / 2))
+            k4 = rhs(y + k3 * dt)
+            return y + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+        def t_body(y, _):
+            return rk4(y), y
+
+        _, ys = jax.lax.scan(t_body, ados0, None, length=nt)   # (nt,nado,n,n)
+
+        Am = a_op.astype(dtype)
+        Bm = b_op.astype(dtype)
+        Cm = c_op.astype(dtype)
+
+        def one_t(y):
+            seeded = jnp.einsum("ab, Nbc, cd -> Nad", Cm, y, Am)
+
+            def tau_body(z, _):
+                return rk4(z), jnp.trace(Bm @ z[0])
+
+            _, corr = jax.lax.scan(tau_body, seeded, None, length=ntau)
+            return corr
+
+        return jax.lax.map(one_t, ys)                           # (nt, ntau)
+
 
 class HEOMSolverDrude(HEOMSolver):
     """High-temperature Drude HEOM with the reference's constructor/run

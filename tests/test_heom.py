@@ -85,3 +85,64 @@ class TestDrivenHEOM:
         assert np.max(np.abs(rho - rho.conj().T)) < 1e-8
         w = np.linalg.eigvalsh(rho)
         assert w.min() > -1e-6 and w.max() < 1.0 + 1e-6
+
+
+class TestHEOMPropagatorAnd2T:
+    """Dense hierarchy propagator + genuine two-time HEOM correlator
+    (reference: pyqed/oqs.py HEOMSolver.propagator marches RK4;
+    its correlation_3op_2t silently falls back to Lindblad)."""
+
+    def _solver(self):
+        from pyqed_tpu import pauli, DrudeBath, HEOMSolver
+        _, sx, _, sz = [np.asarray(p) for p in pauli()]
+        H = 0.5 * sz + 0.2 * sx
+        bath = DrudeBath(temperature=0.5, cutoff=0.5, reorg=0.05)
+        bath.set_bath_ops([jnp.asarray(sz)])
+        return HEOMSolver(jnp.asarray(H, dtype=complex), bath=bath, lmax=2,
+                          decomposition="pade", nexp=1), sx, sz
+
+    def test_propagator_matches_run(self):
+        sol, sx, sz = self._solver()
+        rho0 = np.array([[1.0, 0], [0, 0]], complex)
+        nt, dt = 40, 0.02
+        Us = np.asarray(sol.propagator(dt, nt))
+        nado = Us.shape[1] // 4
+        ados0 = np.zeros((nado, 2, 2), complex)
+        ados0[0] = rho0
+        rho_exact = (Us[-1] @ ados0.ravel()).reshape(nado, 2, 2)[0]
+        res = sol.run(jnp.asarray(rho0), dt=dt, nt=nt, nout=nt)
+        assert np.max(np.abs(np.asarray(res.rho) - rho_exact)) < 1e-7
+
+    def test_correlation_3op_2t_row0_matches_1t(self):
+        sol, sx, sz = self._solver()
+        rho0 = np.array([[0.7, 0.2], [0.2, 0.3]], complex)
+        a = jnp.asarray(sx, dtype=complex)
+        b = jnp.asarray(sz, dtype=complex)
+        c = jnp.asarray(sx, dtype=complex)
+        ntau = 30
+        corr2 = np.asarray(sol.correlation_3op_2t(
+            jnp.asarray(rho0), [a, b, c], dt=0.02, nt=5, ntau=ntau))
+        corr1 = np.asarray(sol.correlation_3op_1t(
+            jnp.asarray(rho0), [a, b, c], dt=0.02, nt=ntau, nout=1))
+        assert corr2.shape == (5, ntau)
+        # row t=0 of the 2-time function = the 1-time correlator
+        # (both sample at tau=0 first)
+        assert np.max(np.abs(corr2[0, :] - corr1[:ntau])) < 1e-8
+
+    def test_correlation_3op_2t_stationarity_in_equilibrium(self):
+        """Seeded from the hierarchy steady state, the correlator is
+        independent of the waiting time t."""
+        sol, sx, sz = self._solver()
+        rho0 = np.eye(2, dtype=complex) / 2
+        # relax toward equilibrium first
+        res = sol.run(jnp.asarray(rho0), dt=0.02, nt=2000, nout=2000)
+        rho_eq = np.asarray(res.rho)
+        a = jnp.asarray(sx, dtype=complex)
+        b = jnp.asarray(sz, dtype=complex)
+        corr2 = np.asarray(sol.correlation_3op_2t(
+            jnp.asarray(rho_eq), [a, b, a], dt=0.02, nt=40, ntau=10))
+        # NOTE rho_eq as the rho_0 slice is only approximately the full
+        # hierarchy steady state (higher ADOs re-equilibrate), so allow
+        # a loose drift bound; rows must be nearly equal
+        drift = np.max(np.abs(corr2[-1] - corr2[20]))
+        assert drift < 5e-3 * max(np.abs(corr2).max(), 1e-30)
