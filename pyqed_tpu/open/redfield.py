@@ -86,6 +86,22 @@ class RedfieldSolver:
         self.R, self.evecs = R, evecs
         return R, evecs
 
+    def steady_state(self, secular=False):
+        """Stationary state of the Redfield generator: the null vector of
+        R, Hermitized and trace-normalized, returned in the SITE basis
+        (reference: pyqed/oqs.py RedfieldSolver.steady_state — a ``pass``
+        stub there)."""
+        if self.R is None:
+            self.redfield_tensor(secular=secular)
+        R = np.asarray(self.R)
+        n = int(round(np.sqrt(R.shape[0])))
+        _, s, Vh = np.linalg.svd(R)
+        rho_eig = Vh[-1].conj().reshape(n, n)
+        rho_eig = (rho_eig + rho_eig.conj().T) / 2
+        rho_eig = rho_eig / np.trace(rho_eig)
+        U = np.asarray(self.evecs)
+        return jnp.asarray(U @ rho_eig @ U.conj().T)
+
     # ---------------------------------------------------------------- evolve
     def evolve(self, rho0, dt, Nt=None, e_ops=None, t0=0.0, nout=1,
                store_states=False, nt=None) -> Result:

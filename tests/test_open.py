@@ -456,3 +456,25 @@ class TestGenericCorrelation:
         t, corr = correlation_3p_1t(H, rho0, (np.eye(n), A @ B, np.eye(n)),
                                     dt=0.02, nt=40)
         assert np.max(np.abs(np.asarray(cmat)[0] - np.asarray(corr))) < 1e-10
+
+
+def test_redfield_steady_state_long_time_limit():
+    """RedfieldSolver.steady_state (reference stub made real): matches
+    the long-time limit of evolve and is stationary."""
+    n = 3
+    E = np.array([0.0, 0.5, 1.0])
+    H = np.diag(E)
+    a_op = np.zeros((n, n))
+    a_op[0, 1] = a_op[1, 0] = 1.0
+    a_op[1, 2] = a_op[2, 1] = 1.0
+    beta = 2.0
+    spectrum = lambda w: 0.1 * np.where(w > 0, 1.0, np.exp(beta * w))
+    solver = RedfieldSolver(jnp.asarray(H), c_ops=[jnp.asarray(a_op)],
+                            spectra=[spectrum])
+    rho_ss = np.asarray(solver.steady_state())
+    assert abs(np.trace(rho_ss) - 1.0) < 1e-10
+    assert np.allclose(rho_ss, rho_ss.conj().T, atol=1e-12)
+    rho0 = np.zeros((n, n), dtype=complex)
+    rho0[2, 2] = 1.0
+    res = solver.evolve(jnp.asarray(rho0), dt=0.05, Nt=6000)
+    assert np.max(np.abs(np.asarray(res.rho) - rho_ss)) < 1e-6
