@@ -40,7 +40,7 @@ def _three_pulse_field(t, E0, tau, omega, tc1, tc2, tc3, ph1, ph2):
 
 def field_2des_rephasing(solver, rho0, mu, t1s, t2, nt3, dt,
                          pulse_width, e_amps, omega_c, pad=None,
-                         n_phase=(4, 4), kernel="einsum"):
+                         n_phase=(4, 4), kernel="einsum", mesh=None):
     """Rephasing (-k1+k2+k3) 2DES signal from explicit three-pulse
     propagation with phase cycling.
 
@@ -124,7 +124,16 @@ def field_2des_rephasing(solver, rho0, mu, t1s, t2, nt3, dt,
         _, pols = jax.lax.scan(body, ados0, jnp.arange(nt_total))
         return pols[-nt3:]
 
-    pols = jax.jit(jax.vmap(run_one))(P1f, P2f, T1f)   # (B, nt3)
+    batched = jax.jit(jax.vmap(run_one))
+    if mesh is not None:
+        # shard the (phase x t1) batch axis over the device mesh — the
+        # propagations are independent, so this is pure data parallelism
+        # (each device runs its slice of the batch; no collectives until
+        # the host-side phase-cycle reduction)
+        from jax.sharding import NamedSharding, PartitionSpec
+        sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        P1f, P2f, T1f = (jax.device_put(a, sh) for a in (P1f, P2f, T1f))
+    pols = batched(P1f, P2f, T1f)                      # (B, nt3)
     pols = np.asarray(pols).reshape(*bshape, nt3)
 
     # phase-cycle extraction of the (a, b) = (-1, +1) component:
