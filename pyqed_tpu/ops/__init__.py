@@ -31,3 +31,4 @@ from . import fft
 from . import quadrature
 from .jointdiag import joint_diagonalize, qndiag
 from .davidson import davidson, block_davidson
+from .ode import rkf45, rkf45_sample

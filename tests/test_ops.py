@@ -264,3 +264,50 @@ class TestPhysUtilityDropins:
         X, Y = meshgrid(jnp.arange(2), jnp.arange(3))
         assert X.shape == (2, 3)
         assert np.allclose(np.asarray(ldo(np.ones(2), np.eye(2) * 2)), 2.0)
+
+
+class TestRKF45:
+    """Adaptive RKF45 (reference ships examples/rkf45_test.py but its
+    lime.rkf45 module is absent from the tree; rebuilt as a jittable
+    lax.while_loop)."""
+
+    def test_logistic_reference_problem(self):
+        """The reference test's ODE: y' = 0.25 y (1 - y/20),
+        y(0) = 1 -> y(t) = 20/(1 + 19 exp(-t/4))."""
+        from pyqed_tpu.ops.ode import rkf45
+        f = lambda t, y: 0.25 * y * (1.0 - y / 20.0)
+        y, stats = rkf45(f, jnp.asarray(1.0), 0.0, 20.0,
+                         rtol=1e-8, atol=1e-10)
+        exact = 20.0 / (1.0 + 19.0 * np.exp(-5.0))
+        assert abs(float(y) - exact) < 1e-6
+        assert int(stats["naccept"]) > 0
+
+    def test_adaptivity_saves_steps(self):
+        """Stiff-ish decay: the step controller must take far fewer
+        steps than fixed-step at equal accuracy."""
+        from pyqed_tpu.ops.ode import rkf45
+        f = lambda t, y: -y
+        y, stats = rkf45(f, jnp.asarray(1.0), 0.0, 10.0, rtol=1e-6)
+        assert abs(float(y) - np.exp(-10.0)) < 1e-6
+        assert int(stats["naccept"]) + int(stats["nreject"]) < 200
+
+    def test_complex_schrodinger_vs_exact(self):
+        from pyqed_tpu.ops.ode import rkf45_sample
+        H = np.array([[1.0, 0.3], [0.3, -0.5]])
+        f = lambda t, y: -1j * (H @ y)
+        ts = np.linspace(0.0, 5.0, 6)
+        ys = np.asarray(rkf45_sample(f, np.array([1.0, 0.0], complex), ts,
+                                     rtol=1e-9, atol=1e-12))
+        import scipy.linalg
+        for t, y in zip(ts, ys):
+            ref = scipy.linalg.expm(-1j * H * t) @ np.array([1.0, 0.0])
+            assert np.max(np.abs(y - ref)) < 1e-7
+
+    def test_vmap_over_initial_conditions(self):
+        import jax
+        from pyqed_tpu.ops.ode import rkf45
+        f = lambda t, y: -y
+        y0s = jnp.asarray(np.linspace(0.5, 2.0, 4))
+        ys, _ = jax.vmap(lambda y0: rkf45(f, y0, 0.0, 1.0))(y0s)
+        assert np.allclose(np.asarray(ys), np.asarray(y0s) * np.exp(-1.0),
+                           atol=1e-6)
