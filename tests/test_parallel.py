@@ -212,3 +212,25 @@ class TestMeshAwareSolvers:
         S1 = photon_echo_t2series(mol, pump, probe, t2, e_idx=[1, 2],
                                   f_idx=[3], mesh=make_mesh({"w": 8}))
         assert np.max(np.abs(np.asarray(S0) - np.asarray(S1))) < 1e-10
+
+
+class TestField2DESSharded:
+    def test_batch_sharded_matches_unsharded(self):
+        """Explicit-field 2DES: mesh-sharded (phase x t1) batch ==
+        unsharded at 1e-12 (pure data parallelism)."""
+        from pyqed_tpu import pauli, DrudeBath, HEOMSolver
+        from pyqed_tpu.signal import field_2des_rephasing
+        _, sx, _, sz = [np.asarray(p) for p in pauli()]
+        bath = DrudeBath(temperature=0.5, cutoff=0.5, reorg=0.01)
+        bath.set_bath_ops([jnp.asarray(sz)])
+        sol = HEOMSolver(jnp.asarray(0.5 * sz, dtype=complex), bath=bath,
+                         lmax=1, decomposition="pade", nexp=1)
+        rho0 = np.array([[1.0, 0], [0, 0]], complex)
+        t1s = np.arange(8) * 0.3     # batch = 4*4*8 = 128, divisible by 8
+        kw = dict(t2=0.3, nt3=32, dt=0.05, pulse_width=0.3,
+                  e_amps=(0.05, 0.05, 0.05), omega_c=1.0)
+        P3a, _, _ = field_2des_rephasing(sol, rho0, sx, t1s, **kw)
+        mesh = make_mesh({"batch": 8})
+        P3b, _, _ = field_2des_rephasing(sol, rho0, sx, t1s, mesh=mesh,
+                                         **kw)
+        assert np.max(np.abs(P3a - P3b)) < 1e-12
