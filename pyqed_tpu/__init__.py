@@ -39,6 +39,7 @@ from . import tn
 from . import md
 from . import ml
 from . import beam
+from . import control
 
 # reference top-level drop-ins (`from pyqed import X` surface): plotting
 # helpers (pyqed/style.py), pulse/biphoton utilities (pyqed/optics.py),

@@ -1,0 +1,241 @@
+"""GRAPE / CRAB pulse optimization, TPU-native.
+
+Beyond-parity (no counterpart in the reference): gradient-ascent pulse
+engineering [Khaneja et al., J. Magn. Reson. 172, 296 (2005)] implemented
+as a pure JAX program — the propagation is a ``vmap``-batched matrix
+exponential per time slice followed by a ``lax.scan`` product, and the
+gradient of the fidelity with respect to every control amplitude is one
+reverse-mode sweep through that scan (no analytic gradient bookkeeping,
+exact to machine precision rather than first order in dt).
+
+Closed system:   U_k = exp(-i (H0 + sum_j u[k,j] Hc_j) dt)
+Open system:     P_k = exp((L0 + sum_j u[k,j] Lc_j) dt)   in Liouville space
+
+The optimizer loop is an ``optax`` gradient descent wrapped in one jitted
+``lax.scan`` — the whole optimization (propagation, backprop, parameter
+update, all iterations) is a single XLA program.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+import optax
+
+from ..ops.superoperator import liouvillian
+from ..ops.linalg import dag
+
+__all__ = ["GRAPE", "OpenGRAPE", "CRAB",
+           "amplitude_penalty", "smoothness_penalty"]
+
+
+def _scan_apply(Us, x0):
+    """x_N = U_{N-1} ... U_1 U_0 x0 via lax.scan (x0: vector or matrix)."""
+    def step(x, U):
+        return U @ x, None
+    xN, _ = lax.scan(step, x0, Us)
+    return xN
+
+
+def amplitude_penalty(u, weight=1e-3):
+    """Mean-square amplitude penalty (keeps pulses physical)."""
+    return weight * jnp.mean(jnp.abs(u) ** 2)
+
+
+def smoothness_penalty(u, weight=1e-3):
+    """Mean-square slew-rate penalty on the piecewise-constant amplitudes."""
+    return weight * jnp.mean(jnp.abs(jnp.diff(u, axis=0)) ** 2)
+
+
+class GRAPE:
+    """Closed-system GRAPE: H(t) = H0 + sum_j u_j(t) Hc_j, piecewise constant.
+
+    Parameters
+    ----------
+    H0 : (n, n) drift Hamiltonian.
+    Hc : sequence of (n, n) control Hamiltonians.
+    dt : time-slice length; n_steps slices of equal length.
+    """
+
+    def __init__(self, H0, Hc: Sequence, dt: float, n_steps: int):
+        self.H0 = jnp.asarray(H0, dtype=jnp.complex128)
+        self.Hc = jnp.stack([jnp.asarray(h, dtype=jnp.complex128) for h in Hc])
+        self.dt = float(dt)
+        self.n_steps = int(n_steps)
+        self.n = self.H0.shape[0]
+
+    # -- propagation -------------------------------------------------
+    def step_propagators(self, u):
+        """All slice propagators at once: vmapped expm over the time axis.
+
+        u : (n_steps, n_ctrl) real control amplitudes.
+        """
+        u = jnp.asarray(u)
+        H = self.H0[None] + jnp.einsum("kj, jab -> kab",
+                                       u.astype(self.Hc.dtype), self.Hc)
+        return jax.vmap(lambda h: jax.scipy.linalg.expm(-1j * h * self.dt))(H)
+
+    def evolve(self, u, psi0):
+        """Final state after the full pulse."""
+        return _scan_apply(self.step_propagators(u),
+                           jnp.asarray(psi0, dtype=jnp.complex128))
+
+    def total_propagator(self, u):
+        return _scan_apply(self.step_propagators(u),
+                           jnp.eye(self.n, dtype=jnp.complex128))
+
+    def trajectory(self, u, psi0):
+        """All intermediate states, shape (n_steps+1, n)."""
+        Us = self.step_propagators(u)
+        def step(psi, U):
+            nxt = U @ psi
+            return nxt, nxt
+        psi0 = jnp.asarray(psi0, dtype=jnp.complex128)
+        _, traj = lax.scan(step, psi0, Us)
+        return jnp.concatenate([psi0[None], traj], axis=0)
+
+    # -- fidelities ---------------------------------------------------
+    def fidelity_state(self, u, psi0, target):
+        """|<target|U(T)|psi0>|^2 (phase-insensitive state transfer)."""
+        psiT = self.evolve(u, psi0)
+        return jnp.abs(jnp.vdot(jnp.asarray(target, dtype=jnp.complex128),
+                                psiT)) ** 2
+
+    def fidelity_gate(self, u, U_target):
+        """|Tr(U_target^dag U(T))|^2 / n^2 (global-phase-insensitive)."""
+        U = self.total_propagator(u)
+        tgt = jnp.asarray(U_target, dtype=jnp.complex128)
+        return jnp.abs(jnp.trace(dag(tgt) @ U)) ** 2 / self.n ** 2
+
+    # -- optimization -------------------------------------------------
+    def optimize(self, loss_fn: Callable, u0, iters: int = 200,
+                 learning_rate: float = 0.05, optimizer=None):
+        """Minimize ``loss_fn(u)`` from ``u0``; the full loop is one jitted scan.
+
+        Returns (u_opt, losses) with losses of shape (iters,).
+        """
+        opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+        u0 = jnp.asarray(u0, dtype=jnp.float64)
+
+        @jax.jit
+        def run(u0):
+            state0 = opt.init(u0)
+            def step(carry, _):
+                u, st = carry
+                val, g = jax.value_and_grad(loss_fn)(u)
+                upd, st = opt.update(g, st, u)
+                return (optax.apply_updates(u, upd), st), val
+            (u, _), losses = lax.scan(step, (u0, state0), None, length=iters)
+            return u, losses
+
+        return run(u0)
+
+    def optimize_state_transfer(self, psi0, target, u0=None, iters=200,
+                                learning_rate=0.05, penalty=0.0):
+        """Convenience: maximize state-transfer fidelity."""
+        if u0 is None:
+            u0 = 1e-2 * np.ones((self.n_steps, self.Hc.shape[0]))
+        def loss(u):
+            f = self.fidelity_state(u, psi0, target)
+            return 1.0 - f + amplitude_penalty(u, penalty)
+        u, losses = self.optimize(loss, u0, iters, learning_rate)
+        return u, 1.0 - losses
+
+    def optimize_gate(self, U_target, u0=None, iters=300,
+                      learning_rate=0.05, penalty=0.0):
+        """Convenience: maximize gate fidelity."""
+        if u0 is None:
+            u0 = 1e-2 * np.ones((self.n_steps, self.Hc.shape[0]))
+        def loss(u):
+            f = self.fidelity_gate(u, U_target)
+            return 1.0 - f + amplitude_penalty(u, penalty)
+        u, losses = self.optimize(loss, u0, iters, learning_rate)
+        return u, 1.0 - losses
+
+
+class OpenGRAPE(GRAPE):
+    """Open-system GRAPE in Liouville space with Lindblad dissipation.
+
+    The drift is L0 = -i[H0, .] + sum_k D[c_k]; each control enters as the
+    coherent superoperator -i[Hc_j, .].  Propagation is a vmapped expm of
+    the (n^2, n^2) Liouvillian per slice — exact for piecewise-constant
+    controls, and still fully differentiable.
+    """
+
+    def __init__(self, H0, Hc: Sequence, dt: float, n_steps: int, c_ops=()):
+        super().__init__(H0, Hc, dt, n_steps)
+        self.L0 = liouvillian(self.H0, list(c_ops))
+        self.Lc = jnp.stack([liouvillian(h, []) for h in self.Hc])
+
+    def step_propagators(self, u):
+        u = jnp.asarray(u)
+        L = self.L0[None] + jnp.einsum("kj, jab -> kab",
+                                       u.astype(self.Lc.dtype), self.Lc)
+        return jax.vmap(lambda l: jax.scipy.linalg.expm(l * self.dt))(L)
+
+    def evolve(self, u, rho0):
+        """Final density matrix after the full pulse."""
+        rho0 = jnp.asarray(rho0, dtype=jnp.complex128)
+        v = _scan_apply(self.step_propagators(u), rho0.reshape(-1))
+        return v.reshape(self.n, self.n)
+
+    def fidelity_state(self, u, rho0, target):
+        """Tr(rho_target rho(T)) for a pure target (overlap fidelity)."""
+        rhoT = self.evolve(u, rho0)
+        tgt = jnp.asarray(target, dtype=jnp.complex128)
+        if tgt.ndim == 1:
+            return jnp.real(jnp.vdot(tgt, rhoT @ tgt))
+        return jnp.real(jnp.trace(dag(tgt) @ rhoT))
+
+    def expect_final(self, u, rho0, op):
+        rhoT = self.evolve(u, rho0)
+        return jnp.real(jnp.trace(jnp.asarray(op) @ rhoT))
+
+
+class CRAB(GRAPE):
+    """Chopped-random-basis control: u_j(t) = env(t) sum_n [a_n sin(w_n t)
+    + b_n cos(w_n t)]  [Caneva, Calarco, Montangero, PRA 84, 022326 (2011)].
+
+    Optimizes the (n_modes, 2, n_ctrl) Fourier coefficients instead of the
+    per-slice amplitudes — far fewer parameters, intrinsically smooth
+    pulses.  Reuses all GRAPE propagation/fidelity machinery through
+    ``coeffs_to_u``.
+    """
+
+    def __init__(self, H0, Hc: Sequence, dt: float, n_steps: int,
+                 frequencies=None, n_modes: int = 5, envelope=None):
+        super().__init__(H0, Hc, dt, n_steps)
+        T = dt * n_steps
+        if frequencies is None:
+            # principal harmonics of the pulse window
+            frequencies = 2.0 * np.pi * np.arange(1, n_modes + 1) / T
+        self.frequencies = jnp.asarray(frequencies, dtype=jnp.float64)
+        self.t = (jnp.arange(n_steps) + 0.5) * dt
+        if envelope is None:
+            envelope = jnp.sin(jnp.pi * self.t / T) ** 2   # smooth on/off
+        else:
+            envelope = jnp.asarray(envelope(np.asarray(self.t)))
+        self.envelope = envelope
+
+    def coeffs_to_u(self, coeffs):
+        """coeffs: (n_modes, 2, n_ctrl) -> u: (n_steps, n_ctrl)."""
+        coeffs = jnp.asarray(coeffs)
+        ph = jnp.outer(self.t, self.frequencies)            # (n_steps, n_modes)
+        u = (jnp.sin(ph) @ coeffs[:, 0, :]
+             + jnp.cos(ph) @ coeffs[:, 1, :])
+        return self.envelope[:, None] * u
+
+    def optimize_state_transfer(self, psi0, target, c0=None, iters=300,
+                                learning_rate=0.1, penalty=0.0):
+        n_ctrl = self.Hc.shape[0]
+        if c0 is None:
+            c0 = 1e-1 * np.ones((len(self.frequencies), 2, n_ctrl))
+        def loss(c):
+            u = self.coeffs_to_u(c)
+            f = self.fidelity_state(u, psi0, target)
+            return 1.0 - f + amplitude_penalty(u, penalty)
+        c, losses = self.optimize(loss, c0, iters, learning_rate)
+        return c, 1.0 - losses

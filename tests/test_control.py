@@ -1,0 +1,141 @@
+"""Optimal control (GRAPE/CRAB) and differentiable fitting tests.
+
+Beyond-parity module — there is no reference counterpart; the tests pin
+the physics instead: optimized pulses must actually reach their targets
+under independent re-propagation, and fitted parameters must recover the
+ground truth that generated the data.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyqed_tpu.control import (
+    GRAPE, OpenGRAPE, CRAB, fit, fit_exponential_decay,
+)
+from pyqed_tpu.ops.operators import pauli
+
+s0, sx, sy, sz = [np.asarray(p) for p in pauli()]
+
+
+def test_grape_state_transfer_two_level():
+    # |0> -> |1> on a detuned qubit with an x control
+    g = GRAPE(H0=0.5 * sz, Hc=[sx], dt=0.2, n_steps=40)
+    psi0 = np.array([1.0, 0.0], dtype=complex)
+    target = np.array([0.0, 1.0], dtype=complex)
+    u, fids = g.optimize_state_transfer(psi0, target, iters=300,
+                                        learning_rate=0.08)
+    assert float(fids[-1]) > 0.999
+    # independent re-propagation of the returned pulse hits the target
+    psiT = g.evolve(u, psi0)
+    assert abs(np.vdot(target, np.asarray(psiT))) ** 2 > 0.999
+
+
+def test_grape_gate_synthesis_not_gate():
+    g = GRAPE(H0=0.3 * sz, Hc=[sx, sy], dt=0.25, n_steps=30)
+    u, fids = g.optimize_gate(sx, iters=400, learning_rate=0.08)
+    assert float(fids[-1]) > 0.999
+    U = np.asarray(g.total_propagator(u))
+    # global-phase-insensitive distance to X
+    ov = abs(np.trace(sx.conj().T @ U)) / 2.0
+    assert ov > 0.999
+
+
+def test_grape_trajectory_shape_and_unitarity():
+    g = GRAPE(H0=0.5 * sz, Hc=[sx], dt=0.1, n_steps=25)
+    u = 0.3 * np.ones((25, 1))
+    psi0 = np.array([1.0, 0.0], dtype=complex)
+    traj = np.asarray(g.trajectory(u, psi0))
+    assert traj.shape == (26, 2)
+    assert np.allclose(np.linalg.norm(traj, axis=1), 1.0, atol=1e-10)
+
+
+def test_open_grape_beats_free_decay():
+    # With sigma_- dissipation, drive the qubit toward |1> and beat the
+    # undriven excited-state population at the final time.
+    sm = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+    g = OpenGRAPE(H0=0.5 * sz, Hc=[sx], dt=0.2, n_steps=30,
+                  c_ops=[0.3 * sm])
+    rho0 = np.diag([1.0, 0.0]).astype(complex)
+    e1 = np.array([0.0, 1.0], dtype=complex)
+
+    def loss(u):
+        return 1.0 - g.fidelity_state(u, rho0, e1)
+
+    u0 = 1e-2 * np.ones((30, 1))
+    u, losses = g.optimize(loss, u0, iters=250, learning_rate=0.08)
+    p_driven = float(g.fidelity_state(u, rho0, e1))
+    p_free = float(g.fidelity_state(jnp.zeros((30, 1)), rho0, e1))
+    assert p_driven > 0.8
+    assert p_driven > p_free + 0.5
+
+
+def test_open_grape_trace_preserved():
+    sm = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+    g = OpenGRAPE(H0=0.5 * sz, Hc=[sx], dt=0.2, n_steps=20,
+                  c_ops=[0.2 * sm])
+    rho0 = np.diag([0.7, 0.3]).astype(complex)
+    rhoT = np.asarray(g.evolve(0.4 * np.ones((20, 1)), rho0))
+    assert abs(np.trace(rhoT) - 1.0) < 1e-10
+    assert np.allclose(rhoT, rhoT.conj().T, atol=1e-10)
+
+
+def test_crab_state_transfer_smooth_pulse():
+    c = CRAB(H0=0.5 * sz, Hc=[sx], dt=0.2, n_steps=50, n_modes=4)
+    psi0 = np.array([1.0, 0.0], dtype=complex)
+    target = np.array([0.0, 1.0], dtype=complex)
+    coeffs, fids = c.optimize_state_transfer(psi0, target, iters=400,
+                                             learning_rate=0.1)
+    assert float(fids[-1]) > 0.995
+    u = np.asarray(c.coeffs_to_u(coeffs))
+    # envelope forces smooth on/off
+    assert abs(u[0, 0]) < 0.2 * np.max(np.abs(u)) + 1e-12
+    assert abs(u[-1, 0]) < 0.2 * np.max(np.abs(u)) + 1e-12
+
+
+def test_fit_generic_quadratic():
+    # sanity: fit recovers the minimum of a quadratic in a pytree
+    target = {"a": jnp.asarray(2.0), "b": jnp.asarray(-1.5)}
+    def loss(p):
+        return (p["a"] - target["a"]) ** 2 + (p["b"] - target["b"]) ** 2
+    p, losses = fit(loss, {"a": jnp.asarray(0.0), "b": jnp.asarray(0.0)},
+                    iters=500, learning_rate=0.05)
+    assert abs(float(p["a"]) - 2.0) < 1e-2
+    assert abs(float(p["b"]) + 1.5) < 1e-2
+    assert float(losses[-1]) < 1e-4
+
+
+def test_fit_exponential_decay_recovers_rate():
+    t = np.linspace(0.0, 10.0, 200)
+    gamma_true = 0.37
+    y = np.exp(-gamma_true * t)
+    gamma, losses = fit_exponential_decay(t, y, gamma0=0.1, iters=600,
+                                          learning_rate=0.05)
+    assert abs(gamma - gamma_true) < 1e-3
+
+
+def test_fit_lindblad_rate_through_solver():
+    # Hamiltonian/bath learning through the actual LindbladSolver:
+    # generate a population trace at gamma_true, then recover gamma by
+    # backpropagating through the propagation.
+    from pyqed_tpu.open.lindblad import LindbladSolver
+    sm = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+    rho0 = np.diag([0.0, 1.0]).astype(complex)
+    proj1 = np.diag([0.0, 1.0]).astype(complex)
+    gamma_true = 0.25
+    dt, Nt, nout = 0.05, 120, 4
+
+    def trace_of(gamma):
+        sol = LindbladSolver(0.5 * jnp.asarray(sz),
+                             c_ops=[jnp.sqrt(gamma) * jnp.asarray(sm)])
+        res = sol.run(rho0, dt=dt, Nt=Nt, e_ops=[proj1], nout=nout)
+        return jnp.real(jnp.asarray(res.observables)[:, 0])
+
+    y = trace_of(jnp.asarray(gamma_true))
+
+    def loss(log_gamma):
+        pred = trace_of(jnp.exp(log_gamma))
+        return jnp.mean((pred - y) ** 2)
+
+    lg, losses = fit(loss, jnp.log(0.05), iters=150, learning_rate=0.1)
+    assert abs(float(jnp.exp(lg)) - gamma_true) < 5e-3
