@@ -16,5 +16,6 @@ from .qtraj import NAQT
 from .rate import RateFluxSide, flux_operator
 from .ldr import LDR2Jacobi, NonHermLDRN
 from .ehrenfest import Ehrenfest
+from .fssh import FSSH, tully_i, tully_ii, tully_iii
 from .nusol import NuSol, cheb_D2
 from .adt import adt_1d, adt_angle, ADT

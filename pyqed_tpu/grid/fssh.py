@@ -1,0 +1,229 @@
+"""Fewest-switches surface hopping (FSSH), TPU-native.
+
+Beyond-parity method: the reference's trajectory nonadiabatic layer stops
+at an unfinished Ehrenfest sketch (reference: pyqed/namd/ehrenfest.py
+"@status: not finished"); it has no surface hopping at all.  This module
+implements Tully's fewest-switches algorithm [Tully, J. Chem. Phys. 93,
+1061 (1990)] the TPU way: the per-trajectory step (adiabatization,
+velocity-Verlet nuclear step, exact electronic micro-propagation,
+stochastic hop test, momentum rescaling) is pure ``lax`` control flow, and
+the whole stochastic ENSEMBLE is one ``vmap`` over trajectories — the MXU
+sees batched eigh/expm/matmuls instead of the usual per-trajectory Python
+loop.
+
+Algorithm per step (state carry = x, p, c, active, U_prev, key):
+
+1. adiabatize: eigh of V(x); eigenvector phases aligned with the previous
+   step (sign of diag(U_prev^T U)) so the adiabatic amplitudes stay
+   continuous;
+2. nuclear velocity-Verlet on the ACTIVE surface, F = -(U^T dV U)_aa;
+3. electronic amplitudes propagated with the exact small-matrix
+   exponential of H_el = diag(E) - i v.d  (d = nonadiabatic coupling
+   d_ab = (U^T dV U)_ab / (E_b - E_a));
+4. fewest-switches hop probabilities g_{a->b} = dt * max(0,
+   -2 Re(c_b^* c_a v.d_ba)) / |c_a|^2, one categorical draw;
+5. on a hop, momentum is rescaled along the coupling direction d_ab to
+   conserve total energy; energetically frustrated hops are rejected.
+
+Populations come out both ways: the surface estimator (fraction of
+trajectories on each active surface) and the wavefunction estimator
+|c_a|^2 averaged over the ensemble.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.result import Result
+
+
+class FSSH:
+    """Fewest-switches surface hopping on a diabatic model.
+
+    Parameters
+    ----------
+    v : callable x(ndim,) -> (ns, ns) real-symmetric diabatic potential.
+    dv : callable x -> (ndim, ns, ns) gradient; default jacfwd(v).
+    mass : scalar or (ndim,) nuclear masses.
+    """
+
+    def __init__(self, v: Callable, dv: Optional[Callable] = None,
+                 mass=1.0, nstates: int = 2, ndim: int = 1):
+        self.v = v
+        self.dv = dv if dv is not None else (
+            lambda x: jnp.moveaxis(jax.jacfwd(self.v)(x), -1, 0))
+        self.mass = jnp.atleast_1d(jnp.asarray(mass, dtype=float))
+        self.nstates = nstates
+        self.ndim = ndim
+
+    # --------------------------------------------------------- adiabatics
+    def _adiabatic(self, x, U_prev):
+        """E (ns,), phase-fixed U (ns, ns), dVa = U^T dV U (ndim, ns, ns)."""
+        E, U = jnp.linalg.eigh(self.v(x))
+        ov = jnp.sum(U_prev * U, axis=0)             # diag(U_prev^T U)
+        sgn = jnp.where(ov < 0, -1.0, 1.0)           # keep sign on ~0 overlap
+        U = U * sgn[None, :]
+        dVa = jnp.einsum("ia, dij, jb -> dab", U, self.dv(x), U)
+        return E, U, dVa
+
+    @staticmethod
+    def _nac(E, dVa):
+        """d_ab = dVa_ab / (E_b - E_a), zero diagonal, (ndim, ns, ns)."""
+        dE = E[None, :] - E[:, None]                 # (a, b) -> E_b - E_a
+        safe = jnp.where(jnp.abs(dE) < 1e-12, 1.0, dE)
+        d = dVa / safe[None]
+        return d * (1.0 - jnp.eye(E.shape[0]))[None]
+
+    def _force(self, dVa, act):
+        return -dVa[:, act, act]
+
+    # --------------------------------------------------------------- step
+    def _step(self, state, dt):
+        x, p, c, act, U_prev, key = state
+        ns = self.nstates
+        E, U, dVa = self._adiabatic(x, U_prev)
+        F = self._force(dVa, act)
+
+        # velocity Verlet on the active surface
+        p_half = p + 0.5 * dt * F
+        x_new = x + dt * p_half / self.mass
+        E2, U2, dVa2 = self._adiabatic(x_new, U)
+        p_new = p_half + 0.5 * dt * self._force(dVa2, act)
+
+        # electronic propagation: exact expm of the midpoint Hamiltonian
+        v_mid = p_half / self.mass
+        d = self._nac(E, dVa)
+        T = jnp.einsum("d, dab -> ab", v_mid, d)     # v . d, real antisym
+        H_el = jnp.diag((E + E2) / 2.0).astype(complex) - 1j * T
+        c_new = jax.scipy.linalg.expm(-1j * H_el * dt) @ c
+
+        # fewest-switches hop probabilities out of the active state
+        ca = c_new[act]
+        g = dt * (-2.0) * jnp.real(jnp.conj(c_new) * ca * T[:, act]) \
+            / jnp.maximum(jnp.abs(ca) ** 2, 1e-30)
+        g = jnp.clip(g, 0.0, 1.0).at[act].set(0.0)
+
+        key, sub = jax.random.split(key)
+        r = jax.random.uniform(sub)
+        cum = jnp.cumsum(g)
+        # first b with cum_b > r, if total prob exceeds r
+        hop_target = jnp.argmax(cum > r)
+        do_hop = (r < cum[-1])
+
+        # momentum rescaling along the coupling direction d[act, target]
+        u = d[:, act, hop_target]
+        u_norm = jnp.sqrt(jnp.sum(u ** 2))
+        u = jnp.where(u_norm > 1e-12, u / jnp.maximum(u_norm, 1e-30),
+                      p_new / jnp.maximum(jnp.sqrt(jnp.sum(p_new ** 2)),
+                                          1e-30))
+        dE_hop = E2[hop_target] - E2[act]
+        a_q = jnp.sum(u ** 2 / (2.0 * self.mass))
+        b_q = jnp.sum(p_new * u / self.mass)
+        disc = b_q ** 2 - 4.0 * a_q * dE_hop
+        frustrated = disc < 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        g1 = (-b_q + sq) / (2.0 * a_q)
+        g2 = (-b_q - sq) / (2.0 * a_q)
+        gam = jnp.where(jnp.abs(g1) < jnp.abs(g2), g1, g2)
+
+        accept = jnp.logical_and(do_hop, jnp.logical_not(frustrated))
+        act_new = jnp.where(accept, hop_target.astype(act.dtype), act)
+        p_new = jnp.where(accept, p_new + gam * u, p_new)
+
+        return (x_new, p_new, c_new, act_new, U2, key)
+
+    def energy(self, x, p, act, U_ref=None):
+        """Total energy p^2/2m + E_active(x) (conserved incl. hops)."""
+        E = jnp.linalg.eigvalsh(self.v(x))
+        return jnp.sum(p ** 2 / (2.0 * self.mass)) + E[act]
+
+    # ---------------------------------------------------------------- run
+    def run(self, x0, p0, active0=0, c0=None, dt=0.1, nt=100, nout=1,
+            key=0) -> Result:
+        """Propagate an FSSH ensemble.
+
+        x0/p0 : (ntraj, ndim); active0 : int or (ntraj,) initial surface
+        (ADIABATIC index); c0 : (ntraj, ns) adiabatic amplitudes (default:
+        delta on active0); key : PRNG seed or jax key.
+
+        Result carries .x/.p/.c/.active (nsnap, ntraj, ...), .population
+        (surface estimator), .population_wf (|c|^2 estimator), .energy.
+        """
+        x0 = jnp.atleast_2d(jnp.asarray(x0, dtype=float))
+        p0 = jnp.atleast_2d(jnp.asarray(p0, dtype=float))
+        ntraj = x0.shape[0]
+        ns = self.nstates
+        act0 = jnp.broadcast_to(jnp.asarray(active0, dtype=jnp.int32),
+                                (ntraj,))
+        if c0 is None:
+            c0 = jax.nn.one_hot(act0, ns).astype(complex)
+        else:
+            c0 = jnp.atleast_2d(jnp.asarray(c0, dtype=complex))
+        if isinstance(key, (int, np.integer)):
+            key = jax.random.PRNGKey(int(key))
+        keys = jax.random.split(key, ntraj)
+        ns_steps = nt // nout
+
+        def one_traj(x, p, c, act, k):
+            # initial eigenbasis (phase reference)
+            _, U0 = jnp.linalg.eigh(self.v(x))
+            state0 = (x, p, c, act, U0, k)
+
+            def window(state, _):
+                def fine(i, s):
+                    return self._step(s, dt)
+                state = lax.fori_loop(0, nout, fine, state)
+                x_, p_, c_, a_, _, _ = state
+                return state, (x_, p_, c_, a_, self.energy(x_, p_, a_))
+            _, out = lax.scan(window, state0, None, length=ns_steps)
+            return out
+
+        xs, ps, cs, acts, es = jax.jit(
+            jax.vmap(one_traj, in_axes=(0, 0, 0, 0, 0), out_axes=1))(
+                x0, p0, c0, act0, keys)
+
+        r = Result(dt=dt, nt=nt, nout=nout)
+        r.times = np.arange(1, ns_steps + 1) * dt * nout
+        r.x, r.p, r.c = xs, ps, cs
+        r.active = acts
+        # surface estimator: fraction of trajectories on each surface
+        r.population = jnp.mean(
+            jax.nn.one_hot(acts, ns), axis=1)          # (nsnap, ns)
+        nrm = jnp.sum(jnp.abs(cs) ** 2, axis=-1, keepdims=True)
+        r.population_wf = jnp.mean(jnp.abs(cs) ** 2 / nrm, axis=1)
+        r.energy = es
+        return r
+
+
+def tully_i(A=0.01, B=1.6, C=0.005, D=1.0):
+    """Tully model I (single avoided crossing), JCP 93, 1061 (1990)."""
+    def v(x):
+        d = x[0]
+        v11 = jnp.where(d >= 0, A * (1 - jnp.exp(-B * d)),
+                        -A * (1 - jnp.exp(B * d)))
+        v12 = C * jnp.exp(-D * d ** 2)
+        return jnp.array([[v11, v12], [v12, -v11]])
+    return v
+
+
+def tully_ii(A=0.1, B=0.28, C=0.015, D=0.06, E0=0.05):
+    """Tully model II (dual avoided crossing)."""
+    def v(x):
+        d = x[0]
+        v22 = -A * jnp.exp(-B * d ** 2) + E0
+        v12 = C * jnp.exp(-D * d ** 2)
+        return jnp.array([[0.0 * d, v12], [v12, v22]])
+    return v
+
+
+def tully_iii(A=6e-4, B=0.1, C=0.9):
+    """Tully model III (extended coupling with reflection)."""
+    def v(x):
+        d = x[0]
+        v12 = jnp.where(d < 0, B * jnp.exp(C * d), B * (2 - jnp.exp(-C * d)))
+        return jnp.array([[A + 0.0 * d, v12], [v12, -A + 0.0 * d]])
+    return v

@@ -1,0 +1,101 @@
+"""Fewest-switches surface hopping tests.
+
+Beyond-parity method (the reference's trajectory layer is an unfinished
+Ehrenfest sketch, pyqed/namd/ehrenfest.py); physics pinned against
+closed-form classical motion and EXACT quantum wavepacket dynamics (our
+independent SPO path) on Tully model I.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyqed_tpu.grid import FSSH, SPON, tully_i, tully_ii, tully_iii
+
+
+def test_fssh_zero_coupling_classical_limit():
+    # diagonal diabatic matrix -> no hops, active surface fixed, nuclear
+    # motion = classical harmonic oscillator
+    def vdiag(x):
+        d = x[0]
+        return jnp.array([[0.5 * d ** 2, 0.0 * d],
+                          [0.0 * d, 0.5 * d ** 2 + 1.0]])
+    sol = FSSH(vdiag, mass=1.0, nstates=2, ndim=1)
+    res = sol.run(np.array([[1.0]]), np.array([[0.0]]), active0=0,
+                  dt=0.01, nt=700, nout=7)
+    x = np.asarray(res.x)[:, 0, 0]
+    t = np.asarray(res.times)
+    assert np.max(np.abs(x - np.cos(t))) < 1e-4
+    assert np.all(np.asarray(res.active) == 0)
+    e = np.asarray(res.energy)
+    assert np.max(np.abs(e - e[0])) < 1e-4
+
+
+def test_fssh_energy_and_norm_conserved_through_hops():
+    sol = FSSH(tully_i(), mass=2000.0, nstates=2, ndim=1)
+    ntraj = 64
+    x0 = np.full((ntraj, 1), -8.0)
+    p0 = np.full((ntraj, 1), 20.0)
+    res = sol.run(x0, p0, active0=0, dt=2.0, nt=4000, nout=200, key=1)
+    # hops happened (both surfaces populated at the end)
+    pop = np.asarray(res.population)[-1]
+    assert pop[1] > 0.1
+    # total energy conserved per trajectory INCLUDING momentum-rescaled hops
+    e = np.asarray(res.energy)
+    assert np.max(np.abs(e - e[0:1])) < 1e-4
+    # electronic norm conserved (exact expm micro-propagation)
+    nrm = np.sum(np.abs(np.asarray(res.c)) ** 2, axis=-1)
+    assert np.max(np.abs(nrm - 1.0)) < 1e-8
+
+
+def test_fssh_matches_exact_wavepacket_tully_i():
+    # exact quantum (SPO, independent code path) vs FSSH surface pops
+    v = tully_i()
+    m, k0, sig = 2000.0, 20.0, 1.0
+
+    x = np.linspace(-25, 35, 512, endpoint=False)
+    spo = SPON([x], masses=[m], nstates=2)
+    V = np.asarray(jnp.stack([v(jnp.array([xi])) for xi in x]))
+    spo.set_dpes(V)
+    dx = x[1] - x[0]
+    gauss = np.exp(-(x + 8.0) ** 2 / (4 * sig ** 2) + 1j * k0 * (x + 8.0))
+    psi0 = np.zeros((512, 2), complex)
+    psi0[:, 0] = gauss / np.sqrt(np.sum(np.abs(gauss) ** 2) * dx)
+    res = spo.run(jnp.asarray(psi0), dt=1.0, nt=2600, nout=2600,
+                  return_states=True)
+    psiT = np.asarray(res.psilist[-1])
+    _, Us = np.linalg.eigh(V)
+    pop_exact = np.sum(np.abs(np.einsum("xia, xi -> xa", Us, psiT)) ** 2,
+                       axis=0) * dx
+
+    sol = FSSH(v, mass=m, nstates=2, ndim=1)
+    ntraj = 500
+    rng = np.random.default_rng(3)
+    x0 = rng.normal(-8.0, sig, (ntraj, 1))
+    p0 = rng.normal(k0, 1.0 / (2 * sig), (ntraj, 1))
+    r2 = sol.run(x0, p0, active0=0, dt=2.0, nt=4000, nout=400, key=7)
+    pop_fssh = np.asarray(r2.population)[-1]
+
+    # k0=20 run above gives exact [0.507, 0.493] vs FSSH [0.506, 0.494]
+    assert np.max(np.abs(pop_fssh - pop_exact)) < 0.06
+    # and the wavefunction estimator agrees too
+    assert np.max(np.abs(np.asarray(r2.population_wf)[-1] - pop_exact)) < 0.06
+
+
+def test_fssh_low_momentum_mostly_adiabatic():
+    # k0 = 5 on Tully-I: far below the band gap scale -> mostly stays on
+    # the lower adiabatic surface (adiabatic regime)
+    sol = FSSH(tully_i(), mass=2000.0, nstates=2, ndim=1)
+    ntraj = 128
+    x0 = np.full((ntraj, 1), -6.0)
+    p0 = np.full((ntraj, 1), 5.0)
+    res = sol.run(x0, p0, active0=0, dt=4.0, nt=4000, nout=400, key=2)
+    pop = np.asarray(res.population)[-1]
+    assert pop[0] > 0.8
+
+
+def test_tully_models_shapes_and_symmetry():
+    for mk in (tully_i, tully_ii, tully_iii):
+        v = mk()
+        M = np.asarray(v(jnp.array([0.3])))
+        assert M.shape == (2, 2)
+        assert abs(M[0, 1] - M[1, 0]) < 1e-14
