@@ -52,13 +52,23 @@ class FSSH:
     """
 
     def __init__(self, v: Callable, dv: Optional[Callable] = None,
-                 mass=1.0, nstates: int = 2, ndim: int = 1):
+                 mass=1.0, nstates: int = 2, ndim: int = 1,
+                 decoherence: Optional[str] = None, edc_C: float = 0.1):
         self.v = v
         self.dv = dv if dv is not None else (
             lambda x: jnp.moveaxis(jax.jacfwd(self.v)(x), -1, 0))
         self.mass = jnp.atleast_1d(jnp.asarray(mass, dtype=float))
         self.nstates = nstates
         self.ndim = ndim
+        #: decoherence: None (standard FSSH) or "edc" — the energy-based
+        #: decoherence correction [Granucci & Persico, JCP 126, 134114
+        #: (2007)]: after each step the non-active amplitudes are damped
+        #: with tau_b = (1 + C/E_kin) / |E_b - E_act| and the active one
+        #: rescaled to keep the norm; fixes FSSH overcoherence (e.g.
+        #: Tully-III reflected branches).
+        assert decoherence in (None, "edc")
+        self.decoherence = decoherence
+        self.edc_C = float(edc_C)
 
     # --------------------------------------------------------- adiabatics
     def _adiabatic(self, x, U_prev):
@@ -133,6 +143,18 @@ class FSSH:
         accept = jnp.logical_and(do_hop, jnp.logical_not(frustrated))
         act_new = jnp.where(accept, hop_target.astype(act.dtype), act)
         p_new = jnp.where(accept, p_new + gam * u, p_new)
+
+        if self.decoherence == "edc":
+            ekin = jnp.sum(p_new ** 2 / (2.0 * self.mass))
+            gap = jnp.abs(E2 - E2[act_new])
+            tau_inv = gap / (1.0 + self.edc_C / jnp.maximum(ekin, 1e-12))
+            damp = jnp.exp(-dt * tau_inv).at[act_new].set(0.0)
+            c_off = c_new * damp                       # damped b != act
+            p_off = jnp.sum(jnp.abs(c_off) ** 2)
+            p_act = jnp.abs(c_new[act_new]) ** 2
+            scale = jnp.sqrt(jnp.maximum(1.0 - p_off, 0.0)
+                             / jnp.maximum(p_act, 1e-30))
+            c_new = c_off.at[act_new].set(c_new[act_new] * scale)
 
         return (x_new, p_new, c_new, act_new, U2, key)
 

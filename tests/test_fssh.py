@@ -99,3 +99,23 @@ def test_tully_models_shapes_and_symmetry():
         M = np.asarray(v(jnp.array([0.3])))
         assert M.shape == (2, 2)
         assert abs(M[0, 1] - M[1, 0]) < 1e-14
+
+
+def test_fssh_edc_decoherence_norm_and_physics():
+    # EDC keeps the norm exactly and leaves the (already accurate)
+    # Tully-I populations within tolerance of the exact result
+    sol = FSSH(tully_i(), mass=2000.0, nstates=2, ndim=1,
+               decoherence="edc")
+    ntraj = 200
+    rng = np.random.default_rng(3)
+    x0 = rng.normal(-8.0, 1.0, (ntraj, 1))
+    p0 = rng.normal(20.0, 0.5, (ntraj, 1))
+    res = sol.run(x0, p0, active0=0, dt=2.0, nt=4000, nout=400, key=7)
+    nrm = np.sum(np.abs(np.asarray(res.c)) ** 2, axis=-1)
+    assert np.max(np.abs(nrm - 1.0)) < 1e-8
+    pop = np.asarray(res.population)[-1]
+    assert abs(pop[0] - 0.51) < 0.1
+    # with decoherence, the wavefunction estimator collapses toward the
+    # surface estimator (internal consistency)
+    d_edc = np.max(np.abs(np.asarray(res.population_wf)[-1] - pop))
+    assert d_edc < 0.1
