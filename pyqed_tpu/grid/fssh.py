@@ -165,12 +165,17 @@ class FSSH:
 
     # ---------------------------------------------------------------- run
     def run(self, x0, p0, active0=0, c0=None, dt=0.1, nt=100, nout=1,
-            key=0) -> Result:
+            key=0, mesh=None) -> Result:
         """Propagate an FSSH ensemble.
 
         x0/p0 : (ntraj, ndim); active0 : int or (ntraj,) initial surface
         (ADIABATIC index); c0 : (ntraj, ns) adiabatic amplitudes (default:
         delta on active0); key : PRNG seed or jax key.
+
+        mesh : jax.sharding.Mesh — shards the TRAJECTORY axis over the
+        mesh's first axis (embarrassingly parallel; per-trajectory PRNG
+        keys make sharded == unsharded bitwise).  ntraj must divide the
+        axis size.
 
         Result carries .x/.p/.c/.active (nsnap, ntraj, ...), .population
         (surface estimator), .population_wf (|c|^2 estimator), .energy.
@@ -203,6 +208,14 @@ class FSSH:
                 return state, (x_, p_, c_, a_, self.energy(x_, p_, a_))
             _, out = lax.scan(window, state0, None, length=ns_steps)
             return out
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            x0, p0, c0, act0, keys = [
+                jax.device_put(a, NamedSharding(
+                    mesh, P(*((mesh.axis_names[0],)
+                              + (None,) * (a.ndim - 1)))))
+                for a in (x0, p0, c0, act0, keys)]
 
         xs, ps, cs, acts, es = jax.jit(
             jax.vmap(one_traj, in_axes=(0, 0, 0, 0, 0), out_axes=1))(

@@ -119,3 +119,26 @@ def test_fssh_edc_decoherence_norm_and_physics():
     # surface estimator (internal consistency)
     d_edc = np.max(np.abs(np.asarray(res.population_wf)[-1] - pop))
     assert d_edc < 0.1
+
+
+def test_fssh_sharded_equals_unsharded():
+    # trajectory axis sharded over the 8-device mesh: per-trajectory PRNG
+    # keys make the sharded ensemble IDENTICAL to the unsharded one
+    import jax
+    import pytest as _pytest
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 virtual devices")
+    from pyqed_tpu.parallel import make_mesh
+    sol = FSSH(tully_i(), mass=2000.0, nstates=2, ndim=1)
+    ntraj = 64
+    rng = np.random.default_rng(1)
+    x0 = rng.normal(-8.0, 1.0, (ntraj, 1))
+    p0 = rng.normal(20.0, 0.5, (ntraj, 1))
+    r1 = sol.run(x0, p0, active0=0, dt=2.0, nt=800, nout=200, key=4)
+    mesh = make_mesh({"walker": 8})
+    r2 = sol.run(x0, p0, active0=0, dt=2.0, nt=800, nout=200, key=4,
+                 mesh=mesh)
+    assert np.allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-12)
+    assert np.array_equal(np.asarray(r1.active), np.asarray(r2.active))
+    assert np.allclose(np.asarray(r1.population),
+                       np.asarray(r2.population), atol=1e-12)
