@@ -7,4 +7,5 @@ from .heom import HEOMSolver, HEOMSolverDrude, enumerate_hierarchy, neighbor_map
 from .deom import DEOMSolver, DEOMBath, Bath
 from .nrg import NRG, SBM
 from .tcl import TCL2Solver
+from .mcwf import MCWFSolver, mcsolve
 from .correlation import correlation_3p_1t, correlation_4p_2t, g2_coherence
