@@ -185,3 +185,50 @@ class CCSD:
         self.e_corr = e_old
         self.e_tot = float(self.mf.e_tot) + e_old
         return self
+
+    # ------------------------------------------------------------ triples
+    def ccsd_t(self):
+        """Perturbative triples correction (T) [Raghavachari et al.,
+        CPL 157, 479 (1989)], spin-orbital form per Crawford & Schaefer:
+
+            E_(T) = 1/36 sum t^c_ijkabc D_ijkabc (t^c + t^d)_ijkabc
+
+        with disconnected t^d D = P(i/jk) P(a/bc) t_i^a <jk||bc> and
+        connected t^c D = P(i/jk) P(a/bc) [sum_e t_jk^ae <ei||bc>
+        - sum_m t_im^bc <ma||jk>].  Identically zero for two-electron
+        systems (no triples exist).  Sets .e_t and .e_tot_t.
+        """
+        assert self.t2 is not None, "run CCSD first"
+        f, g, o, v, d1, d2, no, nv = self._setup()
+        if no < 3:
+            self.e_t = 0.0
+            self.e_tot_t = self.e_tot
+            return self.e_t
+        t1, t2 = self.t1, self.t2
+        eps = jnp.diag(f)
+        eo, ev = eps[o], eps[v]
+        d3 = (eo[:, None, None, None, None, None]
+              + eo[None, :, None, None, None, None]
+              + eo[None, None, :, None, None, None]
+              - ev[None, None, None, :, None, None]
+              - ev[None, None, None, None, :, None]
+              - ev[None, None, None, None, None, :])
+
+        def p_ijk(x):
+            # P(i/jk): x - x(i<->j) - x(i<->k) on the first three axes
+            return (x - jnp.swapaxes(x, 0, 1) - jnp.swapaxes(x, 0, 2))
+
+        def p_abc(x):
+            # P(a/bc) on the last three axes
+            return (x - jnp.swapaxes(x, 3, 4) - jnp.swapaxes(x, 3, 5))
+
+        disc = p_ijk(p_abc(
+            jnp.einsum("ia, jkbc -> ijkabc", t1, g[o, o, v, v])))
+        conn = p_ijk(p_abc(
+            jnp.einsum("jkae, eibc -> ijkabc", t2, g[v, o, v, v])
+            - jnp.einsum("imbc, majk -> ijkabc", t2, g[o, v, o, o])))
+        tc = conn / d3
+        self.e_t = float(jnp.einsum("ijkabc, ijkabc ->",
+                                    tc, conn + disc) / 36.0)
+        self.e_tot_t = self.e_tot + self.e_t
+        return self.e_t
