@@ -55,3 +55,32 @@ def spectrogram(x, d=1.0):
 
 def wvd(x, d=1.0):
     return wigner(x, d)
+
+
+def wigner_sample_harmonic(key, n, omega, mass=1.0, beta=None,
+                           x0=0.0, p0=0.0):
+    """Sample (x, p) from the harmonic-oscillator Wigner distribution —
+    the standard initial-condition generator for trajectory methods
+    (FSSH/Ehrenfest/RPMD ensembles; no counterpart in the reference).
+
+    Ground state (beta=None): sigma_x^2 = 1/(2 m omega),
+    sigma_p^2 = m omega / 2.  Thermal: both scaled by
+    coth(beta omega / 2) (the exact quantum thermal Wigner function).
+
+    omega/mass/x0/p0 may be scalars or (ndim,) arrays; returns
+    (x, p) each (n, ndim).
+    """
+    import jax
+    if isinstance(key, (int, np.integer)):
+        key = jax.random.PRNGKey(int(key))
+    omega = jnp.atleast_1d(jnp.asarray(omega, dtype=float))
+    mass = jnp.broadcast_to(jnp.asarray(mass, dtype=float), omega.shape)
+    ndim = omega.shape[0]
+    scale = (1.0 if beta is None
+             else 1.0 / jnp.tanh(jnp.asarray(beta) * omega / 2.0))
+    sx = jnp.sqrt(scale / (2.0 * mass * omega))
+    sp = jnp.sqrt(scale * mass * omega / 2.0)
+    kx, kp = jax.random.split(key)
+    x = x0 + sx[None, :] * jax.random.normal(kx, (n, ndim))
+    p = p0 + sp[None, :] * jax.random.normal(kp, (n, ndim))
+    return x, p

@@ -142,3 +142,18 @@ def test_fssh_sharded_equals_unsharded():
     assert np.array_equal(np.asarray(r1.active), np.asarray(r2.active))
     assert np.allclose(np.asarray(r1.population),
                        np.asarray(r2.population), atol=1e-12)
+
+
+def test_wigner_sample_harmonic_variances():
+    from pyqed_tpu.utils.wigner import wigner_sample_harmonic
+    # ground state: sigma_x^2 = 1/(2 m w), sigma_p^2 = m w / 2
+    x, p = wigner_sample_harmonic(0, 40000, omega=2.0, mass=3.0)
+    assert abs(float(np.var(np.asarray(x))) - 1 / 12.0) < 3e-3
+    assert abs(float(np.var(np.asarray(p))) - 3.0) < 0.05
+    # thermal scaling: coth(beta w / 2)
+    xT, _ = wigner_sample_harmonic(1, 40000, omega=2.0, mass=3.0, beta=0.5)
+    fac = 1 / np.tanh(0.5)
+    assert abs(float(np.var(np.asarray(xT))) - fac / 12.0) < 5e-3
+    # multidimensional shapes
+    x2, p2 = wigner_sample_harmonic(2, 10, omega=np.array([1.0, 2.0]))
+    assert x2.shape == (10, 2) and p2.shape == (10, 2)
