@@ -1,7 +1,7 @@
 from .mol import Molecule
 from .scf import RHF, UHF
 from .ci import FCI, CISD, CASCI, slater_condon, spinorb_ints
-from .mp import MP2
+from .mp import MP2, UMP2
 from .cc import CCSD
 from .tdscf import TDA, TDHF, CIS
 from .dft import RKS, UKS, becke_grid, lda_exc_vxc

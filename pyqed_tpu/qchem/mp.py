@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["MP2"]
+__all__ = ["MP2", "UMP2"]
 
 
 class MP2:
@@ -46,6 +46,61 @@ class MP2:
         self.e_corr_os = float(e_os)
         self.e_corr_ss = float(e_ss)
         self.e_corr = float(e_os + e_ss)
+        self.e_tot = float(mf.e_tot) + self.e_corr
+        self.e_scs = (float(mf.e_tot) + 1.2 * self.e_corr_os
+                      + self.e_corr_ss / 3.0)
+        return self
+
+
+class UMP2:
+    """Unrestricted MP2 on a converged UHF object (``qchem.scf.UHF``):
+
+        E2 = 1/4 sum_aa <ij||ab>^2/D + 1/4 sum_bb <ij||ab>^2/D
+             + sum_ab (ia|jb)^2/D
+
+    (same-spin blocks antisymmetrized, opposite-spin plain chemists'
+    integrals).  Reduces to RMP2 when the UHF solution is closed-shell."""
+
+    def __init__(self, mf):
+        assert mf.mo_coeff is not None, "run UHF first"
+        self.mf = mf
+        self.e_corr = None
+        self.e_tot = None
+
+    @staticmethod
+    def _ovov(eri, C1, o1, v1, C2, o2, v2):
+        """(i a | j b) with pair 1 in C1-spin MOs, pair 2 in C2."""
+        return jnp.einsum("pi, qa, pqrs, rj, sb -> iajb",
+                          C1[:, o1], C1[:, v1], eri, C2[:, o2],
+                          C2[:, v2])
+
+    def run(self):
+        mf = self.mf
+        Ca, Cb = [jnp.asarray(c) for c in mf.mo_coeff]
+        ea, eb = [jnp.asarray(e) for e in mf.mo_energy]
+        na, nb = mf.nocc
+        eri = jnp.asarray(mf.eri)
+        oa, va = slice(None, na), slice(na, None)
+        ob, vb = slice(None, nb), slice(nb, None)
+
+        def d2(eo1, ev1, eo2, ev2):
+            return (eo1[:, None, None, None] - ev1[None, :, None, None]
+                    + eo2[None, None, :, None] - ev2[None, None, None, :])
+
+        def same_spin(C, o, v, e):
+            ovov = self._ovov(eri, C, o, v, C, o, v)
+            anti = ovov - jnp.swapaxes(ovov, 1, 3)       # (ia|jb)-(ib|ja)
+            D = d2(e[o], e[v], e[o], e[v])
+            return 0.25 * jnp.sum(anti ** 2 / D)
+
+        e_aa = same_spin(Ca, oa, va, ea)
+        e_bb = same_spin(Cb, ob, vb, eb)
+        ovov = self._ovov(eri, Ca, oa, va, Cb, ob, vb)
+        e_ab = jnp.sum(ovov ** 2 / d2(ea[oa], ea[va], eb[ob], eb[vb]))
+
+        self.e_corr_ss = float(e_aa + e_bb)
+        self.e_corr_os = float(e_ab)
+        self.e_corr = self.e_corr_ss + self.e_corr_os
         self.e_tot = float(mf.e_tot) + self.e_corr
         self.e_scs = (float(mf.e_tot) + 1.2 * self.e_corr_os
                       + self.e_corr_ss / 3.0)

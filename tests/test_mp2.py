@@ -61,3 +61,25 @@ def test_mp2_two_electron_ss_zero():
     mf = RHF(mol); mf.run()
     mp = MP2(mf).run()
     assert abs(mp.e_corr_ss) < 1e-12
+
+
+def test_ump2_closed_shell_equals_rmp2():
+    from pyqed_tpu.qchem import UHF, UMP2
+    mol = Molecule([("He", (0, 0, 0)), ("H", (0, 0, 1.4632))], charge=1)
+    mfR = RHF(mol); mfR.run()
+    mfU = UHF(mol); mfU.run()
+    r = MP2(mfR).run()
+    u = UMP2(mfU).run()
+    assert abs(r.e_corr - u.e_corr) < 1e-8
+    assert abs(u.e_corr_ss) < 1e-10       # two electrons: SS block empty
+
+
+def test_ump2_doublet_h3():
+    from pyqed_tpu.qchem import UHF, UMP2
+    mol = Molecule([("H", (0, 0, 0)), ("H", (0, 0, 1.8)),
+                    ("H", (0, 0, 3.6))], spin=1)
+    mf = UHF(mol); mf.run()
+    u = UMP2(mf).run()
+    # measured: -0.01207 Eh; correlation negative, all blocks finite
+    assert -0.02 < u.e_corr < -0.005
+    assert u.e_corr_os < 0.0
