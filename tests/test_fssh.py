@@ -157,3 +157,28 @@ def test_wigner_sample_harmonic_variances():
     # multidimensional shapes
     x2, p2 = wigner_sample_harmonic(2, 10, omega=np.array([1.0, 2.0]))
     assert x2.shape == (10, 2) and p2.shape == (10, 2)
+
+
+def test_fssh_2d_energy_conserved_through_hops():
+    # 2D avoided crossing: momentum rescaling happens along the 2D NAC
+    # direction; total energy must still be conserved through hops
+    A, B, C, D = 0.01, 1.6, 0.005, 1.0
+
+    def v2d(x):
+        d, y = x[0], x[1]
+        v11 = A * jnp.tanh(B * d) + 0.002 * y ** 2
+        v12 = C * jnp.exp(-D * (d ** 2 + y ** 2))
+        return jnp.array([[v11, v12], [v12, -v11 + 0.002 * y ** 2]])
+
+    sol = FSSH(v2d, mass=2000.0, nstates=2, ndim=2)
+    ntraj = 48
+    rng = np.random.default_rng(5)
+    x0 = np.column_stack([np.full(ntraj, -8.0), rng.normal(0, 0.5, ntraj)])
+    p0 = np.column_stack([np.full(ntraj, 20.0), rng.normal(0, 1.0, ntraj)])
+    res = sol.run(x0, p0, active0=0, dt=2.0, nt=3000, nout=300, key=9)
+    pop = np.asarray(res.population)[-1]
+    assert pop[1] > 0.05                      # hops occurred
+    e = np.asarray(res.energy)
+    assert np.max(np.abs(e - e[0:1])) < 5e-4  # conserved incl. 2D rescaling
+    nrm = np.sum(np.abs(np.asarray(res.c)) ** 2, axis=-1)
+    assert np.max(np.abs(nrm - 1.0)) < 1e-8
