@@ -16,4 +16,5 @@ parameters come for free.  This package turns that into user-facing tools:
                     learning, bath-parameter extraction).
 """
 from .grape import GRAPE, OpenGRAPE, CRAB, amplitude_penalty, smoothness_penalty
+from .krotov import Krotov
 from .fit import fit, fit_exponential_decay
