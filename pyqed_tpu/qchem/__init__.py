@@ -3,6 +3,7 @@ from .scf import RHF, UHF
 from .ci import FCI, CISD, CASCI, slater_condon, spinorb_ints
 from .mp import MP2, UMP2
 from .cc import CCSD
+from .eom import EOMCCSD
 from .tdscf import TDA, TDHF, CIS
 from .dft import RKS, UKS, becke_grid, lda_exc_vxc
 from .soc import soc_integrals, soc_matrix, soc_mo
