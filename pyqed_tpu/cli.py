@@ -60,7 +60,8 @@ def main(argv=None):
         return 0 if ok else 1
 
     if args.cmd == "run":
-        out = args.output or (args.job.rsplit(".", 1)[0] + ".npz")
+        import os
+        out = args.output or (os.path.splitext(args.job)[0] + ".npz")
         run_job(args.job, out)
         return 0
 
@@ -103,7 +104,7 @@ def run_job(job_path, out_path):
     e_ops = [arr(o).astype(complex) for o in spec.get("e_ops", [])]
 
     if task == "sesolve":
-        from .open.lindblad import SESolver
+        from .models.mol import SESolver
         res = SESolver(arr(spec["H"]).astype(complex)).run(
             psi0=arr(spec["psi0"]).astype(complex), dt=dt, Nt=nt,
             nout=nout, e_ops=e_ops)
@@ -133,9 +134,11 @@ def run_job(job_path, out_path):
         x = np.linspace(float(g["xmin"]), float(g["xmax"]), int(g["n"]),
                         endpoint=False)
         sol = SPON([x], masses=[float(spec.get("mass", 1.0))], nstates=1)
-        v = eval(spec["potential"], {"np": np, "x": x})
+        # expression strings are math only — no builtins, just np and x
+        env = {"__builtins__": {}, "np": np, "x": x}
+        v = eval(spec["potential"], env)
         sol.set_dpes(jnp.asarray(v))
-        psi0 = eval(spec["psi0"], {"np": np, "x": x})
+        psi0 = eval(spec["psi0"], env)
         psi0 = np.asarray(psi0, complex)
         psi0 /= np.sqrt(np.sum(np.abs(psi0) ** 2) * (x[1] - x[0]))
         res = sol.run(jnp.asarray(psi0)[:, None], dt=dt, nt=nt,

@@ -23,10 +23,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-import optax
 
 from ..ops.superoperator import liouvillian
 from ..ops.linalg import dag
+from ..config import default_complex, default_real
+from .fit import fit
 
 __all__ = ["GRAPE", "OpenGRAPE", "CRAB",
            "amplitude_penalty", "smoothness_penalty"]
@@ -61,8 +62,8 @@ class GRAPE:
     """
 
     def __init__(self, H0, Hc: Sequence, dt: float, n_steps: int):
-        self.H0 = jnp.asarray(H0, dtype=jnp.complex128)
-        self.Hc = jnp.stack([jnp.asarray(h, dtype=jnp.complex128) for h in Hc])
+        self.H0 = jnp.asarray(H0, dtype=default_complex())
+        self.Hc = jnp.stack([jnp.asarray(h, dtype=default_complex()) for h in Hc])
         self.dt = float(dt)
         self.n_steps = int(n_steps)
         self.n = self.H0.shape[0]
@@ -81,11 +82,11 @@ class GRAPE:
     def evolve(self, u, psi0):
         """Final state after the full pulse."""
         return _scan_apply(self.step_propagators(u),
-                           jnp.asarray(psi0, dtype=jnp.complex128))
+                           jnp.asarray(psi0, dtype=default_complex()))
 
     def total_propagator(self, u):
         return _scan_apply(self.step_propagators(u),
-                           jnp.eye(self.n, dtype=jnp.complex128))
+                           jnp.eye(self.n, dtype=default_complex()))
 
     def trajectory(self, u, psi0):
         """All intermediate states, shape (n_steps+1, n)."""
@@ -93,7 +94,7 @@ class GRAPE:
         def step(psi, U):
             nxt = U @ psi
             return nxt, nxt
-        psi0 = jnp.asarray(psi0, dtype=jnp.complex128)
+        psi0 = jnp.asarray(psi0, dtype=default_complex())
         _, traj = lax.scan(step, psi0, Us)
         return jnp.concatenate([psi0[None], traj], axis=0)
 
@@ -101,13 +102,13 @@ class GRAPE:
     def fidelity_state(self, u, psi0, target):
         """|<target|U(T)|psi0>|^2 (phase-insensitive state transfer)."""
         psiT = self.evolve(u, psi0)
-        return jnp.abs(jnp.vdot(jnp.asarray(target, dtype=jnp.complex128),
+        return jnp.abs(jnp.vdot(jnp.asarray(target, dtype=default_complex()),
                                 psiT)) ** 2
 
     def fidelity_gate(self, u, U_target):
         """|Tr(U_target^dag U(T))|^2 / n^2 (global-phase-insensitive)."""
         U = self.total_propagator(u)
-        tgt = jnp.asarray(U_target, dtype=jnp.complex128)
+        tgt = jnp.asarray(U_target, dtype=default_complex())
         return jnp.abs(jnp.trace(dag(tgt) @ U)) ** 2 / self.n ** 2
 
     # -- optimization -------------------------------------------------
@@ -117,21 +118,10 @@ class GRAPE:
 
         Returns (u_opt, losses) with losses of shape (iters,).
         """
-        opt = optimizer if optimizer is not None else optax.adam(learning_rate)
-        u0 = jnp.asarray(u0, dtype=jnp.float64)
-
-        @jax.jit
-        def run(u0):
-            state0 = opt.init(u0)
-            def step(carry, _):
-                u, st = carry
-                val, g = jax.value_and_grad(loss_fn)(u)
-                upd, st = opt.update(g, st, u)
-                return (optax.apply_updates(u, upd), st), val
-            (u, _), losses = lax.scan(step, (u0, state0), None, length=iters)
-            return u, losses
-
-        return run(u0)
+        # one jitted optax/scan loop, shared with control.fit
+        return fit(loss_fn, jnp.asarray(u0, dtype=default_real()),
+                   iters=iters, learning_rate=learning_rate,
+                   optimizer=optimizer)
 
     def optimize_state_transfer(self, psi0, target, u0=None, iters=200,
                                 learning_rate=0.05, penalty=0.0):
@@ -178,14 +168,40 @@ class OpenGRAPE(GRAPE):
 
     def evolve(self, u, rho0):
         """Final density matrix after the full pulse."""
-        rho0 = jnp.asarray(rho0, dtype=jnp.complex128)
+        rho0 = jnp.asarray(rho0, dtype=default_complex())
         v = _scan_apply(self.step_propagators(u), rho0.reshape(-1))
         return v.reshape(self.n, self.n)
+
+    def total_propagator(self, u):
+        """Full (n^2, n^2) Liouville-space propagator of the pulse."""
+        return _scan_apply(self.step_propagators(u),
+                           jnp.eye(self.n ** 2, dtype=default_complex()))
+
+    def trajectory(self, u, rho0):
+        """All intermediate density matrices, shape (n_steps+1, n, n)."""
+        Us = self.step_propagators(u)
+        rho0 = jnp.asarray(rho0, dtype=default_complex())
+        def step(v, U):
+            nxt = U @ v
+            return nxt, nxt
+        _, traj = lax.scan(step, rho0.reshape(-1), Us)
+        traj = jnp.concatenate([rho0.reshape(1, -1), traj], axis=0)
+        return traj.reshape(-1, self.n, self.n)
+
+    def fidelity_gate(self, u, U_target):
+        """Process fidelity vs a TARGET UNITARY:  F = Re Tr(S_tgt^dag
+        S(T)) / n^2  with S_tgt = U (x) conj(U) (row-major vec), the
+        superoperator of rho -> U rho U^dag.  F = 1 iff the channel
+        equals the unitary (for a dissipative channel F < 1)."""
+        S = self.total_propagator(u)
+        tgt = jnp.asarray(U_target, dtype=default_complex())
+        S_tgt = jnp.kron(tgt, jnp.conj(tgt))
+        return jnp.real(jnp.trace(dag(S_tgt) @ S)) / self.n ** 2
 
     def fidelity_state(self, u, rho0, target):
         """Tr(rho_target rho(T)) for a pure target (overlap fidelity)."""
         rhoT = self.evolve(u, rho0)
-        tgt = jnp.asarray(target, dtype=jnp.complex128)
+        tgt = jnp.asarray(target, dtype=default_complex())
         if tgt.ndim == 1:
             return jnp.real(jnp.vdot(tgt, rhoT @ tgt))
         return jnp.real(jnp.trace(dag(tgt) @ rhoT))
@@ -212,7 +228,7 @@ class CRAB(GRAPE):
         if frequencies is None:
             # principal harmonics of the pulse window
             frequencies = 2.0 * np.pi * np.arange(1, n_modes + 1) / T
-        self.frequencies = jnp.asarray(frequencies, dtype=jnp.float64)
+        self.frequencies = jnp.asarray(frequencies, dtype=default_real())
         self.t = (jnp.arange(n_steps) + 0.5) * dt
         if envelope is None:
             envelope = jnp.sin(jnp.pi * self.t / T) ** 2   # smooth on/off

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..config import default_complex, default_real
+
 __all__ = ["Krotov"]
 
 
@@ -39,8 +41,8 @@ class Krotov:
 
     def __init__(self, H0, Hc: Sequence, dt: float, n_steps: int,
                  lam: float = 1.0, shape=None):
-        self.H0 = jnp.asarray(H0, dtype=jnp.complex128)
-        self.Hc = jnp.stack([jnp.asarray(h, dtype=jnp.complex128)
+        self.H0 = jnp.asarray(H0, dtype=default_complex())
+        self.Hc = jnp.stack([jnp.asarray(h, dtype=default_complex())
                              for h in Hc])
         self.dt = float(dt)
         self.n_steps = int(n_steps)
@@ -48,7 +50,7 @@ class Krotov:
         if shape is None:
             tmid = (np.arange(n_steps) + 0.5) / n_steps
             shape = np.sin(np.pi * tmid) ** 2
-        self.shape = jnp.asarray(shape, dtype=jnp.float64)
+        self.shape = jnp.asarray(shape, dtype=default_real())
 
     def _u_step(self, u_k):
         """exp(-i (H0 + u_k . Hc) dt) for one slice."""
@@ -65,25 +67,30 @@ class Krotov:
         return psiT, traj
 
     def fidelity(self, u, psi0, target):
-        psi0 = jnp.asarray(psi0, dtype=jnp.complex128)
-        target = jnp.asarray(target, dtype=jnp.complex128)
+        psi0 = jnp.asarray(psi0, dtype=default_complex())
+        target = jnp.asarray(target, dtype=default_complex())
         psiT, _ = self._forward(jnp.asarray(u), psi0)
         return jnp.abs(jnp.vdot(target, psiT)) ** 2
 
     def _iteration(self, u, psi0, target):
         """One Krotov iteration: backward costate sweep (frozen pulse),
-        then the sequential forward update sweep."""
-        psiT, _ = self._forward(u, psi0)
+        then the sequential forward update sweep.  The expm batch of the
+        frozen pulse is built ONCE and reused for both the forward pass
+        (psi(T)) and the backward costate sweep; the fidelity of the
+        updated pulse falls out of the update sweep's final carry.
+        Returns (u_new, fidelity(u_new))."""
+        Us = jax.vmap(self._u_step)(u)
+        def fstep(psi, U):
+            return U @ psi, None
+        psiT, _ = lax.scan(fstep, psi0, Us)
         chiT = jnp.vdot(target, psiT) * target          # dJ/d<psi(T)|
 
         # backward: chi(t_k) for k = n-1 .. 0 under the frozen pulse.
-        Us = jax.vmap(self._u_step)(u)
         def back(chi, U):
             prev = U.conj().T @ chi                     # U^dag chi
             return prev, prev
         _, chis_rev = lax.scan(back, chiT, Us[::-1])
         chis = chis_rev[::-1]                           # chi at slice k
-        # chis[k] = chi(t_k) (start of slice k), chi propagated backward
 
         # forward update: at slice k use chi(t_k) and the CURRENT psi
         def fwd(psi, xs):
@@ -95,26 +102,27 @@ class Krotov:
             u_new = u_k + du
             psi = self._u_step(u_new) @ psi
             return psi, u_new
-        _, u_new = lax.scan(fwd, psi0, (u, chis, self.shape))
-        return u_new
+        psi_new, u_new = lax.scan(fwd, psi0, (u, chis, self.shape))
+        fid = jnp.abs(jnp.vdot(target, psi_new)) ** 2
+        return u_new, fid
 
     def optimize_state_transfer(self, psi0, target, u0=None,
                                 iters: int = 50):
         """Returns (u_opt, fidelities) — fidelities monotone
         non-decreasing in ``iters`` (first-order Krotov guarantee)."""
-        psi0 = jnp.asarray(psi0, dtype=jnp.complex128)
+        psi0 = jnp.asarray(psi0, dtype=default_complex())
         psi0 = psi0 / jnp.linalg.norm(psi0)
-        target = jnp.asarray(target, dtype=jnp.complex128)
+        target = jnp.asarray(target, dtype=default_complex())
         target = target / jnp.linalg.norm(target)
         if u0 is None:
             u0 = 1e-2 * np.ones((self.n_steps, self.Hc.shape[0]))
-        u = jnp.asarray(u0, dtype=jnp.float64)
+        u = jnp.asarray(u0, dtype=default_real())
 
         @jax.jit
         def run(u):
             def body(u, _):
-                u = self._iteration(u, psi0, target)
-                return u, self.fidelity(u, psi0, target)
+                u, fid = self._iteration(u, psi0, target)
+                return u, fid
             return lax.scan(body, u, None, length=iters)
 
         u, fids = run(u)

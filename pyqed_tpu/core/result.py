@@ -52,16 +52,23 @@ class Result:
 
     # -- serialization -------------------------------------------------
     def dump(self, fname):
-        """Save to NPZ (reference pickles the object: pyqed/mol.py:146)."""
+        """Save to NPZ (reference pickles the object: pyqed/mol.py:146).
+
+        Serializes the dataclass fields AND any extra public array/scalar
+        attributes a solver attached (e.g. FSSH's ``population``/``active``,
+        RPMD's ``centroid``, MCWF's ``observables_std``/``njumps``)."""
+        field_names = {f.name for f in dataclasses.fields(self)}
         payload = {}
-        for f in dataclasses.fields(self):
-            v = getattr(self, f.name)
+        items = [(f, getattr(self, f)) for f in field_names]
+        items += [(k, v) for k, v in vars(self).items()
+                  if k not in field_names and not k.startswith("_")]
+        for name, v in items:
             if v is None:
                 continue
             if isinstance(v, (jnp.ndarray, np.ndarray)):
-                payload[f.name] = np.asarray(v)
+                payload[name] = np.asarray(v)
             elif isinstance(v, (int, float, complex, str)):
-                payload[f.name] = np.asarray(v)
+                payload[name] = np.asarray(v)
         np.savez(fname, **payload)
 
     def save(self, fname):
@@ -78,10 +85,14 @@ def load_result(fname) -> Result:
             data = np.load(fname, allow_pickle=False)
     else:
         data = np.load(fname, allow_pickle=False)
-    kwargs = {}
+    field_names = {f.name for f in dataclasses.fields(Result)}
+    kwargs, extras = {}, {}
     for key in data.files:
         v = data[key]
         if v.ndim == 0:
             v = v.item()
-        kwargs[key] = v
-    return Result(**kwargs)
+        (kwargs if key in field_names else extras)[key] = v
+    r = Result(**kwargs)
+    for k, v in extras.items():
+        setattr(r, k, v)
+    return r

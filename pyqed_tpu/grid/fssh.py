@@ -180,8 +180,12 @@ class FSSH:
         Result carries .x/.p/.c/.active (nsnap, ntraj, ...), .population
         (surface estimator), .population_wf (|c|^2 estimator), .energy.
         """
-        x0 = jnp.atleast_2d(jnp.asarray(x0, dtype=float))
-        p0 = jnp.atleast_2d(jnp.asarray(p0, dtype=float))
+        x0 = jnp.asarray(x0, dtype=float)
+        p0 = jnp.asarray(p0, dtype=float)
+        if x0.ndim == 1:           # flat input = ntraj 1-D trajectories
+            x0, p0 = x0[:, None], p0[:, None]
+        assert x0.shape[-1] == self.ndim, \
+            f"x0 last axis {x0.shape[-1]} != ndim {self.ndim}"
         ntraj = x0.shape[0]
         ns = self.nstates
         act0 = jnp.broadcast_to(jnp.asarray(active0, dtype=jnp.int32),

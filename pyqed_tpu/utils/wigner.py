@@ -73,8 +73,9 @@ def wigner_sample_harmonic(key, n, omega, mass=1.0, beta=None,
     import jax
     if isinstance(key, (int, np.integer)):
         key = jax.random.PRNGKey(int(key))
-    omega = jnp.atleast_1d(jnp.asarray(omega, dtype=float))
-    mass = jnp.broadcast_to(jnp.asarray(mass, dtype=float), omega.shape)
+    omega, mass = jnp.broadcast_arrays(
+        jnp.atleast_1d(jnp.asarray(omega, dtype=float)),
+        jnp.atleast_1d(jnp.asarray(mass, dtype=float)))
     ndim = omega.shape[0]
     scale = (1.0 if beta is None
              else 1.0 / jnp.tanh(jnp.asarray(beta) * omega / 2.0))

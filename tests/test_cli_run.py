@@ -39,3 +39,20 @@ def test_cli_run_spo(tmp_path):
     assert main(["run", str(jp)]) == 0
     d = np.load(tmp_path / "spo.npz", allow_pickle=True)
     assert d["times"].shape[0] == 11
+
+
+def test_cli_run_sesolve_rabi(tmp_path):
+    # regression: sesolve task imported SESolver from the wrong module
+    job = {"task": "sesolve",
+           "H": [[0.0, 0.05], [0.05, 0.0]],
+           "psi0": [1.0, 0.0],
+           "e_ops": [[[0.0, 0.0], [0.0, 1.0]]],
+           "dt": 0.01, "nt": 500, "nout": 10}
+    jp = tmp_path / "se.json"
+    jp.write_text(json.dumps(job))
+    assert main(["run", str(jp)]) == 0
+    d = np.load(tmp_path / "se.npz", allow_pickle=True)
+    p1 = np.real(d["observables"][:, 0])
+    t = d["times"]
+    # H = 0.05 sx -> p1(t) = sin^2(0.05 t)
+    assert np.max(np.abs(p1 - np.sin(0.05 * t) ** 2)) < 1e-8

@@ -162,3 +162,25 @@ def test_krotov_two_controls():
     f = np.asarray(fids)
     assert np.all(np.diff(f) >= -1e-10)
     assert f[-1] > 0.999
+
+
+def test_open_grape_gate_methods_liouville():
+    # regression: inherited gate/trajectory methods crashed on the
+    # Liouville dimension; now they are proper superoperator versions
+    sm = np.array([[0.0, 1.0], [0.0, 0.0]], complex)
+    og = OpenGRAPE(H0=0.5 * sz, Hc=[sx], dt=0.2, n_steps=10,
+                   c_ops=[0.3 * sm])
+    u = 0.1 * np.ones((10, 1))
+    S = np.asarray(og.total_propagator(u))
+    assert S.shape == (4, 4)
+    traj = np.asarray(og.trajectory(u, np.diag([1.0, 0]).astype(complex)))
+    assert traj.shape == (11, 2, 2)
+    assert np.allclose([np.trace(r) for r in traj], 1.0, atol=1e-10)
+    # dissipative channel cannot reach unit process fidelity vs a unitary
+    f_diss = float(og.fidelity_gate(u, np.eye(2)))
+    assert f_diss < 1.0
+    # without dissipation the process fidelity vs the exact unitary is 1
+    og0 = OpenGRAPE(H0=0.5 * sz, Hc=[sx], dt=0.2, n_steps=10, c_ops=[])
+    g0 = GRAPE(H0=0.5 * sz, Hc=[sx], dt=0.2, n_steps=10)
+    U = np.asarray(g0.total_propagator(u))
+    assert abs(float(og0.fidelity_gate(u, U)) - 1.0) < 1e-10

@@ -182,3 +182,33 @@ def test_fssh_2d_energy_conserved_through_hops():
     assert np.max(np.abs(e - e[0:1])) < 5e-4  # conserved incl. 2D rescaling
     nrm = np.sum(np.abs(np.asarray(res.c)) ** 2, axis=-1)
     assert np.max(np.abs(nrm - 1.0)) < 1e-8
+
+
+def test_fssh_flat_1d_input_means_ntraj():
+    # regression: flat (ntraj,) input used to become ONE ntraj-dimensional
+    # trajectory via atleast_2d
+    sol = FSSH(tully_i(), mass=2000.0, nstates=2, ndim=1)
+    res = sol.run(np.full(8, -8.0), np.full(8, 20.0), active0=0,
+                  dt=2.0, nt=100, nout=100, key=0)
+    assert np.asarray(res.x).shape == (1, 8, 1)   # (nsnap, ntraj, ndim)
+
+
+def test_fssh_result_dump_keeps_extras(tmp_path):
+    # regression: Result.dump dropped non-dataclass attributes
+    from pyqed_tpu.core.result import load_result
+    sol = FSSH(tully_i(), mass=2000.0, nstates=2, ndim=1)
+    res = sol.run(np.full((4, 1), -8.0), np.full((4, 1), 20.0),
+                  active0=0, dt=2.0, nt=100, nout=50, key=0)
+    f = tmp_path / "fssh.npz"
+    res.dump(f)
+    back = load_result(f)
+    assert np.allclose(np.asarray(back.population),
+                       np.asarray(res.population))
+    assert np.array_equal(np.asarray(back.active), np.asarray(res.active))
+
+
+def test_wigner_sample_scalar_omega_array_mass():
+    from pyqed_tpu.utils.wigner import wigner_sample_harmonic
+    x, p = wigner_sample_harmonic(0, 10, omega=1.0,
+                                  mass=np.array([1.0, 2.0]))
+    assert x.shape == (10, 2) and p.shape == (10, 2)
