@@ -105,7 +105,17 @@ class HEOMSolver:
     def set_bath(self, bath):
         if isinstance(bath, (list, tuple)):
             modes = []
-            for (Q, cs, nus) in bath:
+            for entry in bath:
+                if len(entry) == 2 and hasattr(entry[1], "matsubara"):
+                    # (Q, DrudeBath-like) pair: decompose per solver
+                    # settings — lets each site carry its own bath
+                    Q, b = entry
+                    if self.decomposition == "pade":
+                        cs, nus = b.pade(self.nexp)
+                    else:
+                        cs, nus = b.matsubara(self.nexp)
+                else:
+                    Q, cs, nus = entry
                 for c, nu in zip(np.atleast_1d(cs), np.atleast_1d(nus)):
                     # nu kept complex: underdamped/Prony decompositions
                     # (open/bath.py prony_decomposition) carry oscillatory

@@ -146,3 +146,78 @@ class TestHEOMPropagatorAnd2T:
         # a loose drift bound; rows must be nearly equal
         drift = np.max(np.abs(corr2[-1] - corr2[20]))
         assert drift < 5e-3 * max(np.abs(corr2).max(), 1e-30)
+
+
+class TestMultiBath:
+    """Independent per-state baths (the bath=[(Q, c, nu), ...] list API
+    flattening several coupling operators into one hierarchy)."""
+
+    def test_two_bath_pure_dephasing_analytic(self):
+        """Exact second-order-cumulant closed form for TWO independent
+        baths coupled to the two level projectors.
+
+        H = diag(e1, e2), H_SB = |1><1| B_1 + |2><2| B_2 with independent
+        Gaussian baths C_j(t) = sum_k c_jk exp(-nu_jk t).  Pure dephasing
+        is exactly solvable:
+
+            rho_12(t) = rho_12(0) e^{-i w12 t} e^{-g_1(t) - g_2(t)*},
+            g_j(t) = sum_k c_jk / nu_jk^2 (nu_jk t + e^{-nu_jk t} - 1),
+
+        (the bath-2 factor enters conjugated: lnF = -(a-b)[a g - b g*]
+        with (a,b) = (0,1) for Q_2 = |2><2|).  HEOM with those exact
+        exponential modes must reproduce it; populations are constant.
+        """
+        from pyqed_tpu.open import HEOMSolver
+
+        e1, e2 = 0.3, -0.2
+        H = np.diag([e1, e2]).astype(complex)
+        P1 = np.diag([1.0, 0.0]).astype(complex)
+        P2 = np.diag([0.0, 1.0]).astype(complex)
+        c1, nu1 = [0.02 + 0.005j], [0.8]
+        c2, nu2 = [0.015 - 0.003j, 0.01], [0.5, 1.3]
+
+        sol = HEOMSolver(jnp.asarray(H),
+                         bath=[(jnp.asarray(P1), c1, nu1),
+                               (jnp.asarray(P2), c2, nu2)], lmax=6)
+        rho0 = 0.5 * np.ones((2, 2), dtype=complex)
+        dt, nt, nout = 0.005, 2000, 50
+        res = sol.run(jnp.asarray(rho0), dt=dt, nt=nt, nout=nout,
+                      store_ados=False,
+                      e_ops=[jnp.asarray(P1),
+                             jnp.asarray(np.array([[0, 1], [0, 0]],
+                                                  dtype=complex))])
+        t = np.asarray(res.times)
+        obs = np.asarray(res.observables)
+        pop1 = np.real(obs[:, 0])
+        # Tr(|1><2| rho) = rho_21; conjugate to compare with rho_12
+        rho12 = np.conj(obs[:, 1])
+
+        def g(cs, nus, t):
+            out = np.zeros_like(t, dtype=complex)
+            for c, nu in zip(cs, nus):
+                out += c / nu**2 * (nu * t + np.exp(-nu * t) - 1.0)
+            return out
+
+        exact = 0.5 * np.exp(-1j * (e1 - e2) * t
+                             - g(c1, nu1, t) - np.conj(g(c2, nu2, t)))
+        assert np.max(np.abs(pop1 - 0.5)) < 1e-9          # pure dephasing
+        assert np.max(np.abs(rho12 - exact)) < 1e-7
+
+    def test_q_bath_pair_api_matches_bath_ops(self):
+        """bath=[(Q, DrudeBath)] pairs == DrudeBath.set_bath_ops([Q])
+        (bitwise: both flatten to the same modes)."""
+        from pyqed_tpu.open import HEOMSolver
+        from pyqed_tpu.open.bath import DrudeBath
+
+        H = jnp.asarray(0.5 * np.diag([1., -1.])
+                        + 0.3 * np.array([[0, 1], [1, 0]]), dtype=complex)
+        Q = jnp.asarray(np.diag([1., -1.]).astype(complex))
+        b = DrudeBath(temperature=0.5, cutoff=0.5, reorg=0.05)
+        b.set_bath_ops([Q])
+        rho0 = jnp.asarray(np.diag([1., 0.]).astype(complex))
+        obs = []
+        for bath in (b, [(Q, b)]):
+            sol = HEOMSolver(H, bath=bath, lmax=3, nexp=2)
+            obs.append(np.asarray(
+                sol.run(rho0, dt=0.01, nt=300, e_ops=[Q]).observables))
+        assert np.array_equal(obs[0], obs[1])
