@@ -363,16 +363,7 @@ class FMO:
         so a weak-coupling comparison isolates the method, not the
         decomposition)."""
         from ..open.redfield import RedfieldSolver
-        c, nu = self._bath(temperature).matsubara(nexp=nexp)
-
-        # redfield_tensor's `spectra` convention is the HALF-Fourier
-        # transform Gamma(w) = int_0^inf C(t) e^{iwt} dt (rates come out
-        # as 2 Re Gamma |A|^2 = S |A|^2; verified on a flat-spectrum TLS)
-        # — the complex value carries the Lamb shift too.
-        def Gamma(w, c=c, nu=nu):
-            w = np.asarray(w)[..., None]
-            return np.sum(c * (nu + 1j * w) / (nu**2 + w**2), axis=-1)
-
+        Gamma = self._bath(temperature).redfield_spectrum(nexp=nexp)
         return RedfieldSolver(self.H, c_ops=self.site_projectors(),
                               spectra=[Gamma] * self.nsites)
 

@@ -92,6 +92,24 @@ class DrudeBath:
             c.append(cj)
         return np.array(c, dtype=complex), np.array(nu, dtype=float)
 
+    def redfield_spectrum(self, nexp=30, decomposition="matsubara"):
+        """Half-Fourier transform Gamma(w) = int_0^inf C(t) e^{iwt} dt
+        as a vectorized callable — the convention ``RedfieldSolver``'s
+        ``spectra`` expects (rates are 2 Re Gamma |A|^2 = S(w) |A|^2;
+        the imaginary part is the Lamb shift).  Built from the converged
+        exponential decomposition: Gamma(w) = sum_k c_k / (nu_k - i w).
+        """
+        if decomposition == "pade":
+            c, nu = self.pade(nexp)
+        else:
+            c, nu = self.matsubara(nexp)
+
+        def Gamma(w, c=c, nu=nu):
+            w = np.asarray(w, dtype=float)[..., None]
+            return np.sum(c / (nu - 1j * w), axis=-1)
+
+        return Gamma
+
 
 def pade_poles_bose(N):
     """Poles/residues of the [N-1/N] Padé spectrum decomposition of the Bose

@@ -30,7 +30,13 @@ from ..core.dynamics import run_solver, rk4_step
 def redfield_tensor(H, a_ops, spectra, secular=False, sec_cutoff=1e-9):
     """Build (R, evecs) with i d/dt vec(rho) = i R vec(rho) conventions of
     the reference (pyqed/oqs.py:519): returns R such that
-    d rho/dt = R rho in the eigenbasis of H."""
+    d rho/dt = R rho in the eigenbasis of H.
+
+    ``spectra`` convention: each callable is the HALF-Fourier transform
+    Gamma(w) = int_0^inf C(t) e^{iwt} dt of the bath correlation (so the
+    secular population rate is 2 Re Gamma |A_ab|^2 = S(w) |A_ab|^2, and a
+    complex return value carries the Lamb shift). A real-valued callable
+    is Re Gamma = S(w)/2. See ``DrudeBath.redfield_spectrum``."""
     H = jnp.asarray(H)
     for a in a_ops:
         if not isherm(jnp.asarray(a)):

@@ -478,3 +478,28 @@ def test_redfield_steady_state_long_time_limit():
     rho0[2, 2] = 1.0
     res = solver.evolve(jnp.asarray(rho0), dt=0.05, Nt=6000)
     assert np.max(np.abs(np.asarray(res.rho) - rho_ss)) < 1e-6
+
+
+def test_drude_redfield_spectrum_is_half_fourier():
+    """DrudeBath.redfield_spectrum == numerical int_0^inf C(t) e^{iwt} dt
+    (the RedfieldSolver `spectra` convention), and 2 Re Gamma obeys
+    detailed balance S(-w) = e^{-beta w} S(w)."""
+    from pyqed_tpu.open.bath import DrudeBath
+
+    b = DrudeBath(temperature=0.4, cutoff=0.7, reorg=0.06)
+    # (1) half-FT identity on the SAME finite mode set
+    c, nu = b.matsubara(nexp=60)
+    Gamma = b.redfield_spectrum(nexp=60)
+    t = np.linspace(0, 120.0, 240001)
+    C60 = np.sum(c[:, None] * np.exp(-np.outer(nu, t)), axis=0)
+    for w in (-1.3, -0.2, 0.0, 0.45, 2.1):
+        num = np.trapezoid(C60 * np.exp(1j * w * t), t)
+        assert abs(Gamma(w) - num) < 2e-6, (w, Gamma(w), num)
+    # (2) converged 2 Re Gamma == closed-form power spectrum
+    #     S(w) = 2 J(w) (n_B(w) + 1), which carries detailed balance
+    lam, gam, beta = 0.06, 0.7, 1.0 / 0.4
+    G = b.redfield_spectrum(nexp=40, decomposition="pade")
+    for w in (-1.1, -0.3, 0.3, 1.1):
+        J = 2 * lam * gam * w / (w**2 + gam**2)
+        S_exact = 2 * J * (1.0 / np.expm1(beta * w) + 1.0)
+        assert abs(2 * np.real(G(w)) - S_exact) < 1e-10 * abs(S_exact)
