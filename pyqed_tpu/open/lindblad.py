@@ -54,8 +54,8 @@ class LindbladSolver:
         return liouvillian(jnp.asarray(self.H), self.c_ops)
 
     # ------------------------------------------------------------------ run
-    def run(self, rho0, dt, Nt, t0=0.0, e_ops=None, nout=1,
-            store_states=False, method="rk4") -> Result:
+    def run(self, rho0, dt, Nt=None, t0=0.0, e_ops=None, nout=1,
+            store_states=False, method="rk4", nt=None) -> Result:
         """Propagate rho(t). ``H`` may be a matrix (time-independent) or the
         reference's QuTiP-style list [H0, [H1, f1(t)]] meaning
         H(t) = H0 − f1(t) H1 (reference: pyqed/oqs.py:1726-1732).
@@ -66,6 +66,10 @@ class LindbladSolver:
         method='rk4'), compose M^nout by squaring, and advance one
         HBM-bound matvec per observation window — the TPU-fast path
         for small/medium Liouville dimensions."""
+        if Nt is None:
+            Nt = nt
+        if Nt is None:
+            raise TypeError("run() needs Nt (or nt)")
         if e_ops is None:
             e_ops = self.e_ops
         if method == "propagator" and not isinstance(self.H, (list, tuple)):

@@ -67,10 +67,20 @@ def redfield_tensor(H, a_ops, spectra, secular=False, sec_cutoff=1e-9):
 class RedfieldSolver:
     """(reference: pyqed/oqs.py:30)."""
 
-    def __init__(self, H, c_ops=None, spectra=None, e_ops=None):
+    def __init__(self, H, c_ops=None, spectra=None, e_ops=None,
+                 a_ops=None, sec_cutoff=None):
         self.H = jnp.asarray(H)
         self.c_ops = c_ops
         self.spectra = spectra
+        if a_ops is not None:
+            # (op, bath-or-spectrum) pairs: bath objects contribute their
+            # half-Fourier Gamma(w) (DrudeBath.redfield_spectrum); bare
+            # callables are used as the spectrum directly
+            self.c_ops = [jnp.asarray(op) for op, _ in a_ops]
+            self.spectra = [b.redfield_spectrum()
+                            if hasattr(b, "redfield_spectrum") else b
+                            for _, b in a_ops]
+        self.sec_cutoff = sec_cutoff   # not-None => secular by default
         self.R = None
         self.evecs = None
         self.dim = H.shape[0]
@@ -84,11 +94,16 @@ class RedfieldSolver:
     def configure(self, H, c_ops, e_ops):
         self.H, self.c_ops, self.e_ops = H, c_ops, e_ops
 
-    def redfield_tensor(self, secular=False, sec_cutoff=1e-9):
+    def redfield_tensor(self, secular=None, sec_cutoff=None):
         if self.spectra is None:
             raise TypeError("Specify the bath spectral function.")
-        R, evecs = redfield_tensor(self.H, self.c_ops, self.spectra, secular,
-                                   sec_cutoff=sec_cutoff)
+        if sec_cutoff is None:
+            sec_cutoff = self.sec_cutoff
+        if secular is None:
+            secular = sec_cutoff is not None
+        R, evecs = redfield_tensor(
+            self.H, self.c_ops, self.spectra, secular,
+            sec_cutoff=1e-9 if sec_cutoff is None else sec_cutoff)
         self.R, self.evecs = R, evecs
         return R, evecs
 
@@ -107,6 +122,12 @@ class RedfieldSolver:
         rho_eig = rho_eig / np.trace(rho_eig)
         U = np.asarray(self.evecs)
         return jnp.asarray(U @ rho_eig @ U.conj().T)
+
+    def run(self, rho0, dt, Nt=None, e_ops=None, t0=0.0, nout=1,
+            store_states=False, nt=None) -> Result:
+        """Alias of :meth:`evolve` (every solver answers ``run``)."""
+        return self.evolve(rho0, dt, Nt=Nt, e_ops=e_ops, t0=t0, nout=nout,
+                           store_states=store_states, nt=nt)
 
     # ---------------------------------------------------------------- evolve
     def evolve(self, rho0, dt, Nt=None, e_ops=None, t0=0.0, nout=1,
