@@ -103,6 +103,17 @@ def enumerate_dets(norb_spin, nelec, ref=None, max_exc=None):
     return [d for d in all_dets if len(ref_set - set(d)) <= max_exc]
 
 
+def build_hamiltonian(dets, h, g):
+    """Dense H in a determinant basis via Slater-Condon (shared by CI
+    and EOM-CCSD; no nuclear repulsion added)."""
+    nd = len(dets)
+    H = np.zeros((nd, nd))
+    for i in range(nd):
+        for j in range(i + 1):
+            H[i, j] = H[j, i] = slater_condon(dets[i], dets[j], h, g)
+    return H
+
+
 class CI:
     def __init__(self, mf, max_exc=None):
         self.mf = mf
@@ -121,11 +132,7 @@ class CI:
         ref = tuple(sorted([2 * i for i in range(nelec // 2)]
                            + [2 * i + 1 for i in range(nelec // 2)]))
         dets = enumerate_dets(ns, nelec, ref=ref, max_exc=self.max_exc)
-        nd = len(dets)
-        H = np.zeros((nd, nd))
-        for i in range(nd):
-            for j in range(i + 1):
-                H[i, j] = H[j, i] = slater_condon(dets[i], dets[j], h, g)
+        H = build_hamiltonian(dets, h, g)
         w, v = jnp.linalg.eigh(jnp.asarray(H))
         enuc = mf.mol.energy_nuc()
         self.e_tot = np.asarray(w[:nroots]) + enuc

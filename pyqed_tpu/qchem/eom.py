@@ -24,7 +24,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from .ci import spinorb_ints, slater_condon, enumerate_dets, _phase
+import warnings
+
+from .ci import spinorb_ints, enumerate_dets, build_hamiltonian, _phase
 
 __all__ = ["EOMCCSD"]
 
@@ -63,13 +65,15 @@ def _cluster_matrix(dets, index, t1, t2, no):
     return T
 
 
-def _expm_nilpotent(T):
-    """e^T for nilpotent T: the series terminates exactly."""
-    X = np.eye(T.shape[0])
-    term = np.eye(T.shape[0])
+def _expm_nilpotent_cols(T, cols):
+    """Columns ``cols`` of e^T for nilpotent T (series terminates
+    exactly); cost nd^2 |cols| per term instead of nd^3."""
+    nd = T.shape[0]
+    X = np.eye(nd)[:, cols]
+    term = X.copy()
     k = 1
     while True:
-        term = term @ T / k
+        term = (T @ term) / k
         if not np.any(term):
             break
         X = X + term
@@ -104,33 +108,43 @@ class EOMCCSD:
         index = {d: i for i, d in enumerate(dets)}
         nd = len(dets)
 
-        H = np.zeros((nd, nd))
-        for i in range(nd):
-            for j in range(i + 1):
-                H[i, j] = H[j, i] = slater_condon(dets[i], dets[j], h, g)
+        H = build_hamiltonian(dets, h, g)
         H += mf.mol.energy_nuc() * np.eye(nd)
 
         t1 = np.asarray(cc.t1)
         t2 = np.asarray(cc.t2)
         T = _cluster_matrix(dets, index, t1, t2, no)
-        eT = _expm_nilpotent(T)
-        emT = _expm_nilpotent(-T)
-        Hbar = emT @ H @ eT
 
-        # S+D projection (excitation level <= 2 from the reference)
+        # S+D projection (excitation level <= 2 from the reference);
+        # only the P-block of Hbar is needed, so build just those
+        # columns of e^T / rows of e^-T (nd^2 |P| instead of nd^3)
         ref_set = set(ref)
         P = [i for i, d in enumerate(dets)
              if len(ref_set - set(d)) <= 2]
         i0 = P.index(index[tuple(sorted(ref))])
-        Hpp = Hbar[np.ix_(P, P)]
+        eT_cols = _expm_nilpotent_cols(T, P)              # (nd, |P|)
+        emT_rows = _expm_nilpotent_cols(-T.T, P).T        # (|P|, nd)
+        Hpp = emT_rows @ H @ eT_cols
 
         self.e_cc_check = float(Hpp[i0, i0])
         col = np.delete(Hpp[:, i0], i0)
         self.residual_norm = float(np.max(np.abs(col)))
+        if not getattr(cc, "converged", True) or self.residual_norm > 1e-6:
+            # <SD|Hbar|0> = 0 is what decouples the reference root; an
+            # unconverged CCSD breaks the block split silently otherwise
+            warnings.warn(
+                "EOM-CCSD on unconverged CCSD amplitudes (max residual "
+                f"coupling {self.residual_norm:.2e}); excitation energies "
+                "are perturbed by the residual reference coupling.")
 
         # reference root decouples; diagonalize the S+D excited block
         keep = [k for k in range(len(P)) if k != i0]
         w = np.linalg.eigvals(Hpp[np.ix_(keep, keep)])
+        if np.max(np.abs(w.imag)) > 1e-8 * max(np.max(np.abs(w)), 1.0):
+            warnings.warn(
+                "complex EOM-CCSD eigenvalue pair (non-Hermitian Hbar "
+                "root coalescence); real parts reported "
+                f"(max |Im| = {np.max(np.abs(w.imag)):.2e}).")
         ee = np.sort(np.real(w)) - cc.e_tot
         self.e_ee = ee
         return ee[:nroots]

@@ -12,20 +12,22 @@ from pathlib import Path
 
 import pytest
 
-DOCS = Path(__file__).parent.parent / "docs"
+ROOT = Path(__file__).parent.parent
+DOCS = ROOT / "docs"
 BLOCK = re.compile(r"```python\n(.*?)```", re.S)
 
 
 def _files():
-    return sorted(p.name for p in DOCS.glob("*.md")
-                  if BLOCK.search(p.read_text()))
+    cands = sorted(DOCS.glob("*.md")) + [ROOT / "README.md"]
+    return [str(p.relative_to(ROOT)) for p in cands
+            if p.exists() and BLOCK.search(p.read_text())]
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("fname", _files())
 def test_doc_snippets_execute(fname, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)          # snippets may write files
-    blocks = BLOCK.findall((DOCS / fname).read_text())
+    blocks = BLOCK.findall((ROOT / fname).read_text())
     ns = {}
     ran = 0
     for i, block in enumerate(blocks):
