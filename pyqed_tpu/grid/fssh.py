@@ -11,7 +11,8 @@ the whole stochastic ENSEMBLE is one ``vmap`` over trajectories — the MXU
 sees batched eigh/expm/matmuls instead of the usual per-trajectory Python
 loop.
 
-Algorithm per step (state carry = x, p, c, active, U_prev, key):
+Algorithm per step (state carry = x, p, c, active, (E, U, dVa), key —
+the adiabatics at x ride along so each step does ONE eigh):
 
 1. adiabatize: eigh of V(x); eigenvector phases aligned with the previous
    step (sign of diag(U_prev^T U)) so the adiabatic amplitudes stay
@@ -93,9 +94,10 @@ class FSSH:
 
     # --------------------------------------------------------------- step
     def _step(self, state, dt):
-        x, p, c, act, U_prev, key = state
-        ns = self.nstates
-        E, U, dVa = self._adiabatic(x, U_prev)
+        # adiabatics (E, U, dVa) at x ride in the carry: each step
+        # computes ONE fresh adiabatization (at x_new) instead of
+        # recomputing the previous step's
+        x, p, c, act, (E, U, dVa), key = state
         F = self._force(dVa, act)
 
         # velocity Verlet on the active surface
@@ -125,7 +127,10 @@ class FSSH:
         do_hop = (r < cum[-1])
 
         # momentum rescaling along the coupling direction d[act, target]
-        u = d[:, act, hop_target]
+        # AT THE HOP GEOMETRY x_new (the gap dE_hop is E2 there; a stale
+        # pre-step direction would bias post-hop scattering angles)
+        d2 = self._nac(E2, dVa2)
+        u = d2[:, act, hop_target]
         u_norm = jnp.sqrt(jnp.sum(u ** 2))
         u = jnp.where(u_norm > 1e-12, u / jnp.maximum(u_norm, 1e-30),
                       p_new / jnp.maximum(jnp.sqrt(jnp.sum(p_new ** 2)),
@@ -156,9 +161,9 @@ class FSSH:
                              / jnp.maximum(p_act, 1e-30))
             c_new = c_off.at[act_new].set(c_new[act_new] * scale)
 
-        return (x_new, p_new, c_new, act_new, U2, key)
+        return (x_new, p_new, c_new, act_new, (E2, U2, dVa2), key)
 
-    def energy(self, x, p, act, U_ref=None):
+    def energy(self, x, p, act):
         """Total energy p^2/2m + E_active(x) (conserved incl. hops)."""
         E = jnp.linalg.eigvalsh(self.v(x))
         return jnp.sum(p ** 2 / (2.0 * self.mass)) + E[act]
@@ -193,7 +198,9 @@ class FSSH:
         if c0 is None:
             c0 = jax.nn.one_hot(act0, ns).astype(complex)
         else:
-            c0 = jnp.atleast_2d(jnp.asarray(c0, dtype=complex))
+            # a single (ns,) amplitude vector applies to every trajectory
+            c0 = jnp.broadcast_to(
+                jnp.atleast_2d(jnp.asarray(c0, dtype=complex)), (ntraj, ns))
         if isinstance(key, (int, np.integer)):
             key = jax.random.PRNGKey(int(key))
         keys = jax.random.split(key, ntraj)
@@ -202,14 +209,15 @@ class FSSH:
         def one_traj(x, p, c, act, k):
             # initial eigenbasis (phase reference)
             _, U0 = jnp.linalg.eigh(self.v(x))
-            state0 = (x, p, c, act, U0, k)
+            state0 = (x, p, c, act, self._adiabatic(x, U0), k)
 
             def window(state, _):
                 def fine(i, s):
                     return self._step(s, dt)
                 state = lax.fori_loop(0, nout, fine, state)
-                x_, p_, c_, a_, _, _ = state
-                return state, (x_, p_, c_, a_, self.energy(x_, p_, a_))
+                x_, p_, c_, a_, (E_, _, _), _ = state
+                ekin = jnp.sum(p_ ** 2 / (2.0 * self.mass))
+                return state, (x_, p_, c_, a_, ekin + E_[a_])
             _, out = lax.scan(window, state0, None, length=ns_steps)
             return out
 

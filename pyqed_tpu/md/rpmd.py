@@ -138,7 +138,7 @@ class RPMD:
         """Exact thermal sample of the FREE ring polymer (normal-mode
         Gaussians; centroid pinned at x_center) + Maxwell momenta."""
         kx, kp = jax.random.split(jax.random.PRNGKey(key)
-                                  if isinstance(key, int) else key)
+                                  if isinstance(key, (int, np.integer)) else key)
         m = self.mass[None, None, :]
         w = self.omega_k[None, :, None]
         sig_x = jnp.where(w > 0,
@@ -159,7 +159,7 @@ class RPMD:
         frequency sqrt(omega_k^2 + omega^2) (used to pin the RPMD TCF
         against the closed-form Kubo result without thermostat error)."""
         kx, kp = jax.random.split(jax.random.PRNGKey(key)
-                                  if isinstance(key, int) else key)
+                                  if isinstance(key, (int, np.integer)) else key)
         m = self.mass[None, None, :]
         w2 = (self.omega_k[None, :, None] ** 2 + omega ** 2)
         sig_x = 1.0 / jnp.sqrt(self.beta_n * m * w2)
@@ -176,7 +176,7 @@ class RPMD:
     def thermalize(self, x0, p0, key, dt=0.05, nsteps=2000, tau0=None):
         """PILE-thermostatted (T-RPMD) propagation to the canonical
         ring-polymer distribution; x0/p0 (ntraj, n, ndim)."""
-        key = jax.random.PRNGKey(key) if isinstance(key, int) else key
+        key = jax.random.PRNGKey(key) if isinstance(key, (int, np.integer)) else key
         keys = jax.random.split(key, x0.shape[0])
 
         def one(x, p, k):
@@ -223,7 +223,7 @@ class RPMD:
     def position_tcf(self, x0, p0, dt=0.05, nt=1000, nout=1):
         """RPMD (Kubo-transformed) position autocorrelation
         C_xx(t) = <xbar(0) . xbar(t)> over the ensemble; returns
-        (times, C) with C[0] the t=0+dt*nout point ... C includes t=0."""
+        (times, C) including the t=0 point: C[0] = <|xbar(0)|^2>."""
         x0, p0 = jnp.asarray(x0), jnp.asarray(p0)
         res = self.run(x0, p0, dt=dt, nt=nt, nout=nout)
         cen0 = jnp.mean(x0, axis=1)                       # (ntraj, ndim)

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.result import Result
-from ..ops.linalg import dag
 
 
 class MCWFSolver:
@@ -56,8 +55,9 @@ class MCWFSolver:
         """Propagate ``ntraj`` stochastic trajectories from psi0.
 
         Result: .observables (nsnap, n_e_ops) = trajectory-averaged
-        <psi|A|psi>, .observables_std (MC standard error), .norm check,
-        .njumps (nsnap, ntraj) cumulative jump counts.
+        <psi|A|psi>, .observables_std (complex MC standard error:
+        std(Re) + i std(Im), each / sqrt(ntraj)), .njumps
+        (nsnap, ntraj) cumulative jump counts.
         """
         psi0 = jnp.asarray(psi0, dtype=complex)
         psi0 = psi0 / jnp.linalg.norm(psi0)
@@ -79,12 +79,16 @@ class MCWFSolver:
                 return (phi / jnp.sqrt(p_nojump), nj), None
             cpsi = jnp.einsum("kij, j -> ki", cs, psi)       # (nc, n)
             w = jnp.real(jnp.einsum("ki, ki -> k", jnp.conj(cpsi), cpsi))
-            wsum = jnp.maximum(jnp.sum(w), 1e-300)
+            wsum = jnp.sum(w)
             kk2 = jax.random.fold_in(kk, 1)
-            ch = jax.random.choice(kk2, w.shape[0], p=w / wsum)
+            ch = jax.random.choice(kk2, w.shape[0],
+                                   p=w / jnp.maximum(wsum, 1e-300))
             collapsed = cpsi[ch] / jnp.maximum(
                 jnp.sqrt(w[ch]), 1e-150)
-            jump = r > p_nojump
+            # dark state (every c_k psi = 0): p_nojump = 1 analytically,
+            # but expm rounding could still fire the jump branch with an
+            # all-zero weight vector -> zero state; never jump there
+            jump = jnp.logical_and(r > p_nojump, wsum > 0.0)
             psi_new = jnp.where(jump, collapsed,
                                 phi / jnp.sqrt(p_nojump))
             return (psi_new, nj + jump.astype(jnp.int32)), None
@@ -110,7 +114,10 @@ class MCWFSolver:
         r.times = np.arange(1, ns_steps + 1) * dt * nout
         if A is not None:
             r.observables = jnp.mean(obs, axis=0)
-            r.observables_std = (jnp.std(jnp.real(obs), axis=0)
+            # complex-valued MC standard error (non-Hermitian e_ops have
+            # scatter in both quadratures): std of re + i*std of im
+            r.observables_std = ((jnp.std(jnp.real(obs), axis=0)
+                                  + 1j * jnp.std(jnp.imag(obs), axis=0))
                                  / np.sqrt(ntraj))
         r.njumps = jnp.swapaxes(njumps, 0, 1)
         return r

@@ -212,3 +212,11 @@ def test_wigner_sample_scalar_omega_array_mass():
     x, p = wigner_sample_harmonic(0, 10, omega=1.0,
                                   mass=np.array([1.0, 2.0]))
     assert x.shape == (10, 2) and p.shape == (10, 2)
+
+
+def test_fssh_single_c0_vector_broadcasts():
+    # regression: a single (ns,) c0 crashed vmap for ntraj > 1
+    sol = FSSH(tully_i(), mass=2000.0, nstates=2, ndim=1)
+    res = sol.run(np.full(4, -8.0), np.full(4, 20.0), active0=0,
+                  c0=np.array([1.0, 0.0]), dt=2.0, nt=50, nout=50, key=0)
+    assert np.asarray(res.c).shape == (1, 4, 2)

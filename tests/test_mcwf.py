@@ -79,3 +79,35 @@ def test_mcsolve_convenience():
                   c_ops=[0.2 * SM], e_ops=[P1], dt=0.05, nt=40,
                   ntraj=16, key=1)
     assert np.asarray(res.observables).shape == (40, 1)
+
+
+def test_mcwf_dark_state_never_jumps():
+    """A state annihilated by every collapse operator (dark state) must
+    propagate deterministically: unit norm, zero jumps, exact unitary
+    observables (regression: zero jump weights used to feed
+    random.choice an all-zero p)."""
+    # qutrit: |0>,|1> dark doublet mixed by H; c only collapses |2>
+    H = jnp.zeros((3, 3), dtype=complex)
+    H = H.at[0, 1].set(0.3).at[1, 0].set(0.3)
+    c = jnp.zeros((3, 3), dtype=complex).at[0, 2].set(1.0)   # |0><2|
+    P0 = jnp.diag(jnp.array([1.0, 0, 0])).astype(complex)
+    psi0 = jnp.array([1.0, 0, 0], complex)
+    res = mcsolve(H, psi0, c_ops=[c], e_ops=[P0], dt=0.05, nt=400,
+                  ntraj=8, key=3)
+    t = np.asarray(res.times)
+    p0 = np.real(np.asarray(res.observables)[:, 0])
+    assert int(np.asarray(res.njumps).max()) == 0
+    assert np.max(np.abs(p0 - np.cos(0.3 * t) ** 2)) < 1e-10
+    # deterministic: zero MC error
+    assert float(np.max(np.abs(np.asarray(res.observables_std)))) < 1e-12
+
+
+def test_mcwf_std_complex_for_nonhermitian_eop():
+    sm = jnp.zeros((2, 2), dtype=complex).at[0, 1].set(1.0)
+    H = 0.5 * jnp.diag(jnp.array([1.0, -1.0])).astype(complex)
+    psi0 = jnp.array([1.0, 1.0], complex) / np.sqrt(2)
+    res = mcsolve(H, psi0, c_ops=[0.4 * sm], e_ops=[sm], dt=0.02,
+                  nt=200, ntraj=64, key=1)
+    std = np.asarray(res.observables_std)
+    assert np.iscomplexobj(std)
+    assert np.max(np.abs(std.imag)) > 0.0       # scatter in both quads

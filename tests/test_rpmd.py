@@ -87,3 +87,11 @@ def test_rpmd_anharmonic_runs_and_conserves():
     e = np.asarray(res.energy)
     scale = np.mean(np.abs(e[0]))
     assert np.max(np.abs(e - e[0:1])) / scale < 1e-3
+
+
+def test_rpmd_numpy_integer_seed():
+    # regression: np.int64 seeds bypassed PRNGKey coercion
+    rp = RPMD(lambda x: 0.5 * jnp.sum(x ** 2), beta=4.0, nbeads=8,
+              mass=1.0)
+    x0, p0 = rp.sample_harmonic(np.int64(3), 16, 1.0)
+    assert x0.shape == (16, 8, 1)
