@@ -23,13 +23,16 @@ __all__ = ["fit", "fit_exponential_decay"]
 
 
 def fit(loss_fn: Callable, p0, iters: int = 300, learning_rate: float = 0.05,
-        optimizer=None):
+        optimizer=None, has_aux: bool = False):
     """Minimize ``loss_fn(params)`` over a pytree of parameters.
 
     The full optimization (forward model, reverse-mode gradient, optax
     update, all ``iters`` iterations) compiles to one XLA program.
 
-    Returns (params_opt, losses) with losses of shape (iters,).
+    Returns (params_opt, losses) with losses of shape (iters,).  With
+    ``has_aux=True`` the loss function returns (loss, aux) and fit
+    returns (params_opt, (losses, auxs)) — e.g. track the true fidelity
+    alongside a penalized loss.
     """
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
     p0 = jax.tree_util.tree_map(jnp.asarray, p0)
@@ -39,7 +42,7 @@ def fit(loss_fn: Callable, p0, iters: int = 300, learning_rate: float = 0.05,
         state0 = opt.init(p0)
         def step(carry, _):
             p, st = carry
-            val, g = jax.value_and_grad(loss_fn)(p)
+            val, g = jax.value_and_grad(loss_fn, has_aux=has_aux)(p)
             upd, st = opt.update(g, st, p)
             return (optax.apply_updates(p, upd), st), val
         (p, _), losses = lax.scan(step, (p0, state0), None, length=iters)

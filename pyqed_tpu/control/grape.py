@@ -113,37 +113,46 @@ class GRAPE:
 
     # -- optimization -------------------------------------------------
     def optimize(self, loss_fn: Callable, u0, iters: int = 200,
-                 learning_rate: float = 0.05, optimizer=None):
+                 learning_rate: float = 0.05, optimizer=None,
+                 has_aux: bool = False):
         """Minimize ``loss_fn(u)`` from ``u0``; the full loop is one jitted scan.
 
-        Returns (u_opt, losses) with losses of shape (iters,).
+        Returns (u_opt, losses) with losses of shape (iters,)
+        (``has_aux`` as in :func:`control.fit`).
         """
         # one jitted optax/scan loop, shared with control.fit
         return fit(loss_fn, jnp.asarray(u0, dtype=default_real()),
                    iters=iters, learning_rate=learning_rate,
-                   optimizer=optimizer)
+                   optimizer=optimizer, has_aux=has_aux)
 
     def optimize_state_transfer(self, psi0, target, u0=None, iters=200,
                                 learning_rate=0.05, penalty=0.0):
-        """Convenience: maximize state-transfer fidelity."""
+        """Convenience: maximize state-transfer fidelity.
+
+        Returns (u_opt, fidelities) — the TRUE per-iteration fidelity,
+        tracked as an aux output so a nonzero amplitude penalty cannot
+        bias the reported history."""
         if u0 is None:
             u0 = 1e-2 * np.ones((self.n_steps, self.Hc.shape[0]))
         def loss(u):
             f = self.fidelity_state(u, psi0, target)
-            return 1.0 - f + amplitude_penalty(u, penalty)
-        u, losses = self.optimize(loss, u0, iters, learning_rate)
-        return u, 1.0 - losses
+            return 1.0 - f + amplitude_penalty(u, penalty), f
+        u, (_, fids) = self.optimize(loss, u0, iters, learning_rate,
+                                     has_aux=True)
+        return u, fids
 
     def optimize_gate(self, U_target, u0=None, iters=300,
                       learning_rate=0.05, penalty=0.0):
-        """Convenience: maximize gate fidelity."""
+        """Convenience: maximize gate fidelity (returns the true
+        fidelity history; see optimize_state_transfer)."""
         if u0 is None:
             u0 = 1e-2 * np.ones((self.n_steps, self.Hc.shape[0]))
         def loss(u):
             f = self.fidelity_gate(u, U_target)
-            return 1.0 - f + amplitude_penalty(u, penalty)
-        u, losses = self.optimize(loss, u0, iters, learning_rate)
-        return u, 1.0 - losses
+            return 1.0 - f + amplitude_penalty(u, penalty), f
+        u, (_, fids) = self.optimize(loss, u0, iters, learning_rate,
+                                     has_aux=True)
+        return u, fids
 
 
 class OpenGRAPE(GRAPE):
@@ -232,8 +241,12 @@ class CRAB(GRAPE):
         self.t = (jnp.arange(n_steps) + 0.5) * dt
         if envelope is None:
             envelope = jnp.sin(jnp.pi * self.t / T) ** 2   # smooth on/off
-        else:
+        elif callable(envelope):
             envelope = jnp.asarray(envelope(np.asarray(self.t)))
+        else:                       # precomputed (n_steps,) array
+            envelope = jnp.asarray(envelope, dtype=default_real())
+            assert envelope.shape == (n_steps,), \
+                f"envelope shape {envelope.shape} != ({n_steps},)"
         self.envelope = envelope
 
     def coeffs_to_u(self, coeffs):
@@ -252,6 +265,23 @@ class CRAB(GRAPE):
         def loss(c):
             u = self.coeffs_to_u(c)
             f = self.fidelity_state(u, psi0, target)
-            return 1.0 - f + amplitude_penalty(u, penalty)
-        c, losses = self.optimize(loss, c0, iters, learning_rate)
-        return c, 1.0 - losses
+            return 1.0 - f + amplitude_penalty(u, penalty), f
+        c, (_, fids) = self.optimize(loss, c0, iters, learning_rate,
+                                     has_aux=True)
+        return c, fids
+
+    def optimize_gate(self, U_target, c0=None, iters=300,
+                      learning_rate=0.1, penalty=0.0):
+        """Gate optimization IN the chopped Fourier basis (without this
+        override the inherited GRAPE.optimize_gate would silently
+        optimize raw per-slice amplitudes)."""
+        n_ctrl = self.Hc.shape[0]
+        if c0 is None:
+            c0 = 1e-1 * np.ones((len(self.frequencies), 2, n_ctrl))
+        def loss(c):
+            u = self.coeffs_to_u(c)
+            f = self.fidelity_gate(u, U_target)
+            return 1.0 - f + amplitude_penalty(u, penalty), f
+        c, (_, fids) = self.optimize(loss, c0, iters, learning_rate,
+                                     has_aux=True)
+        return c, fids

@@ -68,7 +68,9 @@ class Krotov:
 
     def fidelity(self, u, psi0, target):
         psi0 = jnp.asarray(psi0, dtype=default_complex())
+        psi0 = psi0 / jnp.linalg.norm(psi0)       # same normalization as
         target = jnp.asarray(target, dtype=default_complex())
+        target = target / jnp.linalg.norm(target)  # optimize_state_transfer
         psiT, _ = self._forward(jnp.asarray(u), psi0)
         return jnp.abs(jnp.vdot(target, psiT)) ** 2
 

@@ -32,13 +32,19 @@ class CCSD:
     fine for the basis sizes this package targets on-host, and every
     term is a batched einsum)."""
 
-    def __init__(self, mf, max_cycle: int = 100, conv_tol: float = 1e-10,
+    def __init__(self, mf, max_cycle: int = 100, conv_tol: float = None,
                  diis_size: int = 8):
         assert mf.mo_coeff is not None, "run RHF first"
         self.mf = mf
         self.max_cycle = max_cycle
+        if conv_tol is None:
+            # 1e-10 is unreachable in f32 (|dE| floors near 1e-7): the
+            # loop would burn max_cycle and report converged=False
+            import jax
+            conv_tol = 1e-10 if jax.config.jax_enable_x64 else 3e-7
         self.conv_tol = conv_tol
         self.diis_size = diis_size
+        self._cache = None
         self.e_corr = None
         self.e_tot = None
         self.t1 = None
@@ -47,6 +53,11 @@ class CCSD:
 
     # ------------------------------------------------------------- setup
     def _setup(self):
+        if self._cache is not None:
+            # run()/ccsd_t()/external consumers share one MO transform +
+            # spin-orbital integral build (the O(N^5) + quadruple-loop
+            # part) instead of repeating it per stage
+            return self._cache
         mf = self.mf
         hmo, eri_mo = mf.mo_ints()
         _, g = spinorb_ints(hmo, eri_mo)      # <pq||rs> physicists'
@@ -58,8 +69,9 @@ class CCSD:
         d1 = eps[o, None] - eps[None, v]
         d2 = (eps[o, None, None, None] + eps[None, o, None, None]
               - eps[None, None, v, None] - eps[None, None, None, v])
-        return (jnp.asarray(f), jnp.asarray(g), o, v,
-                jnp.asarray(d1), jnp.asarray(d2), no, nv)
+        self._cache = (jnp.asarray(f), jnp.asarray(g), o, v,
+                       jnp.asarray(d1), jnp.asarray(d2), no, nv)
+        return self._cache
 
     @staticmethod
     def _tau(t1, t2, tilde=False):
@@ -133,24 +145,37 @@ class CCSD:
 
         return r1 / d1, r2 / d2
 
+    def _energy_expr(self, t1, t2, f, g, o, v):
+        return jnp.real(
+            jnp.einsum("ia, ia ->", f[o, v], t1)
+            + 0.25 * jnp.einsum("ijab, ijab ->", g[o, o, v, v], t2)
+            + 0.5 * jnp.einsum("ijab, ia, jb ->", g[o, o, v, v], t1, t1))
+
     def energy(self, t1, t2, f, g, o, v):
-        e = (jnp.einsum("ia, ia ->", f[o, v], t1)
-             + 0.25 * jnp.einsum("ijab, ijab ->", g[o, o, v, v], t2)
-             + 0.5 * jnp.einsum("ijab, ia, jb ->", g[o, o, v, v],
-                                t1, t1))
-        return float(jnp.real(e))
+        return float(self._energy_expr(t1, t2, f, g, o, v))
 
     # ---------------------------------------------------------------- run
     def run(self):
+        import jax
+        from .scf import diis_extrapolate
+
         f, g, o, v, d1, d2, no, nv = self._setup()
         t1 = jnp.zeros((no, nv))
         t2 = g[o, o, v, v] / d2                   # MP2 start
+
+        # the whole amplitude update + energy is ONE compiled program
+        # per cycle (the ~30 einsums fuse; only DIIS stays on host)
+        @jax.jit
+        def cycle(t1, t2):
+            t1n, t2n = self._update(t1, t2, f, g, o, v, d1, d2)
+            return t1n, t2n
+
         e_old = self.energy(t1, t2, f, g, o, v)
         self.e_mp2 = e_old
 
         errs, vecs = [], []
         for it in range(self.max_cycle):
-            t1n, t2n = self._update(t1, t2, f, g, o, v, d1, d2)
+            t1n, t2n = cycle(t1, t2)
             # DIIS on the concatenated amplitude vector
             vec = jnp.concatenate([t1n.ravel(), t2n.ravel()])
             err = vec - jnp.concatenate([t1.ravel(), t2.ravel()])
@@ -158,21 +183,11 @@ class CCSD:
             if len(errs) > self.diis_size:
                 errs.pop(0); vecs.pop(0)
             if len(errs) > 1:
-                k = len(errs)
-                B = np.empty((k + 1, k + 1)); B[-1] = -1; B[:, -1] = -1
-                B[-1, -1] = 0
-                for i in range(k):
-                    for j in range(k):
-                        B[i, j] = errs[i] @ errs[j]
-                rhs = np.zeros(k + 1); rhs[-1] = -1
-                try:
-                    c = np.linalg.solve(B, rhs)[:k]
-                    mix = sum(ci * vi for ci, vi in zip(c, vecs))
+                mix = diis_extrapolate(errs, vecs)
+                if mix is not None:
                     t1n = jnp.asarray(mix[: no * nv]).reshape(no, nv)
                     t2n = jnp.asarray(mix[no * nv:]).reshape(
                         no, no, nv, nv)
-                except np.linalg.LinAlgError:
-                    pass
             t1, t2 = t1n, t2n
             e_new = self.energy(t1, t2, f, g, o, v)
             if abs(e_new - e_old) < self.conv_tol:

@@ -17,6 +17,28 @@ import jax.numpy as jnp
 from ..ops.linalg import dag
 
 
+def diis_extrapolate(errs, vecs):
+    """Pulay DIIS: solve the bordered B-matrix system and return the
+    extrapolated vector ``sum_i c_i vecs[i]`` (or None if the system is
+    singular).  Shared by RHF/UHF Fock extrapolation and the CCSD
+    amplitude extrapolation (qchem/cc.py)."""
+    m = len(errs)
+    B = np.zeros((m + 1, m + 1))
+    B[-1, :] = B[:, -1] = -1.0
+    B[-1, -1] = 0.0
+    for i in range(m):
+        for j in range(m):
+            B[i, j] = float(np.real(np.sum(np.conj(np.asarray(errs[i]))
+                                           * np.asarray(errs[j]))))
+    rhs = np.zeros(m + 1)
+    rhs[-1] = -1.0
+    try:
+        c = np.linalg.solve(B, rhs)[:m]
+    except np.linalg.LinAlgError:
+        return None
+    return sum(ci * vi for ci, vi in zip(c, vecs))
+
+
 class SCFResult:
     def __init__(self, **kw):
         self.__dict__.update(kw)
@@ -78,21 +100,9 @@ class RHF:
                 diis_F.pop(0)
                 diis_err.pop(0)
             if len(diis_F) > 1:
-                m = len(diis_F)
-                B = np.zeros((m + 1, m + 1))
-                B[-1, :] = B[:, -1] = -1.0
-                B[-1, -1] = 0.0
-                for i in range(m):
-                    for j in range(m):
-                        B[i, j] = float(jnp.sum(diis_err[i]
-                                                * diis_err[j]).real)
-                rhs = np.zeros(m + 1)
-                rhs[-1] = -1.0
-                try:
-                    c = np.linalg.solve(B, rhs)[:m]
-                    F = sum(ci * Fi for ci, Fi in zip(c, diis_F))
-                except np.linalg.LinAlgError:
-                    pass
+                mix = diis_extrapolate(diis_err, diis_F)
+                if mix is not None:
+                    F = mix
             D, C, mo_e = density(F)
             # E_elec = 1/2 Tr[D (hcore + F)]
             E = float(0.5 * jnp.sum(D * (hcore + fock(D))).real)
@@ -195,22 +205,12 @@ class UHF:
             if len(diis) > self.diis_size:
                 diis.pop(0)
             if len(diis) > 1:
-                m = len(diis)
-                B = np.zeros((m + 1, m + 1))
-                B[-1, :] = B[:, -1] = -1.0
-                B[-1, -1] = 0.0
-                for i in range(m):
-                    for j in range(m):
-                        B[i, j] = float(jnp.vdot(diis[i][2],
-                                                 diis[j][2]).real)
-                rhs = np.zeros(m + 1)
-                rhs[-1] = -1.0
-                try:
-                    cvec = np.linalg.solve(B, rhs)[:m]
-                    Fa = sum(ci * d[0] for ci, d in zip(cvec, diis))
-                    Fb = sum(ci * d[1] for ci, d in zip(cvec, diis))
-                except np.linalg.LinAlgError:
-                    pass
+                mix = diis_extrapolate([d[2] for d in diis],
+                                       [np.stack([np.asarray(d[0]),
+                                                  np.asarray(d[1])])
+                                        for d in diis])
+                if mix is not None:
+                    Fa, Fb = jnp.asarray(mix[0]), jnp.asarray(mix[1])
             Da, Ca, ea = density(Fa, na)
             Db, Cb, eb = density(Fb, nb)
             Fa0, Fb0 = fock(Da, Db)

@@ -184,3 +184,42 @@ def test_open_grape_gate_methods_liouville():
     g0 = GRAPE(H0=0.5 * sz, Hc=[sx], dt=0.2, n_steps=10)
     U = np.asarray(g0.total_propagator(u))
     assert abs(float(og0.fidelity_gate(u, U)) - 1.0) < 1e-10
+
+
+def test_grape_penalty_does_not_bias_reported_fidelity():
+    # regression: history was 1 - (loss incl. penalty)
+    g = GRAPE(H0=0.5 * sz, Hc=[sx], dt=0.2, n_steps=25)
+    u, fids = g.optimize_state_transfer([1, 0], [0, 1], iters=150,
+                                        penalty=1e-2)
+    true_f = float(g.fidelity_state(u, np.array([1, 0], complex),
+                                    np.array([0, 1], complex)))
+    # fids[-1] is evaluated one optimizer step before u_opt; the old bug
+    # biased the whole history by the penalty magnitude (1e-2 here)
+    assert abs(float(fids[-1]) - true_f) < 1e-4
+    assert true_f > 0.99
+
+
+def test_crab_gate_optimizes_in_fourier_basis():
+    # regression: inherited optimize_gate bypassed the chopped basis
+    cr = CRAB(H0=0.5 * sz, Hc=[sx], dt=0.2, n_steps=40, n_modes=4)
+    c, fids = cr.optimize_gate(np.array([[0, 1], [1, 0]], complex),
+                               iters=400, learning_rate=0.2)
+    assert np.asarray(c).shape == (4, 2, 1)      # Fourier coefficients
+    u = np.asarray(cr.coeffs_to_u(c))
+    assert float(fids[-1]) > 0.98
+    assert abs(u[0, 0]) < 1e-2 and abs(u[-1, 0]) < 1e-2   # envelope off
+
+
+def test_crab_accepts_precomputed_envelope_array():
+    env = np.ones(30)
+    cr = CRAB(H0=0.5 * sz, Hc=[sx], dt=0.2, n_steps=30, envelope=env)
+    assert np.allclose(np.asarray(cr.envelope), 1.0)
+
+
+def test_krotov_fidelity_normalizes_like_optimizer():
+    from pyqed_tpu.control import Krotov
+    k = Krotov(H0=0.5 * sz, Hc=[sx], dt=0.2, n_steps=20)
+    u, fids = k.optimize_state_transfer([2, 0], [0, 3], iters=30)
+    f = float(k.fidelity(u, np.array([2, 0], complex),
+                         np.array([0, 3], complex)))
+    assert abs(f - float(fids[-1])) < 1e-10
