@@ -409,6 +409,23 @@ class HEOMSolver:
         cols = jax.lax.map(lambda b: rhs(b).reshape(D), basis)
         return cols.T   # column j = L e_j
 
+    def steady_state(self, kernel="einsum"):
+        """Exact HEOM steady state: the null vector of the full
+        hierarchy Liouvillian, Hermitized and trace-normalized on the
+        rho_0 slice.  Returns the (n, n) reduced density matrix — the
+        numerically exact open-system equilibrium INCLUDING
+        system-bath-correlation corrections a Lindblad/Redfield
+        steady state misses.  Small hierarchies only (dense null
+        space).  Completes the steady_state family
+        (LindbladSolver/RedfieldSolver have Born-Markov versions)."""
+        L = np.asarray(self.liouvillian_dense(kernel=kernel))
+        _, _, Vh = np.linalg.svd(L)
+        vec = Vh[-1].conj()
+        n = self.n
+        rho = vec.reshape(-1, n, n)[0]
+        rho = (rho + rho.conj().T) / 2
+        return jnp.asarray(rho / np.trace(rho))
+
     def propagator(self, dt, nt, kernel="einsum"):
         """Exact hierarchy propagators U(k dt) = e^{L k dt}, k = 0..nt
         (reference: pyqed/oqs.py HEOMSolver.propagator — an RK4 march

@@ -221,3 +221,29 @@ class TestMultiBath:
             obs.append(np.asarray(
                 sol.run(rho0, dt=0.01, nt=300, e_ops=[Q]).observables))
         assert np.array_equal(obs[0], obs[1])
+
+    def test_steady_state_is_run_long_time_limit(self):
+        """HEOMSolver.steady_state (null vector of the dense hierarchy
+        Liouvillian) == the long-time limit of run() to machine
+        precision; the hierarchy null space is one-dimensional."""
+        from pyqed_tpu.open import HEOMSolver
+        from pyqed_tpu.open.bath import DrudeBath
+
+        H = jnp.asarray(0.5 * np.diag([1., -1.])
+                        + 0.2 * np.array([[0, 1], [1, 0]]), dtype=complex)
+        Q = jnp.asarray(np.diag([1., -1.]).astype(complex))
+        b = DrudeBath(temperature=0.5, cutoff=0.5, reorg=0.05)
+        b.set_bath_ops([Q])
+        sol = HEOMSolver(H, bath=b, lmax=3, nexp=1)
+
+        L = np.asarray(sol.liouvillian_dense())
+        s = np.linalg.svd(L, compute_uv=False)
+        assert s[-1] < 1e-12 and s[-2] > 1e-3      # unique null vector
+
+        rho_ss = np.asarray(sol.steady_state())
+        assert abs(np.trace(rho_ss) - 1.0) < 1e-12
+        assert np.allclose(rho_ss, rho_ss.conj().T, atol=1e-12)
+        nt = 32000
+        res = sol.run(jnp.asarray(np.diag([1., 0.]).astype(complex)),
+                      dt=0.05, nt=nt, nout=nt)
+        assert np.max(np.abs(np.asarray(res.rho) - rho_ss)) < 1e-10
