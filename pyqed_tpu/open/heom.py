@@ -409,22 +409,30 @@ class HEOMSolver:
         cols = jax.lax.map(lambda b: rhs(b).reshape(D), basis)
         return cols.T   # column j = L e_j
 
-    def steady_state(self, kernel="einsum"):
+    def steady_state(self, kernel="einsum", full=False):
         """Exact HEOM steady state: the null vector of the full
         hierarchy Liouvillian, Hermitized and trace-normalized on the
         rho_0 slice.  Returns the (n, n) reduced density matrix — the
         numerically exact open-system equilibrium INCLUDING
         system-bath-correlation corrections a Lindblad/Redfield
-        steady state misses.  Small hierarchies only (dense null
-        space).  Completes the steady_state family
-        (LindbladSolver/RedfieldSolver have Born-Markov versions)."""
+        steady state misses.  With ``full=True`` returns the whole
+        stationary (nado, n, n) ADO stack (normalized the same way) —
+        seed ``correlation_3op_2t(..., ados0=)`` with it for EXACT
+        equilibrium correlation functions.  Small hierarchies only
+        (dense null space)."""
         L = np.asarray(self.liouvillian_dense(kernel=kernel))
         _, _, Vh = np.linalg.svd(L)
         vec = Vh[-1].conj()
         n = self.n
-        rho = vec.reshape(-1, n, n)[0]
-        rho = (rho + rho.conj().T) / 2
-        return jnp.asarray(rho / np.trace(rho))
+        ados = vec.reshape(-1, n, n)
+        # unique null vector == physical stationary stack up to one
+        # complex scale; fixing trace(rho_0) = 1 recovers it (higher
+        # ADOs are NOT Hermitian in general — only rho_0 is)
+        ados = ados / np.trace(ados[0])
+        if full:
+            return jnp.asarray(ados)
+        rho = (ados[0] + ados[0].conj().T) / 2
+        return jnp.asarray(rho)
 
     def propagator(self, dt, nt, kernel="einsum"):
         """Exact hierarchy propagators U(k dt) = e^{L k dt}, k = 0..nt
@@ -439,21 +447,30 @@ class HEOMSolver:
         return jax.vmap(
             lambda k: (V * jnp.exp(w * (k * dt))[None, :]) @ Vinv)(ks)
 
-    def correlation_3op_2t(self, rho0, oplist, dt, nt, ntau, **kwargs):
+    def correlation_3op_2t(self, rho0, oplist, dt, nt, ntau, ados0=None,
+                           **kwargs):
         """Two-time correlator <A(t) B(t+tau) C(t)> through the FULL
         hierarchy — both time legs propagated by HEOM (the reference's
         HEOMSolver.correlation_3op_2t silently falls back to a Lindblad
         solver, pyqed/oqs.py; the genuine hierarchy version here).
 
         System operators act on every ADO (left/right multiplication
-        commutes with the bath indices). Returns (nt, ntau) complex."""
+        commutes with the bath indices). Returns (nt, ntau) complex.
+
+        ``ados0``: full (nado, n, n) initial hierarchy — pass
+        ``steady_state(full=True)`` for EXACT equilibrium correlators
+        (seeding only the rho_0 slice lets the higher ADOs
+        re-equilibrate during the t leg)."""
         a_op, b_op, c_op = [jnp.asarray(o) for o in oplist]
         dtype = (jnp.complex128 if jax.config.jax_enable_x64
                  else jnp.complex64)
         rhs, nado = self.rhs_fn(dtype, kernel=kwargs.get("kernel"))
         n = self.n
-        rho0 = jnp.asarray(rho0, dtype=dtype)
-        ados0 = jnp.zeros((nado, n, n), dtype=dtype).at[0].set(rho0)
+        if ados0 is not None:
+            ados0 = jnp.asarray(ados0, dtype=dtype)
+        else:
+            rho0 = jnp.asarray(rho0, dtype=dtype)
+            ados0 = jnp.zeros((nado, n, n), dtype=dtype).at[0].set(rho0)
 
         def rk4(y):
             k1 = rhs(y)

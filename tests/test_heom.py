@@ -247,3 +247,24 @@ class TestMultiBath:
         res = sol.run(jnp.asarray(np.diag([1., 0.]).astype(complex)),
                       dt=0.05, nt=nt, nout=nt)
         assert np.max(np.abs(np.asarray(res.rho) - rho_ss)) < 1e-10
+
+    def test_equilibrium_correlator_exact_with_full_steady_seed(self):
+        """Seeding correlation_3op_2t with steady_state(full=True) makes
+        the equilibrium correlator stationary to machine precision (the
+        rho_0-slice-only seed drifts at ~1e-3 while higher ADOs
+        re-equilibrate — that behavior is pinned loosely in
+        TestCorrelation)."""
+        from pyqed_tpu.open import HEOMSolver
+        from pyqed_tpu.open.bath import DrudeBath
+
+        H = jnp.asarray(0.5 * np.diag([1., -1.])
+                        + 0.2 * np.array([[0, 1], [1, 0]]), dtype=complex)
+        Q = jnp.asarray(np.diag([1., -1.]).astype(complex))
+        b = DrudeBath(temperature=0.5, cutoff=0.5, reorg=0.05)
+        b.set_bath_ops([Q])
+        sol = HEOMSolver(H, bath=b, lmax=3, nexp=1)
+        ados_ss = sol.steady_state(full=True)
+        sx = jnp.asarray(np.array([[0, 1], [1, 0]], complex))
+        corr = np.asarray(sol.correlation_3op_2t(
+            None, [sx, Q, sx], dt=0.02, nt=40, ntau=12, ados0=ados_ss))
+        assert np.max(np.abs(corr[-1] - corr[0])) < 1e-12
