@@ -391,9 +391,21 @@ class HEOMSolver:
                        e_ops=[b_op], **kwargs)
         return res.observables[:, 0]
 
-    def correlation_2op_1t(self, rho0, a_op, b_op, dt, nt, **kwargs):
+    def correlation_2op_1t(self, rho0, a_op, b_op, dt, nt, ados0=None,
+                           **kwargs):
+        """<A(t) B> through the full hierarchy (reference convention,
+        pyqed/oqs.py:1193).  Pass ``ados0=steady_state(full=True)`` for
+        the EXACT equilibrium correlator — seeding only the rho_0 slice
+        lets the higher ADOs re-equilibrate and drifts the early-time
+        correlator.  Returns (nt+1,) complex at t = 0..nt dt."""
         eye = jnp.eye(self.n)
-        return self.correlation_3op_1t(rho0, [eye, a_op, b_op], dt, nt, **kwargs)
+        if ados0 is None:
+            return self.correlation_3op_1t(rho0, [eye, a_op, b_op], dt,
+                                           nt, **kwargs)
+        corr = self.correlation_3op_2t(rho0, [eye, a_op, b_op], dt=dt,
+                                       nt=1, ntau=nt + 1, ados0=ados0,
+                                       **kwargs)
+        return corr[0]
 
     def liouvillian_dense(self, dtype=None, kernel="einsum"):
         """Materialize the FULL hierarchy Liouvillian as a dense
@@ -421,7 +433,13 @@ class HEOMSolver:
         equilibrium correlation functions.  Small hierarchies only
         (dense null space)."""
         L = np.asarray(self.liouvillian_dense(kernel=kernel))
-        _, _, Vh = np.linalg.svd(L)
+        _, s, Vh = np.linalg.svd(L)
+        if s[-2] < 1e-10 * max(s[0], 1.0):
+            import warnings
+            warnings.warn(
+                "HEOM stationary space is degenerate (e.g. pure "
+                "dephasing: [H, Q] = 0 conserves every population); "
+                "steady_state returns an arbitrary member.")
         vec = Vh[-1].conj()
         n = self.n
         ados = vec.reshape(-1, n, n)
@@ -498,6 +516,35 @@ class HEOMSolver:
             return corr
 
         return jax.lax.map(one_t, ys)                           # (nt, ntau)
+
+
+    def absorption(self, omegas, edip, dt=None, ntau=2000, kernel=None):
+        """Numerically exact linear absorption from the hierarchy:
+        S(w) = 2 Re int_0^T dt e^{i w t} <mu(t) mu>_eq with the average
+        in the EXACT correlated equilibrium (steady_state(full=True) —
+        Lindblad/Redfield absorption misses the system-bath-correlation
+        corrections).  Returns (len(omegas),) real."""
+        mu = jnp.asarray(edip, dtype=complex)
+        ados_ss = self.steady_state(full=True)
+        if dt is None:
+            wmax = float(np.max(np.abs(np.asarray(omegas))))
+            dt = 2.0 * np.pi / (wmax * 40.0) if wmax > 0 else 0.01
+            # RK4 stability: the deepest ADO is damped at ~ lmax * max
+            # |Re nu| (Pade rates grow fast), plus the coherent scale
+            numax = max((abs(complex(m[2]).real) for m in self._modes),
+                        default=0.0)
+            lam = self.lmax * numax + 2.0 * float(
+                jnp.linalg.norm(self.H, ord=2))
+            if lam > 0:
+                dt = min(dt, 1.5 / lam)
+        corr = np.asarray(self.correlation_2op_1t(
+            None, mu, mu, dt=dt, nt=ntau - 1, ados0=ados_ss, kernel=kernel))
+        t = np.arange(ntau) * dt
+        w = np.asarray(omegas, dtype=float)
+        # half-Fourier with a soft window against truncation ringing
+        win = np.exp(-(t / t[-1]) ** 2 * 4.0)
+        ph = np.exp(1j * np.outer(w, t))
+        return 2.0 * np.real(ph @ (corr * win)) * dt
 
 
 class HEOMSolverDrude(HEOMSolver):

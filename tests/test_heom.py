@@ -268,3 +268,84 @@ class TestMultiBath:
         corr = np.asarray(sol.correlation_3op_2t(
             None, [sx, Q, sx], dt=0.02, nt=40, ntau=12, ados0=ados_ss))
         assert np.max(np.abs(corr[-1] - corr[0])) < 1e-12
+
+
+class TestExactLineshape:
+    """Independent-boson (pure-dephasing) model — the one exactly
+    solvable open-system problem: with Q = |e><e| the dipole correlator
+    is e^{-i E t - g(t)}, g(t) = sum_k c_k (e^{-nu_k t} + nu_k t - 1)
+    / nu_k^2 built from the SAME exponential modes the hierarchy uses
+    (reference: the cumulant lineshape the HEOM must reproduce; pins the
+    full RHS — gathers, occupation weights, left/right coefficients —
+    against a closed form)."""
+
+    def test_pure_dephasing_correlator_matches_closed_form(self):
+        from pyqed_tpu.open import HEOMSolver
+        from pyqed_tpu.open.bath import DrudeBath
+
+        E = 1.0
+        H = jnp.asarray(np.diag([0.0, E]).astype(complex))
+        Q = jnp.asarray(np.diag([0.0, 1.0]).astype(complex))
+        b = DrudeBath(temperature=1.0, cutoff=0.5, reorg=0.05)
+        b.set_bath_ops([Q])
+        sol = HEOMSolver(H, bath=b, lmax=7, nexp=2)
+        mu = jnp.asarray(np.array([[0, 1], [1, 0]], complex))
+        rho0 = jnp.asarray(np.diag([1.0, 0.0]).astype(complex))
+
+        dt, nt = 0.003, 600
+        corr = np.asarray(sol.correlation_2op_1t(rho0, mu, mu, dt, nt))
+        t = np.arange(len(corr)) * dt
+        g = np.zeros_like(t, dtype=complex)
+        for _, c, nu in sol._modes:
+            g += c * (np.exp(-nu * t) + nu * t - 1.0) / nu**2
+        exact = np.exp(-1j * E * t - g)
+        assert np.max(np.abs(corr - exact)) < 1e-6
+
+    def test_full_seed_branch_matches_run_branch(self):
+        """correlation_2op_1t(ados0=) (tau leg of correlation_3op_2t)
+        == the run()-based branch when seeded with the same factorized
+        stack — the two code paths implement one convention <A(t)B>."""
+        from pyqed_tpu.open import HEOMSolver
+        from pyqed_tpu.open.bath import DrudeBath
+
+        H = jnp.asarray(0.5 * np.diag([1., -1.])
+                        + 0.2 * np.array([[0, 1], [1, 0]]), dtype=complex)
+        Q = jnp.asarray(np.diag([1., -1.]).astype(complex))
+        b = DrudeBath(temperature=0.5, cutoff=0.5, reorg=0.05)
+        b.set_bath_ops([Q])
+        sol = HEOMSolver(H, bath=b, lmax=3, nexp=1)
+        sx = jnp.asarray(np.array([[0, 1], [1, 0]], complex))
+        rho0 = np.diag([0.7, 0.3]).astype(complex)
+
+        dt, nt = 0.01, 60
+        via_run = np.asarray(sol.correlation_2op_1t(
+            jnp.asarray(rho0), sx, Q, dt, nt))
+        _, nado = sol.rhs_fn(jnp.complex128)
+        stack = jnp.zeros((nado, 2, 2), dtype=complex).at[0].set(
+            jnp.asarray(rho0))
+        via_seed = np.asarray(sol.correlation_2op_1t(
+            None, sx, Q, dt, nt, ados0=stack))
+        assert via_run.shape == via_seed.shape == (nt + 1,)
+        assert np.max(np.abs(via_run - via_seed)) < 1e-12
+
+    def test_absorption_peaks_at_transition(self):
+        """HEOMSolver.absorption: exact-equilibrium linear absorption of
+        a weakly damped two-level system peaks at the transition
+        frequency (within the Lamb shift / grid resolution) and
+        dominates the baseline."""
+        from pyqed_tpu.open import HEOMSolver
+        from pyqed_tpu.open.bath import DrudeBath
+
+        E = 1.0
+        H = jnp.asarray(np.diag([0.0, E]).astype(complex))
+        Q = jnp.asarray(np.array([[0, 1], [1, 0]], complex))
+        b = DrudeBath(temperature=0.2, cutoff=0.5, reorg=0.02)
+        b.set_bath_ops([Q])
+        sol = HEOMSolver(H, bath=b, lmax=3, nexp=1)
+        mu = np.array([[0, 1], [1, 0]], complex)
+        omegas = np.linspace(0.5, 1.5, 101)
+        S = np.asarray(sol.absorption(omegas, mu, ntau=1500))
+        assert S.shape == omegas.shape
+        peak = omegas[int(np.argmax(S))]
+        assert abs(peak - E) < 0.1
+        assert S.max() > 5.0 * abs(S[0])
