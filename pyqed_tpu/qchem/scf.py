@@ -47,11 +47,16 @@ class SCFResult:
 class RHF:
     """(reference: pyqed/qchem/hf/rhf.py:22)."""
 
-    def __init__(self, mol, max_cycle=100, conv_tol=1e-10, diis_size=8):
+    def __init__(self, mol, max_cycle=100, conv_tol=1e-10, diis_size=8,
+                 extra_hcore=None):
         self.mol = mol
         self.max_cycle = max_cycle
         self.conv_tol = conv_tol
         self.diis_size = diis_size
+        # extra_hcore: optional (nao, nao) AO one-electron perturbation
+        # added to T+V — finite-field properties (dipole/polarizability
+        # as energy derivatives) and one-electron embedding potentials
+        self.extra_hcore = extra_hcore
         self.e_tot = None
         self.mo_coeff = None
         self.mo_energy = None
@@ -65,6 +70,8 @@ class RHF:
         mol = self.mol
         S, T, V, eri = mol.intor()
         hcore = T + V
+        if self.extra_hcore is not None:
+            hcore = hcore + jnp.asarray(self.extra_hcore)
         enuc = mol.energy_nuc()
         nocc = mol.nelec // 2
         if mol.nelec % 2 != 0:
@@ -142,6 +149,21 @@ class RHF:
         if C is not None:
             mu = np.einsum("pi, kij, qj -> kpq", C, mu, C)
         return jnp.asarray(mu)
+
+    def dip_moment(self, origin=(0.0, 0.0, 0.0), unit="au"):
+        """Molecular dipole vector mu = sum_A Z_A R_A - Tr[D r]
+        (reference calls through to pyscf ``mf.dip_moment()``,
+        pyqed/qchem/hessian.py:232; here from the in-house AO dipole
+        integrals).  ``unit``: 'au' or 'debye'."""
+        mu_ao = self.dipole_integrals(origin)
+        el = -jnp.einsum("kpq, qp -> k", mu_ao, self.dm).real
+        R = np.asarray(self.mol.atom_coords()) - np.asarray(origin)
+        Z = np.asarray(self.mol.atom_charges(), dtype=float)
+        nuc = jnp.asarray(Z @ R)
+        mu = nuc + el
+        if unit.lower().startswith("d"):
+            mu = mu * 2.541746473
+        return np.asarray(mu)
 
     def transition_dipoles(self, xy=None):
         """MO-basis occ->virt dipole blocks (feeds TDA/TDHF oscillator

@@ -1,0 +1,65 @@
+"""Dipole moments, finite-field hook, and IR intensities
+(reference: pyqed/qchem/hessian.py:203 dip_derivative; :240 infrared is
+a pass stub there)."""
+import numpy as np
+import pytest
+
+
+def _hf_mol():
+    from pyqed_tpu.qchem import Molecule
+    return Molecule([("H", (0.0, 0.0, 0.0)), ("F", (0.0, 0.0, 1.733))],
+                    basis="sto-3g")
+
+
+class TestDipole:
+    def test_dip_moment_equals_finite_field_energy_derivative(self):
+        """First-principles pin: mu_z = -dE/d(eps) with H' = eps * z
+        (electronic) plus the constant nuclear shift -eps*sum Z R_z —
+        checks sign conventions, density factor 2, and the AO dipole
+        integrals all at once."""
+        from pyqed_tpu.qchem import Molecule
+        from pyqed_tpu.qchem.scf import RHF
+
+        mol = _hf_mol()
+        mf = RHF(mol).run()
+        mu = mf.dip_moment()
+        zint = np.asarray(mf.dipole_integrals())[2]
+        ZR = float(np.asarray(mol.atom_charges(), float)
+                   @ np.asarray(mol.atom_coords())[:, 2])
+        eps = 2e-4
+        Es = []
+        for s in (+1, -1):
+            mfe = RHF(mol, extra_hcore=s * eps * zint).run()
+            Es.append(mfe.e_tot - s * eps * ZR)
+        mu_ff = -(Es[0] - Es[1]) / (2 * eps)
+        assert abs(mu[2] - mu_ff) < 1e-6
+        assert abs(mu[0]) < 1e-10 and abs(mu[1]) < 1e-10
+
+    def test_debye_conversion(self):
+        mf = _hf_mol().RHF().run()
+        au = mf.dip_moment()
+        D = mf.dip_moment(unit="debye")
+        assert np.allclose(D, au * 2.541746473)
+
+
+class TestInfrared:
+    def test_h2_is_ir_silent_hf_is_active(self):
+        """Symmetry pin: the homonuclear stretch carries NO dipole
+        derivative; the heteronuclear one does."""
+        from pyqed_tpu.qchem.hessian import Hessian
+
+        h2 = Hessian([("H", (0, 0, 0.0)), ("H", (0, 0, 1.4))],
+                     basis="sto-3g")
+        nus, inten = h2.infrared()
+        assert len(nus) == 1
+        assert inten[0] < 1e-10
+
+        hf = Hessian([("H", (0, 0, 0.0)), ("F", (0, 0, 1.733))],
+                     basis="sto-3g")
+        nus, inten, spec = hf.infrared(omegas=np.linspace(500, 6000, 200))
+        assert len(nus) == 1 and nus[0] > 1000.0   # real stretch
+        # d mu/d Q ~ (d mu/d r)/sqrt(mu_red) ~ 0.3/42 a.u. -> I ~ 1e-5
+        assert inten[0] > 1e-6
+        # spectrum peaks at the stretch frequency
+        w = np.linspace(500, 6000, 200)
+        assert abs(w[int(np.argmax(spec))] - nus[0]) < 60.0
