@@ -138,8 +138,60 @@ class CI:
         self.e_tot = np.asarray(w[:nroots]) + enuc
         self.civec = v[:, :nroots]
         self.dets = dets
+        self.ns = ns
         self.e_corr = float(self.e_tot[0] - mf.e_tot)
         return self.e_tot
+
+    # ------------------------------------------------------- density
+    def _rdm1_so(self, root=0):
+        """Spin-orbital 1-RDM D[p, q] = <a+_p a_q> over the stored CI
+        vector (same sign convention as ``slater_condon``)."""
+        c = np.asarray(self.civec)[:, root].real
+        dets, ns = self.dets, self.ns
+        pos = {d: i for i, d in enumerate(dets)}
+        D = np.zeros((ns, ns))
+        for j, det in enumerate(dets):
+            cj = c[j]
+            if abs(cj) < 1e-14:
+                continue
+            occ = set(det)
+            for q in det:
+                D[q, q] += cj * cj
+                for p in range(ns):
+                    if p in occ:
+                        continue
+                    deti = tuple(sorted((occ - {q}) | {p}))
+                    i = pos.get(deti)
+                    if i is None:
+                        continue
+                    D[p, q] += _phase(deti, [p], [q]) * c[i] * cj
+        return D
+
+    def make_rdm1(self, root=0, ao_repr=False):
+        """Spin-traced 1-RDM in the MO basis (reference:
+        pyqed/qchem/dvr/casci.py make_rdm1; here for the GTO CI family).
+        ``ao_repr``: transform with the SCF MO coefficients."""
+        if self.civec is None:
+            self.run(nroots=root + 1)
+        Dso = self._rdm1_so(root)
+        nmo = self.ns // 2
+        D = Dso[0::2, 0::2] + Dso[1::2, 1::2]
+        if ao_repr:
+            C = np.asarray(self.mf.mo_coeff)[:, :nmo]
+            D = C @ D @ C.T
+        return D
+
+    def natural_orbitals(self, root=0):
+        """(occupations, orbitals): eigen-decomposition of the 1-RDM,
+        occupations descending; orbitals returned in the AO basis
+        (columns), i.e. mo_coeff rotated by the RDM eigenvectors
+        (reference: pyqed/qchem/dvr/casci.py natural_orbitals)."""
+        D = self.make_rdm1(root)
+        w, V = np.linalg.eigh(D)
+        order = np.argsort(w)[::-1]
+        w, V = w[order], V[:, order]
+        C = np.asarray(self.mf.mo_coeff)[:, :D.shape[0]] @ V
+        return w, C
 
 
 class FCI(CI):
@@ -196,7 +248,27 @@ class CASCI(CI):
         w, v = jnp.linalg.eigh(jnp.asarray(H))
         self.e_tot = np.asarray(w[:nroots]) + ecore + mf.mol.energy_nuc()
         self.civec = v[:, :nroots]
+        self.dets = dets
+        self.ns = 2 * self.ncas
+        self.ncore = ncore
         return self.e_tot
+
+    def make_rdm1(self, root=0, ao_repr=False):
+        """Spin-traced 1-RDM over ALL MOs: doubly occupied core block +
+        the active-space CI density (virtuals zero)."""
+        if self.civec is None:
+            self.run(nroots=root + 1)
+        Dso = self._rdm1_so(root)
+        Dact = Dso[0::2, 0::2] + Dso[1::2, 1::2]
+        nmo = np.asarray(self.mf.mo_coeff).shape[1]
+        D = np.zeros((nmo, nmo))
+        nc = self.ncore
+        D[:nc, :nc] = 2.0 * np.eye(nc)
+        D[nc:nc + self.ncas, nc:nc + self.ncas] = Dact
+        if ao_repr:
+            C = np.asarray(self.mf.mo_coeff)
+            D = C @ D @ C.T
+        return D
 
 
 def dyson_orbital(ci_n, ci_m):
