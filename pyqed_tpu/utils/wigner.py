@@ -33,7 +33,9 @@ def _wv_matrix(x):
 
 def wigner(x, d=1.0):
     """Wigner-Ville distribution W(w, t) of a 1D signal
-    (reference: pyqed/wigner.py:216). Returns (W, freqs)."""
+    (reference: pyqed/wigner.py:216 — NOTE the reference returns the
+    transposed (t, w) layout; oracle-pinned via W_ref.T == W in
+    tests/test_ref_oracle2.py). Returns (W, freqs)."""
     x = jnp.asarray(x)
     K, tau = _wv_matrix(x)
     N = x.shape[0]
