@@ -124,3 +124,67 @@ def test_wigner_ville_vs_reference(rng):
     W_my, f_my = (np.asarray(m) for m in my_wigner.wigner(x, d=0.5))
     # the reference lays the distribution out as (t, w); ours is (w, t)
     assert np.max(np.abs(W_ref.T - W_my)) < 1e-10
+
+
+# -------------------------------------------------------------- LQF
+
+def test_lqf_quantum_force_vs_reference(rng):
+    """Linearized quantum force: fitted r(x) equal, and the reference's
+    du = grad(Q) is exactly -F_q (pyqed/qt/lqf.py:349 LQF; its `mass`
+    is a module global set by the import-time demo — injected here).
+
+    NOTE the reference's ``Sym`` (lqf.py:238) copies the never-filled
+    UPPER triangle over the built lower one, silently zeroing every
+    cross moment — its LQF solves with a diagonal moment matrix.  The
+    pin therefore uses a tensor-product symmetric sample, where the
+    cross and first moments vanish exactly and the bug is inert; on a
+    correlated ensemble ours keeps the full covariance (correct) and
+    the reference does not."""
+    ref = load_reference_module("qt.lqf")
+    from pyqed_tpu.grid.qtraj import lqf
+
+    n1 = np.array([-1.7, -0.6, 0.6, 1.7])
+    w1 = np.array([0.2, 0.8, 0.8, 0.2])
+    X1, X2 = np.meshgrid(n1, 1.3 * n1, indexing="ij")
+    x = np.stack([X1.ravel(), X2.ravel()], axis=1)
+    w = np.outer(w1, w1).ravel()
+    w = w / w.sum()
+    mass = np.array([1.0, 2.5])
+    ref.mass = mass
+    r_ref, du_ref = ref.LQF(x.copy(), w.copy())
+    r, fq, Eu = lqf(jnp.asarray(x), jnp.asarray(w), jnp.asarray(mass))
+    assert np.max(np.abs(np.asarray(r) - r_ref)) < 1e-10
+    assert np.max(np.abs(np.asarray(fq) + du_ref)) < 1e-10
+
+
+# ------------------------------------------------------------ sparse grid
+
+def test_sparse_grid_vs_reference():
+    """Node set AND hierarchical interpolant equal to the reference
+    SparseGrid (pyqed/smolyak/mysg.py:108) — pins point generation,
+    nodal->hierarchical conversion, and evaluation."""
+    ref = load_reference_module("smolyak.mysg")
+    from pyqed_tpu.grid.smolyak import SparseGrid
+
+    rsg = ref.SparseGrid(dim=2, level=4)
+    rsg.generatePoints()
+    ref_pts = sorted(tuple(round(c, 12) for c in p.pos)
+                     for p in rsg.gP.values())
+    msg = SparseGrid(ndim=2, level=4)
+    msg.generate_points()
+    my_pts = sorted(tuple(round(float(c), 12) for c in row)
+                    for row in msg.points)
+    assert ref_pts == my_pts
+
+    def f(u, v):
+        return np.sin(np.pi * u) * (v + 0.3)
+
+    for key in rsg.gP:
+        p = rsg.gP[key]
+        p.fv = f(p.pos[0], p.pos[1])
+    rsg.nodal2Hier()
+    msg.fit(f)
+    for xq in [(0.37, 0.61), (0.5, 0.5), (0.123, 0.9), (0.77, 0.02)]:
+        rv = float(rsg.evalFunct(list(xq)))
+        mv = float(np.asarray(msg.eval(np.array(xq)))[0])
+        assert abs(rv - mv) < 1e-12, xq
