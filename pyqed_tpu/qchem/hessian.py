@@ -141,3 +141,40 @@ class Hessian:
         for nu, I in zip(nus, inten):
             spec += I * (lw / np.pi) / ((w - nu) ** 2 + lw ** 2)
         return nus, inten, spec
+
+    def polarizability_derivative(self, mode_id, delta=0.02):
+        """d alpha / d Q along mass-weighted normal mode ``mode_id``
+        (central FD of the finite-field RHF polarizability).  Returns
+        (3, 3) in a.u."""
+        if not hasattr(self, "modes"):
+            self.frequencies()
+        q = np.asarray(self.modes[:, mode_id], dtype=float)
+        dR = (q / np.sqrt(self._masses_au())).reshape(self.natm, 3)
+
+        def alpha(sign):
+            geom = [(s, x + sign * delta * d)
+                    for (s, x), d in zip(self.atoms, dR)]
+            return Molecule(geom, basis=self.basis).RHF().run() \
+                .polarizability()
+
+        return (alpha(+1.0) - alpha(-1.0)) / (2.0 * delta)
+
+    def raman(self, linear=None, delta=0.02):
+        """Raman activities per vibration in the Placzek double-harmonic
+        approximation: 45 a'^2 + 7 gamma'^2 with a' the isotropic and
+        gamma' the anisotropic polarizability derivative invariants
+        (completes the reference's vibrational-spectroscopy layer; its
+        Raman path does not exist).  Returns (freqs_cm, activities)."""
+        freqs = self.frequencies()
+        nzero = 5 if (linear if linear is not None
+                      else self.natm == 2) else 6
+        order = np.argsort(np.abs(freqs))
+        vib = order[nzero:]
+        vib = vib[np.argsort(freqs[vib])]
+        acts = []
+        for i in vib:
+            dA = self.polarizability_derivative(i, delta)
+            a = np.trace(dA) / 3.0
+            g2 = 0.5 * (3.0 * np.sum(dA * dA) - (np.trace(dA)) ** 2)
+            acts.append(45.0 * a * a + 7.0 * g2)
+        return freqs[vib], np.array(acts)

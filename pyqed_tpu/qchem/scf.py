@@ -165,6 +165,25 @@ class RHF:
             mu = mu * 2.541746473
         return np.asarray(mu)
 
+    def polarizability(self, eps=1e-3):
+        """Static dipole polarizability alpha_ij = d mu_i / d E_j by
+        finite-field SCF (reference exposes none; the pyscf path it
+        wraps has one — this is the in-house finite-field route through
+        ``extra_hcore``).  Returns (3, 3), symmetrized."""
+        mu_ao = np.asarray(self.dipole_integrals())
+        alpha = np.zeros((3, 3))
+        for j in range(3):
+            # H' = -mu.E => hcore += E_j * r_j (electron charge -1 is
+            # inside mu_ao = -<r> convention handled in dip_moment)
+            mus = []
+            for s in (+1.0, -1.0):
+                mf = RHF(self.mol, max_cycle=self.max_cycle,
+                         conv_tol=self.conv_tol,
+                         extra_hcore=s * eps * mu_ao[j]).run()
+                mus.append(mf.dip_moment())
+            alpha[:, j] = (mus[0] - mus[1]) / (2.0 * eps)
+        return 0.5 * (alpha + alpha.T)
+
     def transition_dipoles(self, xy=None):
         """MO-basis occ->virt dipole blocks (feeds TDA/TDHF oscillator
         strengths)."""

@@ -63,3 +63,38 @@ class TestInfrared:
         # spectrum peaks at the stretch frequency
         w = np.linspace(500, 6000, 200)
         assert abs(w[int(np.argmax(spec))] - nus[0]) < 60.0
+
+
+class TestRaman:
+    def test_he_sto3g_polarizability_is_zero(self):
+        """Exact basis-structure pin: a single s function cannot
+        polarize — alpha(He/STO-3G) = 0 identically."""
+        from pyqed_tpu.qchem import Molecule
+
+        mf = Molecule([("He", (0, 0, 0.0))], basis="sto-3g").RHF().run()
+        assert np.max(np.abs(mf.polarizability())) < 1e-9
+
+    def test_h2_polarizability_structure(self):
+        """H2/STO-3G: axial alpha_zz > 0 (sigma_g/sigma_u mixing) while
+        the transverse components vanish exactly (no p functions)."""
+        from pyqed_tpu.qchem import Molecule
+
+        mf = Molecule([("H", (0, 0, 0.0)), ("H", (0, 0, 1.4))],
+                      basis="sto-3g").RHF().run()
+        a = mf.polarizability()
+        assert a[2, 2] > 0.1
+        assert abs(a[0, 0]) < 1e-8 and abs(a[1, 1]) < 1e-8
+        assert np.max(np.abs(a - np.diag(np.diag(a)))) < 1e-8
+
+    def test_h2_raman_active_ir_silent(self):
+        """Mutual-exclusion pin for a centrosymmetric molecule: the H2
+        stretch has zero IR intensity but nonzero Raman activity."""
+        from pyqed_tpu.qchem.hessian import Hessian
+
+        h2 = Hessian([("H", (0, 0, 0.0)), ("H", (0, 0, 1.4))],
+                     basis="sto-3g")
+        _, ir = h2.infrared()
+        nus, act = h2.raman()
+        assert ir[0] < 1e-10
+        assert act[0] > 1e-4
+        assert nus[0] > 1000.0
