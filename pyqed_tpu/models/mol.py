@@ -322,10 +322,15 @@ class SESolver:
             edips = edip if isinstance(edip, (list, tuple)) else [edip] * len(pulses)
             edips = [jnp.asarray(d).astype(cdtype) for d in edips]
 
+            # accept Pulse-like objects (with .efield) or plain
+            # jax-traceable callables E(t)
+            fields = [p.efield if hasattr(p, "efield") else p
+                      for p in pulses]
+
             def Ht(t):
                 H = H0
-                for d, p in zip(edips, pulses):
-                    H = H - p.efield(t) * d
+                for d, E in zip(edips, fields):
+                    H = H - E(t) * d
                 return H
 
             def step(psi, t):
