@@ -20,3 +20,9 @@ from .density import (ao_gradients, charge_density,
                       write_density_cube)
 from .ci_overlap import (cross_overlap_ao, mo_cross_overlap, ci_overlap,
                          wavefunction_overlap, nonadiabatic_coupling)
+from .scf import get_hcore_mo, get_eri_mo
+from .geometry import (read_xyz, grad_nuc, quasi_angular_momentum,
+                       eckart_frame, zmatrix_to_cartesian)
+from .lo import (boys, pipek_mezey, iao, ibo, vec_lowdin,
+                 mulliken_charges, iao_charges, find_homo_lumo,
+                 orbital_centers)

@@ -199,3 +199,41 @@ def save_to_xyz(mol, fname):
         for s, x in mol.atoms:
             x = np.asarray(x, dtype=float) * au2angstrom
             f.write(f"{s} {x[0]:.10f} {x[1]:.10f} {x[2]:.10f}\n")
+
+
+def read_xyz(fname):
+    """Read a standard .xyz file (Angstrom) -> list of (symbol, xyz_bohr)
+    ready for :class:`~pyqed_tpu.qchem.Molecule`
+    (reference: pyqed/qchem/mol.py:1174 ``readxyz``)."""
+    from ..units import au2angstrom
+    with open(fname) as f:
+        lines = f.read().split("\n")
+    natm = int(lines[0].split()[0])
+    atoms = []
+    for line in lines[2:2 + natm]:
+        parts = line.split()
+        xyz = np.array(parts[1:4], dtype=float) / au2angstrom
+        atoms.append((parts[0], xyz))
+    return atoms
+
+
+def quasi_angular_momentum(masses, reference, changed):
+    """l = sum_k m_k (r_ref,k x r_k) — the rotational Eckart-condition
+    residual (reference: pyqed/qchem/mol.py:1209; vanishes in the
+    Eckart frame). reference/changed: (natm, 3)."""
+    ref = np.asarray(reference, dtype=float)
+    chg = np.asarray(changed, dtype=float)
+    m = np.asarray(masses, dtype=float)
+    return np.einsum("a, ax -> x", m, np.cross(ref, chg))
+
+
+def grad_nuc(mol, atmlst=None):
+    """Analytic nuclear-repulsion gradient dE_nn/dR_A (natm, 3)
+    (reference: pyqed/qchem/mol.py:1156)."""
+    z = np.asarray(mol.atom_charges(), dtype=float)
+    r = np.asarray(mol.atom_coords(), dtype=float)
+    dr = r[:, None, :] - r[None, :, :]
+    dist = np.linalg.norm(dr, axis=2)
+    np.fill_diagonal(dist, np.inf)
+    gs = np.einsum("i, j, ijx, ij -> ix", -z, z, dr, dist**-3)
+    return gs if atmlst is None else gs[np.asarray(atmlst)]

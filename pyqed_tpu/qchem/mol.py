@@ -47,6 +47,14 @@ class Molecule:
             self.nao = len(self.bfs)
         self._ints = None
 
+    @classmethod
+    def from_xyz(cls, fname, **kwargs):
+        """Build from a standard .xyz file (Angstrom on disk)
+        (reference: pyqed/qchem/mol.py:1174 ``readxyz`` +
+        mol.py:271 ``fromfile``)."""
+        from .geometry import read_xyz
+        return cls(read_xyz(fname), unit="bohr", **kwargs)
+
     @property
     def natm(self):
         return len(self.atoms)

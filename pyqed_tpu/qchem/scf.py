@@ -268,6 +268,7 @@ class UHF:
         self.hcore = hcore
         self.eri = eri
         self.S = S
+        self.dm = (Da, Db)
         return self
 
     kernel = run
@@ -279,3 +280,28 @@ class UHF:
         Sab = Ca[:, :na].T @ self.S @ Cb[:, :nb]
         sz = (na - nb) / 2
         return float(sz * (sz + 1) + nb - jnp.sum(jnp.abs(Sab) ** 2))
+
+
+def get_hcore_mo(mf):
+    """Core Hamiltonian in the MO basis; RHF-like -> (n, n), UHF-like ->
+    (h_alpha, h_beta) (reference: pyqed/qchem/mol.py:48)."""
+    C = mf.mo_coeff
+    if isinstance(C, (tuple, list)):
+        Ca, Cb = C
+        return (Ca.T @ mf.hcore @ Ca, Cb.T @ mf.hcore @ Cb)
+    return C.T @ mf.hcore @ C
+
+
+def get_eri_mo(mf):
+    """Two-electron integrals in the MO basis, chemists' notation
+    (ij|kl); UHF-like -> (aa, ab, bb) blocks
+    (reference: pyqed/qchem/mol.py:83)."""
+    def xform(Cp, Cq, Cr, Cs):
+        return jnp.einsum("pi, qj, pqrs, rk, sl -> ijkl",
+                          Cp, Cq, mf.eri, Cr, Cs)
+    C = mf.mo_coeff
+    if isinstance(C, (tuple, list)):
+        Ca, Cb = C
+        return (xform(Ca, Ca, Ca, Ca), xform(Ca, Ca, Cb, Cb),
+                xform(Cb, Cb, Cb, Cb))
+    return xform(C, C, C, C)
