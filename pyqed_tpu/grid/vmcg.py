@@ -333,6 +333,50 @@ class VMCG:
         S = GWPMatrixElements.overlap(q, p, alpha, gamma)
         return jnp.real(jnp.einsum("ja, jk, ka -> a", jnp.conj(C), S, C))
 
+    def norm(self, state):
+        return jnp.sum(self.populations(state))
+
+    def rdm_el(self, state):
+        """Electronic reduced density matrix rho[a, b] =
+        sum_jk C*_{jb} S_jk C_{ka}, so <A> = tr(rho A)
+        (reference: pyqed/ldr/gwp.py:1077 ``obs_el`` / ``rdm_el``)."""
+        q, p, alpha, gamma, C = state
+        S = GWPMatrixElements.overlap(q, p, alpha, gamma)
+        return jnp.einsum("jb, jk, ka -> ab", jnp.conj(C), S, C)
+
+    def obs_el(self, state, a):
+        """Expectation of an electronic (Condon) operator a (ns, ns)
+        (reference: pyqed/ldr/gwp.py:1077)."""
+        return jnp.trace(self.rdm_el(state) @ jnp.asarray(a))
+
+    def obs_nuc(self, state, which="x"):
+        """Expectation of a nuclear one-body observable per dimension:
+        ``which`` in {'x', 'x2', 'p'} -> (D,)
+        (reference: pyqed/ldr/gwp.py:1084 ``obs_nuc`` — generic operator
+        there; here the pair moments are closed-form, no quadrature)."""
+        q, p, alpha, gamma, C = state
+        core = _pair_core(q, p, alpha, gamma)
+        S = core["S"]
+        w = jnp.einsum("ja, jk, ka -> jk", jnp.conj(C), S, C)
+        if which == "x":
+            val = core["mu"]                          # <x>/S per pair
+        elif which == "x2":
+            val = core["mu"] ** 2 + core["var"]
+        elif which == "p":
+            # p g_k = (p_k + i alpha_k (x - q_k)) g_k, so
+            # <g_j|p|g_k>/S = p_k + i alpha_k (mu_jk - q_k), per dim
+            val = p[None, :, :] + 1j * alpha[None, :, :] * (
+                core["mu"] - q[None, :, :])
+        else:
+            raise ValueError("which must be 'x', 'x2' or 'p'")
+        return jnp.real(jnp.einsum("jk, jkd -> d", w, val))
+
+    def nuclear_density(self, state, x):
+        """rho(x_m) = sum_a |psi_a(x_m)|^2 on grid points x (M, D)
+        (reference: pyqed/ldr/gwp.py:1407)."""
+        psi = self.wavefunction(state, x)
+        return jnp.sum(jnp.abs(psi) ** 2, axis=-1)
+
     def project(self, q, p, alpha, q0, p0, alpha0, state: int = 0,
                 gamma=None):
         """Amplitudes C (N, ns) representing a single Gaussian

@@ -18,7 +18,7 @@ import numpy as np
 
 from .mol import Molecule
 
-__all__ = ["Grad", "optimize_geometry", "GeometryOptimizer"]
+__all__ = ["Grad", "optimize_geometry", "GeometryOptimizer", "scan_pes"]
 
 
 def _method_energy(atoms, basis, method, charge=0, spin=0, xc=None,
@@ -155,3 +155,19 @@ def optimize_geometry(atoms, basis="sto-3g", method="RHF", **kw):
     """Convenience wrapper: optimized ``(atoms, e_tot)``."""
     opt = GeometryOptimizer(atoms, basis=basis, method=method, **kw).run()
     return opt.atoms_opt, opt.e_tot
+
+
+def scan_pes(atoms_fn, grid, method="RHF", basis="sto-3g", charge=0,
+             spin=0, xc=None, **method_kw):
+    """Potential-energy-surface scan: total energy at every point of a
+    1D parameter grid (reference: pyqed/qchem/mol.py:1374 ``scan_pes``
+    — a pyscf-scanner demo hard-wired to HF; generic here).
+
+    atoms_fn : callable s -> atoms list (bohr) for scan parameter s
+    grid : 1D array of scan-parameter values
+    Returns energies (len(grid),).
+    """
+    return np.array([_method_energy(atoms_fn(s), basis, method,
+                                    charge=charge, spin=spin, xc=xc,
+                                    **method_kw)
+                     for s in np.asarray(grid)])

@@ -187,3 +187,13 @@ def test_mo_integral_helpers_uhf():
     assert e1 + e2 == pytest.approx(
         mf.e_tot - mf.mol.energy_nuc(), abs=1e-8)
     assert np.asarray(mf.dm[0]).shape == np.asarray(mf.dm[1]).shape
+
+
+def test_scan_pes_h2_minimum():
+    """H2/STO-3G bond scan: minimum near 1.4 bohr at the literature
+    energy -1.1167 Eh (reference: pyqed/qchem/mol.py:1374)."""
+    from pyqed_tpu.qchem import scan_pes
+    r = np.array([1.2, 1.401, 1.6])
+    e = scan_pes(lambda s: [("H", (0, 0, 0)), ("H", (0, 0, s))], r)
+    assert e[1] < e[0] and e[1] < e[2]
+    assert e[1] == pytest.approx(-1.11668, abs=2e-4)

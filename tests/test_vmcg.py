@@ -215,3 +215,53 @@ def test_vmcg_2d_nonadiabatic_vs_spo():
     out = sol.run(qs, ps, al, C0, dt, nt, nout=nt)
     pops = np.asarray(out["populations"][-1])
     assert np.max(np.abs(pops - pops_spo)) < 5e-5
+
+
+def test_vmcg_observables_vs_grid_quadrature():
+    """rdm_el / obs_el / obs_nuc / nuclear_density against direct grid
+    quadrature of the represented wavefunction
+    (reference: pyqed/ldr/gwp.py:1077-1420 obs_el/obs_nuc/nuclear_density)."""
+    rng = np.random.default_rng(7)
+    N, ns = 5, 2
+    sol = VMCG(lambda x: jnp.diag(jnp.array([0.5 * x[0] ** 2,
+                                             0.5 * x[0] ** 2 + 0.3])),
+               mass=1.0, nstates=ns, ndim=1)
+    q = rng.normal(size=(N, 1))
+    p = rng.normal(size=(N, 1)) * 0.5
+    al = rng.uniform(0.8, 1.5, size=(N, 1)) + 0j
+    g = rng.normal(size=(N,)) * 0.2
+    C = rng.normal(size=(N, ns)) + 1j * rng.normal(size=(N, ns))
+    state = (jnp.asarray(q), jnp.asarray(p), jnp.asarray(al),
+             jnp.asarray(g), jnp.asarray(C))
+
+    x = np.linspace(-12, 12, 4001)[:, None]
+    dx = x[1, 0] - x[0, 0]
+    psi = np.asarray(sol.wavefunction(state, x))      # (M, ns)
+
+    # rdm_el == grid quadrature rho[a,b] = int psi_a psi_b^*
+    rho_grid = np.einsum("ma, mb -> ab", psi, psi.conj()) * dx
+    rho = np.asarray(sol.rdm_el(state))
+    assert np.max(np.abs(rho - rho_grid)) < 1e-9
+
+    A = np.array([[0.2, 0.1 - 0.3j], [0.1 + 0.3j, -0.5]])
+    want = np.trace(rho_grid @ A)
+    assert np.asarray(sol.obs_el(state, A)) == pytest.approx(want, abs=1e-9)
+
+    # nuclear observables
+    dens = np.sum(np.abs(psi) ** 2, axis=1)
+    xbar = np.sum(dens * x[:, 0]) * dx
+    x2 = np.sum(dens * x[:, 0] ** 2) * dx
+    assert np.asarray(sol.obs_nuc(state, "x"))[0] == pytest.approx(
+        xbar, abs=1e-8)
+    assert np.asarray(sol.obs_nuc(state, "x2"))[0] == pytest.approx(
+        x2, abs=1e-8)
+    dpsi = np.gradient(psi, dx, axis=0)
+    pbar = np.real(np.sum(psi.conj() * (-1j) * dpsi)) * dx
+    assert np.asarray(sol.obs_nuc(state, "p"))[0] == pytest.approx(
+        pbar, abs=1e-5)
+
+    # nuclear density on the grid + normalization consistency
+    nd = np.asarray(sol.nuclear_density(state, x))
+    assert np.max(np.abs(nd - dens)) < 1e-12
+    assert np.sum(nd) * dx == pytest.approx(float(sol.norm(state)),
+                                            abs=1e-9)
