@@ -15,6 +15,6 @@ from .vibronic import Pyrazine, JahnTeller, ShinMetiu
 from .polariton_grid import GridMol, VibronicPolariton, VSC, TDH
 from .polariton_grid import GridMol2, VibronicPolariton2, berry_curvature_field
 from .shinmetiu2e import ShinMetiu2e1d, ShinMetiu3d
-from .vibronic import Pyrazine4, Triazine
+from .vibronic import Pyrazine4, Triazine, SpinVibronic
 from .phenol import Phenol
 from .pyrrole import Pyrrole, PyrroleCation

@@ -276,6 +276,82 @@ class Pyrazine4:
         return vm.run(el_state=2, dt=dt, nt=nt, nout=nout)
 
 
+class SpinVibronic:
+    """Spin-orbit vibronic coupling in a 2Pi state of a linear molecule
+    (Poluyanov & Domcke, Chem. Phys. 301, 111 (2004)): one unpaired
+    electron, doubly degenerate bending mode (x, y), four spin-orbital
+    states |Lambda, Sigma> ordered (+1,+1/2), (-1,+1/2), (+1,-1/2),
+    (-1,-1/2).
+
+    H(x, y) = omega/2 (x^2 + y^2) I
+              + (e_so/2) diag(+1, -1, -1, +1)        [A Lambda Sigma]
+              + kappa rho e^{+i phi} (SO-induced LINEAR coupling)
+              + (g/2) rho^2 e^{+2i phi} (Renner-Teller quadratic coupling)
+
+    with rho e^{i phi} = x + i y. The complex Hermitian 4x4 commutes with
+    the rotation diag(1, e^{-i d}, e^{-2i d}, e^{-3i d}) sending
+    phi -> phi + d, so the adiabatic surfaces are exactly cylindrical.
+
+    (reference: pyqed/models/vibronic.py:314 ``SpinVibronic`` — a broken
+    sketch there: declared ``def``, never Hermitized (its
+    ``h[2,0] = h[2,0].conj()`` is a no-op), no kinetic energy/solver.
+    Real and propagatable here; SPON's batched complex eigh handles the
+    complex Hermitian diabatic blocks exactly.)
+    """
+
+    def __init__(self, omega=1.0, e_so=0.2, kappa=0.1, g=0.2,
+                 nstates=4, mass=None):
+        assert nstates == 4
+        self.omega = omega
+        self.e_so = e_so
+        self.kappa = kappa
+        self.g = g
+        self.nstates = 4
+        self.mass = [1.0, 1.0] if mass is None else mass
+
+    def single_point(self, x, y):
+        """Complex Hermitian H(x, y) (4, 4)."""
+        xp = x + 1j * y
+        e = self.e_so
+        h = jnp.diag(jnp.array([e / 2, -e / 2, -e / 2, e / 2],
+                               dtype=complex))
+        k, g = self.kappa, self.g
+        h = h.at[0, 1].set(k * xp).at[2, 3].set(k * xp)
+        h = h.at[0, 2].set(g / 2 * xp**2).at[1, 3].set(-g / 2 * xp**2)
+        h = h + jnp.conj(h.T) - jnp.diag(jnp.diag(h))
+        return h + jnp.eye(4) * self.omega / 2 * (x**2 + y**2)
+
+    def buildV(self, x, y):
+        """Diabatic PES on the grid: (nx, ny, 4, 4) complex Hermitian."""
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        XP = X + 1j * Y
+        nx, ny = len(x), len(y)
+        v = np.zeros((nx, ny, 4, 4), dtype=complex)
+        e, k, g = self.e_so, self.kappa, self.g
+        v[..., 0, 0] = v[..., 3, 3] = e / 2
+        v[..., 1, 1] = v[..., 2, 2] = -e / 2
+        v[..., 0, 1] = v[..., 2, 3] = k * XP
+        v[..., 1, 0] = v[..., 3, 2] = np.conj(k * XP)
+        v[..., 0, 2] = g / 2 * XP**2
+        v[..., 2, 0] = np.conj(g / 2 * XP**2)
+        v[..., 1, 3] = -g / 2 * XP**2
+        v[..., 3, 1] = np.conj(-g / 2 * XP**2)
+        vg = self.omega / 2 * (X**2 + Y**2)
+        v += np.eye(4) * vg[..., None, None]
+        return jnp.asarray(v)
+
+    def apes(self, x, y):
+        """Adiabatic (spin-vibronic) surfaces: (nx, ny, 4), cylindrical."""
+        return jnp.linalg.eigvalsh(self.buildV(x, y))
+
+    def spo(self, x, y):
+        """4-state SPON on the bending plane, preloaded with the model."""
+        from ..grid import SPON
+        solver = SPON((x, y), masses=self.mass, nstates=4)
+        solver.set_dpes(self.buildV(x, y))
+        return solver
+
+
 class Triazine:
     """Complex E⊗e Jahn-Teller model of triazine: two degenerate excited
     states with complex linear coupling 2.2ω(X ∓ iY)
