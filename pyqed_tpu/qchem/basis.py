@@ -707,3 +707,104 @@ def transform_eri(C, eri):
     e = np.einsum("qj, pjkl -> pqkl", C, e, optimize=True)
     e = np.einsum("rk, pqkl -> pqrl", C, e, optimize=True)
     return np.einsum("sl, pqrl -> pqrs", C, e, optimize=True)
+
+
+# -------------------------------------------- derivative integrals (bra)
+# d/dA_x chi(lmn; a) = 2a chi(lmn+e_x) - l_x chi(lmn-e_x), applied per
+# PRIMITIVE (the 2a factor differs across the contraction). These feed
+# the analytic RHF gradient (reference reaches gradients through pyscf;
+# its own Grad class is an empty skeleton, pyqed/qchem/grad.py:9).
+
+def _contract2_dbra(prim_fn, g1, g2, axis, *args):
+    """d/d(g1.center[axis]) of the contracted integral <g1|op|g2>."""
+    lmn = np.asarray(g1.lmn)
+    up = tuple(lmn + np.eye(3, dtype=int)[axis])
+    lo = tuple(lmn - np.eye(3, dtype=int)[axis])
+    l_ax = int(lmn[axis])
+    val = 0.0
+    for a, ca, na in zip(g1.exps, g1.coefs, g1.norms):
+        for b, cb, nb in zip(g2.exps, g2.coefs, g2.norms):
+            d = 2.0 * a * prim_fn(a, up, g1.center, b, g2.lmn,
+                                  g2.center, *args)
+            if l_ax:
+                d -= l_ax * prim_fn(a, lo, g1.center, b, g2.lmn,
+                                    g2.center, *args)
+            val += ca * cb * na * nb * d
+    return val
+
+
+def overlap_deriv_bra(bfs):
+    """dS[x, i, j] = <d chi_i / dA_x | chi_j> (3, n, n)."""
+    n = len(bfs)
+    out = np.zeros((3, n, n))
+    for x in range(3):
+        for i in range(n):
+            for j in range(n):
+                out[x, i, j] = _contract2_dbra(_overlap_prim, bfs[i],
+                                               bfs[j], x)
+    return out
+
+
+def kinetic_deriv_bra(bfs):
+    """dT[x, i, j] = <d chi_i / dA_x | T | chi_j> (3, n, n)."""
+    n = len(bfs)
+    out = np.zeros((3, n, n))
+    for x in range(3):
+        for i in range(n):
+            for j in range(n):
+                out[x, i, j] = _contract2_dbra(_kinetic_prim, bfs[i],
+                                               bfs[j], x)
+    return out
+
+
+def nuclear_deriv_bra(bfs, C):
+    """dV[x, i, j] = <d chi_i / dA_x | 1/|r-C| | chi_j> for ONE
+    attraction center C (3, n, n); the Hellmann-Feynman (operator-
+    center) derivative follows by translational invariance:
+    dV/dC = -(bra + ket derivatives)."""
+    n = len(bfs)
+    C = np.asarray(C, dtype=float)
+    out = np.zeros((3, n, n))
+    for x in range(3):
+        for i in range(n):
+            for j in range(n):
+                out[x, i, j] = _contract2_dbra(_nuclear_prim, bfs[i],
+                                               bfs[j], x, C)
+    return out
+
+
+def _contract4_dbra(g1, g2, g3, g4, axis):
+    """d/d(g1.center[axis]) of the contracted (g1 g2 | g3 g4)."""
+    lmn = np.asarray(g1.lmn)
+    up = tuple(lmn + np.eye(3, dtype=int)[axis])
+    lo = tuple(lmn - np.eye(3, dtype=int)[axis])
+    l_ax = int(lmn[axis])
+    val = 0.0
+    for a, ca, na in zip(g1.exps, g1.coefs, g1.norms):
+        for b, cb, nb in zip(g2.exps, g2.coefs, g2.norms):
+            for c, cc, nc in zip(g3.exps, g3.coefs, g3.norms):
+                for d, cd, nd in zip(g4.exps, g4.coefs, g4.norms):
+                    t = 2.0 * a * _eri_prim(
+                        a, up, g1.center, b, g2.lmn, g2.center,
+                        c, g3.lmn, g3.center, d, g4.lmn, g4.center)
+                    if l_ax:
+                        t -= l_ax * _eri_prim(
+                            a, lo, g1.center, b, g2.lmn, g2.center,
+                            c, g3.lmn, g3.center, d, g4.lmn, g4.center)
+                    val += ca * cb * cc * cd * na * nb * nc * nd * t
+    return val
+
+
+def eri_deriv_bra_py(bfs):
+    """dERI[x, i, j, k, l] = (d chi_i/dA_x chi_j | chi_k chi_l) — pure-
+    Python oracle for the native engine (slow; tiny systems only)."""
+    n = len(bfs)
+    out = np.zeros((3, n, n, n, n))
+    for x in range(3):
+        for i in range(n):
+            for j in range(n):
+                for k in range(n):
+                    for l in range(n):
+                        out[x, i, j, k, l] = _contract4_dbra(
+                            bfs[i], bfs[j], bfs[k], bfs[l], x)
+    return out

@@ -45,6 +45,9 @@ def _lib():
         _handle.eri_tensor_native.restype = None
         _handle.eri_tensor_native.argtypes = [
             f64, i32, i32, f64, f64, ctypes.c_int, f64]
+        _handle.eri_deriv_native.restype = None
+        _handle.eri_deriv_native.argtypes = [
+            f64, i32, i32, f64, f64, ctypes.c_int, f64]
     return _handle
 
 
@@ -66,6 +69,32 @@ def eri_tensor_native(bfs):
     out = np.zeros((nbf, nbf, nbf, nbf), np.float64)
     _lib().eri_tensor_native(centers, lmn, prim_off, exps, cn, nbf,
                              out.reshape(-1))
+    return out
+
+
+def _pack(bfs):
+    nbf = len(bfs)
+    centers = np.ascontiguousarray(
+        np.array([g.center for g in bfs]), np.float64)
+    lmn = np.ascontiguousarray(np.array([g.lmn for g in bfs]), np.int32)
+    prim_off = np.zeros(nbf + 1, np.int32)
+    exps, cn = [], []
+    for k, g in enumerate(bfs):
+        prim_off[k + 1] = prim_off[k] + len(g.exps)
+        exps.append(np.asarray(g.exps, float))
+        cn.append(np.asarray(g.coefs, float) * np.asarray(g.norms, float))
+    return (centers, lmn, prim_off,
+            np.ascontiguousarray(np.concatenate(exps), np.float64),
+            np.ascontiguousarray(np.concatenate(cn), np.float64), nbf)
+
+
+def eri_deriv_native(bfs):
+    """d(ij|kl)/d(center_i)_x, derivative on the FIRST index:
+    (3, nao, nao, nao, nao) from the C++ engine."""
+    centers, lmn, prim_off, exps, cn, nbf = _pack(bfs)
+    out = np.zeros((3, nbf, nbf, nbf, nbf), np.float64)
+    _lib().eri_deriv_native(centers, lmn, prim_off, exps, cn, nbf,
+                            out.reshape(-1))
     return out
 
 

@@ -18,13 +18,14 @@ import numpy as np
 
 from .mol import Molecule
 
-__all__ = ["Grad", "optimize_geometry", "GeometryOptimizer", "scan_pes"]
+__all__ = ["Grad", "optimize_geometry", "GeometryOptimizer", "scan_pes", "rhf_gradient"]
 
 
 def _method_energy(atoms, basis, method, charge=0, spin=0, xc=None,
-                   **method_kw):
+                   spherical=False, **method_kw):
     """Total energy of ``method`` at geometry ``atoms`` (bohr)."""
-    mol = Molecule(atoms, charge=charge, spin=spin, basis=basis)
+    mol = Molecule(atoms, charge=charge, spin=spin, basis=basis,
+                   spherical=spherical)
     method = method.upper()
     if method == "RHF":
         mf = mol.RHF(**method_kw)
@@ -67,6 +68,9 @@ class Grad:
             spin = mol.spin
             method = type(mf).__name__
             xc = getattr(mf, "xc", xc)
+            self.spherical = bool(getattr(mol, "csph", None) is not None)
+        else:
+            self.spherical = bool(method_kw.pop("spherical", False))
         if atoms is None:
             raise ValueError("pass a mean-field object or atoms=")
         self.atoms = [(s, np.asarray(x, dtype=float)) for s, x in atoms]
@@ -86,7 +90,8 @@ class Grad:
         atoms = [(s, c) for (s, _), c in zip(self.atoms, coords)]
         return _method_energy(atoms, self.basis, self.method,
                               charge=self.charge, spin=self.spin,
-                              xc=self.xc, **self.method_kw)
+                              xc=self.xc, spherical=self.spherical,
+                              **self.method_kw)
 
     def _grad_flat(self, x):
         """Central-difference gradient at flat coordinates x (3N,)."""
@@ -121,22 +126,40 @@ class GeometryOptimizer:
 
     def __init__(self, atoms, basis="sto-3g", method="RHF", charge=0,
                  spin=0, xc=None, step=5e-3, gtol=3e-4, maxiter=60,
-                 **method_kw):
+                 analytic=None, **method_kw):
         self.grad = Grad(atoms=atoms, basis=basis, method=method,
                          charge=charge, spin=spin, xc=xc, step=step,
                          **method_kw)
+        #: analytic gradients (RHF only): default on for RHF
+        self.analytic = (method.upper() == "RHF" if analytic is None
+                         else bool(analytic))
+        if self.analytic and method.upper() != "RHF":
+            raise ValueError("analytic gradients are RHF-only; use "
+                             "analytic=False")
         self.gtol = gtol
         self.maxiter = maxiter
         self.atoms_opt = None
         self.e_tot = None
         self.converged = False
 
+    def _grad_analytic_flat(self, x):
+        g = self.grad
+        coords = np.asarray(x, float).reshape(g.natm, 3)
+        atoms = [(s, c) for (s, _), c in zip(g.atoms, coords)]
+        from .scf import RHF
+        mf = RHF(Molecule(atoms, charge=g.charge, basis=g.basis,
+                          spherical=g.spherical),
+                 **g.method_kw).run()
+        return rhf_gradient(mf).reshape(-1)
+
     def run(self):
         from scipy.optimize import minimize
         g = self.grad
         x0 = np.concatenate([x for _, x in g.atoms])
+        jac = (self._grad_analytic_flat if self.analytic
+               else g._grad_flat)
 
-        res = minimize(g._energy, x0, jac=g._grad_flat, method="BFGS",
+        res = minimize(g._energy, x0, jac=jac, method="BFGS",
                        options=dict(gtol=self.gtol, maxiter=self.maxiter))
         coords = res.x.reshape(g.natm, 3)
         self.atoms_opt = [(s, c) for (s, _), c in zip(g.atoms, coords)]
@@ -171,3 +194,80 @@ def scan_pes(atoms_fn, grid, method="RHF", basis="sto-3g", charge=0,
                                     charge=charge, spin=spin, xc=xc,
                                     **method_kw)
                      for s in np.asarray(grid)])
+
+
+def rhf_gradient(mf):
+    """ANALYTIC RHF nuclear gradient (natm, 3) in Eh/bohr.
+
+    dE/dR_A = sum D dh/dR_A + Gamma . dERI/dR_A - W dS/dR_A + dE_nn/dR_A
+    with W the energy-weighted density. Derivative integrals come from
+    the per-primitive raising/lowering rule (basis.py::_contract2_dbra)
+    and the C++ engine's ``eri_deriv_native``; the Hellmann-Feynman
+    nuclear-operator term uses translational invariance
+    (dV/dC = -(bra + ket derivatives)).
+
+    (reference: pyqed/qchem/grad.py:9 — an empty skeleton; pyqed reaches
+    gradients through pyscf. Analytic here; the FD :class:`Grad` remains
+    as the cross-check and the non-RHF path.)
+    """
+    from .basis import (overlap_deriv_bra, kinetic_deriv_bra,
+                        nuclear_deriv_bra, ATOMIC_NUMBER)
+    from .geometry import grad_nuc
+    from .lo import ao_atom_indices
+
+    mol = mf.mol
+    bfs = mol.bfs
+    n = len(bfs)
+    D = np.asarray(mf.dm)
+    C = np.asarray(mf.mo_coeff)[:, : mf.nocc]
+    e_occ = np.asarray(mf.mo_energy)[: mf.nocc]
+    W = 2.0 * (C * e_occ) @ C.T
+    if getattr(mol, "csph", None) is not None:
+        # SCF ran in the pure-spherical AO basis; pull D, W back to the
+        # Cartesian integral basis (M_sph = csph M_cart csph^T)
+        B = np.asarray(mol.csph)
+        D = B.T @ D @ B
+        W = B.T @ W @ B
+
+    dS = overlap_deriv_bra(bfs)                     # (3, n, n)
+    dT = kinetic_deriv_bra(bfs)
+    dV_bf = np.zeros((3, n, n))                     # basis-center part
+    dV_nuc = {}                                     # per-nucleus kernels
+    for a, (sym, xyz) in enumerate(mol.atoms):
+        dVa = nuclear_deriv_bra(bfs, xyz)
+        dV_nuc[a] = dVa
+        dV_bf -= ATOMIC_NUMBER[sym] * dVa
+
+    try:
+        from .engine import eri_deriv_native
+        dE1 = eri_deriv_native(bfs)                 # (3, n, n, n, n)
+    except Exception:
+        from .basis import eri_deriv_bra_py
+        dE1 = eri_deriv_bra_py(bfs)
+
+    ao_atoms = ao_atom_indices(mol) if getattr(mol, "csph", None) is None \
+        else np.array([next(a for a, (s, c) in enumerate(mol.atoms)
+                            if np.allclose(bf.center, c, atol=1e-12))
+                       for bf in bfs])
+
+    g = grad_nuc(mol)
+    dh_bf = dT + dV_bf
+    for a in range(mol.natm):
+        m = (ao_atoms == a).astype(float)
+        Z = ATOMIC_NUMBER[mol.atoms[a][0]]
+        for x in range(3):
+            # one-electron basis-center terms (bra + ket by symmetry)
+            g[a, x] += 2.0 * np.einsum("p, pq, pq ->", m, dh_bf[x], D)
+            # Hellmann-Feynman nuclear-operator term:
+            # d(-Z_A/|r-R_A|)/dR_A = +Z_A (bra + ket derivative kernels)
+            g[a, x] += 2.0 * Z * np.einsum("pq, pq ->", dV_nuc[a][x], D)
+            # Pulay overlap term
+            g[a, x] -= 2.0 * np.einsum("p, pq, pq ->", m, dS[x], W)
+            # two-electron term: exact dERI/dR_A from the 4 positions
+            dA = (np.einsum("p, pqkl -> pqkl", m, dE1[x])
+                  + np.einsum("q, qpkl -> pqkl", m, dE1[x])
+                  + np.einsum("k, klpq -> pqkl", m, dE1[x])
+                  + np.einsum("l, lkpq -> pqkl", m, dE1[x]))
+            g[a, x] += 0.5 * np.einsum("pqkl, pq, kl ->", dA, D, D)
+            g[a, x] -= 0.25 * np.einsum("pqkl, pk, ql ->", dA, D, D)
+    return g

@@ -219,9 +219,94 @@ double eri_pairs(const std::vector<PrimPair>& bra,
   return total;
 }
 
+// Bra pair with the FIRST function differentiated w.r.t. its center
+// along `axis`: per primitive, the Hermite E vector of that direction
+// becomes D_t = 2a E_t^{l1+1, l2} - l1 E_t^{l1-1, l2} (length +1).
+std::vector<PrimPair> make_pair_dbra(const BF& gi, const BF& gj, int axis) {
+  const int l1v[3] = {gi.lmn[0], gi.lmn[1], gi.lmn[2]};
+  const int l2v[3] = {gj.lmn[0], gj.lmn[1], gj.lmn[2]};
+  std::vector<PrimPair> out;
+  out.reserve(gi.nprim * gj.nprim);
+  for (int pa = 0; pa < gi.nprim; ++pa)
+    for (int pb = 0; pb < gj.nprim; ++pb) {
+      const double a = gi.exps[pa], b = gj.exps[pb];
+      PrimPair pp;
+      pp.p = a + b;
+      for (int d = 0; d < 3; ++d)
+        pp.P[d] = (a * gi.center[d] + b * gj.center[d]) / pp.p;
+      pp.w = gi.cn[pa] * gj.cn[pb];
+      std::vector<double>* dest[3] = {&pp.Ex, &pp.Ey, &pp.Ez};
+      for (int d = 0; d < 3; ++d) {
+        const int l1 = l1v[d], l2 = l2v[d];
+        const double Q = gi.center[d] - gj.center[d];
+        if (d == axis) {
+          ETable E(l1 + 1, l2);
+          build_E(E, Q, a, b);
+          dest[d]->assign(l1 + l2 + 2, 0.0);
+          for (int t = 0; t <= l1 + 1 + l2; ++t) {
+            double v = 2.0 * a * E.at(l1 + 1, l2, t);
+            if (l1 > 0 && t <= l1 - 1 + l2) v -= l1 * E.at(l1 - 1, l2, t);
+            (*dest[d])[t] = v;
+          }
+        } else {
+          ETable E(l1, l2);
+          build_E(E, Q, a, b);
+          dest[d]->assign(l1 + l2 + 1, 0.0);
+          for (int t = 0; t <= l1 + l2; ++t) (*dest[d])[t] = E.at(l1, l2, t);
+        }
+      }
+      out.push_back(std::move(pp));
+    }
+  return out;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Derivative ERI tensor d(ij|kl)/d(center_i)_x on the FIRST index only:
+// out is (3, nbf, nbf, nbf, nbf) C-contiguous float64. Remaining
+// symmetry (kl <-> lk) exploited; assembly into atomic gradients
+// happens in Python (qchem/grad.py::rhf_gradient).
+void eri_deriv_native(const double* centers, const int32_t* lmn,
+                      const int32_t* prim_off, const double* exps,
+                      const double* cn, int nbf, double* out) {
+  std::vector<BF> bfs(nbf);
+  for (int i = 0; i < nbf; ++i)
+    bfs[i] = BF{centers + 3 * i, lmn + 3 * i, exps + prim_off[i],
+                cn + prim_off[i], prim_off[i + 1] - prim_off[i]};
+  const int64_t npair = int64_t(nbf) * (nbf + 1) / 2;
+  std::vector<std::pair<int, int>> pairs;
+  pairs.reserve(npair);
+  for (int k = 0; k < nbf; ++k)
+    for (int l = 0; l <= k; ++l) pairs.push_back({k, l});
+  std::vector<std::vector<PrimPair>> ket_data(npair);
+  std::vector<int> ket_L(npair);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+  for (int64_t kl = 0; kl < npair; ++kl) {
+    ket_data[kl] = make_pair(bfs[pairs[kl].first], bfs[pairs[kl].second]);
+    ket_L[kl] = bfs[pairs[kl].first].L() + bfs[pairs[kl].second].L();
+  }
+  const int64_t N = nbf, N4 = N * N * N * N;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 2) collapse(2)
+#endif
+  for (int64_t ij = 0; ij < N * N; ++ij)
+    for (int axis = 0; axis < 3; ++axis) {
+      const int i = int(ij / N), j = int(ij % N);
+      const auto bra = make_pair_dbra(bfs[i], bfs[j], axis);
+      const int Lb = bfs[i].L() + 1 + bfs[j].L();
+      double* o = out + axis * N4;
+      for (int64_t kl = 0; kl < npair; ++kl) {
+        const int k = pairs[kl].first, l = pairs[kl].second;
+        const double v = eri_pairs(bra, ket_data[kl], Lb + ket_L[kl]);
+        o[((i * N + j) * N + k) * N + l] = v;
+        o[((i * N + j) * N + l) * N + k] = v;
+      }
+    }
+}
 
 // Full (nbf^4) ERI tensor with 8-fold symmetry; out is C-contiguous
 // (nbf, nbf, nbf, nbf) float64.
@@ -269,6 +354,6 @@ void eri_tensor_native(const double* centers, const int32_t* lmn,
   }
 }
 
-int eri_engine_version() { return 1; }
+int eri_engine_version() { return 2; }
 
 }  // extern "C"

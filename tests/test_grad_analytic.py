@@ -1,0 +1,86 @@
+"""Analytic RHF nuclear gradients (derivative MD integrals + C++
+eri_deriv engine) vs finite differences and the native-vs-Python
+derivative-ERI oracle (reference: pyqed/qchem/grad.py:9 — an empty
+skeleton; the reference reaches gradients only through pyscf)."""
+import numpy as np
+import pytest
+
+from pyqed_tpu.qchem import Molecule, RHF, rhf_gradient
+from pyqed_tpu.qchem.grad import Grad, GeometryOptimizer
+
+ATOMS = [("O", (0.0, 0.05, 0.25)),
+         ("H", (0.03, 1.5, -0.9)),
+         ("H", (0.0, -1.43, -0.88))]
+
+
+def test_deriv_oneelectron_vs_fd():
+    """Bra-derivative S/T/V integrals against center displacement."""
+    from pyqed_tpu.qchem.basis import (
+        build_basis, overlap_matrix, kinetic_matrix, _contract2,
+        _nuclear_prim, overlap_deriv_bra, kinetic_deriv_bra,
+        nuclear_deriv_bra)
+    atoms = [("O", np.array([0.0, 0.1, 0.2217])),
+             ("H", np.array([0.05, 1.4309, -0.8867]))]
+    bfs = build_basis(atoms, "sto-3g")
+    n, eps, i, x = len(bfs), 1e-6, 2, 1      # p function on O, y axis
+    C = np.array([0.3, -0.2, 0.5])
+
+    def vmat(b):
+        V = np.zeros((n, n))
+        for p in range(n):
+            for q in range(n):
+                V[p, q] = _contract2(_nuclear_prim, b[p], b[q], C)
+        return V
+
+    def fd(mat_fn):
+        def shifted(s):
+            b2 = build_basis(atoms, "sto-3g")
+            c = np.array(b2[i].center)
+            c[x] += s
+            b2[i].center = c
+            return b2
+        return (mat_fn(shifted(eps)) - mat_fn(shifted(-eps))) / (2 * eps)
+
+    for deriv, mat_fn in ((overlap_deriv_bra(bfs), overlap_matrix),
+                          (kinetic_deriv_bra(bfs), kinetic_matrix),
+                          (nuclear_deriv_bra(bfs, C), vmat)):
+        fdm = fd(mat_fn)
+        asm = np.zeros((n, n))
+        asm[i, :] += deriv[x, i, :]
+        asm[:, i] += deriv[x, i, :]           # ket = bra by symmetry
+        assert np.max(np.abs(asm - fdm)) < 1e-8
+
+
+def test_eri_deriv_native_matches_python_oracle():
+    from pyqed_tpu.qchem.basis import build_basis, eri_deriv_bra_py
+    from pyqed_tpu.qchem.engine import eri_deriv_native
+    atoms = [("H", np.array([0.0, 0.0, 0.0])),
+             ("H", np.array([0.2, 0.1, 1.4]))]
+    bfs = build_basis(atoms, "6-31g")
+    assert np.max(np.abs(eri_deriv_native(bfs)
+                         - eri_deriv_bra_py(bfs))) < 1e-13
+
+
+@pytest.mark.parametrize("basis, spherical", [
+    ("sto-3g", False), ("6-31g*", False), ("6-31g*", True)])
+def test_rhf_gradient_vs_fd(basis, spherical):
+    mf = RHF(Molecule(ATOMS, basis=basis, spherical=spherical),
+             conv_tol=1e-12).run()
+    g = rhf_gradient(mf)
+    gfd = Grad(mf=mf, step=1e-3, conv_tol=1e-12).run().de
+    assert np.max(np.abs(g - gfd)) < 5e-7
+    # translational invariance
+    assert np.max(np.abs(g.sum(axis=0))) < 1e-9
+
+
+def test_rhf_gradient_zero_at_optimized_geometry():
+    opt = GeometryOptimizer(ATOMS, basis="sto-3g", gtol=1e-6,
+                            conv_tol=1e-12).run()
+    assert opt.converged
+    mf = RHF(Molecule(opt.atoms_opt, basis="sto-3g"),
+             conv_tol=1e-12).run()
+    assert np.max(np.abs(rhf_gradient(mf))) < 2e-6
+    # water STO-3G equilibrium: r(OH) ~ 0.989 A = 1.8694 bohr
+    r = np.linalg.norm(np.asarray(opt.atoms_opt[1][1])
+                       - np.asarray(opt.atoms_opt[0][1]))
+    assert r == pytest.approx(1.8694, abs=2e-2)
