@@ -18,7 +18,8 @@ import numpy as np
 
 from .mol import Molecule
 
-__all__ = ["Grad", "optimize_geometry", "GeometryOptimizer", "scan_pes", "rhf_gradient"]
+__all__ = ["Grad", "optimize_geometry", "GeometryOptimizer",
+           "scan_pes", "rhf_gradient", "scf_gradient"]
 
 
 def _method_energy(atoms, basis, method, charge=0, spin=0, xc=None,
@@ -130,11 +131,11 @@ class GeometryOptimizer:
         self.grad = Grad(atoms=atoms, basis=basis, method=method,
                          charge=charge, spin=spin, xc=xc, step=step,
                          **method_kw)
-        #: analytic gradients (RHF only): default on for RHF
-        self.analytic = (method.upper() == "RHF" if analytic is None
-                         else bool(analytic))
-        if self.analytic and method.upper() != "RHF":
-            raise ValueError("analytic gradients are RHF-only; use "
+        #: analytic gradients (RHF/UHF): default on there, FD for DFT
+        self.analytic = (method.upper() in ("RHF", "UHF")
+                         if analytic is None else bool(analytic))
+        if self.analytic and method.upper() not in ("RHF", "UHF"):
+            raise ValueError("analytic gradients are RHF/UHF-only; use "
                              "analytic=False")
         self.gtol = gtol
         self.maxiter = maxiter
@@ -146,9 +147,10 @@ class GeometryOptimizer:
         g = self.grad
         coords = np.asarray(x, float).reshape(g.natm, 3)
         atoms = [(s, c) for (s, _), c in zip(g.atoms, coords)]
-        from .scf import RHF
-        mf = RHF(Molecule(atoms, charge=g.charge, basis=g.basis,
-                          spherical=g.spherical),
+        from .scf import RHF, UHF
+        cls = UHF if g.method.upper() == "UHF" else RHF
+        mf = cls(Molecule(atoms, charge=g.charge, spin=g.spin,
+                          basis=g.basis, spherical=g.spherical),
                  **g.method_kw).run()
         return rhf_gradient(mf).reshape(-1)
 
@@ -197,7 +199,7 @@ def scan_pes(atoms_fn, grid, method="RHF", basis="sto-3g", charge=0,
 
 
 def rhf_gradient(mf):
-    """ANALYTIC RHF nuclear gradient (natm, 3) in Eh/bohr.
+    """ANALYTIC RHF/UHF nuclear gradient (natm, 3) in Eh/bohr.
 
     dE/dR_A = sum D dh/dR_A + Gamma . dERI/dR_A - W dS/dR_A + dE_nn/dR_A
     with W the energy-weighted density. Derivative integrals come from
@@ -208,7 +210,8 @@ def rhf_gradient(mf):
 
     (reference: pyqed/qchem/grad.py:9 — an empty skeleton; pyqed reaches
     gradients through pyscf. Analytic here; the FD :class:`Grad` remains
-    as the cross-check and the non-RHF path.)
+    as the cross-check and the DFT path.) UHF mean-fields are detected
+    by their (Ca, Cb) coefficient pair; alias :func:`scf_gradient`.
     """
     from .basis import (overlap_deriv_bra, kinetic_deriv_bra,
                         nuclear_deriv_bra, ATOMIC_NUMBER)
@@ -218,16 +221,30 @@ def rhf_gradient(mf):
     mol = mf.mol
     bfs = mol.bfs
     n = len(bfs)
-    D = np.asarray(mf.dm)
-    C = np.asarray(mf.mo_coeff)[:, : mf.nocc]
-    e_occ = np.asarray(mf.mo_energy)[: mf.nocc]
-    W = 2.0 * (C * e_occ) @ C.T
+    unrestricted = isinstance(mf.mo_coeff, (tuple, list))
+    if unrestricted:
+        Da, Db = (np.asarray(d) for d in mf.dm)
+        D = Da + Db
+        Dspin = (Da, Db)
+        W = np.zeros_like(D)
+        for s in range(2):
+            ns = mf.nocc[s]
+            C = np.asarray(mf.mo_coeff[s])[:, :ns]
+            e_occ = np.asarray(mf.mo_energy[s])[:ns]
+            W += (C * e_occ) @ C.T
+    else:
+        D = np.asarray(mf.dm)
+        Dspin = (D / 2.0, D / 2.0)
+        C = np.asarray(mf.mo_coeff)[:, : mf.nocc]
+        e_occ = np.asarray(mf.mo_energy)[: mf.nocc]
+        W = 2.0 * (C * e_occ) @ C.T
     if getattr(mol, "csph", None) is not None:
         # SCF ran in the pure-spherical AO basis; pull D, W back to the
         # Cartesian integral basis (M_sph = csph M_cart csph^T)
         B = np.asarray(mol.csph)
         D = B.T @ D @ B
         W = B.T @ W @ B
+        Dspin = tuple(B.T @ d @ B for d in Dspin)
 
     dS = overlap_deriv_bra(bfs)                     # (3, n, n)
     dT = kinetic_deriv_bra(bfs)
@@ -269,5 +286,9 @@ def rhf_gradient(mf):
                   + np.einsum("k, klpq -> pqkl", m, dE1[x])
                   + np.einsum("l, lkpq -> pqkl", m, dE1[x]))
             g[a, x] += 0.5 * np.einsum("pqkl, pq, kl ->", dA, D, D)
-            g[a, x] -= 0.25 * np.einsum("pqkl, pk, ql ->", dA, D, D)
+            for Ds in Dspin:           # exchange, per spin channel
+                g[a, x] -= 0.5 * np.einsum("pqkl, pk, ql ->", dA, Ds, Ds)
     return g
+
+
+scf_gradient = rhf_gradient

@@ -84,3 +84,25 @@ def test_rhf_gradient_zero_at_optimized_geometry():
     r = np.linalg.norm(np.asarray(opt.atoms_opt[1][1])
                        - np.asarray(opt.atoms_opt[0][1]))
     assert r == pytest.approx(1.8694, abs=2e-2)
+
+
+def test_uhf_gradient_vs_fd():
+    """Analytic UHF gradient (per-spin exchange) on the OH radical."""
+    from pyqed_tpu.qchem import UHF
+    mol = Molecule([("O", (0.0, 0.02, 0.0)), ("H", (0.03, 0.0, 1.9))],
+                   spin=1, basis="6-31g")
+    mf = UHF(mol, conv_tol=1e-12).run()
+    g = rhf_gradient(mf)
+    gfd = Grad(mf=mf, step=1e-3, conv_tol=1e-12).run().de
+    assert np.max(np.abs(g - gfd)) < 5e-7
+    assert np.max(np.abs(g.sum(axis=0))) < 1e-10
+
+
+def test_uhf_gradient_equals_rhf_closed_shell():
+    from pyqed_tpu.qchem import UHF
+    mol = Molecule([("H", (0, 0, 0)), ("H", (0.1, 0, 1.5))],
+                   basis="sto-3g")
+    ga = rhf_gradient(UHF(mol, conv_tol=1e-12).run())
+    gb = rhf_gradient(RHF(Molecule(mol.atoms, basis="sto-3g"),
+                          conv_tol=1e-12).run())
+    assert np.max(np.abs(ga - gb)) < 1e-9
