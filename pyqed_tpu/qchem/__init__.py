@@ -26,3 +26,4 @@ from .geometry import (read_xyz, grad_nuc, quasi_angular_momentum,
 from .lo import (boys, pipek_mezey, iao, ibo, vec_lowdin,
                  mulliken_charges, iao_charges, find_homo_lumo,
                  orbital_centers)
+from .cphf import polarizability_cphf, polarizability_dynamic
