@@ -426,8 +426,12 @@ class RKS:
     standard grad-rho chain-rule term)."""
 
     def __init__(self, mol, xc="svwn", n_rad=60, n_theta=14,
-                 max_cycle=100, conv_tol=1e-9, diis_size=8):
+                 max_cycle=100, conv_tol=1e-9, diis_size=8,
+                 extra_hcore=None):
         self.mol = mol
+        #: optional (nao, nao) one-electron AO perturbation (finite-field
+        #: properties; same contract as RHF's extra_hcore)
+        self.extra_hcore = extra_hcore
         self.xc = xc.lower()
         if self.xc not in FUNCTIONALS:
             raise NotImplementedError(
@@ -478,6 +482,8 @@ class RKS:
         mol = self.mol
         S, T, Vn, eri = mol.intor()
         hcore = T + Vn
+        if self.extra_hcore is not None:
+            hcore = hcore + jnp.asarray(self.extra_hcore)
         enuc = mol.energy_nuc()
         nocc = mol.nelec // 2
         s, U = jnp.linalg.eigh(S)
@@ -538,9 +544,28 @@ class RKS:
         self.mo_energy = mo_e
         self.nocc = nocc
         self.dm = D
+        self.S = S
+        self.hcore = hcore
+        self.eri = eri
         return self
 
     kernel = run
+
+    def polarizability(self, eps=1e-3):
+        """Static finite-field dipole polarizability (3, 3) — the
+        KS analogue of RHF.polarizability; cross-checks the TDDFT
+        response kernel (tests/test_tddft.py)."""
+        mu_ao = np.asarray(self.dipole_integrals())
+        alpha = np.zeros((3, 3))
+        for j in range(3):
+            mus = []
+            for s in (+1.0, -1.0):
+                mf = RKS(self.mol, xc=self.xc, max_cycle=self.max_cycle,
+                         conv_tol=self.conv_tol,
+                         extra_hcore=s * eps * mu_ao[j]).run()
+                mus.append(mf.dip_moment())
+            alpha[:, j] = (mus[0] - mus[1]) / (2.0 * eps)
+        return 0.5 * (alpha + alpha.T)
 
     def nelec_on_grid(self):
         ao, w = self.ao, self.grid[1]
@@ -657,3 +682,12 @@ class UKS:
         return self
 
     kernel = run
+
+
+# RKS borrows the mean-field property surface from RHF (same attribute
+# contract: mol/dm/mo_coeff/hcore/eri/S/nocc)
+from .scf import RHF as _RHF                                  # noqa: E402
+RKS.mo_ints = _RHF.mo_ints
+RKS.dipole_integrals = _RHF.dipole_integrals
+RKS.dip_moment = _RHF.dip_moment
+RKS.transition_dipoles = _RHF.transition_dipoles

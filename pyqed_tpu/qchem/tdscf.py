@@ -1,11 +1,16 @@
-"""Time-dependent SCF: TDA (CIS) and TDHF (RPA) excitation energies.
+"""Time-dependent SCF: TDA (CIS), TDHF (RPA), and TDDFT excitation
+energies.
 
 TPU-native counterpart of the reference TDSCF layer
 (reference: pyqed/qchem/tdscf/, pyqed/qchem/core.py:444 — TDHF/TDA +
-core-excitation RXS variants).
+core-excitation RXS variants; the reference reaches TDDFT through
+pyscf, pyqed/qchem/mol.py:817).
 
 The A/B response matrices are built with einsums from the MO-basis ERIs
-and diagonalized on the MXU.
+and diagonalized on the MXU. Kohn-Sham mean-fields get the adiabatic
+LDA XC kernel f_xc = d^2 e_xc / d rho^2 by jax autodiff of the SAME
+energy density used in the ground-state SCF (no hand-derived kernel);
+GGA kernels are not implemented (TDA/TDHF on RKS requires xc='svwn').
 """
 from __future__ import annotations
 
@@ -22,9 +27,46 @@ def _mo_blocks(mf):
     return np.asarray(eri_mo), np.asarray(e), nocc, nvir
 
 
+def _is_ks(mf):
+    return hasattr(mf, "f_exc")
+
+
+def _hfx(mf):
+    """Fraction of exact exchange in the response kernel: 1 for HF."""
+    return float(mf.hfx) if _is_ks(mf) else 1.0
+
+
+def xc_kernel_ov(mf, singlet=True):
+    """Adiabatic LDA XC kernel in the occ-virt product basis:
+    K_{ia,jb} = sum_g w_g [f_aa +- f_ab](rho_g) phi_i phi_a phi_j phi_b
+    (+ singlet, - triplet) with f_ss' = d^2 e_xc / d rho_s d rho_s' at
+    rho_a = rho_b = rho/2, autodiffed from the ground-state energy
+    density."""
+    import jax
+    from .dft import _exc_density
+    if mf._needs_grad:
+        raise NotImplementedError(
+            "TDDFT response kernel implemented for LDA (xc='svwn') only")
+    ao, w = np.asarray(mf.ao), np.asarray(mf.grid[1])
+    D = np.asarray(mf.dm)
+    rho = np.maximum(np.einsum("pi, ij, pj -> p", ao, D, ao), 1e-12)
+    faa = jax.vmap(jax.grad(jax.grad(_exc_density, 0), 0))
+    fab = jax.vmap(jax.grad(jax.grad(_exc_density, 0), 1))
+    sgn = 1.0 if singlet else -1.0
+    k = np.asarray(faa(rho / 2, rho / 2) + sgn * fab(rho / 2, rho / 2))
+    C = np.asarray(mf.mo_coeff)
+    mo = ao @ C                               # (P, nmo)
+    nocc = mf.nocc
+    phi = np.einsum("pi, pa -> pia", mo[:, :nocc], mo[:, nocc:])
+    K = np.einsum("p, pia, pjb -> iajb", w * k, phi, phi)
+    n = K.shape[0] * K.shape[1]
+    return K.reshape(n, n)
+
+
 def tda_matrix(mf, singlet=True):
-    """A_{ia, jb} = delta (e_a - e_i) + 2(ia|jb) - (ij|ab) (singlet)
-    or - (ij|ab) (triplet)."""
+    """A_{ia, jb} = delta (e_a - e_i) + 2(ia|jb) - c_x (ij|ab) [+ f_xc]
+    (singlet) — c_x = 1 for HF, the hybrid fraction for KS; KS adds the
+    adiabatic XC kernel (LDA only). Triplet: no Coulomb, same exchange."""
     eri, e, nocc, nvir = _mo_blocks(mf)
     o = slice(0, nocc)
     v = slice(nocc, nocc + nvir)
@@ -33,25 +75,33 @@ def tda_matrix(mf, singlet=True):
     de = (e[None, nocc:] - e[:nocc, None])   # (i, a)
     A = np.einsum("ia, jb, ij, ab -> iajb", de, np.ones((nocc, nvir)),
                   np.eye(nocc), np.eye(nvir))
+    cx = _hfx(mf)
     if singlet:
-        A = A + 2.0 * ov.transpose(0, 1, 2, 3) - oo_vv.transpose(0, 2, 1, 3)
+        A = A + 2.0 * ov - cx * oo_vv.transpose(0, 2, 1, 3)
     else:
-        A = A - oo_vv.transpose(0, 2, 1, 3)
-    return A.reshape(nocc * nvir, nocc * nvir)
+        A = A - cx * oo_vv.transpose(0, 2, 1, 3)
+    A = A.reshape(nocc * nvir, nocc * nvir)
+    if _is_ks(mf):
+        A = A + xc_kernel_ov(mf, singlet)
+    return A
 
 
 def b_matrix(mf, singlet=True):
-    """B_{ia, jb} = 2(ia|jb) - (ib|ja) (singlet)."""
+    """B_{ia, jb} = 2(ia|jb) - c_x (ib|ja) [+ f_xc] (singlet)."""
     eri, e, nocc, nvir = _mo_blocks(mf)
     o = slice(0, nocc)
     v = slice(nocc, nocc + nvir)
     ov = eri[o, v, o, v]
     ov_swap = eri[o, v, o, v].transpose(0, 3, 2, 1)  # (ib|ja)
+    cx = _hfx(mf)
     if singlet:
-        B = 2.0 * ov - ov_swap
+        B = 2.0 * ov - cx * ov_swap
     else:
-        B = -ov_swap
-    return B.reshape(ov.shape[0] * ov.shape[1], -1)
+        B = -cx * ov_swap
+    B = B.reshape(ov.shape[0] * ov.shape[1], -1)
+    if _is_ks(mf):
+        B = B + xc_kernel_ov(mf, singlet)
+    return B
 
 
 class TDA:
