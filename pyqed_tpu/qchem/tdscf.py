@@ -10,7 +10,9 @@ The A/B response matrices are built with einsums from the MO-basis ERIs
 and diagonalized on the MXU. Kohn-Sham mean-fields get the adiabatic
 LDA XC kernel f_xc = d^2 e_xc / d rho^2 by jax autodiff of the SAME
 energy density used in the ground-state SCF (no hand-derived kernel);
-GGA kernels are not implemented (TDA/TDHF on RKS requires xc='svwn').
+the GGA/hybrid singlet kernel comes from the same autodiff applied to
+the total-density channel F(rho, sigma) with grad-rho chain terms
+(GGA triplet kernels are not implemented).
 """
 from __future__ import annotations
 
@@ -44,23 +46,57 @@ def xc_kernel_ov(mf, singlet=True):
     density."""
     import jax
     from .dft import _exc_density
-    if mf._needs_grad:
-        raise NotImplementedError(
-            "TDDFT response kernel implemented for LDA (xc='svwn') only")
     ao, w = np.asarray(mf.ao), np.asarray(mf.grid[1])
     D = np.asarray(mf.dm)
     rho = np.maximum(np.einsum("pi, ij, pj -> p", ao, D, ao), 1e-12)
-    faa = jax.vmap(jax.grad(jax.grad(_exc_density, 0), 0))
-    fab = jax.vmap(jax.grad(jax.grad(_exc_density, 0), 1))
-    sgn = 1.0 if singlet else -1.0
-    k = np.asarray(faa(rho / 2, rho / 2) + sgn * fab(rho / 2, rho / 2))
     C = np.asarray(mf.mo_coeff)
     mo = ao @ C                               # (P, nmo)
     nocc = mf.nocc
     phi = np.einsum("pi, pa -> pia", mo[:, :nocc], mo[:, nocc:])
-    K = np.einsum("p, pia, pjb -> iajb", w * k, phi, phi)
-    n = K.shape[0] * K.shape[1]
-    return K.reshape(n, n)
+    nov = phi.shape[1] * phi.shape[2]
+    if not mf._needs_grad:                    # ---- LDA
+        faa = jax.vmap(jax.grad(jax.grad(_exc_density, 0), 0))
+        fab = jax.vmap(jax.grad(jax.grad(_exc_density, 0), 1))
+        sgn = 1.0 if singlet else -1.0
+        k = np.asarray(faa(rho / 2, rho / 2) + sgn * fab(rho / 2, rho / 2))
+        K = np.einsum("p, pia, pjb -> iajb", w * k, phi, phi)
+        return K.reshape(nov, nov)
+    # ---- GGA / hybrid-DFT part: total-density (singlet) channel
+    # E = int F(rho, sigma), sigma = |grad rho|^2; perturbing
+    # rho -> rho + eps*u gives the bilinear kernel
+    # K[u, u'] = int [F_rr u u' + F_rs (u s' + s u') + F_ss s s'
+    #                 + 2 F_s grad u . grad u'],  s = 2 grad rho . grad u
+    if not singlet:
+        raise NotImplementedError(
+            "GGA triplet kernel not implemented (singlet TDDFT only)")
+    gao = np.asarray(mf.ao_grad)              # (P, nao, 3)
+    grho = 2.0 * np.einsum("pid, ij, pj -> pd", gao, D, ao)
+    sigma = np.maximum(np.sum(grho * grho, axis=1), 1e-24)
+
+    def F(r, s):
+        return mf.f_exc(r / 2, r / 2, s / 4, s / 4, s / 4)
+
+    Fs = jax.vmap(jax.grad(F, 1))
+    Frr = jax.vmap(jax.grad(jax.grad(F, 0), 0))
+    Frs = jax.vmap(jax.grad(jax.grad(F, 0), 1))
+    Fss = jax.vmap(jax.grad(jax.grad(F, 1), 1))
+    fs, frr, frs, fss = (np.asarray(f(rho, sigma))
+                         for f in (Fs, Frr, Frs, Fss))
+    # MO-product values and gradients on the grid
+    gmo = np.einsum("pid, ij -> pjd", gao, C)          # (P, nmo, 3)
+    gphi = (np.einsum("pid, pa -> piad", gmo[:, :nocc], mo[:, nocc:])
+            + np.einsum("pi, pad -> piad", mo[:, :nocc],
+                        gmo[:, nocc:]))                # (P, i, a, 3)
+    s_ia = 2.0 * np.einsum("pd, piad -> pia", grho, gphi)
+    K = (np.einsum("p, pia, pjb -> iajb", w * frr, phi, phi)
+         + np.einsum("p, pia, pjb -> iajb", w * frs, phi, s_ia)
+         + np.einsum("p, pia, pjb -> iajb", w * frs, s_ia, phi)
+         + np.einsum("p, pia, pjb -> iajb", w * fss, s_ia, s_ia)
+         + 2.0 * np.einsum("p, piad, pjbd -> iajb", w * fs, gphi, gphi))
+    # spin adaptation: the singlet matrix element is the spin-resolved
+    # sum f_aa + f_ab = 2 x the total-density kernel (same convention
+    # that pairs 2(ia|jb) Coulomb with the LDA faa+fab above)
+    return 2.0 * K.reshape(nov, nov)
 
 
 def tda_matrix(mf, singlet=True):

@@ -51,8 +51,19 @@ def test_triplet_kernel_sign(water_lda):
     assert et[0] < es[0]
 
 
-def test_gga_kernel_raises():
+@pytest.mark.parametrize("xc", ["pbe", "b3lyp", "pbe0"])
+def test_gga_hybrid_response_alpha_equals_ff(xc):
+    """GGA/hybrid TDDFT kernel (autodiff F(rho, sigma) channel + c_x
+    exact exchange): response alpha == finite-field KS alpha."""
+    mf = RKS(Molecule([("H", (0, 0, 0)), ("H", (0, 0, 1.4))],
+                      basis="6-31g"), xc=xc, conv_tol=1e-11).run()
+    a_resp = polarizability_cphf(mf)
+    a_ff = np.asarray(mf.polarizability(eps=2e-3))
+    assert np.max(np.abs(a_resp - a_ff)) < 5e-4
+
+
+def test_gga_triplet_kernel_raises():
     mf = RKS(Molecule([("H", (0, 0, 0)), ("H", (0, 0, 1.4))],
                       basis="sto-3g"), xc="pbe", conv_tol=1e-9).run()
     with pytest.raises(NotImplementedError):
-        TDA(mf).run(nroots=1)
+        TDA(mf, singlet=False).run(nroots=1)
