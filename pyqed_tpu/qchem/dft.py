@@ -440,6 +440,7 @@ class RKS:
         self.max_cycle = max_cycle
         self.conv_tol = conv_tol
         self.diis_size = diis_size
+        self.n_rad, self.n_theta = n_rad, n_theta
         self.grid = becke_grid(mol.atoms, n_rad, n_theta)
         if self._needs_grad:
             self.ao, self.ao_grad = ao_values_grad(mol.bfs, self.grid[0])
@@ -562,6 +563,8 @@ class RKS:
             for s in (+1.0, -1.0):
                 mf = RKS(self.mol, xc=self.xc, max_cycle=self.max_cycle,
                          conv_tol=self.conv_tol,
+                         n_rad=self.n_rad, n_theta=self.n_theta,
+                         diis_size=self.diis_size,
                          extra_hcore=s * eps * mu_ao[j]).run()
                 mus.append(mf.dip_moment())
             alpha[:, j] = (mus[0] - mus[1]) / (2.0 * eps)
@@ -587,6 +590,7 @@ class UKS:
         self.f_exc, self.hfx, self._needs_grad = FUNCTIONALS[self.xc]
         self.max_cycle = max_cycle
         self.conv_tol = conv_tol
+        self.n_rad, self.n_theta = n_rad, n_theta
         self.grid = becke_grid(mol.atoms, n_rad, n_theta)
         if self._needs_grad:
             self.ao, self.ao_grad = ao_values_grad(mol.bfs, self.grid[0])

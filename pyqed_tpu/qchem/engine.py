@@ -53,19 +53,7 @@ def _lib():
 
 def eri_tensor_native(bfs):
     """Full (nao, nao, nao, nao) ERI tensor from the C++ engine."""
-    nbf = len(bfs)
-    centers = np.ascontiguousarray(
-        np.array([g.center for g in bfs]), np.float64)
-    lmn = np.ascontiguousarray(
-        np.array([g.lmn for g in bfs]), np.int32)
-    prim_off = np.zeros(nbf + 1, np.int32)
-    exps, cn = [], []
-    for k, g in enumerate(bfs):
-        prim_off[k + 1] = prim_off[k] + len(g.exps)
-        exps.append(np.asarray(g.exps, float))
-        cn.append(np.asarray(g.coefs, float) * np.asarray(g.norms, float))
-    exps = np.ascontiguousarray(np.concatenate(exps), np.float64)
-    cn = np.ascontiguousarray(np.concatenate(cn), np.float64)
+    centers, lmn, prim_off, exps, cn, nbf = _pack(bfs)
     out = np.zeros((nbf, nbf, nbf, nbf), np.float64)
     _lib().eri_tensor_native(centers, lmn, prim_off, exps, cn, nbf,
                              out.reshape(-1))

@@ -143,7 +143,10 @@ class GeometryOptimizer:
         self.e_tot = None
         self.converged = False
 
-    def _grad_analytic_flat(self, x):
+    def _eg_analytic_flat(self, x):
+        """(energy, flat analytic gradient) from ONE converged SCF —
+        scipy BFGS evaluates fun and jac at the same point, so a
+        combined callable halves the SCF work per step."""
         g = self.grad
         coords = np.asarray(x, float).reshape(g.natm, 3)
         atoms = [(s, c) for (s, _), c in zip(g.atoms, coords)]
@@ -152,16 +155,20 @@ class GeometryOptimizer:
         mf = cls(Molecule(atoms, charge=g.charge, spin=g.spin,
                           basis=g.basis, spherical=g.spherical),
                  **g.method_kw).run()
-        return rhf_gradient(mf).reshape(-1)
+        # rhf_gradient raises on non-convergence (Brillouin condition)
+        return float(mf.e_tot), rhf_gradient(mf).reshape(-1)
+
+    def _grad_analytic_flat(self, x):
+        return self._eg_analytic_flat(x)[1]
 
     def run(self):
         from scipy.optimize import minimize
         g = self.grad
         x0 = np.concatenate([x for _, x in g.atoms])
-        jac = (self._grad_analytic_flat if self.analytic
-               else g._grad_flat)
+        fun, jac = ((self._eg_analytic_flat, True) if self.analytic
+                    else (g._energy, g._grad_flat))
 
-        res = minimize(g._energy, x0, jac=jac, method="BFGS",
+        res = minimize(fun, x0, jac=jac, method="BFGS",
                        options=dict(gtol=self.gtol, maxiter=self.maxiter))
         coords = res.x.reshape(g.natm, 3)
         self.atoms_opt = [(s, c) for (s, _), c in zip(g.atoms, coords)]
@@ -216,8 +223,18 @@ def rhf_gradient(mf):
     from .basis import (overlap_deriv_bra, kinetic_deriv_bra,
                         nuclear_deriv_bra, ATOMIC_NUMBER)
     from .geometry import grad_nuc
-    from .lo import ao_atom_indices
+    from .lo import cart_atom_indices
 
+    if hasattr(mf, "f_exc"):
+        raise TypeError(
+            "rhf_gradient/scf_gradient handles RHF/UHF only; a KS "
+            "mean-field (RKS/UKS) needs the exchange-correlation "
+            "derivative this formula omits — use the finite-difference "
+            "Grad path (GeometryOptimizer(..., analytic=False))")
+    if not getattr(mf, "converged", True):
+        raise RuntimeError(
+            "SCF not converged: the analytic gradient assumes a "
+            "converged mean-field (Brillouin condition)")
     mol = mf.mol
     bfs = mol.bfs
     n = len(bfs)
@@ -262,10 +279,9 @@ def rhf_gradient(mf):
         from .basis import eri_deriv_bra_py
         dE1 = eri_deriv_bra_py(bfs)
 
-    ao_atoms = ao_atom_indices(mol) if getattr(mol, "csph", None) is None \
-        else np.array([next(a for a, (s, c) in enumerate(mol.atoms)
-                            if np.allclose(bf.center, c, atol=1e-12))
-                       for bf in bfs])
+    # D/W were pulled back to the Cartesian integral basis above, so the
+    # per-AO atom map is always the Cartesian one
+    ao_atoms = cart_atom_indices(mol)
 
     g = grad_nuc(mol)
     dh_bf = dT + dV_bf

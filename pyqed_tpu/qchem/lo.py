@@ -26,8 +26,9 @@ __all__ = [
 
 # ------------------------------------------------------------- utilities
 
-def ao_atom_indices(mol):
-    """Atom index of every AO (Cartesian or pure-spherical basis)."""
+def cart_atom_indices(mol):
+    """Atom index of every CARTESIAN basis function (``mol.bfs`` order),
+    regardless of whether the SCF runs in the pure-spherical basis."""
     coords = [np.asarray(x) for _, x in mol.atoms]
 
     def which(center):
@@ -36,7 +37,12 @@ def ao_atom_indices(mol):
                 return a
         raise ValueError("basis-function center matches no atom")
 
-    cart = np.array([which(bf.center) for bf in mol.bfs])
+    return np.array([which(bf.center) for bf in mol.bfs])
+
+
+def ao_atom_indices(mol):
+    """Atom index of every AO (Cartesian or pure-spherical basis)."""
+    cart = cart_atom_indices(mol)
     if getattr(mol, "csph", None) is None:
         return cart
     # each spherical AO mixes Cartesian components of ONE shell -> the
@@ -278,10 +284,18 @@ def find_homo_lumo(mf):
     e = np.asarray(mf.mo_energy)
     if e.ndim == 2:                    # UHF: treat spin channels jointly
         na, nb = mf.nocc
+        if na >= e[0].size and nb >= e[1].size:
+            raise ValueError("find_homo_lumo: no virtual orbitals in "
+                             "either spin channel (nocc == nmo)")
         homo = max(e[0][na - 1], e[1][nb - 1] if nb else -np.inf)
         ch = 0 if e[0][na - 1] >= (e[1][nb - 1] if nb else -np.inf) else 1
-        lumo = min(e[0][na], e[1][nb])
-        cl = 0 if e[0][na] <= e[1][nb] else 1
+        ea = e[0][na] if na < e[0].size else np.inf
+        eb = e[1][nb] if nb < e[1].size else np.inf
+        lumo = min(ea, eb)
+        cl = 0 if ea <= eb else 1
         return homo, (ch, (na, nb)[ch] - 1), lumo, (cl, (na, nb)[cl])
     nocc = mf.nocc
+    if nocc >= e.size:
+        raise ValueError("find_homo_lumo: no virtual orbitals "
+                         "(nocc == nmo)")
     return float(e[nocc - 1]), nocc - 1, float(e[nocc]), nocc

@@ -52,6 +52,10 @@ class Molecule:
         """Build from a standard .xyz file (Angstrom on disk)
         (reference: pyqed/qchem/mol.py:1174 ``readxyz`` +
         mol.py:271 ``fromfile``)."""
+        if "unit" in kwargs:
+            raise ValueError(
+                "from_xyz: the .xyz format fixes the unit (Angstrom on "
+                "disk, converted to bohr on read) — drop the unit kwarg")
         from .geometry import read_xyz
         return cls(read_xyz(fname), unit="bohr", **kwargs)
 

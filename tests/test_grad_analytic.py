@@ -106,3 +106,34 @@ def test_uhf_gradient_equals_rhf_closed_shell():
     gb = rhf_gradient(RHF(Molecule(mol.atoms, basis="sto-3g"),
                           conv_tol=1e-12).run())
     assert np.max(np.abs(ga - gb)) < 1e-9
+
+
+def test_scf_gradient_rejects_ks_meanfield():
+    """KS mean-fields lack the XC derivative term in rhf_gradient —
+    silently wrong science must be a loud TypeError (review finding)."""
+    import pytest
+    from pyqed_tpu.qchem.dft import RKS
+    ks = RKS(Molecule([("H", (0, 0, 0)), ("H", (0, 0, 1.4))],
+                      basis="sto-3g"), xc="svwn").run()
+    with pytest.raises(TypeError):
+        rhf_gradient(ks)
+
+
+def test_rhf_gradient_rejects_unconverged_scf():
+    import pytest
+    mol = Molecule([("H", (0, 0, 0)), ("H", (0, 0, 1.4))], basis="sto-3g")
+    mf = RHF(mol, max_cycle=1)
+    mf.run()
+    if not mf.converged:
+        with pytest.raises(RuntimeError):
+            rhf_gradient(mf)
+
+
+def test_from_xyz_rejects_unit_kwarg(tmp_path):
+    import pytest
+    p = tmp_path / "h2.xyz"
+    p.write_text("2\nH2\nH 0 0 0\nH 0 0 0.74\n")
+    with pytest.raises(ValueError):
+        Molecule.from_xyz(str(p), unit="angstrom")
+    m = Molecule.from_xyz(str(p), basis="sto-3g")
+    assert m.natm == 2

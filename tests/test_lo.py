@@ -197,3 +197,14 @@ def test_scan_pes_h2_minimum():
     e = scan_pes(lambda s: [("H", (0, 0, 0)), ("H", (0, 0, s))], r)
     assert e[1] < e[0] and e[1] < e[2]
     assert e[1] == pytest.approx(-1.11668, abs=2e-4)
+
+
+def test_find_homo_lumo_no_virtuals_raises():
+    """He/STO-3G has nocc == nmo: no LUMO exists — must be a clear
+    ValueError, not an IndexError (review finding)."""
+    import pytest
+    from pyqed_tpu.qchem import RHF, Molecule
+    from pyqed_tpu.qchem.lo import find_homo_lumo
+    mf = RHF(Molecule([("He", (0.0, 0.0, 0.0))], basis="sto-3g")).run()
+    with pytest.raises(ValueError):
+        find_homo_lumo(mf)
