@@ -16,3 +16,4 @@ from .photonic import (
     ChiralMultilayer, purcell_factor, helmholtz_g0,
 )
 from .zoom import czt, zoom_dft, zoom_dft2, fraunhofer_zoom
+from .beam import draw_several_fields

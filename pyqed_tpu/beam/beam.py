@@ -886,14 +886,68 @@ def _add_draw_methods():
                         logarithm, normalize, cut_value, filename,
                         xlabel="z", ylabel="x")
 
+    def draw_vector(self, kind="intensity", logarithm=False,
+                    normalize=False, cut_value=None, filename=""):
+        """Panel per component (Ex, Ey, Ez) plus the total intensity
+        (reference: pyqed/beam/vector_fields_XY.py ``draw`` modes)."""
+        from ..utils.style import _mpl
+        plt = _mpl()
+        comps = [("Ex", self.Ex), ("Ey", self.Ey)]
+        if getattr(self, "Ez", None) is not None:
+            comps.append(("Ez", self.Ez))
+        fig, axs = plt.subplots(1, len(comps) + 1,
+                                figsize=(3.2 * (len(comps) + 1), 3))
+        ext = [float(np.min(self.x)), float(np.max(self.x)),
+               float(np.min(self.y)), float(np.max(self.y))]
+        for a, (name, E) in zip(axs, comps):
+            data = _field_view(E, kind, logarithm, normalize, cut_value)
+            a.imshow(data.T, origin="lower", extent=ext, aspect="auto",
+                     cmap="inferno" if kind != "phase" else "twilight")
+            a.set_title(f"{name} {kind}")
+        tot = _field_view(np.sqrt(np.asarray(self.intensity())),
+                          "intensity", logarithm, normalize, cut_value)
+        axs[-1].imshow(tot.T, origin="lower", extent=ext, aspect="auto",
+                       cmap="inferno")
+        axs[-1].set_title("total intensity")
+        fig.tight_layout()
+        if filename:
+            fig.savefig(filename, dpi=150)
+            plt.close(fig)
+        return fig, axs
+
     ScalarFieldX.draw = draw_x
     ScalarFieldXY.draw = draw_xy
     ScalarFieldXY.draw_profile = draw_profile
 
     ScalarFieldXZ.draw = draw_xz
+    VectorFieldXY.draw = draw_vector
 
 
 _add_draw_methods()
+
+
+def draw_several_fields(fields, titles=(), kind="intensity",
+                        logarithm=False, normalize=False, filename=""):
+    """One row of panels, one 2D field each
+    (reference: pyqed/beam/utils_drawing.py:146). Returns (fig, axes)."""
+    from ..utils.style import _mpl
+    plt = _mpl()
+    n = len(fields)
+    fig, axs = plt.subplots(1, n, figsize=(3.4 * n, 3))
+    axs = np.atleast_1d(axs)
+    for k, (f, a) in enumerate(zip(fields, axs)):
+        data = _field_view(f.u, kind, logarithm, normalize, None)
+        ext = [float(np.min(f.x)), float(np.max(f.x)),
+               float(np.min(f.y)), float(np.max(f.y))]
+        a.imshow(data.T, origin="lower", extent=ext, aspect="auto",
+                 cmap="inferno" if kind != "phase" else "twilight")
+        if k < len(titles):
+            a.set_title(titles[k])
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename, dpi=150)
+        plt.close(fig)
+    return fig, axs
 
 
 # ----------------------------------------------------------- MTF utilities

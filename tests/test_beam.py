@@ -67,3 +67,26 @@ class TestMTF:
         fx, fy, mtf = g.MTF()
         assert abs(mtf[32, 32] - 1.0) < 1e-12
         assert mtf.max() <= 1.0 + 1e-9
+
+
+class TestDrawVectorAndSeveral:
+    def test_vector_draw_and_several_fields(self, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg")
+        from pyqed_tpu.beam.beam import (ScalarFieldXY, VectorFieldXY,
+                                         draw_several_fields)
+        x = np.linspace(-100, 100, 48)
+        y = np.linspace(-100, 100, 48)
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        env = np.exp(-((X / 40) ** 2 + (Y / 40) ** 2)).astype(complex)
+        v = VectorFieldXY(x, y, 0.6328).incident_field(env, 1j * env)
+        fig, axs = v.draw(filename=str(tmp_path / "vec.png"))
+        assert (tmp_path / "vec.png").stat().st_size > 1000
+        assert len(axs) == 4          # Ex, Ey, Ez, total
+        f1 = ScalarFieldXY(x, y, 0.6328)
+        f1.u = env
+        f2 = ScalarFieldXY(x, y, 0.6328)
+        f2.u = env * (X + 1j * Y)
+        draw_several_fields([f1, f2], titles=("a", "b"),
+                            filename=str(tmp_path / "sev.png"))
+        assert (tmp_path / "sev.png").stat().st_size > 1000
