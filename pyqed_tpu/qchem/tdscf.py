@@ -11,8 +11,11 @@ and diagonalized on the MXU. Kohn-Sham mean-fields get the adiabatic
 LDA XC kernel f_xc = d^2 e_xc / d rho^2 by jax autodiff of the SAME
 energy density used in the ground-state SCF (no hand-derived kernel);
 the GGA/hybrid singlet kernel comes from the same autodiff applied to
-the total-density channel F(rho, sigma) with grad-rho chain terms
-(GGA triplet kernels are not implemented).
+the total-density channel F(rho, sigma) with grad-rho chain terms, and
+the triplet kernel from the spin-resolved Hessian of
+f(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb) in the spin-flip
+direction (cross-validated against finite differences of the UKS
+potential in tests).
 """
 from __future__ import annotations
 
@@ -61,42 +64,70 @@ def xc_kernel_ov(mf, singlet=True):
         k = np.asarray(faa(rho / 2, rho / 2) + sgn * fab(rho / 2, rho / 2))
         K = np.einsum("p, pia, pjb -> iajb", w * k, phi, phi)
         return K.reshape(nov, nov)
-    # ---- GGA / hybrid-DFT part: total-density (singlet) channel
-    # E = int F(rho, sigma), sigma = |grad rho|^2; perturbing
-    # rho -> rho + eps*u gives the bilinear kernel
-    # K[u, u'] = int [F_rr u u' + F_rs (u s' + s u') + F_ss s s'
-    #                 + 2 F_s grad u . grad u'],  s = 2 grad rho . grad u
-    if not singlet:
-        raise NotImplementedError(
-            "GGA triplet kernel not implemented (singlet TDDFT only)")
+    # ---- GGA / hybrid-DFT part ----
     gao = np.asarray(mf.ao_grad)              # (P, nao, 3)
     grho = 2.0 * np.einsum("pid, ij, pj -> pd", gao, D, ao)
     sigma = np.maximum(np.sum(grho * grho, axis=1), 1e-24)
-
-    def F(r, s):
-        return mf.f_exc(r / 2, r / 2, s / 4, s / 4, s / 4)
-
-    Fs = jax.vmap(jax.grad(F, 1))
-    Frr = jax.vmap(jax.grad(jax.grad(F, 0), 0))
-    Frs = jax.vmap(jax.grad(jax.grad(F, 0), 1))
-    Fss = jax.vmap(jax.grad(jax.grad(F, 1), 1))
-    fs, frr, frs, fss = (np.asarray(f(rho, sigma))
-                         for f in (Fs, Frr, Frs, Fss))
     # MO-product values and gradients on the grid
     gmo = np.einsum("pid, ij -> pjd", gao, C)          # (P, nmo, 3)
     gphi = (np.einsum("pid, pa -> piad", gmo[:, :nocc], mo[:, nocc:])
             + np.einsum("pi, pad -> piad", mo[:, :nocc],
                         gmo[:, nocc:]))                # (P, i, a, 3)
-    s_ia = 2.0 * np.einsum("pd, piad -> pia", grho, gphi)
-    K = (np.einsum("p, pia, pjb -> iajb", w * frr, phi, phi)
-         + np.einsum("p, pia, pjb -> iajb", w * frs, phi, s_ia)
-         + np.einsum("p, pia, pjb -> iajb", w * frs, s_ia, phi)
-         + np.einsum("p, pia, pjb -> iajb", w * fss, s_ia, s_ia)
-         + 2.0 * np.einsum("p, piad, pjbd -> iajb", w * fs, gphi, gphi))
-    # spin adaptation: the singlet matrix element is the spin-resolved
-    # sum f_aa + f_ab = 2 x the total-density kernel (same convention
-    # that pairs 2(ia|jb) Coulomb with the LDA faa+fab above)
-    return 2.0 * K.reshape(nov, nov)
+    if singlet:
+        # singlet = total-density channel: E = int F(rho, sigma),
+        # sigma = |grad rho|^2; perturbing rho -> rho + eps*u gives
+        # K[u, u'] = int [F_rr u u' + F_rs (u s' + s u') + F_ss s s'
+        #                 + 2 F_s grad u . grad u'],
+        # s = 2 grad rho . grad u
+        def F(r, s):
+            return mf.f_exc(r / 2, r / 2, s / 4, s / 4, s / 4)
+
+        Fs = jax.vmap(jax.grad(F, 1))
+        Frr = jax.vmap(jax.grad(jax.grad(F, 0), 0))
+        Frs = jax.vmap(jax.grad(jax.grad(F, 0), 1))
+        Fss = jax.vmap(jax.grad(jax.grad(F, 1), 1))
+        fs, frr, frs, fss = (np.asarray(f(rho, sigma))
+                             for f in (Fs, Frr, Frs, Fss))
+        s_ia = 2.0 * np.einsum("pd, piad -> pia", grho, gphi)
+        K = (np.einsum("p, pia, pjb -> iajb", w * frr, phi, phi)
+             + np.einsum("p, pia, pjb -> iajb", w * frs, phi, s_ia)
+             + np.einsum("p, pia, pjb -> iajb", w * frs, s_ia, phi)
+             + np.einsum("p, pia, pjb -> iajb", w * fss, s_ia, s_ia)
+             + 2.0 * np.einsum("p, piad, pjbd -> iajb",
+                               w * fs, gphi, gphi))
+        # spin adaptation: the singlet matrix element is the
+        # spin-resolved sum f_aa + f_ab = 2 x the total-density kernel
+        # (same convention that pairs 2(ia|jb) Coulomb with the LDA
+        # faa+fab above)
+        return 2.0 * K.reshape(nov, nov)
+    # triplet = spin-flip channel delta rho_a = -delta rho_b = u at the
+    # closed-shell point. In the spin-resolved variables
+    # v = (rho_a, rho_b, s_aa, s_ab, s_bb): d(s_aa) = grad rho . grad u
+    # = s, d(s_bb) = -s, d(s_ab) = 0, and the second variations give
+    # (2 f_saa - f_sab) grad u . grad u'. Half the bilinear form (the
+    # same normalization that makes the LDA channel f_aa - f_ab):
+    # K^T[u,u'] = int [(f_aa - f_ab) u u'
+    #                  + (f_{ra,saa} - f_{ra,sbb})(u s' + s u')
+    #                  + (f_{saa,saa} - f_{saa,sbb}) s s'
+    #                  + (2 f_saa - f_sab) grad u . grad u']
+    def f5(vec):
+        return mf.f_exc(vec[0], vec[1], vec[2], vec[3], vec[4])
+
+    pts = jnp.stack([rho / 2, rho / 2, sigma / 4, sigma / 4, sigma / 4],
+                    axis=1)                                # (P, 5)
+    g1 = np.asarray(jax.vmap(jax.grad(f5))(pts))           # (P, 5)
+    H = np.asarray(jax.vmap(jax.hessian(f5))(pts))         # (P, 5, 5)
+    c_uu = H[:, 0, 0] - H[:, 0, 1]
+    c_us = H[:, 0, 2] - H[:, 0, 4]
+    c_ss = H[:, 2, 2] - H[:, 2, 4]
+    c_gg = 2.0 * g1[:, 2] - g1[:, 3]
+    s_ia = np.einsum("pd, piad -> pia", grho, gphi)        # (P, i, a)
+    K = (np.einsum("p, pia, pjb -> iajb", w * c_uu, phi, phi)
+         + np.einsum("p, pia, pjb -> iajb", w * c_us, phi, s_ia)
+         + np.einsum("p, pia, pjb -> iajb", w * c_us, s_ia, phi)
+         + np.einsum("p, pia, pjb -> iajb", w * c_ss, s_ia, s_ia)
+         + np.einsum("p, piad, pjbd -> iajb", w * c_gg, gphi, gphi))
+    return K.reshape(nov, nov)
 
 
 def tda_matrix(mf, singlet=True):

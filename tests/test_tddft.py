@@ -62,8 +62,48 @@ def test_gga_hybrid_response_alpha_equals_ff(xc):
     assert np.max(np.abs(a_resp - a_ff)) < 5e-4
 
 
-def test_gga_triplet_kernel_raises():
+def _fd_kernel(mf, singlet, eps=3e-4):
+    """Finite-difference XC kernel through the COMPLETE spin-resolved
+    UKS potential (different code path: dft.UKS._xc_uks): perturb
+    D_a += eps X, D_b -= eps X (triplet) or both += eps X (singlet) and
+    differentiate V_a."""
+    from pyqed_tpu.qchem.dft import UKS
+    uks = UKS(mf.mol, xc=mf.xc)
+    C = np.asarray(mf.mo_coeff)
+    D = np.asarray(mf.dm) / 2.0
+    nocc, nvir = mf.nocc, C.shape[1] - mf.nocc
+    sgn_b = 1.0 if singlet else -1.0
+    K = np.zeros((nocc * nvir, nocc * nvir))
+    for j in range(nocc):
+        for b in range(nvir):
+            cj, cb = C[:, j], C[:, nocc + b]
+            X = 0.5 * (np.outer(cj, cb) + np.outer(cb, cj))
+            _, Vp, _ = uks._xc_uks(D + eps * X, D + sgn_b * eps * X)
+            _, Vm, _ = uks._xc_uks(D - eps * X, D - sgn_b * eps * X)
+            dV = (np.asarray(Vp) - np.asarray(Vm)) / (2 * eps)
+            K[:, j * nvir + b] = (C[:, :nocc].T @ dV
+                                  @ C[:, nocc:]).ravel()
+    return K
+
+
+@pytest.mark.parametrize("xc", ["pbe", "b3lyp"])
+@pytest.mark.parametrize("singlet", [True, False])
+def test_gga_kernel_vs_uks_finite_difference(xc, singlet):
+    """GGA singlet AND triplet kernels == finite differences of the
+    spin-resolved UKS potential (independent code path incl. all
+    grad-rho chain terms)."""
+    from pyqed_tpu.qchem.tdscf import xc_kernel_ov
     mf = RKS(Molecule([("H", (0, 0, 0)), ("H", (0, 0, 1.4))],
-                      basis="sto-3g"), xc="pbe", conv_tol=1e-9).run()
-    with pytest.raises(NotImplementedError):
-        TDA(mf, singlet=False).run(nroots=1)
+                      basis="6-31g"), xc=xc, conv_tol=1e-11).run()
+    K = np.asarray(xc_kernel_ov(mf, singlet=singlet))
+    K_fd = _fd_kernel(mf, singlet)
+    assert np.max(np.abs(K - K_fd)) < 2e-6
+
+
+def test_gga_triplet_below_singlet():
+    """PBE water: lowest triplet TDA root below the lowest singlet."""
+    mf = RKS(Molecule(WATER, basis="6-31g"), xc="pbe",
+             conv_tol=1e-10).run()
+    es = np.asarray(TDA(mf, singlet=True).run(nroots=1))
+    et = np.asarray(TDA(mf, singlet=False).run(nroots=1))
+    assert 0.0 < et[0] < es[0]
