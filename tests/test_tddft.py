@@ -86,6 +86,7 @@ def _fd_kernel(mf, singlet, eps=3e-4):
     return K
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("xc", ["pbe", "b3lyp"])
 @pytest.mark.parametrize("singlet", [True, False])
 def test_gga_kernel_vs_uks_finite_difference(xc, singlet):
