@@ -39,7 +39,16 @@ class ShinMetiu2D:
     Electron on an (x, y) grid; proton coordinate R = (Rx, Ry).
     """
 
-    def __init__(self, nstates=3):
+    def __init__(self, nstates=3, method=None, dvr_type="sine"):
+        # method is accepted for reference-signature compatibility
+        # (scipy/davidson/exact all map to the one dense-eigh path);
+        # a positional reference-style call ShinMetiu2('exact', 3)
+        # passes the method string first — shift it over
+        if isinstance(nstates, str):
+            method, nstates = nstates, (3 if method is None else method)
+        if dvr_type != "sine":
+            raise NotImplementedError("only dvr_type='sine' (as the "
+                                      "reference classes use)")
         self.a = 0.5
         self.b = 10.0
         self.R0 = 3.5
@@ -48,14 +57,23 @@ class ShinMetiu2D:
         self.right = np.array([+self.L / 2.0, 0.0])
         self.nstates = nstates
         self.x = None
+        self.u = None        # adiabatic-state stack set by pes()
         self._T = None       # kinetic (kron) matrix, cached
         self._hcore = None   # field terms beyond T (subclasses)
 
     # ------------------------------------------------------------- grid
-    def create_grid(self, domains, npts):
+    def create_grid(self, domains, npts=None):
         """domains: [(x0, x1), (y0, y1)]; npts: points per dim (int or
         pair). The grid matches the reference's ``discretize(...,
-        endpoints=False)`` (interior sine-DVR points)."""
+        endpoints=False)`` (interior sine-DVR points). Also accepts the
+        reference argument order ``create_grid(level, domains)`` with
+        npts = 2**level - 1 per dim (pyqed/models/ShinMetiu.py:342)."""
+        if np.isscalar(domains):            # reference order: (level, domains)
+            level, domains = int(domains), npts
+            npts = 2 ** level - 1
+        if npts is None:
+            raise TypeError("create_grid(domains, npts) or "
+                            "create_grid(level, domains)")
         if np.isscalar(npts):
             npts = (int(npts), int(npts))
         self.dvr_x = SineDVR(*domains[0], npts[0])
@@ -197,10 +215,15 @@ class ShinMetiu2D:
         E, U = [wold], [uold]
         for point in points[1:]:
             w, u = self.single_point(point)
-            sign = np.sign(np.real(np.einsum("ij, ij -> j",
-                                             uold.conj(), u)))
-            sign = np.where(sign == 0, 1.0, sign)
-            u = u * sign[None, :]
+            # full U(1) phase transport: rotate each eigencolumn so
+            # <u_old|u> is real positive (reduces to the reference's
+            # sign flip for real states; needed for the complex
+            # magnetic-field eigenvectors)
+            ov = np.einsum("ij, ij -> j", uold.conj(), u)
+            mag = np.abs(ov)
+            phase = np.where(mag > 1e-14, ov / np.where(mag > 1e-14,
+                                                        mag, 1.0), 1.0)
+            u = u * phase.conj()[None, :]
             wold, uold = w, u
             E.append(w)
             U.append(u)
@@ -209,6 +232,9 @@ class ShinMetiu2D:
     def electronic_overlap(self):
         """A[a, m, c, n] = <u_am | u_cn> between scan points
         (reference: pyqed/models/ShinMetiu.py:580)."""
+        if self.u is None:
+            raise ValueError("call pes(Rs) first (fills the "
+                             "adiabatic-state stack)")
         U = jnp.asarray(self.u)
         return np.asarray(jnp.einsum("aim, cin -> amcn", U.conj(), U))
 
@@ -222,13 +248,25 @@ class ShinMetiu2DMagnetic(ShinMetiu2D):
 
     _kinetic_box = True     # field variants use the true SineDVR box T
 
-    def __init__(self, nstates=3, B=0.0, gauge="landau"):
-        super().__init__(nstates=nstates)
+    def __init__(self, nstates=3, B=0.0, gauge="landau", method=None,
+                 dvr_type="sine"):
+        super().__init__(nstates=nstates, method=method,
+                         dvr_type=dvr_type)
         if gauge != "landau":
             raise NotImplementedError("only the Landau gauge is "
                                       "implemented (as the reference)")
         self.B = B / au2tesla
         self.gauge = gauge
+
+    @property
+    def B(self):
+        return self._B
+
+    @B.setter
+    def B(self, value):
+        """Setting B invalidates the cached field hcore."""
+        self._B = float(value)
+        self._hcore = None
 
     def _field_hcore(self):
         if self._hcore is None:
@@ -250,9 +288,21 @@ class ShinMetiu2DElectric(ShinMetiu2D):
 
     _kinetic_box = True     # field variants use the true SineDVR box T
 
-    def __init__(self, nstates=3, E=(0.0, 0.0)):
-        super().__init__(nstates=nstates)
-        self.E = tuple(float(e) for e in E)
+    def __init__(self, nstates=3, E=(0.0, 0.0), method=None,
+                 dvr_type="sine"):
+        super().__init__(nstates=nstates, method=method,
+                         dvr_type=dvr_type)
+        self.E = E
+
+    @property
+    def E(self):
+        return self._E
+
+    @E.setter
+    def E(self, value):
+        """Setting E invalidates the cached field hcore."""
+        self._E = tuple(float(e) for e in value)
+        self._hcore = None
 
     def _field_hcore(self):
         if self._hcore is None:

@@ -115,11 +115,22 @@ def xc_kernel_ov(mf, singlet=True):
 
     pts = jnp.stack([rho / 2, rho / 2, sigma / 4, sigma / 4, sigma / 4],
                     axis=1)                                # (P, 5)
-    g1 = np.asarray(jax.vmap(jax.grad(f5))(pts))           # (P, 5)
-    H = np.asarray(jax.vmap(jax.hessian(f5))(pts))         # (P, 5, 5)
-    c_uu = H[:, 0, 0] - H[:, 0, 1]
-    c_us = H[:, 0, 2] - H[:, 0, 4]
-    c_ss = H[:, 2, 2] - H[:, 2, 4]
+    # only two Hessian-vector products are needed (not the full 5x5
+    # Hessian): H d1 with d1 = e_ra - e_rb gives c_uu, and H d2 with
+    # d2 = e_saa - e_sbb gives c_us and c_ss; the jvp also returns the
+    # primal gradient for c_gg
+    d1 = jnp.array([1.0, -1.0, 0.0, 0.0, 0.0])
+    d2 = jnp.array([0.0, 0.0, 1.0, 0.0, -1.0])
+
+    def hvps(p):
+        _, hd1 = jax.jvp(jax.grad(f5), (p,), (d1,))
+        g, hd2 = jax.jvp(jax.grad(f5), (p,), (d2,))
+        return g, hd1, hd2
+
+    g1, Hd1, Hd2 = (np.asarray(a) for a in jax.vmap(hvps)(pts))
+    c_uu = Hd1[:, 0]                      # f_aa - f_ab
+    c_us = Hd2[:, 0]                      # f_{ra,saa} - f_{ra,sbb}
+    c_ss = Hd2[:, 2]                      # f_{saa,saa} - f_{saa,sbb}
     c_gg = 2.0 * g1[:, 2] - g1[:, 3]
     s_ia = np.einsum("pd, piad -> pia", grho, gphi)        # (P, i, a)
     K = (np.einsum("p, pia, pjb -> iajb", w * c_uu, phi, phi)
@@ -133,7 +144,8 @@ def xc_kernel_ov(mf, singlet=True):
 def tda_matrix(mf, singlet=True):
     """A_{ia, jb} = delta (e_a - e_i) + 2(ia|jb) - c_x (ij|ab) [+ f_xc]
     (singlet) — c_x = 1 for HF, the hybrid fraction for KS; KS adds the
-    adiabatic XC kernel (LDA only). Triplet: no Coulomb, same exchange."""
+    adiabatic XC kernel (LDA/GGA/hybrid, both spin channels). Triplet:
+    no Coulomb, same exchange, spin-flip f_xc."""
     eri, e, nocc, nvir = _mo_blocks(mf)
     o = slice(0, nocc)
     v = slice(nocc, nocc + nvir)

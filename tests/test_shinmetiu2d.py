@@ -124,6 +124,56 @@ class TestFields:
         w, _ = sm.single_point(R_TEST)
         assert np.allclose(w, w_ref, atol=1e-8)
 
+    def test_field_mutation_invalidates_cache(self):
+        # setting .E / .B after a solve must refresh the field hcore
+        sm = ShinMetiu2DElectric(nstates=1, E=(0.0, 0.0))
+        sm.create_grid(DOM, 9)
+        w0, _ = sm.single_point(R_TEST)
+        sm.E = (0.05, 0.0)
+        w1, _ = sm.single_point(R_TEST)
+        fresh = ShinMetiu2DElectric(nstates=1, E=(0.05, 0.0))
+        fresh.create_grid(DOM, 9)
+        wf, _ = fresh.single_point(R_TEST)
+        assert np.allclose(w1, wf, atol=1e-12)
+        assert abs(w1[0] - w0[0]) > 1e-6
+
+        smB = ShinMetiu2DMagnetic(nstates=1, B=0.0)
+        smB.create_grid(DOM, 9)
+        wB0, _ = smB.single_point(R_TEST)
+        smB.B = 5e4 / 2.35051756758e5        # au (property holds au)
+        wB1, _ = smB.single_point(R_TEST)
+        assert abs(wB1[0] - wB0[0]) > 1e-8
+
+    def test_parallel_transport_complex_phase(self):
+        # magnetic eigenvectors are complex; transported states must
+        # have real-positive consecutive overlaps (full U(1) transport)
+        sm = ShinMetiu2DMagnetic(nstates=2, B=5e4)
+        sm.create_grid(DOM, 9)
+        path = [np.array([x, 0.3]) for x in np.linspace(-0.4, 0.4, 4)]
+        E, U = sm.parallel_transport(path)
+        for i in range(len(path) - 1):
+            ov = np.einsum("ij, ij -> j", U[i].conj(), U[i + 1])
+            assert np.all(np.abs(ov.imag) < 1e-8)
+            assert np.all(ov.real > 0.9)
+
+    def test_reference_style_signatures(self):
+        # reference-positional ctor + create_grid(level, domains)
+        from pyqed_tpu.models import ShinMetiu2
+        ref_style = ShinMetiu2("exact", 3)
+        ref_style.create_grid(LEVEL, DOM)
+        ours = ShinMetiu2D(nstates=3)
+        ours.create_grid(DOM, NPTS)
+        assert ref_style.nx == ours.nx == NPTS
+        w1, _ = ref_style.single_point(R_TEST)
+        w2, _ = ours.single_point(R_TEST)
+        assert np.allclose(w1, w2, atol=1e-12)
+
+    def test_electronic_overlap_guard(self):
+        sm = ShinMetiu2D(nstates=2)
+        sm.create_grid(DOM, 9)
+        with pytest.raises(ValueError):
+            sm.electronic_overlap()
+
     def test_electric_field_breaks_symmetry(self):
         # with E along x the R -> -R symmetry of the APES is broken
         sm = ShinMetiu2DElectric(nstates=1, E=[0.05, 0.0])
