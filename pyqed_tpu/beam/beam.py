@@ -278,6 +278,143 @@ class ScalarFieldXZ:
         self.u = stack
         return self.u
 
+    def wpm(self, n_xz=None, levels=None, has_edges=True, pow_edge=80):
+        """Wave propagation method (Schmidt kernel) through n(z, x).
+
+        More accurate than split-step BPM for high index contrast and
+        wide angles: each z step propagates the field with the EXACT
+        homogeneous kernel exp(i dz sqrt((k0 n_m)^2 - kx^2)) for every
+        distinct index value n_m in the scene, then keeps each result
+        only at the pixels where n == n_m (reference:
+        pyqed/beam/scalar_fields_XZ.py:963 ``WPM`` /
+        scalar_fields_XY.py:2365 ``WPM_schmidt_kernel`` — a Python
+        z x levels double loop there; here the level axis is one
+        batched (n_levels, nx) FFT inside ONE ``lax.scan``).
+
+        levels: optional explicit index levels; default = the unique
+        values of ``n_xz`` (host-side, static — the scene is a design
+        input, not a traced value).
+        """
+        x, z = self.x, self.z
+        wl, n0 = self.wavelength, self.n
+        dzs = np.diff(np.concatenate([[0.0], np.asarray(z, float)]))
+        k0 = 2 * np.pi / wl
+        kx = 2 * np.pi * np.fft.fftfreq(len(x), x[1] - x[0])
+        if n_xz is None:
+            n_sheet = np.full((len(z), len(x)), complex(n0))
+        else:
+            n_sheet = np.asarray(n_xz, dtype=complex)
+        if levels is None:
+            levels = np.unique(n_sheet.round(9))
+        levels = np.asarray(levels, dtype=complex)
+        # (n_levels, nx) exact homogeneous kernels; +Im branch decays
+        kz = np.sqrt(((k0 * levels[:, None]) ** 2
+                      - kx[None, :] ** 2).astype(complex))
+        kz = np.where(kz.imag < 0, -kz, kz)
+        edge = (_edge_filter((len(x),), (x,), pow_edge)
+                if has_edges else 1.0)
+        # per-slice level masks, one-hot over the level axis
+        masks = jnp.asarray(
+            np.stack([np.isclose(n_sheet, lv) for lv in levels], 1),
+            dtype=jnp.float64)                       # (nz, n_levels, nx)
+        uniform = np.ptp(dzs) <= 1e-12 * np.max(np.abs(dzs))
+        kzj = jnp.asarray(kz)
+
+        if uniform:
+            Hm = jnp.asarray(np.exp(1j * kz * dzs[0]))  # (n_levels, nx)
+
+            def step(u, sl):
+                _, mask_k = sl
+                Ek = jnp.fft.fft(u)
+                um = jnp.fft.ifft(Hm * Ek[None, :], axis=1)
+                u = jnp.sum(mask_k * um, axis=0) * edge
+                return u, u
+        else:
+            def step(u, sl):
+                dz, mask_k = sl
+                Ek = jnp.fft.fft(u)
+                um = jnp.fft.ifft(jnp.exp(1j * kzj * dz) * Ek[None, :],
+                                  axis=1)
+                u = jnp.sum(mask_k * um, axis=0) * edge
+                return u, u
+
+        _, stack = jax.lax.scan(step, self.u0, (jnp.asarray(dzs), masks))
+        self.u = stack
+        return self.u
+
+    def bpm_inverse(self, n_xz=None, has_edges=True, pow_edge=80):
+        """Inverse BPM: reconstruct the field stack BEFORE each plane
+        from the field at the LAST plane, undoing the forward steps
+        (reference: scalar_fields_XZ.py:735 ``BPM_inverse``). Set
+        ``self.u0`` to the exit-plane field first. Returns the stack
+        ordered from the exit plane back toward z=0."""
+        x, z = self.x, self.z
+        wl, n0 = self.wavelength, self.n
+        dzs = np.diff(np.concatenate([[0.0], np.asarray(z, float)]))[::-1]
+        k0 = 2 * np.pi / wl
+        kx = 2 * np.pi * np.fft.fftfreq(len(x), x[1] - x[0])
+        kz = np.sqrt(((k0 * n0) ** 2 - kx ** 2).astype(complex))
+        if n_xz is None:
+            dn = jnp.zeros((len(z), len(x)))
+        else:
+            dn = jnp.asarray(n_xz) - n0
+        dn = dn[::-1]
+        edge = (_edge_filter((len(x),), (x,), pow_edge)
+                if has_edges else 1.0)
+        kzj = jnp.asarray(kz)
+
+        def step(u, sl):
+            dz, dn_k = sl
+            # undo the phase screen, then back-propagate the free step
+            u = u * jnp.exp(-1j * k0 * dn_k * dz)
+            u = jnp.fft.ifft(jnp.exp(-1j * kzj * dz) * jnp.fft.fft(u))
+            u = u * edge
+            return u, u
+
+        _, stack = jax.lax.scan(step, self.u0,
+                                (jnp.asarray(np.ascontiguousarray(dzs)),
+                                 dn))
+        self.u = stack
+        return self.u
+
+    def bpm_back_propagation(self, n_xz=None, **kw):
+        """Phase-conjugate back propagation (reference:
+        scalar_fields_XZ.py:760): the conjugated exit field retracing
+        the scene. Store the exit field in ``self.u0``; the returned
+        stack is the phase-conjugate field at each earlier plane
+        (exact for real media: conj of the exact inverse steps —
+        the reference's conjugate-then-forward-BPM picks up O(dz)
+        split-step commutator error instead)."""
+        u = self.bpm_inverse(n_xz=n_xz, **kw)
+        self.u = jnp.conj(u)
+        return self.u
+
+    def polychromatic(self, u0_of_wl, wavelengths, spectrum=None,
+                      method="bpm", n_xz=None, **kw):
+        """Incoherent polychromatic propagation: spectrum-weighted sum
+        of |u(x, z; wl)|^2 over wavelengths (reference:
+        scalar_fields_XZ.py:1115 ``RS_polychromatic`` / :1155
+        ``BPM_polychromatic`` — multiprocessing pools there; here each
+        wavelength is one jitted scan). Returns sqrt(I) like the
+        reference (amplitude, no phase)."""
+        wavelengths = np.atleast_1d(np.asarray(wavelengths, float))
+        if spectrum is None:
+            spectrum = np.ones_like(wavelengths)
+        spectrum = np.asarray(spectrum, float)
+        I_total = 0.0
+        for wl, w in zip(wavelengths, spectrum):
+            f = ScalarFieldXZ(self.x, self.z, wl, self.n)
+            f.incident_field(u0_of_wl(wl))
+            if method == "bpm":
+                u = f.bpm(n_xz=n_xz, **kw)
+            elif method == "wpm":
+                u = f.wpm(n_xz=n_xz, **kw)
+            else:                        # homogeneous ASM stack
+                u = f.propagate()
+            I_total = I_total + w * jnp.abs(u) ** 2
+        self.u = jnp.sqrt(I_total)
+        return self.u
+
     def intensity(self):
         return jnp.abs(self.u) ** 2
 
@@ -374,6 +511,60 @@ class ScalarFieldXYZ:
                 return u, u
 
         _, stack = jax.lax.scan(step, self.u0, (jnp.asarray(dzs), dn))
+        self.u = stack
+        return self.u
+
+    def wpm(self, n_volume=None, levels=None, has_edges=True,
+            pow_edge=80):
+        """Volume wave propagation method (Schmidt kernel): exact
+        homogeneous step per distinct index level, masked selection —
+        see ``ScalarFieldXZ.wpm``. Level axis batched as ONE
+        (n_levels, nx, ny) FFT stack per scan step (reference:
+        pyqed/beam/scalar_fields_XYZ.py WPM loops z x levels)."""
+        x, y, z = self.x, self.y, self.z
+        wl, n0 = self.wavelength, self.n
+        dzs = np.diff(np.concatenate([[0.0], np.asarray(z, float)]))
+        k0 = 2 * np.pi / wl
+        kx = 2 * np.pi * np.fft.fftfreq(len(x), x[1] - x[0])
+        ky = 2 * np.pi * np.fft.fftfreq(len(y), y[1] - y[0])
+        if n_volume is None:
+            n_vol = np.full((len(z), len(x), len(y)), complex(n0))
+        else:
+            n_vol = np.asarray(n_volume, dtype=complex)
+        if levels is None:
+            levels = np.unique(n_vol.round(9))
+        levels = np.asarray(levels, dtype=complex)
+        kperp2 = kx[:, None] ** 2 + ky[None, :] ** 2
+        kz = np.sqrt(((k0 * levels[:, None, None]) ** 2
+                      - kperp2[None]).astype(complex))
+        kz = np.where(kz.imag < 0, -kz, kz)
+        edge = (_edge_filter((len(x), len(y)), (x, y), pow_edge)
+                if has_edges else 1.0)
+        masks = jnp.asarray(
+            np.stack([np.isclose(n_vol, lv) for lv in levels], 1),
+            dtype=jnp.float64)               # (nz, n_levels, nx, ny)
+        uniform = np.ptp(dzs) <= 1e-12 * np.max(np.abs(dzs))
+        kzj = jnp.asarray(kz)
+
+        if uniform:
+            Hm = jnp.asarray(np.exp(1j * kz * dzs[0]))
+
+            def step(u, sl):
+                _, mask_k = sl
+                Ek = jnp.fft.fft2(u)
+                um = jnp.fft.ifft2(Hm * Ek[None], axes=(1, 2))
+                u = jnp.sum(mask_k * um, axis=0) * edge
+                return u, u
+        else:
+            def step(u, sl):
+                dz, mask_k = sl
+                Ek = jnp.fft.fft2(u)
+                um = jnp.fft.ifft2(jnp.exp(1j * kzj * dz) * Ek[None],
+                                   axes=(1, 2))
+                u = jnp.sum(mask_k * um, axis=0) * edge
+                return u, u
+
+        _, stack = jax.lax.scan(step, self.u0, (jnp.asarray(dzs), masks))
         self.u = stack
         return self.u
 
