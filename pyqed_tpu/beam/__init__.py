@@ -19,3 +19,4 @@ from .zoom import czt, zoom_dft, zoom_dft2, fraunhofer_zoom
 from .beam import draw_several_fields
 from . import masks
 from . import scenes
+from . import masks_x
