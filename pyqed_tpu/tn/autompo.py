@@ -172,3 +172,167 @@ class DMRGElectronicDVR:
         self.mps = gs
         self.energies = energies
         return self.e_tot
+
+
+# ------------------------------------------------------------------
+# MPO algebra + spin-sector control (reference: pyqed/qchem/dmrg.py
+# ``DMRG.fix_nelec``/``fix_spin``, pyqed/dmrg/dvr_1d.py:1249)
+# ------------------------------------------------------------------
+
+def mpo_add(A, B):
+    """Direct-sum of two FSM MPOs sharing the start/done convention
+    (channel 0 = identity-start with W[0,0]=I, channel D-1 = done with
+    W[done,done]=I): (A+B).to_dense() == A.to_dense() + B.to_dense().
+    """
+    Da = A.Ws[0].shape[0]
+    Db = B.Ws[0].shape[0]
+    D = Da + Db - 2
+    done = D - 1
+    d = A.Ws[0].shape[2]
+    Ws = []
+    for Wa, Wb in zip(A.Ws, B.Ws):
+        Wa = np.asarray(Wa)
+        Wb = np.asarray(Wb)
+        W = np.zeros((D, D, d, d), dtype=np.result_type(Wa, Wb))
+
+        def amap(i):
+            return done if i == Da - 1 else i
+
+        def bmap(i):
+            return 0 if i == 0 else (
+                done if i == Db - 1 else Da - 2 + i)
+
+        for i in range(Da):
+            for j in range(Da):
+                W[amap(i), amap(j)] += Wa[i, j]
+        for i in range(Db):
+            for j in range(Db):
+                if (i, j) in ((0, 0), (Db - 1, Db - 1)):
+                    continue               # identities already placed
+                W[bmap(i), bmap(j)] += Wb[i, j]
+        Ws.append(jnp.asarray(W))
+    return MPO(Ws)
+
+
+def mpo_scale(A, c):
+    """c * H as an MPO: scale every start-row block except the pure
+    identity transition (W[0, 0])."""
+    Ws = []
+    for k, W in enumerate(A.Ws):
+        W = np.array(W)
+        if k == 0:
+            W[0, 1:] = c * W[0, 1:]
+        Ws.append(jnp.asarray(W))
+    return MPO(Ws)
+
+
+def mpo_shift(A, c):
+    """H + c*I as an MPO (adds c/L * identity on every site's
+    start->done transition... implemented exactly by placing the whole
+    constant on the first site)."""
+    Ws = [np.array(W) for W in A.Ws]
+    done = Ws[0].shape[1] - 1
+    Ws[0][0, done] += c * np.eye(Ws[0].shape[2])
+    return MPO([jnp.asarray(W) for W in Ws])
+
+
+def spin_exchange_mpo(J):
+    """MPO of  Σ_{i<j} J_ij (S⁺_i S⁻_j + S⁻_i S⁺_j)  on interleaved JW
+    sites [0↑, 0↓, 1↑, 1↓, ...], where S⁺_i = c†_{i↑} c_{i↓} =
+    σ⁺_{2i} σ⁻_{2i+1} (parity-even: NO Z strings between pairs).
+
+    Channels: per spatial site an S⁺-in-flight and an S⁻-in-flight
+    lane (opened at 2i, completed at 2i+1, identity-propagated), plus
+    two one-bond closing lanes. Bond dimension 2n + 4.
+    """
+    J = np.asarray(J)
+    n = J.shape[0]
+    N = 2 * n
+    D = 2 * n + 4
+    done = D - 1
+    cp, cm = 2 * n + 1, 2 * n + 2
+
+    def chp(i):
+        return 1 + i
+
+    def chm(i):
+        return 1 + n + i
+
+    Ws = []
+    for k in range(N):
+        i, up = divmod(k, 2)
+        up = (up == 0)
+        W = np.zeros((D, D, 2, 2))
+        W[0, 0] = _I
+        W[done, done] = _I
+        if up:                      # site 2i
+            W[0, chp(i)] = _SP      # open S+_i
+            W[0, chm(i)] = _SM      # open S-_i
+            for l in range(i):      # terminate in-flight lanes here
+                if J[l, i] != 0:
+                    W[chp(l), cp] = J[l, i] * _SM
+                    W[chm(l), cm] = J[l, i] * _SP
+                W[chp(l), chp(l)] = _I
+                W[chm(l), chm(l)] = _I
+        else:                       # site 2i+1
+            W[chp(i), chp(i)] = _SM     # complete S+_i
+            W[chm(i), chm(i)] = _SP     # complete S-_i
+            W[cp, done] = _SP           # finish S-_j of S+S-
+            W[cm, done] = _SM           # finish S+_j of S-S+
+            for l in range(i):
+                W[chp(l), chp(l)] = _I
+                W[chm(l), chm(l)] = _I
+        Ws.append(jnp.asarray(W))
+    return MPO(Ws)
+
+
+def spin_squared_mpo(n):
+    """MPO of the total-spin operator S² on n spatial sites
+    (interleaved JW layout), from
+    S² = S⁺S⁻ − S_z + S_z²  with  S⁺S⁻ = Σ_{i≠j} S⁺_i S⁻_j
+    + Σ_i n_{i↑}(1 − n_{i↓}).  The density part rides the existing
+    hopping/density FSM; the i≠j exchange part is
+    :func:`spin_exchange_mpo`."""
+    t = np.zeros((2 * n, 2 * n))
+    v = np.zeros((2 * n, 2 * n))
+    for i in range(n):
+        a, b = 2 * i, 2 * i + 1
+        # S+_i S-_i = n_up (1 - n_dn)
+        t[a, a] += 1.0
+        v[a, b] += -1.0
+        # -S_z = -1/2 (n_up - n_dn)
+        t[a, a] += -0.5
+        t[b, b] += +0.5
+        # S_z^2 diagonal: 1/4 (n_up + n_dn - 2 n_up n_dn)
+        t[a, a] += 0.25
+        t[b, b] += 0.25
+        v[a, b] += -0.5
+        for j in range(i + 1, n):
+            c, d2 = 2 * j, 2 * j + 1
+            # S_z^2 off-diagonal: 1/2 (n_iu - n_id)(n_ju - n_jd)
+            v[a, c] += 0.5
+            v[a, d2] += -0.5
+            v[b, c] += -0.5
+            v[b, d2] += 0.5
+    dens = autompo_fermion(t, v)
+    exch = spin_exchange_mpo(np.ones((n, n)) - np.eye(n))
+    return mpo_add(dens, exch)
+
+
+def fix_spin_mpo(mpo, n, shift=0.5, ss=0.0):
+    """H + shift (S² − ss): pushes higher-spin sectors up by
+    shift*(S(S+1) − ss) — pins the singlet (ss=0) or keeps a chosen
+    low-spin target while leaving its sector energies exact
+    (reference: pyqed/qchem/dmrg.py ``DMRG.fix_spin``; same linear
+    penalty as pyscf's fci.addons.fix_spin_)."""
+    pen = mpo_scale(spin_squared_mpo(n), shift)
+    return mpo_shift(mpo_add(mpo, pen), -shift * ss)
+
+
+def fix_nelec_mpo(mpo, nelec, shift=2.0):
+    """H + shift (N̂ − nelec)² as an MPO on the same JW sites
+    (reference ``DMRG.fix_nelec``)."""
+    N_sites = 2 * (np.asarray(mpo.Ws[0]).shape[2] == 2) and len(mpo.Ws)
+    tsh, vsh, const = number_penalty(len(mpo.Ws), nelec, shift)
+    pen = autompo_fermion(tsh, vsh)
+    return mpo_shift(mpo_add(mpo, pen), const)
