@@ -304,19 +304,19 @@ class ScalarFieldXZ:
             n_sheet = np.full((len(z), len(x)), complex(n0))
         else:
             n_sheet = np.asarray(n_xz, dtype=complex)
-        if levels is None:
-            levels = np.unique(n_sheet.round(9))
-        levels = np.asarray(levels, dtype=complex)
+        levels = _wpm_levels(n_sheet, levels)
         # (n_levels, nx) exact homogeneous kernels; +Im branch decays
         kz = np.sqrt(((k0 * levels[:, None]) ** 2
                       - kx[None, :] ** 2).astype(complex))
         kz = np.where(kz.imag < 0, -kz, kz)
         edge = (_edge_filter((len(x),), (x,), pow_edge)
                 if has_edges else 1.0)
-        # per-slice level masks, one-hot over the level axis
-        masks = jnp.asarray(
-            np.stack([np.isclose(n_sheet, lv) for lv in levels], 1),
-            dtype=jnp.float64)                       # (nz, n_levels, nx)
+        # per-slice masks: a guaranteed one-hot partition (each pixel
+        # assigned to its NEAREST level, like the reference's exact
+        # n == n_m equality on an already-discrete scene) — per-level
+        # isclose tests can double-count or drop pixels
+        masks = jnp.asarray(_wpm_partition(n_sheet, levels),
+                            dtype=jnp.float64)       # (nz, n_levels, nx)
         uniform = np.ptp(dzs) <= 1e-12 * np.max(np.abs(dzs))
         kzj = jnp.asarray(kz)
 
@@ -417,6 +417,41 @@ class ScalarFieldXZ:
 
     def intensity(self):
         return jnp.abs(self.u) ** 2
+
+
+_WPM_LEVELS_BOUND = 32
+
+
+def _wpm_levels(n_scene, levels):
+    """Resolve the WPM index levels; warn when a smooth/continuous scene
+    would explode the per-level kernel batch (the reference's WPM is
+    documented as needing a discrete number of refraction indices)."""
+    if levels is None:
+        levels = np.unique(np.asarray(n_scene).round(9))
+    levels = np.asarray(levels, dtype=complex)
+    if len(levels) > _WPM_LEVELS_BOUND:
+        import warnings
+        warnings.warn(
+            f"WPM scene has {len(levels)} distinct index levels; the "
+            f"kernel batch is O(n_levels * grid). Discretize the scene "
+            f"(scenes.discretize_refraction_index) or pass explicit "
+            f"`levels=` to bound memory.", RuntimeWarning, stacklevel=3)
+    return levels
+
+
+def _wpm_partition(n_scene, levels):
+    """One-hot level masks with the level axis at position 1:
+    each pixel is assigned to its NEAREST level (a true partition —
+    sums to exactly 1 over levels), matching the reference's exact
+    ``n == n_m`` on a discrete scene while staying robust to float
+    noise from continuous scene builders."""
+    n_scene = np.asarray(n_scene)
+    idx = np.argmin(
+        np.abs(n_scene[:, None, ...] - levels.reshape(
+            (1, len(levels)) + (1,) * (n_scene.ndim - 1))), axis=1)
+    return (idx[:, None, ...]
+            == np.arange(len(levels)).reshape(
+                (1, len(levels)) + (1,) * (n_scene.ndim - 1)))
 
 
 def _edge_filter(shape, axes_coords, pow_edge=80):
@@ -531,18 +566,15 @@ class ScalarFieldXYZ:
             n_vol = np.full((len(z), len(x), len(y)), complex(n0))
         else:
             n_vol = np.asarray(n_volume, dtype=complex)
-        if levels is None:
-            levels = np.unique(n_vol.round(9))
-        levels = np.asarray(levels, dtype=complex)
+        levels = _wpm_levels(n_vol, levels)
         kperp2 = kx[:, None] ** 2 + ky[None, :] ** 2
         kz = np.sqrt(((k0 * levels[:, None, None]) ** 2
                       - kperp2[None]).astype(complex))
         kz = np.where(kz.imag < 0, -kz, kz)
         edge = (_edge_filter((len(x), len(y)), (x, y), pow_edge)
                 if has_edges else 1.0)
-        masks = jnp.asarray(
-            np.stack([np.isclose(n_vol, lv) for lv in levels], 1),
-            dtype=jnp.float64)               # (nz, n_levels, nx, ny)
+        masks = jnp.asarray(_wpm_partition(n_vol, levels),
+                            dtype=jnp.float64)  # (nz, n_levels, nx, ny)
         uniform = np.ptp(dzs) <= 1e-12 * np.max(np.abs(dzs))
         kzj = jnp.asarray(kz)
 

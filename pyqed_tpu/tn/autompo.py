@@ -215,13 +215,15 @@ def mpo_add(A, B):
 
 
 def mpo_scale(A, c):
-    """c * H as an MPO: scale every start-row block except the pure
-    identity transition (W[0, 0])."""
+    """c * H as an MPO.  In the start/done FSM convention every term
+    leaves channel 0 (the identity-start lane, W[0,0]=I at EVERY site)
+    exactly once and never returns, so scaling the opening transitions
+    W_k[0, 1:] at every site k multiplies each term by c exactly once.
+    (Scaling only site 0 would miss every term that opens at k>0.)"""
     Ws = []
-    for k, W in enumerate(A.Ws):
+    for W in A.Ws:
         W = np.array(W)
-        if k == 0:
-            W[0, 1:] = c * W[0, 1:]
+        W[0, 1:] = c * W[0, 1:]
         Ws.append(jnp.asarray(W))
     return MPO(Ws)
 
@@ -332,7 +334,6 @@ def fix_spin_mpo(mpo, n, shift=0.5, ss=0.0):
 def fix_nelec_mpo(mpo, nelec, shift=2.0):
     """H + shift (N̂ − nelec)² as an MPO on the same JW sites
     (reference ``DMRG.fix_nelec``)."""
-    N_sites = 2 * (np.asarray(mpo.Ws[0]).shape[2] == 2) and len(mpo.Ws)
     tsh, vsh, const = number_penalty(len(mpo.Ws), nelec, shift)
     pen = autompo_fermion(tsh, vsh)
     return mpo_shift(mpo_add(mpo, pen), const)
