@@ -418,6 +418,40 @@ class ScalarFieldXZ:
     def intensity(self):
         return jnp.abs(self.u) ** 2
 
+    def profile_longitudinal(self, kind="intensity", x0=0.0):
+        """Longitudinal profile through x = x0 as a :class:`ScalarFieldZ`
+        when kind='field', else the requested array
+        (reference: scalar_fields_XZ.py:1704)."""
+        ix = int(np.argmin(np.abs(self.x - x0)))
+        u = np.asarray(self.u)[:, ix]
+        if kind == "field":
+            from .fieldz import ScalarFieldZ
+            out = ScalarFieldZ(self.z, self.wavelength, self.n)
+            out.u = u
+            return out
+        if kind == "intensity":
+            return np.abs(u) ** 2
+        if kind == "amplitude":
+            return np.abs(u)
+        if kind == "phase":
+            return np.angle(u)
+        raise ValueError(f"unknown profile kind {kind!r}")
+
+    def profile_transversal(self, kind="intensity", z0=0.0):
+        """Transversal profile at z = z0
+        (reference: scalar_fields_XZ.py:1762)."""
+        iz = int(np.argmin(np.abs(self.z - z0)))
+        u = np.asarray(self.u)[iz, :]
+        if kind == "field":
+            return u
+        if kind == "intensity":
+            return np.abs(u) ** 2
+        if kind == "amplitude":
+            return np.abs(u)
+        if kind == "phase":
+            return np.angle(u)
+        raise ValueError(f"unknown profile kind {kind!r}")
+
 
 _WPM_LEVELS_BOUND = 32
 

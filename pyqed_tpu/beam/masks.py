@@ -690,6 +690,59 @@ def dots_regular(x, y, xlim, ylim, num_data):
     return jnp.asarray(u)
 
 
+def prism(X, Y, wavelength, r0, angle_wedge, angle=0.0):
+    """Wedge phase ramp deflecting by angle_wedge
+    (reference: scalar_masks_XY.py:1043)."""
+    k = 2 * np.pi / wavelength
+    Xr, _ = _rot(X, Y, angle, r0)
+    return jnp.exp(1j * k * Xr * jnp.sin(angle_wedge))
+
+
+def ronchi_grating(X, Y, period, x0=0.0, fill_factor=0.5, angle=0.0):
+    """Binary amplitude grating thresholded from a sinusoid, so the
+    fill factor is exact: on where sin phase > cos(pi*fill)
+    (reference: scalar_masks_XY.py:1654)."""
+    y0 = np.cos(np.pi * fill_factor)
+    s = sine_grating(X, Y, period, x0=x0, amp_min=-1.0, amp_max=1.0,
+                     angle=angle)
+    return (jnp.real(s) > y0).astype(jnp.complex128)
+
+
+def hammer(X, Y, r0, size, hammer_width, angle=0.0):
+    """Rectangle with hammer-head squares on its four corners
+    (lithography proximity-correction motif;
+    reference: scalar_masks_XY.py:1437)."""
+    sx, sy = (size, size) if np.isscalar(size) else size
+    x0, y0 = r0
+    u = square(X, Y, r0, size, angle)
+    c, s = np.cos(angle), np.sin(angle)
+    for ex, ey in ((-sx / 2, -sy / 2), (-sx / 2, sy / 2),
+                   (sx / 2, -sy / 2), (sx / 2, sy / 2)):
+        cx = x0 + ex * c - ey * s        # rotate corner offsets with
+        cy = y0 + ex * s + ey * c        # the rectangle
+        u = u + square(X, Y, (cx, cy),
+                       (hammer_width, hammer_width), angle)
+    return (jnp.real(u) > 0).astype(jnp.complex128)
+
+
+def photon_sieve(x, y, t_u, pos):
+    """Photon sieve: stamp the pinhole shape ``t_u`` at every (x, y)
+    position in ``pos``, clipping the summed overlaps to 1
+    (reference: scalar_masks_XY.py:474 — fftconvolve of a delta comb
+    with the pinhole; same FFT stamping here). Returns
+    (mask, num_points_inside)."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    comb = np.zeros((len(x), len(y)))
+    npts = 0
+    for (px, py) in np.atleast_2d(np.asarray(pos, dtype=float)):
+        if x[0] < px < x[-1] and y[0] < py < y[-1]:
+            comb[_nearest_idx(x, px), _nearest_idx(y, py)] = 1.0
+            npts += 1
+    u = jnp.real(_fft_convolve2d(comb, t_u))
+    return jnp.clip(u, 0.0, 1.0).astype(jnp.complex128), npts
+
+
 def _fft_convolve2d(a, b):
     """Cyclic 'same'-centered FFT convolution (both arrays same shape)."""
     fa = jnp.fft.fft2(jnp.asarray(a))
@@ -713,7 +766,6 @@ def masks_to_positions(x, y, t_u, pos, binarize=False, normalize=False):
     return out.astype(jnp.complex128)
 
 
-photon_sieve = masks_to_positions
 
 
 def insert_array_masks(x, y, t_u, space, margin=0.0):

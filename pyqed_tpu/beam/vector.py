@@ -138,6 +138,49 @@ class VectorMaskXY(VectorFieldXY):
         self.M = self.M * inside[..., None, None]
         return self
 
+    def pupil(self, r0=(0.0, 0.0), radius=None, angle=0.0):
+        """Elliptic pupil: identity Jones inside, zero outside
+        (reference: pyqed/beam/vector_masks_XY.py:180). radius may be a
+        scalar or (rx, ry); ``angle`` rotates the ellipse."""
+        X, Y = _XY(self.x, self.y)
+        if radius is None:
+            radius = (0.5 * (self.x[-1] - self.x[0]),
+                      0.5 * (self.y[-1] - self.y[0]))
+        rx, ry = ((radius, radius) if np.isscalar(radius) else radius)
+        Xr = (X - r0[0]) * np.cos(angle) + (Y - r0[1]) * np.sin(angle)
+        Yr = -(X - r0[0]) * np.sin(angle) + (Y - r0[1]) * np.cos(angle)
+        inside = (Xr / rx) ** 2 + (Yr / ry) ** 2 <= 1.0
+        self.M = self.M * inside[..., None, None]
+        return self
+
+    def complementary_masks(self, u_mask, J_on, J_off, threshold=0.5):
+        """Binary scalar mask -> two-region Jones device: pixels where
+        |u| > threshold get J_on, the rest J_off (reference:
+        pyqed/beam/vector_masks_XY.py:235 — restricted there to binary
+        amplitude masks, same here)."""
+        u = (u_mask.u if isinstance(u_mask, ScalarFieldXY) else u_mask)
+        t = (np.abs(np.asarray(u)) > threshold)[..., None, None]
+        self.M = np.where(t, np.asarray(J_on, dtype=complex),
+                          np.asarray(J_off, dtype=complex)) \
+            * np.ones_like(self.M)
+        return self
+
+    def multilevel_mask(self, u_mask, states, discretize=True):
+        """Multi-level scalar mask -> per-level Jones devices: level i
+        of ``u_mask`` (n levels over [0, 1]) gets Jones matrix
+        ``states[i]`` (reference: pyqed/beam/vector_masks_XY.py:263).
+        """
+        u = np.abs(np.asarray(
+            u_mask.u if isinstance(u_mask, ScalarFieldXY) else u_mask))
+        n = len(states)
+        levels = np.linspace(u.min(), u.max(), n)
+        idx = (np.argmin(np.abs(u[..., None] - levels[None, None, :]),
+                         axis=-1) if discretize
+               else np.clip((u * n).astype(int), 0, n - 1))
+        Js = np.asarray(states, dtype=complex)      # (n, 2, 2)
+        self.M = Js[idx] * np.ones_like(self.M)
+        return self
+
     # -- application ---------------------------------------------
     def __mul__(self, field: VectorFieldXY) -> VectorFieldXY:
         """Apply the mask to a vector field: E' = M E, one einsum over
