@@ -5,7 +5,7 @@ from .dvr import (
 )
 from .ldr import LDRN, LDR2, ResultLDR
 from .scattering import LippmannSchwingerSolver, LippmannSchwinger2DSolver
-from .qtraj import QT, lqf, ResultQT
+from .qtraj import QT, QTF, lqf, ResultQT
 from .gwp import (GWP, WPD, overlap_real, kinetic_real, moment_real,
                   GWPBasis, WPDN, WPD2, ThawedGaussian)
 from .smolyak import SparseGrid, AdaptiveSparseGrid

@@ -264,6 +264,110 @@ def qpot(x, p, r, w, mass=1.0):
     return Eu, fq, fr
 
 
+class QTF:
+    """Quantum trajectories with friction (AQP ground-state relaxation;
+    reference: pyqed/qt/1D/QTF_1D.py and qt/1D/HigherOrder_1D.py — the
+    Bohmian ensemble (x, p, r) with the approximate quantum potential
+    from a polynomial fit and a friction constant; with friction on, the
+    total energy relaxes to the ground-state energy).
+
+    The reference scripts are 1D with a hard-coded cubic basis and a
+    Python time loop; here the ensemble propagates as one ``lax.scan``
+    with ``qpot_poly(order=...)`` (order=1 = the linear LQF limit).
+    """
+
+    def __init__(self, ntraj, mass=1.0, order=3, friction=0.0):
+        self.ntraj = ntraj
+        self.mass = float(mass)
+        self.order = order
+        self.friction = friction
+
+    def sample(self, a0, x0=0.0, key=None):
+        """Trajectory ensemble for psi0 ~ exp(-a0 (x-x0)^2 / 2): the
+        log-derivative field is r = -a0 (x-x0) and the density is
+        rho ~ exp(-a0 (x-x0)^2), sigma^2 = 1/(2 a0)
+        (reference: QTF_1D.py:121-133, which Monte-Carlo samples).
+
+        Default is DETERMINISTIC quadrature: a uniform grid over
+        x0 +- 6 sigma with weights w_i ~ rho(x_i). Exact moments make
+        the LQF energy identity (<2 r^2> = <-dr>, i.e. c sigma^2 = 1/2
+        for a Gaussian) hold to quadrature precision, so the
+        no-friction ensemble conserves energy; Monte-Carlo sampling
+        (pass ``key``) breaks it at O(1/sqrt(ntraj)).
+
+        Returns (x, p, r, w)."""
+        sig = 1.0 / jnp.sqrt(2.0 * a0)
+        if key is None:
+            x = x0 + jnp.linspace(-6.0, 6.0, self.ntraj) * sig
+            w = jnp.exp(-a0 * (x - x0) ** 2)
+            w = w / jnp.sum(w)
+        else:
+            key = (jax.random.PRNGKey(key) if isinstance(key, int)
+                   else key)
+            x = x0 + sig * jax.random.normal(key, (self.ntraj,))
+            w = jnp.full(self.ntraj, 1.0 / self.ntraj)
+        p = jnp.zeros(self.ntraj)
+        r = -a0 * (x - x0)
+        return x, p, r, w
+
+    def run(self, x, p, r, w, derivs: Callable, dt, nt, nout=10):
+        """Propagate the ensemble ODE
+
+            dx/dt = p/m,  dp/dt = -dV + fq - gamma p,  dr/dt = fr
+
+        (the reference's loop at QTF_1D.py:157-176 is a first-order
+        split because fq/fr depend on (p, r) themselves; here a
+        vectorized classic RK4 on the full (x, p, r) state, which
+        conserves the LQF energy to O(dt^4)).
+        ``derivs(x) -> (V, dV)`` vectorized.
+
+        Returns ResultQT with observables columns
+        (E_kinetic, E_potential, E_quantum, E_total)."""
+        am = self.mass
+        gam = self.friction
+        order = self.order
+
+        def rhs(state):
+            x, p, r = state
+            _, fq, fr = qpot_poly(x, p, r, w, mass=am, order=order)
+            _, dv = derivs(x)
+            return (p / am, -dv + fq - gam * p, fr)
+
+        def step(carry, _):
+            k1 = rhs(carry)
+            k2 = rhs(tuple(c + dt / 2 * k for c, k in zip(carry, k1)))
+            k3 = rhs(tuple(c + dt / 2 * k for c, k in zip(carry, k2)))
+            k4 = rhs(tuple(c + dt * k for c, k in zip(carry, k3)))
+            x, p, r = tuple(
+                c + dt / 6 * (a + 2 * b + 2 * cc + d)
+                for c, a, b, cc, d in zip(carry, k1, k2, k3, k4))
+            Eu, _, _ = qpot_poly(x, p, r, w, mass=am, order=order)
+            v0, _ = derivs(x)
+            Ek = jnp.dot(p * p, w) / (2 * am)
+            Ev = jnp.dot(v0, w)
+            return (x, p, r), (Ek, Ev, Eu)
+
+        ns = nt // nout
+
+        @jax.jit
+        def evolve(x, p, r):
+            def window(carry, _):
+                carry, outs = jax.lax.scan(step, carry, None,
+                                           length=nout)
+                return carry, tuple(o[-1] for o in outs)
+            return jax.lax.scan(window, (x, p, r), None, length=ns)
+
+        (xf, pf, rf), (Ek, Ev, Eu) = evolve(jnp.asarray(x),
+                                            jnp.asarray(p),
+                                            jnp.asarray(r))
+        res = ResultQT(dt=dt, nt=nt, nout=nout)
+        res.times = np.arange(1, ns + 1) * dt * nout
+        res.x, res.p, res.r = xf, pf, rf
+        Ek, Ev, Eu = (np.asarray(v) for v in (Ek, Ev, Eu))
+        res.observables = np.stack([Ek, Ev, Eu, Ek + Ev + Eu], axis=1)
+        return res
+
+
 def qpot_poly(x, p, r, w, mass=1.0, order=5):
     """Higher-order (polynomial) quantum/friction forces for 1D
     trajectory ensembles (reference: pyqed/qt/1D/HigherOrder_1D.py:81
@@ -281,24 +385,31 @@ def qpot_poly(x, p, r, w, mass=1.0, order=5):
     w = jnp.asarray(w).reshape(-1)
     nb = order + 1
     powers = jnp.arange(nb)
-    F = x[:, None] ** powers[None, :]               # (ntraj, nb)
+    # fit in centered/scaled coordinates: the raw monomial Gram matrix
+    # is numerically singular once the ensemble narrows or drifts off
+    # the origin (the reference's Nb=4 raw-x solve blows up there);
+    # derivatives chain back with 1/sigma factors
+    xm = jnp.dot(w, x)
+    sig = jnp.sqrt(jnp.dot(w, (x - xm) ** 2) + 1e-30)
+    u = (x - xm) / sig
+    F = u[:, None] ** powers[None, :]               # (ntraj, nb)
     S = jnp.einsum("i, im, in -> mn", w, F, F)
     bp = jnp.einsum("i, im, i -> m", w, F, p)
     br = jnp.einsum("i, im, i -> m", w, F, r)
     cp = jnp.linalg.solve(S, bp)
     cr = jnp.linalg.solve(S, br)
-    # derivative bases
+    # derivative bases (in u, then chain rule d/dx = (1/sig) d/du)
     D1 = jnp.where(powers[None, :] >= 1,
-                   powers[None, :] * x[:, None]
+                   powers[None, :] * u[:, None]
                    ** jnp.maximum(powers[None, :] - 1, 0), 0.0)
     D2 = jnp.where(powers[None, :] >= 2,
                    powers[None, :] * (powers[None, :] - 1)
-                   * x[:, None] ** jnp.maximum(powers[None, :] - 2, 0),
+                   * u[:, None] ** jnp.maximum(powers[None, :] - 2, 0),
                    0.0)
-    dr = D1 @ cr
-    dp = D1 @ cp
-    ddr = D2 @ cr
-    ddp = D2 @ cp
+    dr = (D1 @ cr) / sig
+    dp = (D1 @ cp) / sig
+    ddr = (D2 @ cr) / sig ** 2
+    ddp = (D2 @ cp) / sig ** 2
     fq = (2.0 * r * dr + ddr) / (2.0 * mass)
     fr = -(2.0 * r * dp + ddp) / (2.0 * mass)
     Eu = -jnp.dot(w, r ** 2 + dr) / (2.0 * mass)

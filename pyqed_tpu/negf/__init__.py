@@ -4,6 +4,10 @@ from .keldysh import (
 )
 from .gw import G0W0, g0w0, rpa_modes
 from .kb2t import KBSolver2T
+from .contour import (
+    ContourGF, green_equilibrium, green_equilibrium_H, semicircle_dos,
+    DOS, volterra_intdiff,
+)
 from .gwbse import GWBSE
 from .rt_tdhf import RTTDHF
 from .dmft import DMFT
