@@ -61,7 +61,20 @@ class ScalarFieldX:
         self.u = _asm_1d(self.u, self.x, self.wavelength, z, self.n)
         return self
 
-    RS = angular_spectrum
+    def RS(self, z, fast=False, kind="z"):
+        """True quadrature Rayleigh-Sommerfeld propagation (Shen & Wang
+        FFT convolution — reference: pyqed/beam/scalar_fields_X.py:622
+        ``RS``/``_RS_`` with its quality factor at :646; the exact-Hankel
+        kernel at :1089, the ``fast`` asymptotic at :1114).
+
+        Unlike the angular spectrum (periodic in x), this is a LINEAR
+        convolution against the free-space RS-I kernel, so near-field
+        edge behavior matches the open-boundary integral. Sets
+        ``self.quality`` (>1 means the grid resolves the kernel's
+        fastest fringe; the reference prints a warning below 1)."""
+        self.u, self.quality = _rs_1d(self.u, self.x, self.wavelength, z,
+                                      self.n, fast=fast, kind=kind)
+        return self
 
     def propagate_many(self, zs):
         """Field at many z planes: (nz, nx) — one vmap (replaces the
@@ -116,7 +129,14 @@ class ScalarFieldXY:
         self.u = _asm_2d(self.u, self.x, self.y, self.wavelength, z, self.n)
         return self
 
-    RS = angular_spectrum
+    def RS(self, z, kind="z"):
+        """Quadrature Rayleigh-Sommerfeld propagation, 2D (reference:
+        pyqed/beam/scalar_fields_XY.py:928 with the closed-form RS-I
+        kernel at :2266). Sets ``self.quality``."""
+        self.u, self.quality = _rs_2d(self.u, self.x, self.y,
+                                      self.wavelength, z, self.n,
+                                      kind=kind)
+        return self
 
     def propagate_many(self, zs):
         """(nz, nx, ny) volume — the reference's Scalar_field_XYZ by vmap
@@ -137,6 +157,98 @@ def _asm_2d(u, x, y, wavelength, z, n=1.0):
     kz = jnp.sqrt(jnp.abs(kz2))
     H = jnp.where(kz2 >= 0, jnp.exp(1j * kz * z), jnp.exp(-kz * jnp.abs(z)))
     return jnp.fft.ifft2(jnp.fft.fft2(u) * H)
+
+
+def _rs_quality(rmax, dr, wavelength, z, n):
+    """Sampling quality factor for quadrature RS (reference:
+    pyqed/beam/scalar_fields_X.py:646): the ratio of the kernel's
+    slowest fringe spacing at the grid edge to the actual grid step;
+    > 1 means the discrete sum resolves the integrand."""
+    lam = wavelength / n
+    dr_ideal = np.sqrt(lam ** 2 + rmax ** 2
+                       + 2 * lam * np.sqrt(rmax ** 2 + z ** 2)) - rmax
+    return float(dr_ideal / dr / np.sqrt(2))
+
+
+def _kernel_rs_1d(x, wavelength, z, n=1.0, kind="z", fast=False):
+    """RS-I kernel, 1D (cylindrical-wave Green function; reference:
+    pyqed/beam/scalar_fields_X.py:1089 ``kernelRS`` /
+    :1125 ``kernelRSinverse`` — z < 0 selects the inverse kernel).
+    Exact form uses the Hankel function H1^(1) (host-side scipy at
+    setup: the kernel is a one-time precompute); ``fast`` uses the
+    large-argument asymptotic (DLMF 10.2.5)."""
+    x = np.asarray(x, float)
+    k = 2 * np.pi * n / wavelength
+    R = np.sqrt(x ** 2 + z ** 2)
+    sgn = 1.0 if z > 0 else -1.0
+    if fast:
+        hk1 = np.sqrt(2 / (np.pi * k * R)) * np.exp(
+            sgn * 1j * (k * R - 3 * np.pi / 4))
+    else:
+        from scipy.special import hankel1
+        hk1 = hankel1(1, k * R)
+        if z < 0:
+            # incoming-wave (conjugate) kernel; the signed num below
+            # carries the prefactor sign, so RS(z) then RS(-z) is the
+            # exact adjoint (the reference's kernelRSinverse at :1125
+            # keeps H1 unconjugated and does NOT round-trip)
+            hk1 = np.conj(hk1)
+    num = {"z": z, "x": x, "0": sgn}[kind]
+    return (0.5j * k * num / R) * hk1
+
+
+def _kernel_rs_2d(X, Y, wavelength, z, n=1.0, kind="z"):
+    """RS-I kernel, 2D closed form (reference:
+    pyqed/beam/scalar_fields_XY.py:2266/:2294)."""
+    k = 2 * jnp.pi * n / wavelength
+    R = jnp.sqrt(X ** 2 + Y ** 2 + z ** 2)
+    num = {"z": abs(z), "x": X, "y": Y, "0": 1.0}[kind]
+    if z > 0:
+        return jnp.exp(1j * k * R) * num / R ** 2 * (1 / R - 1j * k) \
+            / (2 * jnp.pi)
+    # inverse propagation = conj(forward(|z|)): exact adjoint (the
+    # reference's kernelRSinverse at scalar_fields_XY.py:2294 differs
+    # by an R power and does not round-trip)
+    return jnp.exp(-1j * k * R) * num / R ** 2 * (1 / R + 1j * k) \
+        / (2 * jnp.pi)
+
+
+def _rs_1d(u, x, wavelength, z, n=1.0, fast=False, kind="z"):
+    """Linear-convolution quadrature RS (Shen & Wang, Appl. Opt. 45,
+    1102 (2006); reference: pyqed/beam/scalar_fields_X.py:622 ``_RS_``):
+    zero-pad to 2nx-1, multiply FFTs of field and kernel, keep the
+    causal half. Returns (u_out, quality)."""
+    x = np.asarray(x, float)
+    nx = len(x)
+    dx = x[1] - x[0]
+    quality = _rs_quality(np.abs(x).max(), dx, wavelength, z, n)
+    # symmetric source-to-observation offsets, length 2nx-1
+    xext = np.concatenate([(x[0] - x[::-1])[:-1], x - x[0]])
+    H = jnp.asarray(_kernel_rs_1d(xext, wavelength, z, n, kind, fast))
+    U = jnp.concatenate([jnp.asarray(u),
+                         jnp.zeros(nx - 1, dtype=complex)])
+    S = jnp.fft.ifft(jnp.fft.fft(U) * jnp.fft.fft(H)) * dx
+    return S[nx - 1:], quality
+
+
+def _rs_2d(u, x, y, wavelength, z, n=1.0, kind="z"):
+    """2D quadrature RS by zero-padded FFT convolution (reference:
+    pyqed/beam/scalar_fields_XY.py:928). Returns (u_out, quality)."""
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    nx, ny = len(x), len(y)
+    dx = x[1] - x[0]
+    dy = y[1] - y[0]
+    rmax = np.sqrt(np.abs(x).max() ** 2 + np.abs(y).max() ** 2)
+    quality = _rs_quality(rmax, max(dx, dy), wavelength, z, n)
+    xext = np.concatenate([(x[0] - x[::-1])[:-1], x - x[0]])
+    yext = np.concatenate([(y[0] - y[::-1])[:-1], y - y[0]])
+    H = _kernel_rs_2d(jnp.asarray(xext)[:, None], jnp.asarray(yext)[None, :],
+                      wavelength, z, n, kind)
+    U = jnp.zeros((2 * nx - 1, 2 * ny - 1), dtype=complex)
+    U = U.at[:nx, :ny].set(jnp.asarray(u))
+    S = jnp.fft.ifft2(jnp.fft.fft2(U) * jnp.fft.fft2(H)) * dx * dy
+    return S[nx - 1:, ny - 1:], quality
 
 
 # ------------------------------------------------------------------ sources
