@@ -126,6 +126,60 @@ def bench_heom_tpu(kernel, nsteps=2000, dt=1e-3, nsite=7,
     return nsteps / t
 
 
+def _heom_roofline(steps_per_sec, kernel, nsite=7, nexp_per_bath=2,
+                   lmax=3):
+    """Speed-of-light accounting for one HEOM RK4 step (VERDICT r2 #3):
+    exact FLOP count of the kernel's contractions and a LOWER-BOUND HBM
+    traffic model, converted to achieved TFLOP/s / GB/s and fractions of
+    the v5e-1 peaks (197 TF bf16 MXU; ~197/6 TF for full-f32 6-pass
+    emulation; 819 GB/s HBM). The traffic model counts only mandatory
+    streams (state in/out, neighbor-stack round-trip or S-block
+    streaming), so the HBM fraction is conservative."""
+    from __graft_entry__ import _heom_setup
+    from pyqed_tpu.ops import pallas_kernels as pk
+    H, keys, plus_idx, minus_idx, Q, cvec, nuvec = _heom_setup(
+        nsite=nsite, nexp_per_bath=nexp_per_bath, lmax=lmax)
+    nado, M = keys.shape
+    n = H.shape[0]
+    V = n * n
+    state_bytes = 2 * 4 * nado * V          # re+im f32 planes
+    if kernel.startswith("pallas"):
+        sizes, offs, pad_sizes, pad_offs, nado_pad, perm = \
+            pk.heom_level_structure(keys)
+        Vp = -(-V // 128) * 128
+        L = len(sizes) - 1
+        pairs = [(pad_sizes[l], pad_sizes[l + 1]) for l in range(L)]
+        pairs += [(pad_sizes[l], pad_sizes[l - 1]) for l in range(1, L + 1)]
+        flops_rhs = 8 * nado_pad * Vp * Vp                    # C-term dot
+        flops_rhs += sum(8 * src * Vp * Vp * M for (_, src) in pairs)  # Z
+        flops_rhs += sum(4 * dst * src * Vp * M for (dst, src) in pairs)
+        s_item = 2 if kernel.endswith("fast") else 4          # bf16 / f32
+        s_bytes = sum(dst * src * M for (dst, src) in pairs) * s_item
+        state_p = 2 * 4 * nado_pad * Vp
+        # per RHS: each coupling call re-reads the resident flat planes,
+        # writes its dest rows; C-term reads/writes the full planes;
+        # S blocks stream once
+        rhs_bytes = (2 * L + 1) * state_p + state_p + s_bytes
+    else:
+        flops_rhs = 8 * nado * V * V * (2 * M + 1)
+        g_bytes = 2 * 4 * nado * 2 * M * V
+        rhs_bytes = 2 * state_bytes + 2 * g_bytes   # state in/out + g w+r
+    # RK4: 4 RHS + the axpy update stream (~6 state passes)
+    flops_step = 4 * flops_rhs
+    bytes_step = 4 * rhs_bytes + 6 * state_bytes
+    tflops = flops_step * steps_per_sec / 1e12
+    gbps = bytes_step * steps_per_sec / 1e9
+    mxu_peak = 197.0 if kernel.endswith("fast") else 197.0 / 6
+    return {
+        "flops_per_step": flops_step,
+        "hbm_bytes_per_step_min": bytes_step,
+        "tflops_achieved": round(tflops, 2),
+        "frac_mxu_peak": round(tflops / mxu_peak, 3),
+        "hbm_gbps_min": round(gbps, 1),
+        "frac_hbm_peak": round(gbps / 819.0, 3),
+    }
+
+
 def _best_of(run_once, repeat=3):
     """Fastest of ``repeat`` timed calls of run_once() (which must
     rebuild/copy its own initial state).  Machine load makes single-shot
@@ -269,6 +323,43 @@ def bench_2des_tpu(nw=512, nt2=256):
 
     t = _timeit(run, w, t2s)
     return t
+
+
+def bench_2des_tpu_amortized(nw=512, nt2=256, nmaps=32):
+    """Amortized per-map time with ``nmaps`` full (nw, nw, nt2) maps per
+    dispatch (VERDICT r2 #3: the single-dispatch number was ~95% axon
+    RPC floor, measuring transport, not the kernel). A lax.scan over
+    per-map t2 offsets computes every map (each reduced on-device to a
+    (nw, nw) accumulator — XLA cannot dead-code any t2 row because all
+    feed the sum); amortized = total / nmaps."""
+    import jax
+    import jax.numpy as jnp
+    from pyqed_tpu.signal.sos import _photon_echo
+    E, dip, gamma = _dimer_system()
+    w = np.linspace(0.7, 1.45, nw).astype(np.float32)
+    t2s = np.linspace(0.0, 30.0, nt2).astype(np.float32)
+    offs = np.linspace(0.0, 1.0, nmaps).astype(np.float32)
+    Ej = E.astype(np.float32)
+    dj = dip.astype(np.float32)
+    gj = gamma.astype(np.float32)
+
+    @jax.jit
+    def run(w, t2s, offs):
+        def one_map(acc, off):
+            def one(t2):
+                S = _photon_echo(Ej, dj, -w, w, t2 + off, [0], [1, 2],
+                                 [3], gj)
+                return jnp.real(S), jnp.imag(S)
+            rr, ri = jax.vmap(one)(t2s)
+            return (acc[0] + jnp.sum(rr, axis=0),
+                    acc[1] + jnp.sum(ri, axis=0)), None
+        acc0 = (jnp.zeros((nw, nw), jnp.float32),
+                jnp.zeros((nw, nw), jnp.float32))
+        acc, _ = jax.lax.scan(one_map, acc0, offs)
+        return acc
+
+    t = _timeit(run, w, t2s, offs)
+    return t / nmaps
 
 
 def bench_2des_cpu(nw=512, nt2=256):
@@ -877,7 +968,7 @@ def bench_ldr_cpu(level=5, dt=0.01):
     return 6 / t6
 
 
-def _heom_kernel_parity(candidates, nsteps=200, dt=1e-3, rtol=2e-4,
+def _heom_kernel_parity(candidates, nsteps=200, dt=1e-3, rtol=2e-3,
                         nsite=7, nexp_per_bath=2, lmax=3):
     """On-device parity gate (round-1 advisor finding): propagate nsteps
     with each candidate kernel and compare the full final hierarchy state
@@ -885,11 +976,36 @@ def _heom_kernel_parity(candidates, nsteps=200, dt=1e-3, rtol=2e-4,
     is live — the CPU f64 suite can't see an MXU rounding regression).
     Kernels deviating beyond rtol of the state scale are excluded from
     the headline.  Shape-parametrized: each benched shape runs its OWN
-    gate (a kernel bug can be shape-dependent)."""
+    gate (a kernel bug can be shape-dependent).
+
+    The initial state MUST be non-stationary: |0><0| on the root ADO is
+    an exact fixed point of this exciton+projector-bath model (ground
+    state decoupled from H and every Q), so a gate started there
+    compares constant trajectories and admits ANY kernel (r2's gates
+    were vacuous this way). Here: ground/site-1 coherence on the root
+    plus small seeded tails on every ADO, and the gate additionally
+    asserts the reference trajectory actually moved.
+
+    rtol = 2e-3: the measured 200-step bf16 (Precision.DEFAULT) rounding
+    floor on this trajectory is 6.2e-4 at both benched shapes (identical
+    for matmul-fast and pallas-fast — it is the precision class, not the
+    kernel); the precise Pallas kernel sits at 2e-6. A formulation bug
+    (wrong coupling/weight) deviates at O(1), so 3x the rounding floor
+    separates cleanly."""
     import jax
     from __graft_entry__ import _heom_setup, _heom_step_fn
     setup = _heom_setup(nsite=nsite, nexp_per_bath=nexp_per_bath,
                         lmax=lmax)
+
+    def init_state(nado, n):
+        rng = np.random.default_rng(7)
+        psi = np.zeros(n)
+        psi[0] = psi[1] = 1 / np.sqrt(2)
+        re = 1e-3 * rng.standard_normal((nado, n, n)).astype(np.float32)
+        im = 1e-3 * rng.standard_normal((nado, n, n)).astype(np.float32)
+        re[0] = np.outer(psi, psi)
+        im[0] = 0.0
+        return re, im
 
     def final_state(kernel):
         step, nado, n = _heom_step_fn(*setup, dt=dt, kernel=kernel)
@@ -901,16 +1017,19 @@ def _heom_kernel_parity(candidates, nsteps=200, dt=1e-3, rtol=2e-4,
             c, _ = jax.lax.scan(body, (re, im), None, length=nsteps)
             return c
 
-        re = np.zeros((nado, n, n), np.float32)
-        re[0, 0, 0] = 1.0
-        out = run(re, np.zeros_like(re))
-        return np.asarray(out[0]), np.asarray(out[1])
+        re, im = init_state(nado, n)
+        out = run(re, im)
+        return (np.asarray(out[0]), np.asarray(out[1])), (re, im)
 
-    ref_re, ref_im = final_state("matmul")
+    (ref_re, ref_im), (re0, im0) = final_state("matmul")
     scale = max(np.max(np.abs(ref_re)), np.max(np.abs(ref_im)), 1e-30)
+    moved = max(np.max(np.abs(ref_re - re0)), np.max(np.abs(ref_im - im0)))
+    if moved < 1e-6 * scale:
+        # stationary reference = vacuous gate: admit nothing fancy
+        return {k: False for k in candidates}
     admitted = {}
     for k in candidates:
-        o_re, o_im = final_state(k)
+        (o_re, o_im), _ = final_state(k)
         dev = max(np.max(np.abs(o_re - ref_re)),
                   np.max(np.abs(o_im - ref_im)))
         admitted[k] = bool(dev <= rtol * scale)
@@ -956,6 +1075,7 @@ def main():
     pol = bench_polariton_tpu()
     spo = bench_spo_tpu()
     t_2des_tpu = bench_2des_tpu()
+    t_2des_amort = bench_2des_tpu_amortized()
     ldr = bench_ldr_tpu(batch=1)
     ldr_b8 = bench_ldr_tpu(batch=8)
     # factored nonadiabatic path (rank-nbasis overlap): parity-gated
@@ -1000,10 +1120,12 @@ def main():
         (k for k in rates if k == "matmul" or fast_ok.get(k, False)),
         key=lambda k: rates[k])
 
-    # large-shape HEOM (10 sites, nado=1771): the regime where the
-    # hand-written Pallas hierarchy kernel BEATS the XLA matmul path
-    # (CROSSOVER_r02: 356 vs 304 steps/s) — measured in the official
-    # artifact, not just the side crossover file. Parity-gated AT THIS
+    # large-shape HEOM (10 sites, nado=1771, the size where the round-2
+    # stacked-superoperator Pallas kernel LOST to XLA 375 vs 646 and was
+    # deleted). Its replacement — the gather-free level-blocked kernel
+    # (pallas_kernels.heom_rhs_levels_factory) — keeps state/Z/accumulator
+    # in VMEM and streams only the one-hot S blocks, measured 1737 vs 626
+    # steps/s against the XLA dot at this shape. Parity-gated AT THIS
     # SHAPE (kernel bugs can be shape-dependent); a failing kernel
     # reports 0.0 rather than an unverified rate.
     fast_ok_L = _heom_kernel_parity(["matmul-fast", "pallas-fast"],
@@ -1040,9 +1162,21 @@ def main():
             "heom_large_parity_ok": fast_ok_L,
             "heom_cpu_ref_steps_per_sec": round(heom_cpu, 3),
             "heom_cpu_refpy_nonumba_steps_per_sec": round(heom_refpy, 3),
-            "tdes_map_ms": round(t_2des_tpu * 1e3, 2),
+            # roofline accounting (VERDICT r2 #3): fraction of v5e peaks
+            "heom_flagship_roofline": _heom_roofline(heom_best,
+                                                     heom_best_kernel),
+            "heom_large_roofline": {
+                k: _heom_roofline(heom_L[k], k, nsite=10)
+                for k in heom_L if heom_L[k]},
+            # 2DES: single-dispatch time is ~RPC floor + one map; the
+            # amortized row (32 maps per dispatch, on-device reduction)
+            # is the kernel-throughput number and sets speedup_2des
+            "tdes_map_ms": round(t_2des_amort * 1e3, 2),
+            "tdes_map_single_dispatch_ms": round(t_2des_tpu * 1e3, 2),
             "tdes_cpu_ref_ms": round(t_2des_cpu * 1e3, 2),
-            "speedup_2des": round(t_2des_cpu / t_2des_tpu, 2),
+            "speedup_2des": round(t_2des_cpu / t_2des_amort, 2),
+            "speedup_2des_single_dispatch": round(
+                t_2des_cpu / t_2des_tpu, 2),
             "ldr_steps_per_sec": round(ldr, 1),
             "ldr_vs_cpu_ref": round(ldr / ldr_cpu, 2),
             "ldr_cpu_ref_steps_per_sec": round(ldr_cpu, 3),
@@ -1072,7 +1206,12 @@ def main():
             "lindblad_steps_per_sec": round(lind, 1),
             "lindblad_vs_cpu": round(lind / lind_cpu, 2),
             "polariton_traj_steps_per_sec": round(pol, 1),
-            "polariton_vs_cpu": round(pol / pol_cpu, 2),
+            # renamed from polariton_vs_cpu (VERDICT r2 #5): a 512-wide
+            # vmapped TPU batch against the reference's SEQUENTIAL CPU
+            # drive loop — a throughput ratio, NOT a like-for-like
+            # speedup (that is the _batched row below)
+            "polariton_throughput_ratio_unbatched_cpu": round(
+                pol / pol_cpu, 2),
             "polariton_vs_cpu_batched": round(pol / pol_cpu_batched, 2),
         },
     }))

@@ -221,12 +221,41 @@ class HEOMSolver:
             [jnp.ones_like(keys), keys], axis=1).astype(
                 jnp.float64 if dtype == jnp.complex128 else jnp.float32)
         if jnp.iscomplexobj(damp) and kernel == "pallas":
-            # the Pallas kernel takes real damping rates; complex rates
-            # (underdamped baths) route through the jnp contraction
+            # the Pallas levels kernel takes real damping rates; complex
+            # rates (underdamped baths) route through the jnp contraction
             kernel = "matmul"
         if not jnp.iscomplexobj(damp):
             damp = damp.astype(wocc.dtype)
-        interpret = kernel == "pallas" and not pk.default_backend_is_tpu()
+
+        if kernel == "pallas":
+            # gather-free level-blocked Pallas kernel (the production
+            # TPU path; interpreted at f64 off-TPU so CPU tests exercise
+            # the same code)
+            interpret = not pk.default_backend_is_tpu()
+            rdt = (np.float64 if dtype == jnp.complex128 else np.float32)
+            lev_rhs, _, _, nado_pad = pk.heom_rhs_levels_factory(
+                np.asarray(self.H), np.asarray(Q), np.asarray(c),
+                np.asarray(damp, dtype=rdt),
+                np.asarray(keys), np.asarray(plus_idx),
+                np.asarray(minus_idx), interpret=interpret, dtype=rdt,
+                nu_is_damp=True)
+            perm = pk.heom_level_structure(np.asarray(keys))[5]
+            Vp = -(-V // 128) * 128
+            cols = np.arange(V)
+
+            def rhs(ados):
+                flat = ados.reshape(nado, V)
+                fr = jnp.zeros((nado_pad, Vp), rdt).at[perm[:, None],
+                                                       cols[None, :]].set(
+                    jnp.real(flat).astype(rdt))
+                fi = jnp.zeros((nado_pad, Vp), rdt).at[perm[:, None],
+                                                       cols[None, :]].set(
+                    jnp.imag(flat).astype(rdt))
+                gr, gi = lev_rhs(fr, fi)
+                out = (gr[perm][:, :V] + 1j * gi[perm][:, :V]).astype(dtype)
+                return out.reshape(nado, n, n)
+
+            return rhs
 
         B0 = B[:, :V]
         Bk = B[:, V:].reshape(V, 2 * M, V)
@@ -236,13 +265,8 @@ class HEOMSolver:
             padded = jnp.concatenate(
                 [flat, jnp.zeros((1, V), dtype=flat.dtype)], axis=0)
             g = padded[all_idx] * wocc[:, :, None]     # (nado, 2M, V)
-            if kernel == "pallas":
-                X = jnp.concatenate([flat[:, None, :], g], axis=1)
-                X = X.reshape(nado, (2 * M + 1) * V).T           # (KV, nado)
-                out = pk.heom_rhs_pallas(B, damp, X, interpret=interpret)
-                return out.T.reshape(nado, n, n)
-            # 'matmul': the no-transpose dot formulation (bit-identical,
-            # faster — no (KV, nado) relayout of the gathered stack)
+            # 'matmul': the no-transpose dot formulation (no (KV, nado)
+            # relayout of the gathered stack)
             out = pk.heom_rhs_dot(B0, Bk, damp, flat, g)
             return out.reshape(nado, n, n)
 

@@ -1,9 +1,17 @@
 """Pallas TPU kernels for the three hot compute paths (the north-star
 kernels named in BASELINE.json / SURVEY.md §7):
 
-(a) fused HEOM/DEOM hierarchy RHS — commutator + damping + neighbor
-    coupling as ONE MXU matmul per ADO tile (reference semantics:
-    pyqed/heom/deom.py:641-673 ``generate_dot_element``/``rem_cal``);
+(a) HEOM/DEOM hierarchy RHS (reference semantics:
+    pyqed/heom/deom.py:641-673 ``generate_dot_element``/``rem_cal``),
+    in two formulations:
+      - *stacked superoperator* (XLA): with row-major vec(),
+        left(Q) = Q ⊗ I, right(Q) = I ⊗ Qᵀ, the whole RHS is
+        out_i = B X_i − damp_i vec(ρ_i) on the gathered neighbor stack
+        X_i = [vec(ρ_i); vec(ρ_i^{+m}); n_m vec(ρ_i^{−m})] —
+        :func:`heom_rhs_dot` / :func:`heom_rhs_reference`;
+      - *level-blocked one-hot* (Pallas, gather-free):
+        :func:`heom_rhs_levels_factory` below — the production TPU
+        kernel; see the banner comment at its definition.
 (b) fused split-operator phase multiply / potential half-step
     (reference: pyqed/wpd.py:837-848 ``_KEO_linear`` and :700-702);
 (c) matrix-free Liouvillian commutator matvec feeding Krylov/Chebyshev
@@ -14,23 +22,7 @@ Design notes
 TPU has no native complex MXU path, so every kernel takes real/imag
 planes and forms complex products as real dots (4 per complex matmul).
 
-The HEOM RHS uses a *stacked-superoperator* formulation derived at setup
-time. With row-major vec(),  left(Q) = Q ⊗ I,  right(Q) = I ⊗ Qᵀ, the
-hierarchy RHS for the stacked neighbor-feature column X_i =
-[vec(ρ_i); vec(ρ_i^{+0..M−1}); n_m·vec(ρ_i^{−0..M−1})] is
-
-    out_i = B X_i − damp_i · vec(ρ_i)
-
-with the single static matrix
-    B = [ C | −iL_0+iR_0 | … | −i c_0 L_0 + i c_0* R_0 | … ],
-    C = −i(left(H) − right(H)).
-The per-mode constants c_m live in B; the only per-ADO weights are the
-REAL occupation numbers n_m, which XLA fuses into the neighbor gather.
-One complex matmul (V, (2M+1)V) @ ((2M+1)V, TILE) per tile does the
-whole RHS — commutator, damping, and both hierarchy couplings.
-
-All kernels carry a pure-jnp fallback with identical semantics; the
-dispatcher prefers Pallas on TPU backends and jnp elsewhere.  Set
+All kernels carry a pure-jnp fallback with identical semantics; set
 ``interpret=True`` (as the parity tests do) to run the very same kernels
 on CPU through the Pallas interpreter at float64.
 """
@@ -98,70 +90,6 @@ def heom_superop_matrix(H, Q, c, include_plus=True):
     return np.concatenate(blocks, axis=1)
 
 
-def _make_heom_rhs_kernel(precision):
-    def _heom_rhs_kernel(br_ref, bi_ref, damp_ref, xr_ref, xi_ref,
-                         outr_ref, outi_ref):
-        V = br_ref.shape[0]
-        xr = xr_ref[:]
-        xi = xi_ref[:]
-        out_r, out_i = _cdot(br_ref[:], bi_ref[:], xr, xi,
-                             precision=precision)
-        damp = damp_ref[:]
-        outr_ref[:] = out_r - damp * xr[:V, :]
-        outi_ref[:] = out_i - damp * xi[:V, :]
-    return _heom_rhs_kernel
-
-
-
-def heom_rhs_pallas(B, damp, X, *, tile=None, interpret=False,
-                    precision=None):
-    """Fused HEOM RHS: out = B X − damp ⊙ X[:V]  (column layout).
-
-    B: (V, KV) complex static matrix; X: (KV, nado) stacked
-    [self; plus neighbors; n-weighted minus neighbors] columns;
-    damp: (nado,) real. Returns complex (V, nado).
-    """
-    V = B.shape[0]
-    KV, nado = X.shape
-    rdt = _pt(jnp.float64 if X.dtype == jnp.complex128 else jnp.float32)
-
-    if tile is None:
-        # keep the per-program working set (double-buffered X tile pair +
-        # resident B pair) well under the ~16MB scoped-VMEM budget
-        itemsize = np.dtype(rdt).itemsize
-        budget = 6 * 2 ** 20 - 2 * B.size * itemsize
-        tile = max(128, min(512, budget // (4 * KV * itemsize + 1)))
-        tile = int(max(128, (tile // 128) * 128))
-
-    pad = (-nado) % tile
-    if pad:
-        X = jnp.pad(X, ((0, 0), (0, pad)))
-        damp = jnp.pad(damp, (0, pad))
-    npad = nado + pad
-    damp2 = jnp.reshape(damp, (1, npad)).astype(rdt)
-
-    grid = (npad // tile,)
-    col = lambda i: (0, i)
-    fixed = lambda i: (0, 0)
-    outr, outi = pl.pallas_call(
-        _make_heom_rhs_kernel(precision),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((V, KV), fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, KV), fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((KV, tile), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((KV, tile), col, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[pl.BlockSpec((V, tile), col, memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((V, npad), rdt)] * 2,
-        interpret=interpret,
-    )(jnp.real(B).astype(rdt), jnp.imag(B).astype(rdt), damp2,
-      jnp.real(X).astype(rdt), jnp.imag(X).astype(rdt))
-    out = outr + 1j * outi
-    return out[:, :nado]
-
-
 def heom_superop_split(H, Q, c):
     """(B0, Bk) blocks of :func:`heom_superop_matrix`: B0 = C (V, V) acts
     on the ADO itself, Bk (V, 2M, V) on the gathered [plus; minus]
@@ -189,7 +117,7 @@ def heom_rhs_dot(B0, Bk, damp, flat, g, precision=None):
 
 
 def heom_rhs_reference(B, damp, X, precision=None):
-    """Pure-jnp fallback, semantics identical to :func:`heom_rhs_pallas`.
+    """Stacked-superoperator RHS as one XLA dot: out = B X - damp * X[:V].
 
     precision: None -> Precision.HIGHEST (6-pass f32 emulation on the
     MXU — the safe default; no-op on CPU f64). Passing
@@ -389,3 +317,271 @@ def liouvillian_matvec(H, c_ops=None, *, use_pallas=None, interpret=False):
         return out
 
     return L
+
+
+# =====================================================================
+# (a') level-blocked gather-free HEOM RHS
+# =====================================================================
+#
+# The stacked-superoperator RHS above still needs the (nado, 2M, V)
+# neighbor gather, whose HBM round-trip dominates the step time at
+# production hierarchy sizes (~137 MB per RHS at nsite=10/lmax=3 vs
+# 8.5 GFLOP of matmul).  The hierarchy enumeration is level-graded, so
+# the neighbor maps only couple ADJACENT level blocks; writing the
+# plus/minus coupling as per-(mode, level-pair) one-hot matmuls
+#
+#     out[lv l] += S_{l,k} @ (flat[lv l±1] @ P_k^T)
+#
+# removes the gather entirely: S_{l,k} is a static selection matrix
+# (with the occupation weights n_m folded in on the minus side).  XLA
+# cannot fuse the two matmuls (the Z intermediate would round-trip
+# HBM at the same ~137 MB), but a Pallas kernel holds flat, Z and the
+# accumulator in VMEM and only streams the S blocks (~26 MB bf16) —
+# this is the kernel's reason to exist.  Reference semantics:
+# pyqed/heom/deom.py:641-673 (rem_cal), identical contraction.
+
+
+def heom_level_structure(keys):
+    """Level offsets/sizes of a graded hierarchy enumeration plus an
+    8-aligned padded layout (TPU sublane alignment).
+
+    Returns (sizes, offs, pad_sizes, pad_offs, nado_pad, perm) where
+    perm[i] = padded row of compact ADO i.
+    """
+    keys = np.asarray(keys)
+    levels = keys.sum(axis=1)
+    if not np.all(np.diff(levels) >= 0):
+        raise ValueError("hierarchy keys must be level-graded")
+    lmax = int(levels.max())
+    sizes = [int((levels == l).sum()) for l in range(lmax + 1)]
+    offs = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    pad_sizes = [-(-s // 8) * 8 for s in sizes]
+    pad_offs = np.concatenate([[0], np.cumsum(pad_sizes)])[:-1]
+    nado_pad = int(np.sum(pad_sizes))
+    perm = np.concatenate([pad_offs[l] + np.arange(sizes[l])
+                           for l in range(lmax + 1)]).astype(np.int32)
+    return sizes, offs, pad_sizes, pad_offs, nado_pad, perm
+
+
+def heom_level_blocks(H, Q, c, keys, plus_idx, minus_idx):
+    """Host-side builder of the level-blocked one-hot operands.
+
+    Returns a dict with (Vp = V padded to 128 lanes):
+      C     (Vp, Vp) complex  — -i(left(H) - right(H)) TRANSPOSED
+                                 (row-vector convention: out = flat @ C)
+      Pt    (M, Vp, Vp) complex — plus superops, transposed
+      Dt    (M, Vp, Vp) complex — minus superops (c_m folded), transposed
+      Splus  list l=0..L-1 of (M, n_l_pad, n_{l+1}_pad) f32 one-hot
+      Sminus list l=1..L   of (M, n_l_pad, n_{l-1}_pad) f32, entries
+             n_m(dest) (occupation weights)
+      structure: output of :func:`heom_level_structure`
+    """
+    H = np.asarray(H)
+    Q = np.asarray(Q)
+    c = np.asarray(c)
+    keys = np.asarray(keys)
+    n = H.shape[-1]
+    V = n * n
+    Vp = -(-V // 128) * 128
+    M = Q.shape[0]
+    eye = np.eye(n)
+    left = lambda a: np.kron(a, eye)
+    right = lambda a: np.kron(eye, a.T)
+
+    def padT(a):
+        out = np.zeros((Vp, Vp), dtype=complex)
+        out[:V, :V] = a.T
+        return out
+
+    C = padT(-1j * (left(H) - right(H)))
+    Pt = np.stack([padT(-1j * left(Q[m]) + 1j * right(Q[m]))
+                   for m in range(M)])
+    Dt = np.stack([padT(-1j * c[m] * left(Q[m])
+                        + 1j * np.conj(c[m]) * right(Q[m]))
+                   for m in range(M)])
+
+    sizes, offs, pad_sizes, pad_offs, nado_pad, perm = \
+        heom_level_structure(keys)
+    L = len(sizes) - 1
+    levels = keys.sum(axis=1)
+
+    Splus, Sminus = [], []
+    for l in range(L):          # dest level l, src level l+1 (plus)
+        S = np.zeros((M, pad_sizes[l], pad_sizes[l + 1]), np.float32)
+        for i in np.nonzero(levels == l)[0]:
+            for m in range(M):
+                j = plus_idx[i, m]
+                if j < keys.shape[0]:
+                    S[m, i - offs[l], j - offs[l + 1]] = 1.0
+        Splus.append(S)
+    for l in range(1, L + 1):   # dest level l, src level l-1 (minus)
+        S = np.zeros((M, pad_sizes[l], pad_sizes[l - 1]), np.float32)
+        for i in np.nonzero(levels == l)[0]:
+            for m in range(M):
+                j = minus_idx[i, m]
+                if j < keys.shape[0] and keys[i, m] > 0:
+                    S[m, i - offs[l], j - offs[l - 1]] = float(keys[i, m])
+        Sminus.append(S)
+    return dict(C=C, Pt=Pt, Dt=Dt, Splus=Splus, Sminus=Sminus,
+                structure=(sizes, offs, pad_sizes, pad_offs, nado_pad,
+                           perm), V=V, Vp=Vp, M=M)
+
+
+def _make_level_coupling_kernel(n_src_pad, fast):
+    """Kernel for one (direction, dest level): grid over modes k;
+    accumulates out += S_k @ (flat_src @ Op_k^T) with everything except
+    the streamed S_k blocks resident in VMEM."""
+
+    def kernel(s_ref, ptr_ref, pti_ref, fr_ref, fi_ref,
+               outr_ref, outi_ref):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            outr_ref[:] = jnp.zeros_like(outr_ref)
+            outi_ref[:] = jnp.zeros_like(outi_ref)
+
+        pt = _pt(fr_ref.dtype)
+        fr = fr_ref[:]
+        fi = fi_ref[:]
+        ptr = ptr_ref[0]
+        pti = pti_ref[0]
+        if fast:
+            fr = fr.astype(jnp.bfloat16)
+            fi = fi.astype(jnp.bfloat16)
+            ptr = ptr.astype(jnp.bfloat16)
+            pti = pti.astype(jnp.bfloat16)
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=pt)
+
+        # Z = flat_src @ Op_k^T  (complex, (n_src_pad, Vp))
+        zr = dot(fr, ptr) - dot(fi, pti)
+        zi = dot(fr, pti) + dot(fi, ptr)
+        s = s_ref[0]
+        if fast:
+            zr = zr.astype(jnp.bfloat16)
+            zi = zi.astype(jnp.bfloat16)
+        outr_ref[:] += dot(s, zr)
+        outi_ref[:] += dot(s, zi)
+
+    return kernel
+
+
+def _level_coupling_call(S, Pt, fr, fi, *, fast, interpret):
+    """One direction/dest-level coupling: S (M, nl_pad, nsrc_pad) real,
+    Pt (M, Vp, Vp) complex (transposed superops), fr/fi (nsrc_pad, Vp)
+    source-level planes. Returns (outr, outi) (nl_pad, Vp)."""
+    M, nl_pad, nsrc_pad = S.shape
+    Ptr, Pti = Pt    # pre-split real/imag planes (numpy: axon cannot
+    Vp = Ptr.shape[-1]          # transfer complex arrays host<->device)
+    rdt = fr.dtype
+    kern = _make_level_coupling_kernel(nsrc_pad, fast and not interpret)
+    return pl.pallas_call(
+        kern,
+        grid=(M,),
+        in_specs=[
+            pl.BlockSpec((1, nl_pad, nsrc_pad), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp, Vp), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp, Vp), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsrc_pad, Vp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsrc_pad, Vp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((nl_pad, Vp), lambda k: (0, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nl_pad, Vp), rdt)] * 2,
+        interpret=interpret,
+    )(S, Ptr, Pti, fr, fi)
+
+
+def heom_rhs_levels_factory(H, Q, c, nu, keys, plus_idx, minus_idx, *,
+                            fast=False, interpret=False,
+                            dtype=np.float32, nu_is_damp=False):
+    """Build the gather-free level-blocked HEOM RHS.
+
+    Returns (rhs, embed, extract, nado_pad) where
+      rhs(fr, fi) -> (gr, gi)   on PADDED (nado_pad, Vp) planes,
+      embed(ados complex (nado, n, n)) -> (fr, fi) padded planes,
+      extract(fr, fi) -> ados complex (nado, n, n).
+
+    ``fast=True`` computes the coupling matmuls in bf16 (the S one-hot
+    selections and small-integer occupation weights are EXACT in bf16;
+    only the Z values round) — the analogue of Precision.DEFAULT on the
+    XLA paths. Reference semantics: pyqed/heom/deom.py:641-673.
+    """
+    blocks = heom_level_blocks(H, Q, c, keys, plus_idx, minus_idx)
+    sizes, offs, pad_sizes, pad_offs, nado_pad, perm = blocks["structure"]
+    V, Vp, M = blocks["V"], blocks["Vp"], blocks["M"]
+    n = int(np.sqrt(V))
+    L = len(sizes) - 1
+    keys = np.asarray(keys)
+    nado = keys.shape[0]
+
+    # NUMPY constants throughout: device arrays captured by a jitted
+    # closure are re-synced per call on the axon tunnel (~30 ms), while
+    # numpy constants embed into the executable; complex arrays cannot
+    # cross the axon host<->device boundary at all, so every operand is
+    # pre-split into real/imag planes
+    Cr = np.asarray(blocks["C"].real, dtype)
+    Ci = np.asarray(blocks["C"].imag, dtype)
+    damp = (np.asarray(nu) if nu_is_damp
+            else np.asarray(keys @ np.asarray(nu)))
+    damp_pad = np.zeros(nado_pad, dtype)
+    damp_pad[perm] = damp.real.astype(dtype)
+    sdt = jnp.bfloat16 if (fast and not interpret) else dtype
+    Pt = (np.asarray(blocks["Pt"].real, dtype),
+          np.asarray(blocks["Pt"].imag, dtype))
+    Dt = (np.asarray(blocks["Dt"].real, dtype),
+          np.asarray(blocks["Dt"].imag, dtype))
+    Splus = [np.asarray(S, sdt) for S in blocks["Splus"]]
+    Sminus = [np.asarray(S, sdt) for S in blocks["Sminus"]]
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+
+    def rhs(fr, fi):
+        # local term: flat @ C - damp * flat   (row-vector convention)
+        gr = (jnp.dot(fr, Cr, precision=prec)
+              - jnp.dot(fi, Ci, precision=prec) - damp_pad[:, None] * fr)
+        gi = (jnp.dot(fr, Ci, precision=prec)
+              + jnp.dot(fi, Cr, precision=prec) - damp_pad[:, None] * fi)
+        rows_p, rows_m = [], []
+        for l in range(L):      # plus: dest l, src l+1
+            o0, o1 = pad_offs[l + 1], pad_offs[l + 1] + pad_sizes[l + 1]
+            outr, outi = _level_coupling_call(
+                Splus[l], Pt, fr[o0:o1], fi[o0:o1],
+                fast=fast, interpret=interpret)
+            rows_p.append((outr, outi))
+        for li, l in enumerate(range(1, L + 1)):  # minus: dest l, src l-1
+            o0, o1 = pad_offs[l - 1], pad_offs[l - 1] + pad_sizes[l - 1]
+            outr, outi = _level_coupling_call(
+                Sminus[li], Dt, fr[o0:o1], fi[o0:o1],
+                fast=fast, interpret=interpret)
+            rows_m.append((outr, outi))
+        zl = jnp.zeros((pad_sizes[L], Vp), fr.dtype)
+        z0 = jnp.zeros((pad_sizes[0], Vp), fr.dtype)
+        gr = gr + jnp.concatenate([p[0] for p in rows_p] + [zl]) \
+                + jnp.concatenate([z0] + [m[0] for m in rows_m])
+        gi = gi + jnp.concatenate([p[1] for p in rows_p] + [zl]) \
+                + jnp.concatenate([z0] + [m[1] for m in rows_m])
+        return gr, gi
+
+    def embed(ados):
+        ados = np.asarray(ados).reshape(nado, V)
+        fr = np.zeros((nado_pad, Vp), dtype)
+        fi = np.zeros((nado_pad, Vp), dtype)
+        fr[perm[:, None], np.arange(V)[None, :]] = ados.real
+        fi[perm[:, None], np.arange(V)[None, :]] = ados.imag
+        return fr, fi
+
+    def extract(fr, fi):
+        fr = np.asarray(fr)
+        fi = np.asarray(fi)
+        flat = fr[perm][:, :V] + 1j * fi[perm][:, :V]
+        return flat.reshape(nado, n, n)
+
+    return rhs, embed, extract, nado_pad

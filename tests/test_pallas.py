@@ -27,18 +27,40 @@ def crand(rng, *shape):
 # ----------------------------------------------------------- (a) HEOM RHS
 
 def test_heom_rhs_kernel_parity(rng):
-    V, M, nado = 9, 3, 57
-    KV = (2 * M + 1) * V
-    B = crand(rng, V, KV)
-    X = crand(rng, KV, nado)
-    damp = rng.random(nado)
-    ref = B @ X - damp[None, :] * X[:V, :]
-    out_p = pk.heom_rhs_pallas(jnp.asarray(B), jnp.asarray(damp),
-                               jnp.asarray(X), interpret=True)
-    out_j = pk.heom_rhs_reference(jnp.asarray(B), jnp.asarray(damp),
-                                  jnp.asarray(X))
-    assert np.max(np.abs(np.asarray(out_p) - ref)) < 1e-10
-    assert np.max(np.abs(np.asarray(out_j) - ref)) < 1e-10
+    """Level-blocked Pallas RHS (interpret mode, f64) == the stacked
+    superoperator dot on the gathered neighbor stack."""
+    from pyqed_tpu.open.heom import enumerate_hierarchy, neighbor_maps
+    M, lmax, n = 3, 3, 3
+    keys, index = enumerate_hierarchy(M, lmax)
+    plus_idx, minus_idx = neighbor_maps(keys, index)
+    nado = keys.shape[0]
+    V = n * n
+    H = rng.standard_normal((n, n))
+    H = H + H.T
+    Q = rng.standard_normal((M, n, n))
+    Q = Q + np.swapaxes(Q, 1, 2)
+    c = crand(rng, M)
+    nu = rng.uniform(0.5, 2.0, M) + 0j
+
+    B0, Bk = pk.heom_superop_split(H, Q, c)
+    damp = (keys @ nu).real
+    all_idx = np.concatenate([plus_idx, minus_idx], axis=1)
+    wocc = np.concatenate([np.ones_like(keys), keys], axis=1).astype(float)
+    ados = crand(rng, nado, n, n)
+    flat = ados.reshape(nado, V)
+    padded = np.concatenate([flat, np.zeros((1, V), complex)], axis=0)
+    g = padded[all_idx] * wocc[:, :, None]
+    ref = np.asarray(pk.heom_rhs_dot(jnp.asarray(B0), jnp.asarray(Bk),
+                                     jnp.asarray(damp), jnp.asarray(flat),
+                                     jnp.asarray(g)))
+
+    rhs, embed, extract, nado_pad = pk.heom_rhs_levels_factory(
+        H, Q, c, nu, keys, plus_idx, minus_idx, interpret=True,
+        dtype=np.float64)
+    fr, fi = embed(ados)
+    gr, gi = rhs(jnp.asarray(fr), jnp.asarray(fi))
+    out = extract(gr, gi).reshape(nado, V)
+    assert np.max(np.abs(out - ref)) / np.max(np.abs(ref)) < 1e-12
 
 
 def test_heom_solver_kernels_agree(rng):
