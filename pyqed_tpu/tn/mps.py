@@ -297,6 +297,19 @@ class MPO:
                 M.shape[3] * W.shape[3])
         return M[0, -1] if M.shape[1] > 1 else M[0, 0]
 
+    def __matmul__(self, other):
+        """MPO @ MPS -> MPS (uncompressed; use ``.compress`` after), or
+        MPO @ MPO -> MPO (reference: pyqed/mps/mps.py:680)."""
+        if isinstance(other, MPS):
+            return apply_mpo(self, other)
+        if isinstance(other, MPO):
+            Ws = [jnp.einsum("abpq, cdqr -> acbdpr", W1, W2).reshape(
+                W1.shape[0] * W2.shape[0], W1.shape[1] * W2.shape[1],
+                W1.shape[2], W2.shape[3])
+                for W1, W2 in zip(self.Ws, other.Ws)]
+            return MPO(Ws)
+        return NotImplemented
+
     def expect(self, mps: MPS):
         """<mps|MPO|mps> via the zipper contraction
         (reference: pyqed/mps/mps.py:795)."""
@@ -311,6 +324,38 @@ class MPO:
             E = jnp.einsum("kwb, kpx, wvqp, bqy -> xvy",
                            E, B, self.Ws[k], B.conj())
         return E[:, -1, :].trace() if E.shape[1] > 1 else E[:, 0, :].trace()
+
+
+def apply_mpo(mpo: MPO, mps: MPS, chi_max=None):
+    """Apply an MPO to an MPS: per site B'_{(a l), p, (b r)} =
+    sum_q W_{a b p q} B_{l q r}, with the MPO boundary (row 0 left,
+    column -1 right) contracted in, then optional SVD compression to
+    ``chi_max``.
+
+    (reference: pyqed/mps/mps.py:702 ``apply_mpo`` — which mutates its
+    B_list, leaves the boundary bonds open, returns only the LAST
+    tensor, and has its ``compress`` call commented out; completed
+    here. Pinned against the reference's mutated tensor chain in
+    tests/test_ref_oracle3.py.)
+    """
+    L = mps.L
+    Bs = []
+    for W, B in zip(mpo.Ws, mps.Bs):
+        T = jnp.einsum("abpq, lqr -> albpr", W, B)
+        a, l, b, p, r = T.shape
+        Bs.append(jnp.transpose(T, (0, 1, 3, 2, 4)).reshape(
+            a * l, p, b * r))
+    # MPO boundary selection: to_dense uses M[0, -1] (row 0 opens,
+    # column -1 closes)
+    a0, l0 = mpo.Ws[0].shape[0], mps.Bs[0].shape[0]
+    Bs[0] = Bs[0].reshape(a0, l0, *Bs[0].shape[1:])[0]
+    aL, lL = mpo.Ws[-1].shape[1], mps.Bs[-1].shape[-1]
+    BL = Bs[-1].reshape(*Bs[-1].shape[:-1], aL, lL)
+    Bs[-1] = BL[..., -1, :]
+    out = MPS(Bs, bc=mps.bc, form=None)
+    if chi_max is not None:
+        out = out.compress(chi_max)
+    return out
 
 
 def mpo_nearest_neighbor(L, h_onsite, h_bond_left, h_bond_right, d=None):

@@ -1,0 +1,189 @@
+"""True-oracle parity, round 3 (VERDICT r2 #7): SPO3 volumes,
+FloquetBloch band tracking, LDR2, and MPO-on-MPS application, each
+against the ACTUAL reference code exec'd from /root/reference."""
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ref_oracle import load_reference_module
+
+
+# --------------------------------------------------------------- SPO3
+
+def test_spo3_vs_reference():
+    """3D nonadiabatic split-operator (reference: pyqed/wpd.py:1105
+    ``SPO3``) == SPON on a 2-state 3D model at 1e-8."""
+    ref_wpd = load_reference_module("wpd")
+    from pyqed_tpu.grid.spo import SPON
+
+    n = 16
+    x = np.linspace(-5, 5, n, endpoint=False)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    v1 = 0.5 * (X ** 2 + Y ** 2 + Z ** 2)
+    v2 = 0.5 * ((X - 0.5) ** 2 + Y ** 2 + Z ** 2) + 0.8
+    cpl = 0.15 * np.exp(-(X ** 2 + Y ** 2))
+
+    psi0 = np.zeros((n, n, n, 2), complex)
+    psi0[..., 1] = np.exp(-(X + 0.3) ** 2 - Y ** 2 - Z ** 2)
+    dt, nt = 0.02, 12
+
+    ref = ref_wpd.SPO3(x=x, y=x, z=x, masses=[1.0, 1.0, 1.0], nstates=2)
+    ref.set_DPES(surfaces=[v1, v2], diabatic_couplings=[[(0, 1), cpl]])
+    r_ref = ref.run(psi0=psi0.copy(), dt=dt, nt=nt, nout=nt,
+                    return_states=True)
+    psi_ref = np.asarray(r_ref.psilist[-1])
+
+    mine = SPON([x, x, x], masses=[1.0, 1.0, 1.0], nstates=2,
+                kernel="xla")
+    mine.set_DPES([v1, v2], [[(0, 1), cpl]])
+    r_my = mine.run(psi0, dt=dt, nt=nt, nout=nt)
+    assert np.max(np.abs(np.asarray(r_my.psi) - psi_ref)) < 1e-8
+
+
+# ------------------------------------------------------- FloquetBloch
+
+@pytest.fixture(scope="module")
+def floquet_pair():
+    """Reference TightBinding->FloquetBloch vs ours on the 2-orbital 1D
+    chain of the reference's own test_1D_2norbs (Floquet.py:1685):
+    coords [0, 0.6], hoppings (1.5, 1.0), a = 1."""
+    refF = load_reference_module("floquet.Floquet")
+    from pyqed_tpu.floquet import FloquetBloch, make_peierls_blocks_fn
+
+    omega, nt = 4.95, 7
+    tb = refF.TightBinding([[0.0], [0.6]], relative_Hopping=[1.5, 1.0],
+                           lambda_decay=1.0, lattice_constant=[1.0],
+                           nk=10, mu=0.0)
+    tmp = tempfile.mkdtemp()
+    ref = tb.Floquet(data_path=tmp, omegad=omega, E0=[0.0, 0.3, 0.6],
+                     nt=nt, polarization=[1])
+
+    hops = [(0, 1, 0.6, 0.0, 1.5),     # intracell: displacement r1-r0
+            (0, 1, -0.4, -1.0, 1.0)]   # intercell wrap, shift -a
+
+    def Hk(k):
+        h01 = 1.5 + 1.0 * jnp.exp(-1j * k)
+        return jnp.array([[0.0, h01], [jnp.conj(h01), 0.0]])
+
+    mine = FloquetBloch(make_peierls_blocks_fn(hops, omega, nmax=3),
+                        omega, nt=nt, norbs=2, Hk_func=Hk)
+    return ref, mine
+
+
+def test_floquet_extended_hamiltonian_vs_reference(floquet_pair):
+    """Sambe-space matrix (reference: pyqed/floquet/Floquet.py:495
+    ``build_extendedH``), Bessel-dressed Peierls blocks."""
+    ref, mine = floquet_pair
+    for k, E in [(0.0, 0.3), (0.37, 0.6), (-1.1, 0.6)]:
+        F_ref = ref.build_extendedH(k, Ecur=E)
+        F_my = np.asarray(mine.build_extendedH(k, E))
+        assert np.max(np.abs(F_my - F_ref)) < 1e-12
+
+
+def test_floquet_run_band_tracking_vs_reference(floquet_pair):
+    """Full FloquetBloch.run (reference: Floquet.py:771): adiabatic
+    continuation of the tracked bands over the E0 ramp."""
+    ref, mine = floquet_pair
+    ks = np.linspace(-np.pi, np.pi, 21)
+    qe_ref, _ = ref.run(ks)
+
+    qe, st = mine.track_band(jnp.asarray(ks), 0.0)
+    for E in (0.3, 0.6):
+        qe, st = mine.track_band(jnp.asarray(ks), E, quasienergy=qe,
+                                 previous_state=st)
+    assert np.max(np.abs(np.asarray(qe) - np.asarray(qe_ref))) < 1e-10
+
+
+# --------------------------------------------------------------- LDR2
+
+def test_ldr2_vs_reference():
+    """LDR2 2-mode nonadiabatic dynamics (reference:
+    pyqed/ldr/ldr.py:1111). The reference builds its kinetic DVR with
+    walls AT the first/last grid point (SineDVR(x[0], x[-1], nx)), so
+    our solver is given domains (x[0], x[-1]) to replicate that
+    convention exactly."""
+    ref_ldr = load_reference_module("ldr.ldr")
+    from pyqed_tpu.grid.ldr import LDRN
+
+    level, ns, dt, nt = 4, 2, 0.01, 6
+    base = LDRN([(-4.0, 4.0), (-4.0, 4.0)], [level, level], nstates=ns)
+    x, y = np.asarray(base.x[0]), np.asarray(base.x[1])
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    apes = np.stack([0.5 * (X ** 2 + Y ** 2),
+                     0.5 * (X ** 2 + Y ** 2) + 1.0], axis=-1)
+    th = 0.3 * np.exp(-(X ** 2 + Y ** 2)).reshape(base.ntot)
+    S = np.zeros((base.ntot, 2, 2))
+    S[:, 0, 0] = np.cos(th)
+    S[:, 1, 1] = np.cos(th)
+    S[:, 0, 1] = -np.sin(th)
+    S[:, 1, 0] = np.sin(th)
+    psi0 = (np.exp(-(X ** 2 + Y ** 2))[..., None]
+            * np.array([1.0, 0.0])).astype(complex)
+    psi0 /= np.linalg.norm(psi0)
+
+    ref = ref_ldr.LDR2(x, y, nstates=ns)
+    ref.apes = apes
+    ref.A = np.einsum("mca, ncb -> manb", S, S).reshape(
+        len(x), len(y), ns, len(x), len(y), ns)
+    r_ref = ref.run(psi0.copy(), dt=dt, nt=nt, nout=1)
+    ref_psi = np.asarray(r_ref.psilist[-1])
+
+    mine = LDRN([(x[0], x[-1]), (y[0], y[-1])], [level, level],
+                nstates=ns)
+    mine.apes = apes
+    mine.build_ovlp(jnp.asarray(S).reshape(len(x), len(y), 2, ns))
+    U = np.asarray(mine.short_time_propagator(dt))
+    psi = psi0.reshape(base.ntot * ns).copy()
+    for _ in range(nt):
+        psi = U @ psi
+    ours = psi.reshape(len(x), len(y), ns)
+    # reference hot loop: psilist[-1] = (V K)^nt Vh psi0 = Vh U^nt psi0
+    expVh = np.exp(-1j * dt / 2 * apes)
+    assert np.max(np.abs(expVh * ours - ref_psi)) < 1e-8
+
+
+# ---------------------------------------------------------- apply_mpo
+
+def test_apply_mpo_vs_reference():
+    """MPO applied to MPS (reference: pyqed/mps/mps.py:702
+    ``apply_mpo`` — mutates B_list in place with the boundary bonds
+    left open): the reference's mutated tensor chain, closed with the
+    (0, -1) boundary selection, equals our apply_mpo (which selects
+    the boundary per site) as a dense state; our compressed variant
+    matches the dense H|psi> (the reference's compress call is
+    commented out)."""
+    ref_mps = load_reference_module("mps.mps")
+    from pyqed_tpu.tn.mps import MPS, MPO, apply_mpo, mpo_tfim
+
+    L = 5
+    rng = np.random.default_rng(4)
+    mps = MPS.random(L, d=2, chi=4, seed=11)
+    mpo = mpo_tfim(L, J=1.2, h=0.6)
+
+    # reference layout: W [b1, d_out, b2, d_in]; ours (wL, wR, p, p*)
+    w_list = [np.asarray(W).transpose(0, 2, 1, 3) for W in mpo.Ws]
+    B_list = [np.asarray(B) for B in mps.Bs]
+    ref_mps.apply_mpo(w_list, B_list, chi_max=64)   # mutates B_list
+
+    # close the reference chain: row 0 on the left, column -1 right
+    # (combined index (chi, b) is chi-major; boundary chis are 1)
+    th = B_list[0][0]                                 # (d, chi b)
+    for B in B_list[1:]:
+        th = np.tensordot(th, B, axes=([-1], [0]))
+    ref_dense = th[..., -1].reshape(-1)
+
+    mine = apply_mpo(mpo, mps)
+    my_dense = np.asarray(mine.to_dense())
+    assert np.max(np.abs(my_dense - ref_dense)) < 1e-12
+
+    # dense ground truth + compression
+    truth = np.asarray(mpo.to_dense()) @ np.asarray(mps.to_dense())
+    assert np.max(np.abs(my_dense - truth)) < 1e-12
+    comp = apply_mpo(mpo, mps, chi_max=16)
+    d2 = np.asarray(comp.to_dense())
+    sc = np.vdot(d2, truth) / np.vdot(d2, d2)
+    assert np.max(np.abs(sc * d2 - truth)) / np.max(np.abs(truth)) < 1e-10
