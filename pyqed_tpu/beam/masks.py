@@ -941,3 +941,18 @@ def gauss_beams_several_inclined(X, Y, wavelength, A, num_beams, w0, r0,
             ph = -max_y / 2 + max_y / nby * (j + 0.5)
             u = u + gauss_beam(X, Y, wavelength, w0, r0, z0, A, th, ph)
     return u
+
+
+def set_amplitude(u, amplitude):
+    """Replace |u| keeping the phase (reference:
+    pyqed/beam/scalar_masks_XY.py ``set_amplitude``)."""
+    u = jnp.asarray(u)
+    ph = jnp.where(jnp.abs(u) > 0, u / jnp.maximum(jnp.abs(u), 1e-300),
+                   1.0)
+    return jnp.asarray(amplitude) * ph
+
+
+def set_phase(u, phase):
+    """Replace the phase keeping |u| (reference: scalar_masks_XY.py
+    ``set_phase``)."""
+    return jnp.abs(jnp.asarray(u)) * jnp.exp(1j * jnp.asarray(phase))

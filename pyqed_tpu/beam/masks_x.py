@@ -311,3 +311,37 @@ def gauss_beams_several_inclined(x, wavelength, A, num_beams, w0, x0,
         th = -max_angle / 2 + max_angle / num_beams * (i + 0.5)
         u = u + gauss_beam(x, wavelength, w0, x0, z0, A, th)
     return u
+
+
+def dots(x, positions):
+    """Delta-like transparent dots at the given positions (reference:
+    pyqed/beam/scalar_masks_X.py ``dots``)."""
+    x = np.asarray(x)
+    u = np.zeros(len(x))
+    for xi in np.atleast_1d(positions):
+        u[int(np.argmin(np.abs(x - xi)))] = 1.0
+    return jnp.asarray(u, dtype=complex)
+
+
+def mask_from_function(x, f):
+    """Amplitude mask from a callable t(x) (reference:
+    scalar_masks_X.py ``mask_from_function`` — eval strings there)."""
+    return jnp.asarray(f(jnp.asarray(x)), dtype=complex)
+
+
+def mask_from_array(x, x_data, t_data):
+    """Amplitude mask interpolated from sampled data (reference:
+    scalar_masks_X.py ``mask_from_array``)."""
+    return jnp.asarray(np.interp(np.asarray(x), np.asarray(x_data),
+                                 np.asarray(t_data)), dtype=complex)
+
+
+def filter_mask(x, u, kernel_width):
+    """Low-pass the mask with a normalized Gaussian kernel (reference:
+    scalar_masks_X.py ``filter``)."""
+    x = np.asarray(x)
+    dx = x[1] - x[0]
+    k = np.exp(-((x - x.mean()) ** 2) / (2 * kernel_width ** 2))
+    k /= k.sum()
+    u = jnp.asarray(u)
+    return jnp.asarray(np.convolve(np.asarray(u), k, mode="same"))

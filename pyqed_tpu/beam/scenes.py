@@ -40,6 +40,8 @@ __all__ = [
     "lens_divergent", "aspheric_surface_z", "aspheric_lens",
     "mask_from_function_xz", "mask_from_array_xz", "rough_sheet",
     "discretize_refraction_index", "image_xz",
+    "extrude_mask_xz", "dots_xz", "add_surfaces", "ronchi_grating_xz",
+    "sine_grating_xz",
     "sphere_xyz", "cylinder_xyz", "object_by_surfaces_xyz",
 ]
 
@@ -487,3 +489,82 @@ def cylinder_xyz(n, x, y, z, r0, radius, length, refraction_index,
                  + (Z - z0) ** 2 / ry ** 2 < 1,
                  lambda X, Y, Z: jnp.abs(Y - y0) < length / 2]
     return object_by_surfaces_xyz(n, x, y, z, conds, refraction_index)
+
+
+def extrude_mask_xz(n, x, z, t_u, z0, z1, refraction_index,
+                    n_background=1.0):
+    """Extrude a 1D amplitude mask t(x) into the slab z0 < z < z1:
+    inside the slab, n = index (1 - t) + n_background t — transparent
+    (t=1) pixels keep the background, opaque (t=0) pixels get the
+    material (reference: pyqed/beam/scalar_masks_XZ.py:79
+    ``extrude_mask``, eval-strings replaced by a plain t array)."""
+    X, Z = xz_grids(x, z)
+    t_u = jnp.asarray(t_u)
+    inside = (Z >= z0) & (Z <= z1)
+    val = (refraction_index * (1.0 - t_u)[None, :]
+           + n_background * t_u[None, :])
+    return jnp.where(inside, val, jnp.asarray(n))
+
+
+def dots_xz(n, x, z, positions, refraction_index):
+    """Single-pixel scatterers at (x_i, z_i) (reference:
+    scalar_masks_XZ.py:512 ``dots``)."""
+    n = jnp.asarray(n)
+    x = np.asarray(x)
+    z = np.asarray(z)
+    for (xi, zi) in positions:
+        ix = int(np.argmin(np.abs(x - xi)))
+        iz = int(np.argmin(np.abs(z - zi)))
+        n = n.at[iz, ix].set(refraction_index)
+    return n
+
+
+def add_surfaces(n, x, z, f_bottom, f_top, x_sides, refraction_index):
+    """Region between two height profiles z = f_bottom(x) and
+    z = f_top(x), clipped to x_sides = (x_min, x_max) (reference:
+    scalar_masks_XZ.py:369 ``add_surfaces``; callables instead of the
+    reference's eval strings)."""
+    X, Z = xz_grids(x, z)
+    cond = ((Z >= f_bottom(X)) & (Z <= f_top(X))
+            & (X >= x_sides[0]) & (X <= x_sides[1]))
+    return jnp.where(cond, refraction_index, jnp.asarray(n))
+
+
+def ronchi_grating_xz(n, x, z, r0, period, fill_factor, length, height,
+                      Dx, refraction_index, height_substrate=0.0,
+                      refraction_index_substrate=None,
+                      n_background=1.0):
+    """Surface-relief Ronchi grating on an optional substrate
+    (reference: scalar_masks_XZ.py:1304 — extrude a 1D ronchi
+    amplitude mask, then the substrate rectangle, then clip to
+    ``length``)."""
+    x0, z0 = r0
+    xs = np.asarray(x)
+    t = (np.cos(2 * np.pi * (xs - Dx) / period)
+         > np.cos(np.pi * fill_factor)).astype(float)
+    zb = z0 + height_substrate / 2
+    n1 = extrude_mask_xz(n, x, z, 1.0 - t, zb, zb + height,
+                         refraction_index, n_background)
+    if height_substrate > 0 and refraction_index_substrate is not None:
+        n1 = rectangle(n1, x, z, r0, (length, height_substrate),
+                       refraction_index_substrate)
+    # clip the teeth outside the grating length
+    X, Z = xz_grids(x, z)
+    outside = ((jnp.abs(X - x0) > length / 2)
+               & (Z >= zb) & (Z <= zb + height))
+    return jnp.where(outside, n_background, n1)
+
+
+def sine_grating_xz(n, x, z, r0, period, height_sine,
+                    refraction_index, height_substrate=0.0,
+                    n_background=1.0):
+    """Sinusoidal surface-relief grating: material below the surface
+    z = z0 + h_sub + (h_sine/2)(1 + sin(2 pi x / period))
+    (reference: scalar_masks_XZ.py:1345 ``sine_grating``)."""
+    x0, z0 = r0
+    X, Z = xz_grids(x, z)
+    zsurf = (z0 + height_substrate
+             + 0.5 * height_sine * (1 + jnp.sin(2 * jnp.pi
+                                                * (X - x0) / period)))
+    cond = (Z >= z0) & (Z <= zsurf)
+    return jnp.where(cond, refraction_index, jnp.asarray(n))
