@@ -276,11 +276,18 @@ class QTF:
     with ``qpot_poly(order=...)`` (order=1 = the linear LQF limit).
     """
 
-    def __init__(self, ntraj, mass=1.0, order=3, friction=0.0):
+    def __init__(self, ntraj, mass=1.0, order=3, friction=0.0,
+                 qpot=None):
         self.ntraj = ntraj
         self.mass = float(mass)
         self.order = order
         self.friction = friction
+        #: qpot: optional custom quantum-force model
+        #: (x, p, r, w, mass) -> (Eu, fq, fr); e.g.
+        #: functools.partial(qpot_domains, xdom=[0.0]) for the
+        #: domain-decomposed double-well variant. Default: qpot_poly
+        #: with ``order``.
+        self.qpot = qpot
 
     def sample(self, a0, x0=0.0, key=None):
         """Trajectory ensemble for psi0 ~ exp(-a0 (x-x0)^2 / 2): the
@@ -326,10 +333,13 @@ class QTF:
         am = self.mass
         gam = self.friction
         order = self.order
+        qp = (self.qpot if self.qpot is not None
+              else (lambda x, p, r, w, mass: qpot_poly(
+                  x, p, r, w, mass=mass, order=order)))
 
         def rhs(state):
             x, p, r = state
-            _, fq, fr = qpot_poly(x, p, r, w, mass=am, order=order)
+            _, fq, fr = qp(x, p, r, w, mass=am)
             _, dv = derivs(x)
             return (p / am, -dv + fq - gam * p, fr)
 
@@ -341,7 +351,7 @@ class QTF:
             x, p, r = tuple(
                 c + dt / 6 * (a + 2 * b + 2 * cc + d)
                 for c, a, b, cc, d in zip(carry, k1, k2, k3, k4))
-            Eu, _, _ = qpot_poly(x, p, r, w, mass=am, order=order)
+            Eu, _, _ = qp(x, p, r, w, mass=am)
             v0, _ = derivs(x)
             Ek = jnp.dot(p * p, w) / (2 * am)
             Ev = jnp.dot(v0, w)
@@ -414,3 +424,112 @@ def qpot_poly(x, p, r, w, mass=1.0, order=5):
     fr = -(2.0 * r * dp + ddp) / (2.0 * mass)
     Eu = -jnp.dot(w, r ** 2 + dr) / (2.0 * mass)
     return Eu, fq, fr
+
+
+def qpot_domains(x, p, r, w, xdom, mass=1.0, sharp=8.0):
+    """Domain-decomposed LQF: the nonclassical momentum r(x) and the
+    momentum p(x) are fit LINEARLY inside each spatial domain and
+    blended with smooth tanh partition functions
+
+        theta_0 = (1 - tanh d(x - x_0))/2,
+        theta_k = (tanh d(x - x_{k-1}) - tanh d(x - x_k))/2,
+        theta_K = (1 + tanh d(x - x_{K-1}))/2,
+
+    which lets a GLOBALLY nonlinear r(x) (double wells!) be captured by
+    piecewise-linear fits (reference: pyqed/qt/1D/domain/{main,fit}.py
+    — half-finished scripts whose domain loop is vestigial; completed
+    here with the full product-rule forces).
+
+    xdom: sorted interior domain edges (K edges -> K+1 domains).
+    Returns (Eu, fq, fr) like :func:`qpot_poly`.
+    """
+    x = jnp.asarray(x).reshape(-1)
+    p = jnp.asarray(p).reshape(-1)
+    r = jnp.asarray(r).reshape(-1)
+    w = jnp.asarray(w).reshape(-1)
+    xdom = jnp.atleast_1d(jnp.asarray(xdom, dtype=x.dtype))
+    d = sharp
+    K = xdom.shape[0]
+
+    ts = [jnp.tanh(d * (x - xe)) for xe in xdom]
+    sech2 = [1.0 - t ** 2 for t in ts]
+    thetas = [0.5 * (1.0 - ts[0])]
+    dthetas = [-0.5 * d * sech2[0]]
+    ddthetas = [d * d * ts[0] * sech2[0]]
+    for k in range(K - 1):
+        thetas.append(0.5 * (ts[k] - ts[k + 1]))
+        dthetas.append(0.5 * d * (sech2[k] - sech2[k + 1]))
+        ddthetas.append(-d * d * (ts[k] * sech2[k]
+                                  - ts[k + 1] * sech2[k + 1]))
+    thetas.append(0.5 * (1.0 + ts[-1]))
+    dthetas.append(0.5 * d * sech2[-1])
+    ddthetas.append(-d * d * ts[-1] * sech2[-1])
+
+    def blend(y):
+        """Domain-wise weighted linear fits of y(x), blended:
+        returns (yhat, dyhat, ddyhat)."""
+        yh = jnp.zeros_like(x)
+        dyh = jnp.zeros_like(x)
+        ddyh = jnp.zeros_like(x)
+        for th, dth, ddth in zip(thetas, dthetas, ddthetas):
+            wk = w * th
+            s0 = jnp.sum(wk)
+            s1 = jnp.dot(wk, x)
+            s2 = jnp.dot(wk, x * x)
+            b0 = jnp.dot(wk, y)
+            b1 = jnp.dot(wk, x * y)
+            det = s0 * s2 - s1 * s1 + 1e-300
+            a0 = (s2 * b0 - s1 * b1) / det
+            a1 = (s0 * b1 - s1 * b0) / det
+            yk = a0 + a1 * x
+            yh = yh + th * yk
+            dyh = dyh + dth * yk + th * a1
+            ddyh = ddyh + ddth * yk + 2.0 * dth * a1
+        return yh, dyh, ddyh
+
+    rh, drh, ddrh = blend(r)
+    ph, dph, ddph = blend(p)
+    fq = (2.0 * rh * drh + ddrh) / (2.0 * mass)
+    fr = -(2.0 * r * dph + ddph) / (2.0 * mass)
+    Eu = -jnp.dot(w, rh ** 2 + drh) / (2.0 * mass)
+    return Eu, fq, fr
+
+
+def vpot_ph2(r):
+    """para-H2 dimer Morse/long-range (MLR) potential, Eh vs bohr
+    (reference: pyqed/qt/1D/pH2.py — numba scripts; vectorized jnp
+    here). Depth 24.2288 cm^-1 at re = 3.47005 Angstrom; the long-range
+    tail is the damped C6/C8/C10 dispersion."""
+    bohr_angstrom = 0.52917721092
+    hartree_wavenumber = 219474.63
+    Vmin = -24.2288
+    bcoef = jnp.asarray([-6.631e-02, 1.346e-01, -3.300e-02, 6e0,
+                         -1.4e01, -1.193e02, 2.290e02, 1.110e03,
+                         -1.850e03, -3.5e03, 6.0e03])
+    re = 3.47005
+    De = 24.2288
+    r = jnp.asarray(r) * bohr_angstrom      # to Angstrom
+
+    def damp(r, n):
+        den = 1.10
+        return (1.0 - jnp.exp(-3.30 * den * r / n
+                              - 0.423 * (den * r) ** 2
+                              / np.sqrt(float(n)))) ** (n - 1)
+
+    def u_LR(r):
+        C6, C8, C10 = 5.820364e04, 2.87052154e05, 1.80757343e06
+        return (damp(r, 6) * C6 / r ** 6 + damp(r, 8) * C8 / r ** 8
+                + damp(r, 10) * C10 / r ** 10)
+
+    def y_ref(r, n):
+        r_ref = 4.60
+        return (r ** n - r_ref ** n) / (r ** n + r_ref ** n)
+
+    def y_eq(r, n):
+        return (r ** n - re ** n) / (r ** n + re ** n)
+
+    beta_inf = jnp.log(2.0 * De / u_LR(re))
+    s = sum(bcoef[j] * y_ref(r, 1) ** j for j in range(11))
+    beta = y_ref(r, 6) * beta_inf + (1.0 - y_ref(r, 6)) * s
+    v = De * (1.0 - u_LR(r) / u_LR(re) * jnp.exp(-beta * y_eq(r, 6))) ** 2
+    return (v + Vmin) / hartree_wavenumber

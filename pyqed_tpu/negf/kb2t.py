@@ -31,6 +31,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _greater(GR, GL):
+    """G^>(t,t') = G^R - G^A + G^< with the equal-time convention
+    repaired: the stored G^R(t,t) = -i I and G^A(t,t) = +i I double
+    count the theta(0) jump (G^R - G^A must equal G^> - G^< = -i I at
+    equal times, not -2i I), so +i I is restored on the diagonal —
+    G^>(t,t) = G^<(t,t) - i I = -i (1 - rho) exactly."""
+    nt, n = GR.shape[0], GR.shape[-1]
+    GA = jnp.conj(jnp.swapaxes(GR, 0, 1).transpose(0, 1, 3, 2))
+    G = GR - GA + GL
+    diag = jnp.arange(nt)
+    return G.at[diag, diag].add(1j * jnp.eye(n, dtype=complex)[None])
+
+
 class KBSolver2T:
     """Two-time Kadanoff-Baym propagation.
 
@@ -45,13 +58,20 @@ class KBSolver2T:
     """
 
     def __init__(self, hfun: Callable, nt: int, dt: float, beta=10.0,
-                 mu=0.0, U=0.0):
+                 mu=0.0, U=0.0, selfenergy="2B"):
         self.hfun = hfun
         self.nt = nt
         self.dt = dt
         self.beta = beta
         self.mu = mu
         self.U = U
+        #: selfenergy: "2B" (second Born, the direct U^2 term) or "GW"
+        #: (RPA-screened: W solved from the Volterra Dyson chain
+        #: W = v + v P W on the two-time grid; weak-U limit == 2B —
+        #: pinned in tests/test_kb_gw.py). Reference bubble semantics:
+        #: pyqed/gw/green.py:1432 ``bubble``/get_bubble_2 (equilibrium
+        #: container there; real-time two-time grid here).
+        self.selfenergy = selfenergy.upper()
         h0 = np.asarray(hfun(0.0))
         self.size = h0.shape[-1]
         self.GR = self.GL = None
@@ -59,7 +79,7 @@ class KBSolver2T:
     # ------------------------------------------------------------- run
     def run(self, sc_iter: int = 3):
         """March G^R and G^< over the two-time grid. With U != 0, the
-        second-Born Σ[G] is refreshed ``sc_iter`` times (outer
+        chosen Σ[G] (2B or GW) is refreshed ``sc_iter`` times (outer
         self-consistency over full re-propagations).
 
         Returns (GR, GL), each (nt, nt, n, n); GR is lower-triangular in
@@ -83,8 +103,10 @@ class KBSolver2T:
 
         GR, GL = _march(hs, GR0, GL0, SR, SL, self.dt)
         if self.U != 0.0:
+            sigma = (self.gw_self_energy if self.selfenergy == "GW"
+                     else self.second_born)
             for _ in range(sc_iter):
-                SR, SL = self.second_born(GR, GL)
+                SR, SL = sigma(GR, GL)
                 GR, GL = _march(hs, GR0, GL0, SR, SL, self.dt)
         self.GR, self.GL = GR, GL
         return GR, GL
@@ -97,8 +119,7 @@ class KBSolver2T:
         Σ^R(t,t') = θ(t−t') [Σ^>(t,t') − Σ^<(t,t')].
         """
         nt = self.nt
-        GA = jnp.conj(jnp.swapaxes(GR, 0, 1).transpose(0, 1, 3, 2))
-        Ggtr = GR - GA + GL
+        Ggtr = _greater(GR, GL)
         # X(t',t) with matrix transpose
         GL_T = jnp.swapaxes(GL, 0, 1).transpose(0, 1, 3, 2)
         Ggtr_T = jnp.swapaxes(Ggtr, 0, 1).transpose(0, 1, 3, 2)
@@ -184,12 +205,17 @@ def _march(hs, GR0, GL0, SR, SL, dt):
         col = jnp.where(colmask, mirror, GL[:, nrow])
         GL = GL.at[:, nrow].set(col)
 
-        # equal-time element from the Heisenberg equation of rho(t)
+        # equal-time element from the Heisenberg equation of rho(t):
+        # d G^<(t,t)/dt = -i[h, G^<] - i (I1 + I1^dag) with
+        # I1 = int (Sigma^R G^< + Sigma^< G^A); the adjoint equation's
+        # integral is I2 = -I1^dag, so the collision combination is the
+        # HERMITIAN I1 + I1^dag (a "- I1^dag" here is annihilated by the
+        # anti-Hermitization below — occupations would free-evolve)
         diag_prev = GL[nrow - 1, nrow - 1]
         cprev = coll_L(SR[nrow - 1], SL[nrow - 1], GL, GA,
                        nrow - 1)[nrow - 1]
         ddiag = (-1j * (h_prev @ diag_prev - diag_prev @ h_prev)
-                 - 1j * (cprev - jnp.conj(cprev.T)))
+                 - 1j * (cprev + jnp.conj(cprev.T)))
         diag = diag_prev + dt * ddiag
         GL = GL.at[nrow, nrow].set(0.5 * (diag - jnp.conj(diag.T)))
         return GR, GL
@@ -197,3 +223,95 @@ def _march(hs, GR0, GL0, SR, SL, dt):
     return jax.lax.fori_loop(1, nt, row_update, (GR0, GL0))
 
 KeldyshSolver = KBSolver2T       # reference drop-in name (pyqed/gw/keldysh.py)
+
+
+def _gw_sigma(GR, GL, U, dt):
+    """GW self-energy on the two-time grid (jitted helper; local/on-site
+    convention matching :meth:`KBSolver2T.second_born`).
+
+    Polarization bubble (reference: pyqed/gw/green.py:1432 ``bubble``):
+        P^<(t,t') = -i G^<(t,t') G^>(t',t)    (elementwise per (a,b))
+        P^>(t,t') = -i G^>(t,t') G^<(t',t)
+    Screened interaction beyond the bare v (dynamic part Wt = W - v)
+    from the Langreth rules of W = v + v P W, solved as Volterra
+    equations of the second kind, row-marched in t:
+        Wt^R = v P^R v + v [P^R * Wt^R]
+        Wt^< = v P^< v + v [P^R * Wt^< + P^< * Wt^A]
+    and Σ^<(t,t') = i G^<(t,t') Wt^<(t,t'),  Σ^R = θ (Σ^> - Σ^<).
+    To lowest order Wt = v P v, so Σ reduces EXACTLY to the direct
+    second-Born term U² G^< G^< G^> — the weak-U pin.
+    """
+    nt, n = GR.shape[0], GR.shape[-1]
+    idx = jnp.arange(nt)
+    Ggtr = _greater(GR, GL)
+    swapT = lambda X: jnp.swapaxes(X, 0, 1).transpose(0, 1, 3, 2)
+    PL = -1j * GL * swapT(Ggtr)
+    Pgtr = -1j * Ggtr * swapT(GL)
+    theta = jnp.tril(jnp.ones((nt, nt)))[:, :, None, None]
+    PR = theta * (Pgtr - PL)
+
+    # masked trapezoid weights over s in [0, row] / [0, col]
+    wrow = jnp.where(idx[None, :] <= idx[:, None], dt, 0.0)
+    wrow = wrow.at[:, 0].set(dt / 2)
+    wrow = jnp.where(idx[None, :] == idx[:, None], dt / 2, wrow)
+
+    # ---- Wt^R: row-march the Volterra equation (implicit endpoint)
+    # Wt^R(t, j) = U PR(t, j) U + U sum_s w[t,s] PR(t, s) Wt^R(s, j)
+    def rowR(t, WtR):
+        w = wrow[t]
+        src = U * U * PR[t]
+        conv = U * jnp.einsum("s, sab, sjab -> jab",
+                              w, PR[t], WtR, precision=jax.lax.Precision.HIGHEST)
+        # endpoint s = t carries the unknown row: solve elementwise
+        denom = 1.0 - U * (dt / 2) * PR[t, t][None]
+        new = (src + conv) / denom
+        new = jnp.where((idx <= t)[:, None, None], new, 0.0)
+        return WtR.at[t].set(new)
+
+    WtR = jax.lax.fori_loop(
+        0, nt, rowR, jnp.zeros((nt, nt, n, n), dtype=complex))
+
+    # Wt^A_{ab}(s, t') = conj(Wt^R_{ab}(t', s)) elementwise (local W)
+    WtA = jnp.conj(jnp.swapaxes(WtR, 0, 1))
+
+    # ---- Wt^< and Wt^>: linear in the unknown with the same kernel
+    def make_less(Pless):
+        def rowL(t, WtL):
+            w = wrow[t]
+            src = U * U * Pless[t]
+            c1 = U * jnp.einsum("s, sab, sjab -> jab", w, PR[t], WtL,
+                                precision=jax.lax.Precision.HIGHEST)
+            c2 = U * jnp.einsum("js, sab, sjab -> jab", wrow, Pless[t],
+                                WtA, precision=jax.lax.Precision.HIGHEST)
+            denom = 1.0 - U * (dt / 2) * PR[t, t][None]
+            return WtL.at[t].set((src + c1 + c2) / denom)
+        return jax.lax.fori_loop(
+            0, nt, rowL, jnp.zeros((nt, nt, n, n), dtype=complex))
+
+    WtL = make_less(PL)
+    Wtgtr = make_less(Pgtr)
+    # the row-march treats (t, t') asymmetrically at O(dt^2); project
+    # onto the exact Langreth symmetry X^<(t',t) = -X^<(t,t')^dagger
+    # (time swap + orbital transpose + conjugate, with the MINUS —
+    # bosonic and fermionic lesser functions share it)
+    sym = lambda X: 0.5 * (X - jnp.conj(
+        jnp.swapaxes(X, 0, 1).transpose(0, 1, 3, 2)))
+    WtL = sym(WtL)
+    Wtgtr = sym(Wtgtr)
+
+    SL = 1j * GL * WtL
+    Sgtr = 1j * Ggtr * Wtgtr
+    SR = theta * (Sgtr - SL)
+    return SR, SL
+
+
+# jitted once; U and dt are static enough to retrace rarely
+_gw_sigma_jit = jax.jit(_gw_sigma, static_argnums=())
+
+
+def _kb_gw_method(self, GR, GL):
+    """See :func:`_gw_sigma`."""
+    return _gw_sigma_jit(GR, GL, self.U, self.dt)
+
+
+KBSolver2T.gw_self_energy = _kb_gw_method

