@@ -85,6 +85,55 @@ def _rpc_floor_ms():
     return _timeit(tiny, x) * 1e3
 
 
+def _peaks(flops_per_unit, bytes_per_unit, units_per_sec):
+    """%-of-peak columns (VERDICT r2 #3). Peaks: v5e-1 HBM 819 GB/s;
+    MXU 197/6 TF for the full-f32 6-pass matmuls these programs use
+    (precision=HIGHEST)."""
+    gbps = bytes_per_unit * units_per_sec / 1e9
+    tflops = flops_per_unit * units_per_sec / 1e12
+    return {"flops_per_step": flops_per_unit,
+            "hbm_bytes_per_step_min": bytes_per_unit,
+            "achieved_tflops": round(tflops, 4),
+            "achieved_hbm_gbps": round(gbps, 1),
+            "frac_of_f32_mxu_peak": round(tflops / (197.0 / 6), 4),
+            "frac_of_hbm_peak": round(gbps / 819.0, 4)}
+
+
+def _matvec_roofline(dim, nout, steps_per_sec):
+    """Exact speed-of-light model for the folded-propagator benches
+    (SPO, Lindblad): each observation window is ONE complex64 (dim, dim)
+    matvec, so per fine step the mandatory work is 8 dim^2 flops / nout
+    and the mandatory HBM stream is the 8 dim^2-byte matrix (plus the
+    in/out vectors) / nout. These programs are HBM-bound by
+    construction (arithmetic intensity ~1 flop/byte): frac_of_hbm_peak
+    is the binding column."""
+    flops = 8.0 * dim * dim / nout
+    byt = (8.0 * dim * dim + 2 * 8.0 * dim) / nout
+    out = _peaks(flops, byt, steps_per_sec)
+    if 8.0 * dim * dim < 64e6:        # folded propagator fits v5e VMEM
+        out["note"] = ("propagator is VMEM-resident at this size: true "
+                       "HBM traffic is below the streamed model, the "
+                       "program is latency-bound, and frac_of_hbm_peak "
+                       "upper-bounds HBM pressure")
+    return out
+
+
+def _xla_roofline(jitted, args, units_per_sec):
+    """Roofline from XLA's compiled cost analysis, for SCAN-FREE
+    programs only (HLO cost analysis does not multiply loop bodies by
+    trip counts): flops / "bytes accessed" of the post-fusion module,
+    scaled by the measured per-dispatch rate."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byt = float(ca.get("bytes accessed", 0.0))
+    except Exception as exc:                      # axon backends w/o CA
+        return {"error": f"cost_analysis unavailable: {exc}"}
+    return _peaks(flops, byt, units_per_sec)
+
+
 def _timeit(fn, *args, repeat=3):
     """Min-of-repeat wall time after a warmup call; each timed call is
     synchronized by an actual readback (see ``_force``)."""
@@ -359,7 +408,20 @@ def bench_2des_tpu_amortized(nw=512, nt2=256, nmaps=32):
         return acc
 
     t = _timeit(run, w, t2s, offs)
-    return t / nmaps
+
+    # roofline from a SCAN-FREE single-map program (HLO cost analysis
+    # does not scale loop bodies by trip count), scaled by the measured
+    # amortized maps/s
+    @jax.jit
+    def one_map(w, t2s):
+        def one(t2):
+            S = _photon_echo(Ej, dj, -w, w, t2, [0], [1, 2], [3], gj)
+            return jnp.real(S), jnp.imag(S)
+        rr, ri = jax.vmap(one)(t2s)
+        return jnp.sum(rr, axis=0), jnp.sum(ri, axis=0)
+
+    roof = _xla_roofline(one_map, (w, t2s), nmaps / t)
+    return t / nmaps, roof
 
 
 def bench_2des_cpu(nw=512, nt2=256):
@@ -412,7 +474,8 @@ def bench_spo_tpu(nx=1024, nsteps=400000, dt=0.005):
 
     psi0 = np.exp(-(x - 2.0) ** 2).astype(np.float32)
     t = _timeit(run, psi0, np.zeros_like(psi0), *Mk_ri)
-    return nsteps / t
+    rate = nsteps / t
+    return rate, _matvec_roofline(nx, nout, rate)
 
 
 def bench_spo_cpu(nx=1024, nsteps=200, dt=0.005):
@@ -493,7 +556,8 @@ def bench_lindblad_tpu(nsteps=400000, dt=0.002, nout=50):
     rho0 = np.zeros((n,) * 2, np.float32)
     rho0[n // 2, n // 2] = 1.0
     t = _timeit(run, rho0, np.zeros_like(rho0), *Mk_ri)
-    return nsteps / t
+    rate = nsteps / t
+    return rate, _matvec_roofline(n * n, nout, rate)
 
 
 def bench_lindblad_cpu(nsteps=200, dt=0.002):
@@ -1071,11 +1135,11 @@ def main():
     # programs compiled AFTER it (measured ~200x on the folded
     # propagator benches), so the small configs and the 2DES map run
     # first and the big HEOM program runs last.
-    lind = bench_lindblad_tpu()
+    lind, lind_roof = bench_lindblad_tpu()
     pol = bench_polariton_tpu()
-    spo = bench_spo_tpu()
+    spo, spo_roof = bench_spo_tpu()
     t_2des_tpu = bench_2des_tpu()
-    t_2des_amort = bench_2des_tpu_amortized()
+    t_2des_amort, tdes_roof = bench_2des_tpu_amortized()
     ldr = bench_ldr_tpu(batch=1)
     ldr_b8 = bench_ldr_tpu(batch=8)
     # factored nonadiabatic path (rank-nbasis overlap): parity-gated
@@ -1203,8 +1267,11 @@ def main():
                if ldr6 is not None else {}),
             "spo_steps_per_sec": round(spo, 1),
             "spo_vs_cpu": round(spo / spo_cpu, 2),
+            "spo_roofline": spo_roof,
             "lindblad_steps_per_sec": round(lind, 1),
             "lindblad_vs_cpu": round(lind / lind_cpu, 2),
+            "lindblad_roofline": lind_roof,
+            "tdes_map_roofline": tdes_roof,
             "polariton_traj_steps_per_sec": round(pol, 1),
             # renamed from polariton_vs_cpu (VERDICT r2 #5): a 512-wide
             # vmapped TPU batch against the reference's SEQUENTIAL CPU

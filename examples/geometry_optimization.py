@@ -1,10 +1,13 @@
 """Geometry optimization + harmonic frequency from the in-house RHF
 (reference: pyqed/qchem/grad.py — an empty skeleton there; this is the
-working pipeline: FD nuclear gradients -> BFGS -> Hessian).
+working pipeline: analytic nuclear gradients -> BFGS -> Hessian).
 
 Optimizes H2 at RHF/STO-3G (literature re = 1.346 bohr = 0.712 A) and
-computes the harmonic stretch frequency at the optimum.
-"""
+computes the harmonic stretch frequency at the optimum, then repeats
+the optimization at DFT (RKS/SVWN) with ANALYTIC Kohn-Sham gradients —
+derivative integrals for the HF-like core plus jax.grad through the
+Becke grid for the XC + grid-weight terms (the reference delegates DFT
+gradients to pyscf: pyqed/qchem/mol.py:817)."""
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
@@ -32,4 +35,13 @@ if not fast:
     print("harmonic stretch (cm^-1):", np.round(np.asarray(freqs), 1))
     # RHF/STO-3G H2 harmonic frequency ~ 5481 cm^-1 (std result)
     assert abs(float(np.max(freqs)) - 5481) < 150
+
+# ---- DFT with analytic Kohn-Sham gradients (ks_gradient) ----
+opt_ks = GeometryOptimizer(atoms0, basis="sto-3g", method="RKS",
+                           xc="svwn", gtol=1e-4).run()
+re_ks = np.linalg.norm(np.asarray(opt_ks.atoms_opt[1][1])
+                       - np.asarray(opt_ks.atoms_opt[0][1]))
+print(f"RKS/SVWN optimized r(H-H) = {re_ks:.4f} bohr "
+      f"(E = {opt_ks.e_tot:.6f} Eh, analytic KS gradient)")
+assert abs(re_ks - 1.39) < 2e-2          # SVWN/STO-3G overbinds vs HF
 print("OK")

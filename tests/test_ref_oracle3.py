@@ -187,3 +187,48 @@ def test_apply_mpo_vs_reference():
     d2 = np.asarray(comp.to_dense())
     sc = np.vdot(d2, truth) / np.vdot(d2, d2)
     assert np.max(np.abs(sc * d2 - truth)) / np.max(np.abs(truth)) < 1e-10
+
+
+# ------------------------------------------------------- HEOM (rk4)
+
+def test_heom_rk4_trajectory_vs_reference():
+    """High-T Drude HEOM trajectory vs the ACTUAL reference ``_heom``
+    (pyqed/HEOM/heom.py:275, RK4 + frozen-top terminator) exec'd from
+    /root/reference — completing the oracle chain beyond the Euler
+    transcription pin (tests/test_open.py). The reference there uses
+    the strict high-T coefficient D0 = reorg*(2T - i*gamma)
+    (heom.py:313), not the coth form, so the generic multi-exponential
+    HEOMSolver is driven with that D0 through set_bath; truncation at
+    lmax = nado - 2 matches its never-propagated top level."""
+    import io
+    from contextlib import redirect_stdout
+    ref_heom = load_reference_module("HEOM.heom")
+    from pyqed_tpu.open.heom import HEOMSolver
+    from pyqed_tpu.ops.operators import pauli
+
+    _, sx, _, sz = pauli()
+    eps, Delta = 0.5, 1.0
+    H = 0.5 * eps * np.asarray(sz) + 0.5 * Delta * np.asarray(sx)
+    Q = np.asarray(sz).astype(complex)
+    T, gamma, reorg = 1.0, 0.5, 0.05
+    nado, dt, nt = 8, 0.002, 400
+    rho0 = np.zeros((2, 2), complex)
+    rho0[0, 0] = 1.0
+    e_ops = [np.diag([1.0, 0.0]).astype(complex),
+             np.asarray(sx).astype(complex)]
+
+    with redirect_stdout(io.StringIO()):          # its print chatter
+        obs_ref = ref_heom._heom(H, rho0, [Q], e_ops, temperature=T,
+                                 cutoff=gamma, reorganization=reorg,
+                                 nado=nado, dt=dt, nt=nt)
+
+    D0 = reorg * (2.0 * T - 1j * gamma)           # heom.py:313 high-T
+    sol = HEOMSolver(jnp.asarray(H), bath=[(Q, [D0], [gamma])],
+                     lmax=nado - 2)
+    res = sol.run(jnp.asarray(rho0), dt, nt,
+                  e_ops=[jnp.asarray(e) for e in e_ops], method="rk4")
+
+    got = np.asarray(res.observables)             # (nt+1, 2), incl t=0
+    assert got.shape[0] == nt + 1
+    for j in range(2):
+        assert np.max(np.abs(got[1:, j] - obs_ref[j])) < 1e-8
