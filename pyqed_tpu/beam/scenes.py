@@ -471,6 +471,21 @@ def sphere_xyz(n, x, y, z, r0, radius, refraction_index):
         refraction_index)
 
 
+def square_xyz(n, x, y, z, r0, lengths, refraction_index):
+    """Axis-aligned box of half-extents ``lengths/2`` centered at
+    ``r0 = (x0, y0, z0)`` (reference: pyqed/beam/scalar_masks_XYZ.py:101
+    ``square``; the reference's rotated variant composes a rotation of
+    the grid — pass rotated conditions to ``object_by_surfaces_xyz``)."""
+    x0, y0, z0 = r0
+    lx, ly, lz = ((lengths,) * 3 if np.isscalar(lengths) else lengths)
+    return object_by_surfaces_xyz(
+        n, x, y, z,
+        [lambda X, Y, Z: jnp.abs(X - x0) < lx / 2,
+         lambda X, Y, Z: jnp.abs(Y - y0) < ly / 2,
+         lambda X, Y, Z: jnp.abs(Z - z0) < lz / 2],
+        refraction_index)
+
+
 def cylinder_xyz(n, x, y, z, r0, radius, length, refraction_index,
                  axis="z"):
     """Circular cylinder of ``radius`` and ``length`` along ``axis``."""

@@ -162,19 +162,35 @@ class HEOMSolver:
         kernel: 'einsum' (batched einsums over gathered neighbors),
         'matmul' (stacked-superoperator single matmul,
         pallas_kernels.heom_rhs_reference), 'pallas' (same contraction as
-        a fused Pallas MXU kernel), or None = auto (pallas on TPU,
-        einsum elsewhere).
+        a fused Pallas MXU kernel), 'rowcol' (site-projector row/column
+        gathers, pallas_kernels.heom_rhs_rowcol_factory — fastest TPU
+        path when every Q_m is a single-site projector), or None = auto
+        (TPU: rowcol when the couplings are site projectors, else
+        matmul; einsum elsewhere).
         """
         if kernel is None:
             kernel = self.kernel if getattr(self, "kernel", None) else None
-        if kernel is None:
-            kernel = "pallas" if pk.default_backend_is_tpu() else "einsum"
 
         keys, plus_idx, minus_idx, Q, c, nu = self._build(dtype)
         H = self.H.astype(dtype)
         damp = (keys @ nu[:, None])[:, 0]        # (nado,)
         nado, M = keys.shape
         n = self.n
+
+        if kernel is None:
+            if pk.default_backend_is_tpu():
+                proj = pk.heom_q_projector_sites(np.asarray(Q))
+                kernel = "rowcol" if proj is not None else "matmul"
+            else:
+                kernel = "einsum"
+
+        if kernel == "rowcol":
+            rdt = np.float64 if dtype == jnp.complex128 else np.float32
+            rhs = pk.heom_rhs_rowcol_factory(
+                np.asarray(H), np.asarray(Q), np.asarray(c),
+                np.asarray(nu), np.asarray(keys), np.asarray(plus_idx),
+                np.asarray(minus_idx), dtype=rdt)
+            return rhs, nado
 
         if kernel in ("matmul", "pallas"):
             return self._rhs_matmul(dtype, kernel, keys, plus_idx,

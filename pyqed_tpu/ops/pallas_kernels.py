@@ -116,6 +116,136 @@ def heom_rhs_dot(B0, Bk, damp, flat, g, precision=None):
     return out - damp[:, None] * flat
 
 
+def heom_q_projector_sites(Q, tol=0.0):
+    """If every coupling operator Q_m is a single-site projector
+    e_s e_sᵀ, return the int array of sites s(m); else return None.
+
+    Site-projector couplings are the standard exciton-chain HEOM
+    (reference: pyqed/heom/deom.py usage with Q = |m><m|); they unlock
+    the row/column RHS formulation below."""
+    Q = np.asarray(Q)
+    sites = np.empty(Q.shape[0], np.int32)
+    for m, q in enumerate(Q):
+        d = np.diagonal(q)
+        s = int(np.argmax(np.abs(d)))
+        e = np.zeros_like(q)
+        e[s, s] = 1.0
+        if not np.allclose(q, e, atol=tol if tol else 1e-14):
+            return None
+        sites[m] = s
+    return sites
+
+
+def heom_rhs_rowcol_factory(H, Q, c, nu, keys, plus_idx, minus_idx, *,
+                            fast=False, dtype=np.float32):
+    """Row/column HEOM RHS for SITE-PROJECTOR couplings Q_m = e_s e_sᵀ.
+
+    With row-major vec(), the coupling superoperators act as
+        left(Q_m)  vec(ρ) = vec(e_s ρ[s, :])   (row s only)
+        right(Q_m) vec(ρ) = vec(ρ[:, s] e_sᵀ)  (column s only),
+    so the whole gathered-neighbor contraction of
+    :func:`heom_rhs_dot` collapses to gathering ONE row and ONE column
+    of each neighbor ADO instead of its full (n, n) plane:
+
+        out_N += −i Σ_m [ ρ_{N+m}[s,:] + n_m c_m ρ_{N−m}[s,:] ]  at row s
+        out_N += +i Σ_m [ ρ_{N+m}[:,s] + n_m c_m* ρ_{N−m}[:,s] ] at col s
+
+    plus the local commutator −i[H, ρ_N] (computed in the O(n³) batched
+    matmul form, not the O(n⁴) superoperator form) and the −damp_N ρ_N
+    decay. Identical semantics to :func:`heom_rhs_dot` on
+    :func:`heom_superop_matrix` blocks (parity-pinned in
+    tests/test_pallas.py); HBM traffic per RHS drops from
+    O(nado·2M·n²) gathered planes to O(nado·2M·n) gathered lines —
+    the kernel is a pure-XLA gather + one-hot-matmul program.
+    Reference semantics: pyqed/heom/deom.py:641-673 (rem_cal).
+
+    Returns ``rhs(ados complex (nado, n, n)) -> (nado, n, n)``.
+    """
+    sites = heom_q_projector_sites(Q)
+    if sites is None:
+        raise ValueError("rowcol kernel needs site-projector couplings")
+    H = np.asarray(H)
+    keys = np.asarray(keys)
+    nado, M = keys.shape
+    n = H.shape[0]
+    # distinct sites, mode -> distinct-site slot
+    s_list, sidx = np.unique(sites, return_inverse=True)
+    nq = len(s_list)
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+
+    Hr = np.asarray(H.real, dtype)
+    Hi = np.asarray(H.imag, dtype) if np.iscomplexobj(H) else None
+    d_c = keys.astype(np.complex128) @ np.asarray(nu, np.complex128)
+    damp_r = np.asarray(d_c.real, dtype)
+    damp_i = np.asarray(d_c.imag, dtype)
+    damp_is_real = not np.any(d_c.imag)
+    c = np.asarray(c)
+    # per-(N, m) gather weights: plus = 1, minus = n_m c_m (rows) /
+    # n_m c_m* (cols); complex split so the jit closure is real-only
+    kf = keys.astype(np.float64)
+    w_row_m = kf * c[None, :]
+    w_col_m = kf * np.conj(c)[None, :]
+    # flat gather indices into the (nado+1, nq) padded row/col stacks
+    idx_p = (plus_idx.astype(np.int32) * nq + sidx[None, :].astype(np.int32))
+    idx_m = (minus_idx.astype(np.int32) * nq + sidx[None, :].astype(np.int32))
+    # one-hot embeddings: slot -> row/col position (n, nq)
+    E = np.zeros((n, nq), dtype)
+    E[s_list, np.arange(nq)] = 1.0
+    # slot-sum one-hot: mode -> slot (M, nq)
+    G = np.zeros((M, nq), dtype)
+    G[np.arange(M), sidx] = 1.0
+    w_row_r = np.asarray(w_row_m.real, dtype)
+    w_row_i = np.asarray(w_row_m.imag, dtype)
+    w_col_r = np.asarray(w_col_m.real, dtype)
+    w_col_i = np.asarray(w_col_m.imag, dtype)
+
+    def rhs(ados):
+        rdt = ados.real.dtype
+        zplane = jnp.zeros((1, n, n), ados.dtype)
+        padded = jnp.concatenate([ados, zplane], axis=0)
+        # (nado+1, nq, n) row stack / (nado+1, n, nq) -> (…, nq, n) col
+        rows = padded[:, s_list, :].reshape((nado + 1) * nq, n)
+        cols = jnp.swapaxes(padded[:, :, s_list], 1, 2).reshape(
+            (nado + 1) * nq, n)
+        gp_r = jnp.take(rows, idx_p.reshape(-1), axis=0).reshape(
+            nado, M, n)
+        gm_r = jnp.take(rows, idx_m.reshape(-1), axis=0).reshape(
+            nado, M, n)
+        gp_c = jnp.take(cols, idx_p.reshape(-1), axis=0).reshape(
+            nado, M, n)
+        gm_c = jnp.take(cols, idx_m.reshape(-1), axis=0).reshape(
+            nado, M, n)
+        wr = (w_row_r.astype(rdt) + 1j * w_row_i.astype(rdt))[..., None]
+        wc = (w_col_r.astype(rdt) + 1j * w_col_i.astype(rdt))[..., None]
+        row_contrib = gp_r + wr * gm_r                  # (nado, M, n)
+        col_contrib = gp_c + wc * gm_c
+        # sum modes sharing a site slot: (nado, M, n) x (M, nq)
+        row_acc = jnp.einsum("Nmx, mq -> Nqx", row_contrib,
+                             G.astype(rdt), precision=prec)
+        col_acc = jnp.einsum("Nmx, mq -> Nqx", col_contrib,
+                             G.astype(rdt), precision=prec)
+        # embed slots at their row/col positions (one-hot matmuls keep
+        # everything dense-dot; no XLA scatter)
+        Ej = E.astype(rdt)
+        out = -1j * (jnp.einsum("aq, Nqx -> Nax", Ej, row_acc,
+                                precision=prec)
+                     - jnp.einsum("xq, Nqa -> Nax", Ej, col_acc,
+                                  precision=prec))
+        # local term: −i[H, ρ] − damp ρ  (O(n³) batched matmuls)
+        Hc = (Hr.astype(rdt) if Hi is None
+              else Hr.astype(rdt) + 1j * Hi.astype(rdt))
+        out = out - 1j * (jnp.einsum("ab, Nbc -> Nac", Hc, ados,
+                                     precision=prec)
+                          - jnp.einsum("Nab, bc -> Nac", ados, Hc,
+                                       precision=prec))
+        damp = (damp_r.astype(rdt) if damp_is_real
+                else damp_r.astype(rdt) + 1j * damp_i.astype(rdt))
+        return out - damp[:, None, None] * ados
+
+    return rhs
+
+
 def heom_rhs_reference(B, damp, X, precision=None):
     """Stacked-superoperator RHS as one XLA dot: out = B X - damp * X[:V].
 
@@ -425,6 +555,116 @@ def heom_level_blocks(H, Q, c, keys, plus_idx, minus_idx):
     return dict(C=C, Pt=Pt, Dt=Dt, Splus=Splus, Sminus=Sminus,
                 structure=(sizes, offs, pad_sizes, pad_offs, nado_pad,
                            perm), V=V, Vp=Vp, M=M)
+
+
+def heom_rhs_levels_xla_factory(H, Q, c, nu, keys, plus_idx, minus_idx,
+                                *, fast=False, dtype=np.float32):
+    """Order-aware, mode-folded pure-XLA level-blocked HEOM RHS.
+
+    Same level-graded one-hot formulation as
+    :func:`heom_rhs_levels_factory` (identical operands from
+    :func:`heom_level_blocks`), but contracts each (direction, level)
+    pair in the FLOP-optimal order and folds all M modes into large
+    matmuls instead of a Pallas grid:
+
+      plus  (src level l+1 LARGER than dest l): select first —
+            Y = S_fold @ src  (one (M·n_l, n_{l+1}) @ (n_{l+1}, Vp)
+            matmul), then out = Σ_k Y_k @ P_kᵀ (batched (n_l, Vp) @
+            (Vp, Vp)); the original order computed src @ P_kᵀ for ALL
+            source rows × modes — n_{l+1}/n_l ≈ M× wasted MXU work;
+      minus (src level l−1 SMALLER): transform first —
+            Z = src @ D_kᵀ (batched), then out = Σ_k S_k @ Z_k.
+
+    Measured v5e, nado=1771 flagship-large shape: ~2.4× the stacked
+    matmul-fast dot and ~5× the Pallas grid kernel this replaces as the
+    production TPU path (BENCH_r03). Reference semantics:
+    pyqed/heom/deom.py:641-673 (rem_cal).
+
+    Returns (rhs, embed, extract, nado_pad) with the same padded-plane
+    I/O convention as :func:`heom_rhs_levels_factory`.
+    """
+    blocks = heom_level_blocks(H, Q, c, keys, plus_idx, minus_idx)
+    sizes, offs, pad_sizes, pad_offs, nado_pad, perm = blocks["structure"]
+    V, Vp, M = blocks["V"], blocks["Vp"], blocks["M"]
+    n = int(np.sqrt(V))
+    L = len(sizes) - 1
+    keys = np.asarray(keys)
+    nado = keys.shape[0]
+
+    Cr = np.asarray(blocks["C"].real, dtype)
+    Ci = np.asarray(blocks["C"].imag, dtype)
+    damp = np.asarray((keys @ np.asarray(nu)).real)
+    damp_pad = np.zeros(nado_pad, dtype)
+    damp_pad[perm] = damp.astype(dtype)
+    Ptr = np.asarray(blocks["Pt"].real, dtype)
+    Pti = np.asarray(blocks["Pt"].imag, dtype)
+    Dtr = np.asarray(blocks["Dt"].real, dtype)
+    Dti = np.asarray(blocks["Dt"].imag, dtype)
+    # plus: S folded to (M*n_l_pad, n_{l+1}_pad) for the select-first
+    # matmul; minus: S kept (M, n_l_pad, n_{l-1}_pad) batched
+    Spf = [np.ascontiguousarray(
+        np.asarray(S, dtype).reshape(-1, S.shape[-1]))
+        for S in blocks["Splus"]]
+    Smb = [np.asarray(S, dtype) for S in blocks["Sminus"]]
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+
+    def _ein(sub, *ops):
+        return jnp.einsum(sub, *ops, precision=prec)
+
+    def rhs(fr, fi):
+        gr = (_ein("nv, vw -> nw", fr, Cr) - _ein("nv, vw -> nw", fi, Ci)
+              - damp_pad[:, None] * fr)
+        gi = (_ein("nv, vw -> nw", fr, Ci) + _ein("nv, vw -> nw", fi, Cr)
+              - damp_pad[:, None] * fi)
+        rows_p, rows_m = [], []
+        for l in range(L):          # plus: dest l, src l+1
+            o0 = pad_offs[l + 1]
+            o1 = o0 + pad_sizes[l + 1]
+            sr, si = fr[o0:o1], fi[o0:o1]
+            yr = _ein("ds, sv -> dv", Spf[l], sr).reshape(
+                M, pad_sizes[l], Vp)
+            yi = _ein("ds, sv -> dv", Spf[l], si).reshape(
+                M, pad_sizes[l], Vp)
+            outr = (_ein("kdv, kvw -> dw", yr, Ptr)
+                    - _ein("kdv, kvw -> dw", yi, Pti))
+            outi = (_ein("kdv, kvw -> dw", yr, Pti)
+                    + _ein("kdv, kvw -> dw", yi, Ptr))
+            rows_p.append((outr, outi))
+        for li, l in enumerate(range(1, L + 1)):  # minus: dest l, src l-1
+            o0 = pad_offs[l - 1]
+            o1 = o0 + pad_sizes[l - 1]
+            sr, si = fr[o0:o1], fi[o0:o1]
+            zr = (_ein("sv, kvw -> ksw", sr, Dtr)
+                  - _ein("sv, kvw -> ksw", si, Dti))
+            zi = (_ein("sv, kvw -> ksw", sr, Dti)
+                  + _ein("sv, kvw -> ksw", si, Dtr))
+            outr = _ein("kds, ksw -> dw", Smb[li], zr)
+            outi = _ein("kds, ksw -> dw", Smb[li], zi)
+            rows_m.append((outr, outi))
+        zl = jnp.zeros((pad_sizes[L], Vp), fr.dtype)
+        z0 = jnp.zeros((pad_sizes[0], Vp), fr.dtype)
+        gr = gr + jnp.concatenate([p[0] for p in rows_p] + [zl]) \
+                + jnp.concatenate([z0] + [m[0] for m in rows_m])
+        gi = gi + jnp.concatenate([p[1] for p in rows_p] + [zl]) \
+                + jnp.concatenate([z0] + [m[1] for m in rows_m])
+        return gr, gi
+
+    def embed(ados):
+        ados = np.asarray(ados).reshape(nado, V)
+        fr = np.zeros((nado_pad, Vp), dtype)
+        fi = np.zeros((nado_pad, Vp), dtype)
+        fr[perm[:, None], np.arange(V)[None, :]] = ados.real
+        fi[perm[:, None], np.arange(V)[None, :]] = ados.imag
+        return fr, fi
+
+    def extract(fr, fi):
+        fr = np.asarray(fr)
+        fi = np.asarray(fi)
+        flat = fr[perm][:, :V] + 1j * fi[perm][:, :V]
+        return flat.reshape(nado, n, n)
+
+    return rhs, embed, extract, nado_pad
 
 
 def _make_level_coupling_kernel(n_src_pad, fast):

@@ -406,3 +406,8 @@ def test_xyz_sphere_cylinder_volumes():
     vol = float(jnp.sum(jnp.real(nc) > 1.25)) * dv
     exact = np.pi * 12.0 ** 2 * 30.0
     assert abs(vol - exact) / exact < 0.03
+    nb = sc.square_xyz(n0, x, y, z, (0.0, 0.0, 30.0),
+                       (20.0, 24.0, 30.0), 1.5)
+    vol = float(jnp.sum(jnp.real(nb) > 1.25)) * dv
+    exact = 20.0 * 24.0 * 30.0
+    assert abs(vol - exact) / exact < 0.05

@@ -63,6 +63,111 @@ def test_heom_rhs_kernel_parity(rng):
     assert np.max(np.abs(out - ref)) / np.max(np.abs(ref)) < 1e-12
 
 
+def test_heom_rhs_levels_xla_parity(rng):
+    """Order-aware mode-folded XLA level RHS == the stacked
+    superoperator dot (f64, generic dense couplings)."""
+    from pyqed_tpu.open.heom import enumerate_hierarchy, neighbor_maps
+    M, lmax, n = 3, 3, 3
+    keys, index = enumerate_hierarchy(M, lmax)
+    plus_idx, minus_idx = neighbor_maps(keys, index)
+    nado = keys.shape[0]
+    V = n * n
+    H = rng.standard_normal((n, n))
+    H = H + H.T
+    Q = rng.standard_normal((M, n, n))
+    Q = Q + np.swapaxes(Q, 1, 2)
+    c = crand(rng, M)
+    nu = rng.uniform(0.5, 2.0, M) + 0j
+
+    B0, Bk = pk.heom_superop_split(H, Q, c)
+    damp = (keys @ nu).real
+    all_idx = np.concatenate([plus_idx, minus_idx], axis=1)
+    wocc = np.concatenate([np.ones_like(keys), keys], axis=1).astype(float)
+    ados = crand(rng, nado, n, n)
+    flat = ados.reshape(nado, V)
+    padded = np.concatenate([flat, np.zeros((1, V), complex)], axis=0)
+    g = padded[all_idx] * wocc[:, :, None]
+    ref = np.asarray(pk.heom_rhs_dot(jnp.asarray(B0), jnp.asarray(Bk),
+                                     jnp.asarray(damp), jnp.asarray(flat),
+                                     jnp.asarray(g)))
+
+    rhs, embed, extract, _ = pk.heom_rhs_levels_xla_factory(
+        H, Q, c, nu, keys, plus_idx, minus_idx, dtype=np.float64)
+    fr, fi = embed(ados)
+    gr, gi = rhs(jnp.asarray(fr), jnp.asarray(fi))
+    out = extract(gr, gi).reshape(nado, V)
+    assert np.max(np.abs(out - ref)) / np.max(np.abs(ref)) < 1e-12
+
+
+def test_heom_rhs_rowcol_parity(rng):
+    """Site-projector row/column RHS == the stacked superoperator dot
+    (f64, random complex ADOs, complex bath amplitudes)."""
+    from pyqed_tpu.open.heom import enumerate_hierarchy, neighbor_maps
+    nsite, nexp, lmax, n = 3, 2, 3, 4
+    M = nsite * nexp
+    keys, index = enumerate_hierarchy(M, lmax)
+    plus_idx, minus_idx = neighbor_maps(keys, index)
+    nado = keys.shape[0]
+    V = n * n
+    H = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = H + H.conj().T
+    Q = np.zeros((M, n, n))
+    for m in range(M):
+        s = 1 + m // nexp
+        Q[m, s, s] = 1.0
+    c = crand(rng, M)
+    nu = rng.uniform(0.5, 2.0, M) + 1j * rng.standard_normal(M)
+
+    B0, Bk = pk.heom_superop_split(H, Q, c)
+    damp = keys @ nu
+    all_idx = np.concatenate([plus_idx, minus_idx], axis=1)
+    wocc = np.concatenate([np.ones_like(keys), keys], axis=1).astype(float)
+    ados = crand(rng, nado, n, n)
+    flat = ados.reshape(nado, V)
+    padded = np.concatenate([flat, np.zeros((1, V), complex)], axis=0)
+    g = padded[all_idx] * wocc[:, :, None]
+    ref = np.asarray(pk.heom_rhs_dot(
+        jnp.asarray(B0), jnp.asarray(Bk), jnp.asarray(damp.real),
+        jnp.asarray(flat), jnp.asarray(g)))
+    # heom_rhs_dot uses real damp; add the imaginary part by hand so the
+    # reference carries the full complex decay
+    ref = ref - 1j * damp.imag[:, None] * flat
+
+    rhs = pk.heom_rhs_rowcol_factory(H, Q, c, nu, keys, plus_idx,
+                                     minus_idx, dtype=np.float64)
+    out = np.asarray(rhs(jnp.asarray(ados))).reshape(nado, V)
+    assert np.max(np.abs(out - ref)) / np.max(np.abs(ref)) < 1e-12
+
+
+def test_heom_rowcol_rejects_nonprojector(rng):
+    Q = np.diag([1.0, -1.0])[None]
+    assert pk.heom_q_projector_sites(Q) is None
+    import pytest
+    with pytest.raises(ValueError):
+        pk.heom_rhs_rowcol_factory(np.eye(2), Q, np.ones(1), np.ones(1),
+                                   np.zeros((1, 1), int),
+                                   np.full((1, 1), 1),
+                                   np.full((1, 1), 1))
+
+
+def test_heom_run_rowcol_kernel_end_to_end(rng):
+    """Full propagation: rowcol kernel vs einsum kernel at f64."""
+    n = 3
+    H = np.array([[0.0, 0.1, 0.0], [0.1, 1.0, 0.2], [0.0, 0.2, 1.3]])
+    Q1 = np.zeros((n, n)); Q1[1, 1] = 1.0
+    Q2 = np.zeros((n, n)); Q2[2, 2] = 1.0
+    bath = DrudeBath(temperature=1.0, cutoff=0.5, reorg=0.1)
+    c, nu = bath.matsubara(1)
+    rho0 = np.zeros((n, n)); rho0[1, 1] = 1.0
+    e_ops = [np.diag([0.0, 1.0, 0.0])]
+    kw = dict(dt=0.01, nt=100, e_ops=e_ops)
+    sol = HEOMSolver(H, bath=[(Q1, c, nu), (Q2, c, nu)], lmax=3)
+    r1 = sol.run(rho0, kernel="einsum", **kw)
+    r2 = sol.run(rho0, kernel="rowcol", **kw)
+    assert np.max(np.abs(np.asarray(r1.observables)
+                         - np.asarray(r2.observables))) < 1e-12
+
+
 def test_heom_solver_kernels_agree(rng):
     n = 3
     H = rng.standard_normal((n, n))
