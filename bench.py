@@ -192,7 +192,35 @@ def _heom_roofline(steps_per_sec, kernel, nsite=7, nexp_per_bath=2,
     n = H.shape[0]
     V = n * n
     state_bytes = 2 * 4 * nado * V          # re+im f32 planes
-    if kernel.startswith("pallas"):
+    if kernel.startswith("levels"):
+        # order-aware mode-folded XLA levels kernel
+        # (pallas_kernels.heom_rhs_levels_xla_factory): per level l,
+        # plus = select-first (real S-fold matmul, then batched complex
+        # Y @ Pt), minus = transform-first (batched complex src @ Dt,
+        # then real S @ Z)
+        sizes, offs, pad_sizes, pad_offs, nado_pad, perm = \
+            pk.heom_level_structure(keys)
+        Vp = -(-V // 128) * 128
+        L = len(sizes) - 1
+        flops_rhs = 8 * nado_pad * Vp * Vp                    # C-term dot
+        s_elems = 0
+        for l in range(L):                 # plus: dest l, src l+1
+            dst, src = pad_sizes[l], pad_sizes[l + 1]
+            flops_rhs += 4 * M * dst * src * Vp               # S-fold Y
+            flops_rhs += 8 * M * dst * Vp * Vp                # Y @ Pt
+            s_elems += M * dst * src
+        for l in range(1, L + 1):          # minus: dest l, src l-1
+            dst, src = pad_sizes[l], pad_sizes[l - 1]
+            flops_rhs += 8 * M * src * Vp * Vp                # src @ Dt
+            flops_rhs += 4 * M * dst * src * Vp               # S @ Z
+            s_elems += M * dst * src
+        state_p = 2 * 4 * nado_pad * Vp
+        # per RHS: full state read + write, one pass of the f32 S
+        # blocks, Pt+Dt operand blocks once (conservative: XLA may
+        # re-read them per level)
+        op_bytes = s_elems * 4 + 2 * 2 * M * Vp * Vp * 4      # S + Pt/Dt
+        rhs_bytes = 2 * state_p + op_bytes
+    elif kernel.startswith("pallas"):
         sizes, offs, pad_sizes, pad_offs, nado_pad, perm = \
             pk.heom_level_structure(keys)
         Vp = -(-V // 128) * 128
@@ -1241,11 +1269,12 @@ def main():
                                        batch=(1, 64))
 
     # on-device parity gate before any fast kernel can set the headline
-    fast_ok = _heom_kernel_parity(["matmul-fast", "pallas",
-                                   "pallas-fast"])
+    flagship_kernels = ["matmul-fast", "pallas", "pallas-fast",
+                        "levels", "levels-fast", "rowcol-fast"]
+    fast_ok = _heom_kernel_parity(flagship_kernels)
     heom_matmul = bench_heom_tpu("matmul")
     rates = {"matmul": heom_matmul}
-    for k in ("matmul-fast", "pallas", "pallas-fast"):
+    for k in flagship_kernels:
         rates[k] = bench_heom_tpu(k)
     heom_best = max(r for k, r in rates.items()
                     if k == "matmul" or fast_ok.get(k, False))
@@ -1253,19 +1282,19 @@ def main():
         (k for k in rates if k == "matmul" or fast_ok.get(k, False)),
         key=lambda k: rates[k])
 
-    # large-shape HEOM (10 sites, nado=1771, the size where the round-2
+    # large-shape HEOM (10 sites, nado=1771 — the size where r2's
     # stacked-superoperator Pallas kernel LOST to XLA 375 vs 646 and was
-    # deleted). Its replacement — the gather-free level-blocked kernel
-    # (pallas_kernels.heom_rhs_levels_factory) — keeps state/Z/accumulator
-    # in VMEM and streams only the one-hot S blocks, measured 1737 vs 626
-    # steps/s against the XLA dot at this shape. Parity-gated AT THIS
-    # SHAPE (kernel bugs can be shape-dependent); a failing kernel
-    # reports 0.0 rather than an unverified rate.
-    fast_ok_L = _heom_kernel_parity(["matmul-fast", "pallas-fast"],
-                                    nsteps=60, nsite=10)
+    # deleted). Ranking measured here (r3): the order-aware mode-folded
+    # XLA levels kernel (heom_rhs_levels_xla_factory) wins — ~2151
+    # steps/s vs 658 for the stacked dot and ~1737 for the Pallas grid
+    # levels kernel; the rowcol gather kernel loses badly on TPU.
+    # Parity-gated AT THIS SHAPE (kernel bugs can be shape-dependent);
+    # a failing kernel reports 0.0 rather than an unverified rate.
+    large_kernels = ["matmul-fast", "pallas-fast", "levels-fast"]
+    fast_ok_L = _heom_kernel_parity(large_kernels, nsteps=60, nsite=10)
     heom_L = {k: (bench_heom_tpu(k, nsteps=300, nsite=10)
                   if fast_ok_L.get(k, False) else 0.0)
-              for k in ("matmul-fast", "pallas-fast")}
+              for k in large_kernels}
 
     heom_cpu = bench_heom_cpu()            # C++ reference transcription
     heom_refpy = bench_heom_cpu_refpy()    # actual reference code, no numba
@@ -1287,11 +1316,18 @@ def main():
             "heom_kernel_parity_ok": fast_ok,
             "heom_pallas_steps_per_sec": round(rates["pallas"], 2),
             "heom_pallas_fast_steps_per_sec": round(rates["pallas-fast"], 2),
+            "heom_levels_steps_per_sec": round(rates["levels"], 2),
+            "heom_levels_fast_steps_per_sec": round(
+                rates["levels-fast"], 2),
+            "heom_rowcol_fast_steps_per_sec": round(
+                rates["rowcol-fast"], 2),
             "heom_matmul_steps_per_sec": round(heom_matmul, 2),
             "heom_matmul_fast_steps_per_sec": round(rates["matmul-fast"], 2),
             "heom_large_xla_steps_per_sec": round(heom_L["matmul-fast"], 2),
             "heom_large_pallas_steps_per_sec": round(
                 heom_L["pallas-fast"], 2),
+            "heom_large_levels_fast_steps_per_sec": round(
+                heom_L["levels-fast"], 2),
             "heom_large_parity_ok": fast_ok_L,
             "heom_cpu_ref_steps_per_sec": round(heom_cpu, 3),
             "heom_cpu_refpy_nonumba_steps_per_sec": round(heom_refpy, 3),

@@ -90,6 +90,8 @@ class HEOMSolver:
                  decomposition="matsubara", nexp: int = 1, kernel=None,
                  mesh=None):
         self.H = jnp.asarray(H)
+        self._H_np = np.asarray(H)   # host copy: kernel factories need
+        # numpy operands, and axon cannot transfer complex device->host
         self.n = H.shape[-1]
         self.e_ops = e_ops
         self.c_ops = c_ops  # reference-style: bath coupling ops
@@ -99,6 +101,7 @@ class HEOMSolver:
         self.kernel = kernel    # None=auto | 'einsum' | 'matmul' | 'pallas'
         self.mesh = mesh        # jax.sharding.Mesh for ADO-axis sharding
         self._modes = None  # list of (Q, c, nu) flattened over baths/terms
+        self._evolve_cache = {}  # compiled evolve programs across run()s
         if bath is not None:
             self.set_bath(bath)
 
@@ -120,7 +123,7 @@ class HEOMSolver:
                     # nu kept complex: underdamped/Prony decompositions
                     # (open/bath.py prony_decomposition) carry oscillatory
                     # complex rates, like DEOMBath.expn
-                    modes.append((jnp.asarray(Q), complex(c), complex(nu)))
+                    modes.append((np.asarray(Q), complex(c), complex(nu)))
             self._modes = modes
         elif isinstance(bath, DrudeBath):
             if bath.bath_ops is None and self.c_ops is None:
@@ -133,63 +136,112 @@ class HEOMSolver:
             modes = []
             for Q in ops:
                 for ck, nuk in zip(c, nu):
-                    modes.append((jnp.asarray(Q), complex(ck), complex(nuk)))
+                    modes.append((np.asarray(Q), complex(ck), complex(nuk)))
             self._modes = modes
         else:
             raise TypeError("bath must be DrudeBath or list of (Q, c, nu)")
+        self._evolve_cache = {}   # hierarchy changed: compiled programs stale
         return self
 
     # ------------------------------------------------------------ setup
     def _build(self, dtype):
+        """HOST-side (numpy) hierarchy operands: numpy constants embed
+        into jitted executables for free, while device arrays would need
+        a device->host round trip in the kernel factories — which the
+        axon TPU backend cannot do for complex dtypes."""
         modes = self._modes
         M = len(modes)
         keys, index = enumerate_hierarchy(M, self.lmax)
         plus_idx, minus_idx = neighbor_maps(keys, index)
-        Q = jnp.stack([m[0].astype(dtype) for m in modes])           # (M, n, n)
-        c = jnp.asarray([m[1] for m in modes], dtype=dtype)          # (M,)
+        npdt = np.dtype(jnp.dtype(dtype).name)
+        Q = np.stack([np.asarray(m[0]).astype(npdt) for m in modes])
+        c = np.asarray([m[1] for m in modes], dtype=npdt)            # (M,)
         nus = np.array([m[2] for m in modes])
-        rdtype = (jnp.float64 if jnp.dtype(dtype) == jnp.complex128
-                  else jnp.float32)
+        rdtype = (np.float64 if jnp.dtype(dtype) == jnp.complex128
+                  else np.float32)
         # complex rates (underdamped/Prony baths) keep their imaginary part
-        nu = (jnp.asarray(nus, dtype=dtype) if np.any(nus.imag != 0)
-              else jnp.asarray(nus.real, dtype=rdtype))
-        return (jnp.asarray(keys), jnp.asarray(plus_idx),
-                jnp.asarray(minus_idx), Q, c, nu)
+        nu = (nus.astype(npdt) if np.any(nus.imag != 0)
+              else nus.real.astype(rdtype))
+        return (np.asarray(keys), np.asarray(plus_idx),
+                np.asarray(minus_idx), Q, c, nu)
 
     def rhs_fn(self, dtype, kernel=None):
         """Build the hierarchy RHS closure ados (nado,n,n) -> d ados/dt.
 
         kernel: 'einsum' (batched einsums over gathered neighbors),
         'matmul' (stacked-superoperator single matmul,
-        pallas_kernels.heom_rhs_reference), 'pallas' (same contraction as
-        a fused Pallas MXU kernel), 'rowcol' (site-projector row/column
-        gathers, pallas_kernels.heom_rhs_rowcol_factory — fastest TPU
-        path when every Q_m is a single-site projector), or None = auto
-        (TPU: rowcol when the couplings are site projectors, else
-        matmul; einsum elsewhere).
+        pallas_kernels.heom_rhs_reference), 'pallas' (level-blocked
+        Pallas MXU kernel), 'levels' / 'levels-fast' (order-aware
+        mode-folded pure-XLA level-blocked RHS,
+        pallas_kernels.heom_rhs_levels_xla_factory — the fastest
+        measured TPU path: ~4x the stacked matmul at the flagship shape
+        and ~3.3x at nado=1771, BENCH_r03), 'rowcol' (site-projector
+        row/column gathers — wins on CPU-class gather machines, LOSES
+        on TPU where the row/col gathers dominate), or None = auto
+        (TPU: levels when the bath rates are real, else matmul; einsum
+        elsewhere).
         """
         if kernel is None:
             kernel = self.kernel if getattr(self, "kernel", None) else None
 
         keys, plus_idx, minus_idx, Q, c, nu = self._build(dtype)
-        H = self.H.astype(dtype)
-        damp = (keys @ nu[:, None])[:, 0]        # (nado,)
+        npdt = np.dtype(jnp.dtype(dtype).name)
+        H = self._H_np.astype(npdt)
+        damp = (keys @ nu[:, None])[:, 0]        # (nado,) numpy
         nado, M = keys.shape
         n = self.n
 
         if kernel is None:
             if pk.default_backend_is_tpu():
-                proj = pk.heom_q_projector_sites(np.asarray(Q))
-                kernel = "rowcol" if proj is not None else "matmul"
+                # the levels kernel folds damping as (keys @ nu).real —
+                # complex rates (underdamped/Prony baths) need the
+                # complex-damp matmul path
+                kernel = "matmul" if np.iscomplexobj(nu) else "levels"
             else:
                 kernel = "einsum"
+
+        if kernel in ("levels", "levels-fast"):
+            rdt = np.float64 if dtype == jnp.complex128 else np.float32
+            lev_rhs, _, _, nado_pad = pk.heom_rhs_levels_xla_factory(
+                self._H_np, Q, c, nu, keys, plus_idx, minus_idx,
+                fast=kernel.endswith("fast"), dtype=rdt)
+            sizes, offs, pad_sizes, pad_offs, _, _ = \
+                pk.heom_level_structure(keys)
+            V = n * n
+            Vp = -(-V // 128) * 128
+            L = len(sizes) - 1
+
+            def _embed(plane):
+                # compact -> padded level layout via static slice/pad/
+                # concat (a per-row scatter costs more than the RHS —
+                # measured 10x step slowdown, see __graft_entry__)
+                flat = jnp.pad(plane.reshape(nado, V),
+                               ((0, 0), (0, Vp - V)))
+                segs = []
+                for lv in range(L + 1):
+                    seg = flat[offs[lv]:offs[lv] + sizes[lv]]
+                    segs.append(jnp.pad(
+                        seg, ((0, pad_sizes[lv] - sizes[lv]), (0, 0))))
+                return jnp.concatenate(segs)
+
+            def _extract(fpad):
+                segs = [fpad[pad_offs[lv]:pad_offs[lv] + sizes[lv]]
+                        for lv in range(L + 1)]
+                return jnp.concatenate(segs)[:, :V]
+
+            def rhs(ados):
+                fr = _embed(jnp.real(ados).astype(rdt))
+                fi = _embed(jnp.imag(ados).astype(rdt))
+                gr, gi = lev_rhs(fr, fi)
+                out = (_extract(gr) + 1j * _extract(gi)).astype(dtype)
+                return out.reshape(nado, n, n)
+
+            return rhs, nado
 
         if kernel == "rowcol":
             rdt = np.float64 if dtype == jnp.complex128 else np.float32
             rhs = pk.heom_rhs_rowcol_factory(
-                np.asarray(H), np.asarray(Q), np.asarray(c),
-                np.asarray(nu), np.asarray(keys), np.asarray(plus_idx),
-                np.asarray(minus_idx), dtype=rdt)
+                H, Q, c, nu, keys, plus_idx, minus_idx, dtype=rdt)
             return rhs, nado
 
         if kernel in ("matmul", "pallas"):
@@ -198,13 +250,14 @@ class HEOMSolver:
 
         # fused neighbor formulation (measured +43% on TPU vs separate
         # plus/minus einsums): one gather over [plus; minus] indices and
-        # complex left/right weights
-        all_idx = jnp.concatenate([plus_idx, minus_idx], axis=1)  # (N, 2M)
-        Q2 = jnp.concatenate([Q, Q], axis=0)                       # (2M, n, n)
-        ones = jnp.ones(keys.shape, dtype=dtype)
-        wl = jnp.concatenate([ones, keys.astype(dtype) * c[None, :]], axis=1)
-        wr = jnp.concatenate([ones, keys.astype(dtype) * jnp.conj(c)[None, :]],
-                             axis=1)
+        # complex left/right weights (all numpy: embedded as jit
+        # constants, no per-call device sync)
+        all_idx = np.concatenate([plus_idx, minus_idx], axis=1)   # (N, 2M)
+        Q2 = np.concatenate([Q, Q], axis=0)                       # (2M, n, n)
+        ones = np.ones(keys.shape, dtype=npdt)
+        wl = np.concatenate([ones, keys.astype(npdt) * c[None, :]], axis=1)
+        wr = np.concatenate([ones, keys.astype(npdt) * np.conj(c)[None, :]],
+                            axis=1)
 
         def rhs(ados):
             # ados: (nado, n, n)
@@ -228,19 +281,18 @@ class HEOMSolver:
         nado, M = keys.shape
         n = self.n
         V = n * n
-        B = jnp.asarray(
-            pk.heom_superop_matrix(np.asarray(H), np.asarray(Q),
-                                   np.asarray(c)), dtype=dtype)
-        all_idx = jnp.concatenate([plus_idx, minus_idx], axis=1)   # (N, 2M)
+        npdt = np.dtype(jnp.dtype(dtype).name)
+        B = pk.heom_superop_matrix(H, Q, c).astype(npdt)
+        all_idx = np.concatenate([plus_idx, minus_idx], axis=1)    # (N, 2M)
         # real occupation weights: 1 for plus, n_m for minus neighbors
-        wocc = jnp.concatenate(
-            [jnp.ones_like(keys), keys], axis=1).astype(
-                jnp.float64 if dtype == jnp.complex128 else jnp.float32)
-        if jnp.iscomplexobj(damp) and kernel == "pallas":
+        wocc = np.concatenate(
+            [np.ones_like(keys), keys], axis=1).astype(
+                np.float64 if dtype == jnp.complex128 else np.float32)
+        if np.iscomplexobj(damp) and kernel == "pallas":
             # the Pallas levels kernel takes real damping rates; complex
             # rates (underdamped baths) route through the jnp contraction
             kernel = "matmul"
-        if not jnp.iscomplexobj(damp):
+        if not np.iscomplexobj(damp):
             damp = damp.astype(wocc.dtype)
 
         if kernel == "pallas":
@@ -250,12 +302,10 @@ class HEOMSolver:
             interpret = not pk.default_backend_is_tpu()
             rdt = (np.float64 if dtype == jnp.complex128 else np.float32)
             lev_rhs, _, _, nado_pad = pk.heom_rhs_levels_factory(
-                np.asarray(self.H), np.asarray(Q), np.asarray(c),
-                np.asarray(damp, dtype=rdt),
-                np.asarray(keys), np.asarray(plus_idx),
-                np.asarray(minus_idx), interpret=interpret, dtype=rdt,
-                nu_is_damp=True)
-            perm = pk.heom_level_structure(np.asarray(keys))[5]
+                self._H_np, Q, c, np.asarray(damp, dtype=rdt),
+                keys, plus_idx, minus_idx, interpret=interpret,
+                dtype=rdt, nu_is_damp=True)
+            perm = pk.heom_level_structure(keys)[5]
             Vp = -(-V // 128) * 128
             cols = np.arange(V)
 
@@ -305,6 +355,25 @@ class HEOMSolver:
             e_ops = self.e_ops or []
         if mesh is None:
             mesh = self.mesh
+        # padded-representation fast path: the levels kernel wins on TPU
+        # only when the WHOLE propagation stays in its padded real
+        # (fr, fi) layout — wrapping it per-RHS-call behind the compact
+        # complex state loses the win to embed/extract traffic (measured
+        # 1432 vs 2475 steps/s at the flagship shape; in-representation:
+        # ~6900). Undriven, unsharded, uncheckpointed runs qualify.
+        if (mesh is None and edip is None and checkpoint is None
+                and resume is None):
+            k_req = kernel if kernel is not None else self.kernel
+            lev = k_req if k_req in ("levels", "levels-fast") else None
+            if lev is None and k_req is None and pk.default_backend_is_tpu():
+                nus = np.array([m[2] for m in self._modes])
+                if not np.any(nus.imag != 0):
+                    lev = "levels"
+            if lev is not None:
+                return self._run_levels(rho0, dt, nt, e_ops=e_ops,
+                                        nout=nout, method=method,
+                                        store_ados=store_ados,
+                                        kernel=lev, t0=t0)
         rho0 = jnp.asarray(rho0)
         dtype = jnp.result_type(rho0, self.H, 1j)
         if mesh is not None and kernel is None and self.kernel is None:
@@ -330,7 +399,11 @@ class HEOMSolver:
         ados0 = jnp.zeros((nado, n, n), dtype=dtype).at[0].set(rho0.astype(dtype))
         # (no device_put here: with_sharding_constraint inside jit handles
         # ADO counts that are not divisible by the mesh size)
-        eops = jnp.stack([jnp.asarray(e).astype(dtype) for e in e_ops]) \
+        # numpy, not jnp: a complex DEVICE array captured as a jit
+        # constant is lowered via a device->host copy, which the axon
+        # TPU backend cannot do for complex dtypes
+        npdt = np.dtype(jnp.dtype(dtype).name)
+        eops = np.stack([np.asarray(e).astype(npdt) for e in e_ops]) \
             if e_ops else None
 
         ns_steps = nt // nout
@@ -343,7 +416,7 @@ class HEOMSolver:
         if edip is not None:
             if pulse is None:
                 raise ValueError("edip given without pulse")
-            mu = jnp.asarray(edip).astype(dtype)
+            mu = np.asarray(edip).astype(npdt)
             base_rhs_t = rhs
 
             def rhs_t(y, t):
@@ -368,7 +441,30 @@ class HEOMSolver:
         else:
             raise ValueError(method)
 
+        # compiled-program cache across run() calls: make_evolve builds a
+        # NEW closure every call, so plain jax.jit re-traces and
+        # re-compiles identical programs (~seconds) on every invocation —
+        # painful for parameter scans that call run() repeatedly. Keyed
+        # by everything the traced program depends on; skipped for
+        # driven/sharded runs (pulse closures and meshes are not
+        # reliably hashable), and invalidated by set_bath.
+        cacheable = (mesh is None and edip is None)
+        cache = getattr(self, "_evolve_cache", None)
+        if cache is None:
+            cache = self._evolve_cache = {}
+
         def make_evolve(length):
+            ck = (length, nout, method, str(dtype), kernel, store_ados,
+                  float(dt), float(t0), self.lmax,
+                  None if eops is None else eops.tobytes(),
+                  # rhs fingerprint: the cached closure binds the OLD rhs,
+                  # valid only while the physics operands are unchanged
+                  self._H_np.tobytes(),
+                  tuple((np.asarray(Q).tobytes(), c, nu)
+                        for Q, c, nu in self._modes))
+            if cacheable and ck in cache:
+                return cache[ck]
+
             @jax.jit
             def evolve(a0, w0):
                 # w0: traced window offset (array, so chunked/resumed
@@ -384,6 +480,8 @@ class HEOMSolver:
                     return ados, out
                 return jax.lax.scan(window, a0,
                                     w0 + jnp.arange(length))
+            if cacheable:
+                cache[ck] = evolve
             return evolve
 
         start_window = 0
@@ -426,6 +524,123 @@ class HEOMSolver:
         res.ado = ados_f
         first = ados0 if store_ados else ados0[0]
         res.states = jnp.concatenate([first[None], rhos], axis=0)
+        return res
+
+    def _run_levels(self, rho0, dt, nt, e_ops, nout, method, store_ados,
+                    kernel, t0):
+        """Propagate ENTIRELY in the levels kernel's padded real
+        representation (pallas_kernels.heom_rhs_levels_xla_factory):
+        embed once, scan in (fr, fi), read observables off the root row
+        on-device, extract once at the end. All device I/O is real, so
+        this path is also axon-safe (no complex device->host copies).
+        Reference semantics: pyqed/heom/deom.py:725 ``rk4`` over
+        ``rem_cal``; dispatched from :meth:`run`."""
+        rho0 = np.asarray(rho0)
+        dtype = jnp.result_type(rho0, self._H_np, 1j)
+        npdt = np.dtype(jnp.dtype(dtype).name)
+        rdt = np.float64 if dtype == jnp.complex128 else np.float32
+        keys, plus_idx, minus_idx, Q, c, nu = self._build(dtype)
+        nado, M = keys.shape
+        n = self.n
+        V = n * n
+        rhs_lv, embed, extract, nado_pad = pk.heom_rhs_levels_xla_factory(
+            self._H_np, Q, c, nu, keys, plus_idx, minus_idx,
+            fast=kernel.endswith("fast"), dtype=rdt)
+        sizes, offs, pad_sizes, pad_offs, _, _ = \
+            pk.heom_level_structure(keys)
+        Vp = -(-V // 128) * 128
+        L = len(sizes) - 1
+
+        ados0 = np.zeros((nado, n, n), npdt)
+        ados0[0] = rho0.astype(npdt)
+        fr0, fi0 = embed(ados0)
+
+        # tr(E rho) = sum_ij E_ij rho_ji = E.T.flat . rho.flat
+        if e_ops:
+            eo = np.stack([np.asarray(e).T.reshape(V) for e in e_ops])
+            ef = np.zeros((len(e_ops), Vp), complex)
+            ef[:, :V] = eo
+            er = np.ascontiguousarray(ef.real.astype(rdt))
+            ei = np.ascontiguousarray(ef.imag.astype(rdt))
+
+        def obs_of(fr, fi):
+            if not e_ops:
+                return jnp.zeros((0,), dtype)
+            rr, ri = fr[0], fi[0]              # root ADO = padded row 0
+            return jax.lax.complex(
+                er @ rr - ei @ ri, er @ ri + ei @ rr).astype(dtype)
+
+        def extract_dev(fr, fi):
+            # padded -> compact complex, as static slices (traced)
+            segs = [jnp.concatenate(
+                [f[pad_offs[lv]:pad_offs[lv] + sizes[lv]]
+                 for lv in range(L + 1)])[:, :V] for f in (fr, fi)]
+            return (segs[0] + 1j * segs[1]).astype(dtype).reshape(
+                nado, n, n)
+
+        def rho_of(fr, fi):
+            if store_ados:
+                return extract_dev(fr, fi)
+            return (fr[0, :V] + 1j * fi[0, :V]).astype(dtype).reshape(n, n)
+
+        if method == "rk4":
+            def stepper(y, t):
+                fr, fi = y
+                k1 = rhs_lv(fr, fi)
+                k2 = rhs_lv(fr + dt / 2 * k1[0], fi + dt / 2 * k1[1])
+                k3 = rhs_lv(fr + dt / 2 * k2[0], fi + dt / 2 * k2[1])
+                k4 = rhs_lv(fr + dt * k3[0], fi + dt * k3[1])
+                return (fr + dt / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0]),
+                        fi + dt / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1]))
+        elif method == "euler":
+            def stepper(y, t):
+                g = rhs_lv(*y)
+                return (y[0] + dt * g[0], y[1] + dt * g[1])
+        else:
+            raise ValueError(method)
+
+        ns_steps = nt // nout
+        cache = getattr(self, "_evolve_cache", None)
+        if cache is None:
+            cache = self._evolve_cache = {}
+        ck = ("levels-padded", kernel, ns_steps, nout, method, str(dtype),
+              store_ados, float(dt), float(t0), self.lmax,
+              tuple(np.asarray(e).tobytes() for e in e_ops),
+              self._H_np.tobytes(),
+              tuple((np.asarray(Qm).tobytes(), cm, num)
+                    for Qm, cm, num in self._modes))
+        if ck in cache:
+            evolve = cache[ck]
+        else:
+            @jax.jit
+            def evolve(fr, fi):
+                def window(y, widx):
+                    def fine(i, yy):
+                        return stepper(yy, t0 + (widx * nout + i) * dt)
+                    y = jax.lax.fori_loop(0, nout, fine, y)
+                    return y, (obs_of(*y), rho_of(*y))
+                return jax.lax.scan(window, (fr, fi),
+                                    jnp.arange(ns_steps))
+            cache[ck] = evolve
+
+        (fr_f, fi_f), (obs, rhos) = evolve(fr0, fi0)
+        ados_f = extract(np.asarray(fr_f), np.asarray(fi_f))
+        obs0 = (np.einsum("kij, ji -> k",
+                          np.stack([np.asarray(e) for e in e_ops]),
+                          ados0[0]).astype(npdt)
+                if e_ops else np.zeros((0,), npdt))
+        observables = jnp.concatenate([jnp.asarray(obs0)[None], obs],
+                                      axis=0)
+        times = jnp.arange(obs.shape[0] + 1) * dt * nout
+        res = Result(times=times,
+                     observables=observables if e_ops else None,
+                     dt=dt, nt=nt, nout=nout)
+        res.rho0 = jnp.asarray(rho0)
+        res.rho = jnp.asarray(ados_f[0])
+        res.ado = jnp.asarray(ados_f)
+        first = ados0 if store_ados else ados0[0]
+        res.states = jnp.concatenate([jnp.asarray(first)[None], rhos],
+                                     axis=0)
         return res
 
     # ------------------------------------------------- correlation funcs

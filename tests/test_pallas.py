@@ -179,10 +179,58 @@ def test_heom_solver_kernels_agree(rng):
     r_e, nado = sol.rhs_fn(jnp.complex128, kernel="einsum")
     r_m, _ = sol.rhs_fn(jnp.complex128, kernel="matmul")
     r_p, _ = sol.rhs_fn(jnp.complex128, kernel="pallas")
+    r_l, _ = sol.rhs_fn(jnp.complex128, kernel="levels")
     ados = jnp.asarray(crand(rng, nado, n, n))
     a = np.asarray(r_e(ados))
     assert np.max(np.abs(a - np.asarray(r_m(ados)))) < 1e-12
     assert np.max(np.abs(a - np.asarray(r_p(ados)))) < 1e-12
+    assert np.max(np.abs(a - np.asarray(r_l(ados)))) < 1e-12
+
+
+def test_heom_run_levels_padded_outputs_match(rng):
+    """_run_levels (in-representation padded propagation) must return
+    the SAME Result surface as the compact path: observables, rho
+    trajectory, final ADO stack, store_ados stacks."""
+    n = 2
+    H = np.array([[1.0, 0.2], [0.2, -1.0]])
+    Q = np.diag([1.0, -1.0])
+    bath = DrudeBath(temperature=1.0, cutoff=0.5, reorg=0.1)
+    c, nu = bath.matsubara(1)
+    rho0 = np.array([[1.0, 0.0], [0.0, 0.0]])
+    e_ops = [np.diag([1.0, 0.0]), np.array([[0.0, 1.0], [0.0, 0.0]])]
+    kw = dict(dt=0.01, nt=60, nout=3, e_ops=e_ops)
+    sol = HEOMSolver(H, bath=[(Q, c, nu)], lmax=4)
+    r_m = sol.run(rho0, kernel="matmul", store_ados=True, **kw)
+    r_l = sol.run(rho0, kernel="levels", store_ados=True, **kw)
+    assert np.max(np.abs(np.asarray(r_m.observables)
+                         - np.asarray(r_l.observables))) < 1e-12
+    assert np.max(np.abs(np.asarray(r_m.states)
+                         - np.asarray(r_l.states))) < 1e-12
+    assert np.max(np.abs(np.asarray(r_m.ado) - np.asarray(r_l.ado))) < 1e-12
+    assert np.max(np.abs(np.asarray(r_m.rho) - np.asarray(r_l.rho))) < 1e-12
+    # second call hits the evolve cache and must agree bitwise
+    r_l2 = sol.run(rho0, kernel="levels", store_ados=True, **kw)
+    assert np.array_equal(np.asarray(r_l.observables),
+                          np.asarray(r_l2.observables))
+
+
+def test_heom_run_levels_kernel_end_to_end(rng):
+    """Full propagation: mode-folded XLA levels kernel (the TPU
+    auto-selection) vs einsum kernel at f64."""
+    n = 3
+    H = np.array([[0.0, 0.1, 0.0], [0.1, 1.0, 0.2], [0.0, 0.2, 1.3]])
+    Q1 = np.zeros((n, n)); Q1[1, 1] = 1.0
+    Q2 = np.zeros((n, n)); Q2[2, 2] = 1.0
+    bath = DrudeBath(temperature=1.0, cutoff=0.5, reorg=0.1)
+    c, nu = bath.matsubara(1)
+    rho0 = np.zeros((n, n)); rho0[1, 1] = 1.0
+    e_ops = [np.diag([0.0, 1.0, 0.0])]
+    kw = dict(dt=0.01, nt=100, e_ops=e_ops)
+    sol = HEOMSolver(H, bath=[(Q1, c, nu), (Q2, c, nu)], lmax=3)
+    r1 = sol.run(rho0, kernel="einsum", **kw)
+    r2 = sol.run(rho0, kernel="levels", **kw)
+    assert np.max(np.abs(np.asarray(r1.observables)
+                         - np.asarray(r2.observables))) < 1e-12
 
 
 def test_heom_run_matmul_kernel_end_to_end(rng):
