@@ -26,7 +26,7 @@ from .grid import SincDVR, SineDVR, HermiteDVR, ExponentialDVR
 from .ops.linalg import sort_eig as sort   # reference: pyqed/phys.py:554
 from .open import (
     LindbladSolver, LiouvilleSolver, RedfieldSolver, HEOMSolver,
-    HEOMSolverDrude, DrudeBath, OhmicBath,
+    HEOMSolverDrude, DrudeBath, OhmicBath, OQS,
 )
 from . import signal
 from . import floquet

@@ -9,3 +9,4 @@ from .nrg import NRG, SBM
 from .tcl import TCL2Solver
 from .mcwf import MCWFSolver, mcsolve
 from .correlation import correlation_3p_1t, correlation_4p_2t, g2_coherence
+from .oqs import OQS

@@ -14,7 +14,7 @@ from .math import (
     lorentzian, gaussian, coth, heaviside, fermi, sinc, rect, interval,
     stepsize, fftfreq, morse, pdf_normal, discretize, cartesian_product,
     meshgrid, cartesian, logarithmic_discretize, polar2cartesian,
-    cartesian2polar, nlargest, get_index, polarization_vector, rotate,
+    cartesian2polar, polar, square_barrier, nlargest, get_index, polarization_vector, rotate,
 )
 from .superoperator import (
     dm2vec, vec2dm, vec2mat, operator_to_vector, left, right,

@@ -165,3 +165,15 @@ def rotate(angle):
     returns the invalid ``np.array()`` there; made real)."""
     c, s = jnp.cos(angle), jnp.sin(angle)
     return jnp.array([[c, -s], [s, c]])
+
+
+def polar(x, y):
+    """(rho, phi) from cartesian (reference: pyqed/mol.py:1296)."""
+    return cartesian2polar(x, y)
+
+
+def square_barrier(x, width, height):
+    """Rectangular barrier of given width/height starting at x=0
+    (reference: pyqed/wpd.py:1965)."""
+    x = jnp.asarray(x)
+    return height * (jnp.heaviside(x, 0.5) - jnp.heaviside(x - width, 0.5))
