@@ -19,3 +19,4 @@ from .ehrenfest import Ehrenfest
 from .fssh import FSSH, tully_i, tully_ii, tully_iii
 from .nusol import NuSol, cheb_D2
 from .adt import adt_1d, adt_angle, ADT
+from .namd import NAMD, diabatic_to_adiabatic_1d
