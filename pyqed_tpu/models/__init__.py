@@ -19,6 +19,6 @@ from .shinmetiu2d import (ShinMetiu2D, ShinMetiu2DMagnetic,
                           ShinMetiu2DElectric, ShinMetiu2,
                           ShinMetiu2InMagneticField,
                           ShinMetiu2InElectricField)
-from .vibronic import Pyrazine4, Triazine, SpinVibronic
+from .vibronic import Pyrazine4, Triazine, SpinVibronic, VibronicAdiabatic
 from .phenol import Phenol
 from .pyrrole import Pyrrole, PyrroleCation

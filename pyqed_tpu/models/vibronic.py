@@ -423,3 +423,51 @@ class Triazine:
             un = np.asarray(u[:, n])
             L = L @ np.outer(un, un.conj())
         return np.trace(L)
+
+
+class VibronicAdiabatic:
+    """1D vibronic model in the adiabatic representation: adiabatic surfaces
+    v_a(x) + derivative couplings D_ab(x) on a grid, with dipoles.
+
+    (reference: pyqed/models/vibronic.py:598 — a holder whose dynamics/
+    buildH bodies are commented out; here ``run`` dispatches to the live
+    adiabatic NAMD propagator in :mod:`pyqed_tpu.grid.namd`.)
+    """
+
+    def __init__(self, x=None, v=None, nac=None, mass=1.0, nstates=2,
+                 edip=None, mdip=None, equad=None):
+        self.x = np.asarray(x) if x is not None else None
+        self.nx = self.x.size if x is not None else None
+        self.mass = mass
+        self.nel = self.nstates = nstates
+        self._v = np.asarray(v) if v is not None else None
+        self.nac = np.asarray(nac) if nac is not None else None
+        self.edip = edip
+        self.mdip = mdip
+        self.equad = equad
+
+    @property
+    def v(self):
+        return self._v
+
+    @v.setter
+    def v(self, value):
+        self._v = np.asarray(value)
+
+    def set_nac(self, nac):
+        self.nac = np.asarray(nac)
+
+    @classmethod
+    def from_diabatic(cls, x, dpes, mass=1.0, ddpes=None, **kwargs):
+        """Build from a diabatic PES matrix field (diagonalized with a
+        smooth gauge; NACs by Hellmann-Feynman when ``ddpes`` is given)."""
+        from ..grid.namd import diabatic_to_adiabatic_1d
+        v, u, nac = diabatic_to_adiabatic_1d(x, dpes, ddpes=ddpes)
+        obj = cls(x=x, v=v, nac=nac, mass=mass, nstates=v.shape[1], **kwargs)
+        obj.U = u
+        return obj
+
+    def run(self, psi0, dt, nt, nout=1, e_ops=None, order=2):
+        from ..grid.namd import NAMD
+        solver = NAMD(self.x, self._v, self.nac, mass=self.mass, order=order)
+        return solver.run(psi0, dt, nt, nout=nout, e_ops=e_ops)

@@ -109,3 +109,16 @@ def test_input_validation():
         NAMD(x, v, nac, order=3)
     with pytest.raises(ValueError):
         NAMD(x, v, nac).run(np.zeros((16, 3), complex), 0.1, 1)
+
+
+def test_vibronic_adiabatic_model_front_door():
+    """VibronicAdiabatic.run dispatches to NAMD
+    (reference: pyqed/models/vibronic.py:598 — dead holder there)."""
+    from pyqed_tpu.models import VibronicAdiabatic
+    x, dpes, ddpes = _model(nx=128)
+    m = VibronicAdiabatic.from_diabatic(x, dpes, mass=MASS, ddpes=ddpes)
+    assert m.nstates == 2 and m.v.shape == (128, 2)
+    psi0 = _initial(x)
+    r = m.run(jnp.asarray(psi0), dt=0.5, nt=200, nout=200)
+    pops = np.sum(np.abs(np.asarray(r.psi)) ** 2, axis=0) * (x[1] - x[0])
+    assert np.isclose(pops.sum(), 1.0, atol=1e-6)
