@@ -122,6 +122,30 @@ class JahnTeller:
                       + (self.kappa * Y) ** 2)
         return jnp.asarray(np.stack([vg - gap, vg + gap], axis=-1))
 
+    def geometric_phase(self, n=0, r=1.0, center=(0.0, 0.0), npts=400):
+        """Discrete Berry phase of adiabatic state ``n`` around a circle of
+        radius ``r`` about ``center``: pi when the loop encloses the conical
+        intersection at (-delta/kappa, 0), 0 otherwise.
+
+        (reference: pyqed/models/jahn_teller.py:410 ``geometric_phase`` — a
+        dangling plotting script importing proplot there.)
+        """
+        thetas = np.linspace(0, 2 * np.pi, npts, endpoint=False)
+        x = center[0] + r * np.cos(thetas)
+        y = center[1] + r * np.sin(thetas)
+        # batched 2x2 diabatic matrices in pure numpy (one eigh, no
+        # per-point device dispatch)
+        w_, k_ = self.omega, self.kappa
+        vg = w_ * (x**2 + y**2) / 2
+        v = np.zeros((npts, 2, 2))
+        v[:, 0, 0] = vg + k_ * x + self.delta
+        v[:, 1, 1] = vg - k_ * x - self.delta
+        v[:, 0, 1] = v[:, 1, 0] = k_ * y
+        _, u = np.linalg.eigh(v)
+        un = u[:, :, n]                                   # (npts, 2)
+        ov = np.einsum("ki, ki -> k", un, np.roll(un, -1, axis=0))
+        return abs(np.angle(np.prod(ov + 0j)))
+
 
 class ShinMetiu:
     """1D Shin-Metiu proton-coupled electron transfer

@@ -110,6 +110,16 @@ class TestVibronicModels:
         r = np.hypot(x[imin[0]], x[imin[1]])
         assert np.isclose(r, 0.5, atol=0.15)  # r* = k/w
 
+    def test_jahn_teller_geometric_phase(self):
+        """Berry phase pi iff the loop encloses the conical intersection
+        (reference: pyqed/models/jahn_teller.py:410 — a proplot script)."""
+        jt = JahnTeller(omega=1.0, kappa=0.5, delta=0.0)
+        assert np.isclose(jt.geometric_phase(r=1.0), np.pi, atol=1e-9)
+        jt2 = JahnTeller(omega=1.0, kappa=0.5, delta=1.0)   # CI at (-2, 0)
+        assert np.isclose(jt2.geometric_phase(r=1.0), 0.0, atol=1e-9)
+        assert np.isclose(jt2.geometric_phase(r=1.0, center=(-2.0, 0.0)),
+                          np.pi, atol=1e-9)
+
     def test_shin_metiu_pes(self):
         sm = ShinMetiu(nstates=3)
         sm.create_grid(nx=64)
