@@ -118,10 +118,14 @@ class NAMD:
             psi = jax.lax.fori_loop(0, nout, lambda i, p: step(p), psi)
             return psi, psi
 
+        if nt % nout != 0:
+            raise ValueError(f"nt={nt} must be a multiple of nout={nout}")
         nwin = nt // nout
         psi_f, states = jax.lax.scan(window, psi0, None, length=nwin)
+        # package convention (Result docstring, SPO): include the t=0 point
+        states = jnp.concatenate([psi0[None], states], axis=0)
         r = Result(dt=dt, nt=nt, nout=nout)
-        r.times = np.arange(1, nwin + 1) * (dt * nout)
+        r.times = np.arange(nwin + 1) * (dt * nout)
         r.psi0 = psi0
         r.psi = psi_f
         r.states = states

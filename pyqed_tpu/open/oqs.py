@@ -33,9 +33,10 @@ class OQS:
     # -- reference setter surface (pyqed/oqs.py:592-608) -----------------
     def set_hamiltonian(self, h):
         self.H = jnp.asarray(h)
+        self.nstates = self.H.shape[-1]
 
     def setH(self, h):
-        self.H = jnp.asarray(h)
+        self.set_hamiltonian(h)
 
     def set_c_ops(self, c_ops):
         self.c_ops = c_ops
@@ -64,13 +65,22 @@ class OQS:
 
     def tcl2(self, rho0, dt, nt, c_op=None, bath=None, corr=None,
              e_ops=None, **kwargs):
+        if c_op is None:
+            if self.c_ops is not None and len(self.c_ops) == 1:
+                c_op = self.c_ops[0]
+            else:
+                raise ValueError(
+                    "tcl2 requires a single coupling operator: pass c_op=, or "
+                    "construct OQS with exactly one entry in c_ops")
         solver = TCL2Solver(self.H, c_op, bath=bath, corr=corr)
         return solver.run(rho0, dt, nt,
                           e_ops=e_ops if e_ops is not None else self.e_ops,
                           **kwargs)
 
-    def heom(self, rho0, dt, nt, bath=None, lmax=4, e_ops=None, **kwargs):
-        solver = HEOMSolver(self.H, bath=bath, lmax=lmax)
+    def heom(self, rho0, dt, nt, bath=None, lmax=4, e_ops=None, c_ops=None,
+             **kwargs):
+        solver = HEOMSolver(self.H, bath=bath, lmax=lmax,
+                            c_ops=c_ops if c_ops is not None else self.c_ops)
         return solver.run(rho0, dt, nt,
                           e_ops=e_ops if e_ops is not None else self.e_ops,
                           **kwargs)

@@ -92,7 +92,12 @@ def test_fd_nac_route_and_observables():
     pop_op[1, 1] = 1.0
     r = solver.run(jnp.asarray(psi0), dt=DT, nt=400, nout=100,
                    e_ops=[pop_op])
-    assert np.asarray(r.observables).shape == (4, 1)
+    # states/times include the t=0 point (package Result convention)
+    assert np.asarray(r.observables).shape == (5, 1)
+    assert r.times[0] == 0.0 and np.asarray(r.states).shape[0] == 5
+    np.testing.assert_allclose(np.asarray(r.observables)[0, 0],
+                               np.sum(np.abs(psi0[:, 1]) ** 2)
+                               * (x[1] - x[0]), atol=1e-12)
     assert np.all(np.isfinite(np.asarray(r.observables)))
     # antisymmetry of the returned couplings
     np.testing.assert_allclose(nac, -np.transpose(nac, (0, 2, 1)),

@@ -43,6 +43,34 @@ def test_oqs_setters_and_correlation():
         sys.correlation_2p_1t(rho0, [sm, sm], dt=0.05, nt=5, method="heom")
 
 
+def test_oqs_heom_uses_configured_c_ops():
+    """OQS(H, c_ops=[...]).heom(...) must forward the coupling operators
+    (the reference's heom stub used self.c_ops — pyqed/oqs.py:755)."""
+    from pyqed_tpu.open.bath import DrudeBath
+    H, sm, rho0 = _tls()
+    Q = sm + sm.T
+    sys = OQS(H, c_ops=[Q])
+    bath = DrudeBath(temperature=1.0, cutoff=1.0, reorg=0.05)
+    r = sys.heom(rho0, dt=0.02, nt=20, bath=bath, lmax=2,
+                 e_ops=[jnp.array([[1.0, 0.0], [0.0, 0.0]])])
+    assert np.all(np.isfinite(np.asarray(r.observables)))
+
+
+def test_oqs_setters_refresh_nstates():
+    sys = OQS(np.zeros((2, 2)))
+    sys.set_hamiltonian(np.zeros((3, 3)))
+    assert sys.nstates == 3
+    sys.setH(np.zeros((4, 4)))
+    assert sys.nstates == 4
+
+
+def test_oqs_tcl2_requires_c_op_message():
+    H, sm, rho0 = _tls()
+    sys = OQS(H)          # no c_ops configured
+    with pytest.raises(ValueError, match="tcl2 requires"):
+        sys.tcl2(rho0, dt=0.05, nt=5)
+
+
 def test_polar_and_square_barrier():
     rho, phi = polar(1.0, 1.0)
     assert np.isclose(float(rho), np.sqrt(2.0))
