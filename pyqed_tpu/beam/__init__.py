@@ -16,6 +16,7 @@ from .photonic import (
     ChiralMultilayer, purcell_factor, helmholtz_g0,
 )
 from .zoom import czt, zoom_dft, zoom_dft2, fraunhofer_zoom
+from . import fieldutils
 from .fieldz import ScalarFieldZ
 from . import optics
 from .beam import draw_several_fields

@@ -90,6 +90,26 @@ class ScalarFieldX:
         fx = np.fft.fftshift(np.fft.fftfreq(len(self.x), dx))
         return fx, U
 
+    # ----------------------------------------------------- post-processing
+    def binarize(self, kind="amplitude", bin_level=None, level0=None,
+                 level1=None):
+        """(reference: pyqed/beam/scalar_fields_X.py ``binarize``)."""
+        from .fieldutils import binarize
+        self.u = binarize(self.u, kind, bin_level, level0, level1)
+        return self
+
+    def discretize(self, kind="amplitude", num_levels=2, phase0=-np.pi):
+        """(reference: pyqed/beam/scalar_fields_X.py ``discretize``)."""
+        from .fieldutils import discretize
+        self.u = discretize(self.u, kind, num_levels, phase0)
+        return self
+
+    def get_edges(self, kind_transition="amplitude", min_step=0.0):
+        """Edge positions/types of a binary mask (reference:
+        pyqed/beam/scalar_fields_X.py ``get_edges``)."""
+        from .fieldutils import get_edges
+        return get_edges(self.x, self.u, kind_transition, min_step)
+
 
 def _asm_1d(u, x, wavelength, z, n=1.0):
     nx = len(x)
@@ -145,6 +165,63 @@ class ScalarFieldXY:
         return jax.vmap(lambda z: _asm_2d(self.u, self.x, self.y,
                                           self.wavelength, z, self.n))(
             jnp.asarray(zs))
+
+    # ----------------------------------------------------- post-processing
+    def get_amplitude(self):
+        """(reference: pyqed/beam/scalar_fields_XY.py ``get_amplitude``)."""
+        return jnp.abs(self.u)
+
+    def get_phase(self):
+        """(reference: pyqed/beam/scalar_fields_XY.py ``get_phase``)."""
+        return jnp.angle(self.u)
+
+    def remove_phase(self, sign=False):
+        """(reference: pyqed/beam/scalar_fields_XY.py ``remove_phase``)."""
+        from .fieldutils import remove_phase
+        self.u = remove_phase(self.u, sign)
+        return self
+
+    def binarize(self, kind="amplitude", bin_level=None, level0=None,
+                 level1=None):
+        """(reference: pyqed/beam/scalar_fields_XY.py ``binarize``)."""
+        from .fieldutils import binarize
+        self.u = binarize(self.u, kind, bin_level, level0, level1)
+        return self
+
+    def discretize(self, kind="amplitude", num_levels=2, phase0=-np.pi):
+        """(reference: pyqed/beam/scalar_fields_XY.py ``discretize``)."""
+        from .fieldutils import discretize
+        self.u = discretize(self.u, kind, num_levels, phase0)
+        return self
+
+    def search_focus(self, kind="maximum"):
+        """(x0, y0) of the intensity maximum or centroid (reference:
+        pyqed/beam/scalar_fields_XY.py ``search_focus``)."""
+        from .fieldutils import search_focus
+        return search_focus(self.x, self.y, self.u, kind)
+
+    def profile(self, point1, point2, npixels=None, kind="intensity"):
+        """Interpolated line cut between two (x, y) points (reference:
+        pyqed/beam/scalar_fields_XY.py ``profile``)."""
+        from .fieldutils import profile
+        return profile(self.x, self.y, self.u, point1, point2, npixels,
+                       kind)
+
+    def rotate(self, angle, position=None):
+        """Rotate the field about ``position`` (reference:
+        pyqed/beam/scalar_fields_XY.py ``rotate``)."""
+        from .fieldutils import rotate_field
+        self.u = rotate_field(self.x, self.y, self.u, angle, position)
+        return self
+
+    def insert_mask(self, other, r0=(0.0, 0.0)):
+        """Paste ``other`` (a smaller ScalarFieldXY) into this field at
+        ``r0`` (reference: pyqed/beam/scalar_fields_XY.py
+        ``insert_mask``)."""
+        from .fieldutils import insert_array
+        self.u = insert_array(self.x, self.y, self.u, other.u,
+                              other.x, other.y, r0)
+        return self
 
 
 def _asm_2d(u, x, y, wavelength, z, n=1.0):
@@ -454,6 +531,47 @@ class ScalarFieldXZ:
         self.u = stack
         return self.u
 
+    def pwd(self, n=None):
+        """Plane-wave-decomposition propagation: every z step uses the
+        EXACT homogeneous kernel exp(i dz sqrt((k0 n)^2 - kx^2)) for a
+        single (scalar) index ``n`` — the one-level special case of
+        :meth:`wpm` (reference: pyqed/beam/scalar_fields_XZ.py:922
+        ``PWD`` with the kernel at scalar_fields_X.py:1155; after
+        Schmidt et al., Opt. Express 24, 30188 (2016))."""
+        x, z = self.x, self.z
+        if n is None:
+            n = self.n
+        dzs = np.diff(np.concatenate([[0.0], np.asarray(z, float)]))
+        k0 = 2 * np.pi / self.wavelength
+        kx = 2 * np.pi * np.fft.fftfreq(len(x), x[1] - x[0])
+        kz = np.sqrt(((k0 * n) ** 2 - kx ** 2).astype(complex))
+        kz = np.where(kz.imag < 0, -kz, kz)
+        kzj = jnp.asarray(kz)
+
+        def step(u, dz):
+            u = jnp.fft.ifft(jnp.exp(1j * kzj * dz) * jnp.fft.fft(u))
+            return u, u
+
+        _, stack = jax.lax.scan(step, self.u0, jnp.asarray(dzs))
+        self.u = stack
+        return self.u
+
+    def surface_detection(self, n_xz, mode=1, min_incr=0.1):
+        """Edge point cloud of an index scene (reference:
+        pyqed/beam/scalar_fields_XZ.py:1384). ``n_xz`` is (nz, nx) in
+        this class's storage order; returns (xs, zs)."""
+        from .fieldutils import surface_detection
+        return surface_detection(self.x, self.z,
+                                 np.asarray(n_xz).T, mode, min_incr)
+
+    def detect_index_variations(self, n_xz, n_edge, incr_n=0.1):
+        """Left/right interface curves of an index scene (reference:
+        pyqed/beam/scalar_fields_XZ.py:1290)."""
+        from .fieldutils import detect_index_variations
+        return detect_index_variations(self.x, self.z,
+                                       np.asarray(n_xz).T, n_edge,
+                                       incr_n)
+
     def bpm_inverse(self, n_xz=None, has_edges=True, pow_edge=80):
         """Inverse BPM: reconstruct the field stack BEFORE each plane
         from the field at the LAST plane, undoing the forward steps
@@ -746,6 +864,31 @@ class ScalarFieldXYZ:
         self.u = stack
         return self.u
 
+    def pwd(self, n=None):
+        """Plane-wave-decomposition volume propagation: exact
+        homogeneous kernel at a single scalar index per step — the
+        one-level special case of :meth:`wpm` (reference:
+        pyqed/beam/scalar_fields_XYZ.py ``PWD``)."""
+        x, y, z = self.x, self.y, self.z
+        if n is None:
+            n = self.n
+        dzs = np.diff(np.concatenate([[0.0], np.asarray(z, float)]))
+        k0 = 2 * np.pi / self.wavelength
+        kx = 2 * np.pi * np.fft.fftfreq(len(x), x[1] - x[0])
+        ky = 2 * np.pi * np.fft.fftfreq(len(y), y[1] - y[0])
+        kz = np.sqrt(((k0 * n) ** 2 - kx[:, None] ** 2
+                      - ky[None, :] ** 2).astype(complex))
+        kz = np.where(kz.imag < 0, -kz, kz)
+        kzj = jnp.asarray(kz)
+
+        def step(u, dz):
+            u = jnp.fft.ifft2(jnp.exp(1j * kzj * dz) * jnp.fft.fft2(u))
+            return u, u
+
+        _, stack = jax.lax.scan(step, self.u0, jnp.asarray(dzs))
+        self.u = stack
+        return self.u
+
     # ------------------------------------------------- volume utilities
 
     def to_xy(self, z0):
@@ -852,6 +995,101 @@ class VectorFieldXY:
         self.Ey = _asm_2d(self.Ey, self.x, self.y, self.wavelength, z,
                           self.n)
         self._fill_Ez()
+        return self
+
+    def vrs(self, z):
+        """Vectorial Rayleigh-Sommerfeld propagation (Ye et al., Laser
+        Phys. Lett. 10, 065004 (2013); reference:
+        pyqed/beam/vector_fields_XY.py ``VRS``): quadrature RS with the
+        z-obliquity kernel on Ex/Ey, and Ez from the RS-0 kernel acting
+        on (X Ex + Y Ey)/r — exact for the open half-space, unlike the
+        periodic ASM of :meth:`propagate`."""
+        x, y, wl, n = self.x, self.y, self.wavelength, self.n
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        r = jnp.asarray(np.sqrt(X ** 2 + Y ** 2 + z ** 2))
+        uz = (self.Ex * jnp.asarray(X) + self.Ey * jnp.asarray(Y)) / r
+        self.Ex, self.quality = _rs_2d(self.Ex, x, y, wl, z, n, kind="z")
+        self.Ey, _ = _rs_2d(self.Ey, x, y, wl, z, n, kind="z")
+        self.Ez, _ = _rs_2d(uz, x, y, wl, z, n, kind="0")
+        return self
+
+    def _aplanatic(self, radius, focal):
+        """Richards-Wolf geometry factors for an aplanatic lens of
+        ``radius``/``focal`` on this grid: (rotation stack M(θ, φ),
+        pupil mask, sinθ_max).  M bends the collimated Cartesian field
+        onto the converging spherical wavefront (reference:
+        pyqed/beam/vector_fields_XY.py ``VFFT`` after Jahn & Bokor,
+        Opt. Commun. 283, 4859 (2010))."""
+        X, Y = np.meshgrid(self.x, self.y, indexing="ij")
+        sin_t_max = radius / np.sqrt(radius ** 2 + focal ** 2)
+        r = np.sqrt(X ** 2 + Y ** 2)
+        phi = np.arctan2(Y, X)
+        theta = r / focal
+        ct, st = np.cos(theta), np.sin(theta)
+        cp, sp = np.cos(phi), np.sin(phi)
+        M = np.empty(X.shape + (3, 3))
+        M[..., 0, 0] = cp ** 2 * ct + sp ** 2
+        M[..., 0, 1] = sp * cp * ct - sp * cp
+        M[..., 0, 2] = -st * cp
+        M[..., 1, 0] = M[..., 0, 1]
+        M[..., 1, 1] = sp ** 2 * ct + cp ** 2
+        M[..., 1, 2] = -st * sp
+        M[..., 2, 0] = st * cp
+        M[..., 2, 1] = st * sp
+        M[..., 2, 2] = ct
+        pupil = (r <= radius).astype(float)
+        return jnp.asarray(M), jnp.asarray(pupil), sin_t_max
+
+    def vfft(self, radius, focal, remove0=True, shift=True):
+        """High-NA aplanatic-lens vector focusing: rotate (Ex, Ey, Ez)
+        onto the converging wavefront, apodize by sqrt(cosθ) and the
+        aplanatic 1/sqrt(1 - sin²θ_max (u²+v²)) factor, and FFT to the
+        focal region (Debye integral as one FFT; reference:
+        pyqed/beam/vector_fields_XY.py ``VFFT``).  Updates the field
+        in place and returns self."""
+        M, pupil, stm = self._aplanatic(radius, focal)
+        X, Y = np.meshgrid(self.x, self.y, indexing="ij")
+        uv2 = (X ** 2 + Y ** 2) / radius ** 2
+        G = pupil / jnp.sqrt(jnp.maximum(1.0 - stm ** 2
+                                         * jnp.asarray(uv2), 1e-12))
+        theta = jnp.asarray(np.hypot(X, Y) / focal)
+        apod = jnp.sqrt(jnp.abs(jnp.cos(theta)))
+        E = jnp.stack([self.Ex * pupil, self.Ey * pupil,
+                       self.Ez * pupil], axis=-1)
+        E0 = jnp.einsum("xyij, xyj -> xyi", M.astype(complex), E)
+        factor = -1j * stm ** 2 / (focal * self.wavelength)
+        comps = []
+        for i in range(3):
+            Ek = jnp.fft.fft2(apod * G * E0[..., i])
+            if remove0 and i < 2:
+                Ek = Ek.at[0, 0].set(0.0)
+            if shift:
+                Ek = jnp.fft.fftshift(Ek)
+            comps.append(factor * Ek)
+        self.Ex, self.Ey, self.Ez = comps
+        return self
+
+    def ivfft(self, radius, focal, shift=True):
+        """Inverse of :meth:`vfft`: inverse-FFT the focal field back to
+        the pupil, undo the aplanatic weighting, and rotate the
+        spherical wavefront back to collimated Cartesian components
+        (rotation with θ -> -θ; reference:
+        pyqed/beam/vector_fields_XY.py ``IVFFT``)."""
+        M, pupil, stm = self._aplanatic(radius, -focal)
+        X, Y = np.meshgrid(self.x, self.y, indexing="ij")
+        uv2 = (X ** 2 + Y ** 2) / radius ** 2
+        G = pupil * jnp.sqrt(jnp.maximum(1.0 - stm ** 2
+                                         * jnp.asarray(uv2), 0.0))
+        factor = 1.0 / (-1j * stm ** 2 / (focal * self.wavelength))
+        comps = []
+        for i, E in enumerate([self.Ex, self.Ey, self.Ez]):
+            Ek = jnp.fft.ifftshift(E) if shift else E
+            comps.append(factor * jnp.fft.ifft2(Ek) * G)
+        Es = jnp.stack(comps, axis=-1)
+        E0 = jnp.einsum("xyij, xyj -> xyi", M.astype(complex), Es)
+        self.Ex, self.Ey, self.Ez = (E0[..., 0] * pupil,
+                                     E0[..., 1] * pupil,
+                                     E0[..., 2] * pupil)
         return self
 
     def intensity(self):
