@@ -95,3 +95,164 @@ class DMFT:
         """n per spin (−G(τ=β⁻)); 0.5 at particle-hole symmetry."""
         tau, Gt = self._w2t(self.G)
         return -Gt[-1]
+
+
+class NoneqDMFT:
+    """Nonequilibrium DMFT for the half-filled Hubbard model on the
+    Bethe lattice: interaction quench U(t), two-time Kadanoff-Baym
+    propagation, IPT impurity solver.
+
+    WORKING implementation of the reference's aspiration
+    (reference: pyqed/gw/dmft.py:176 ``start_noneq_dmft`` /
+    :213 ``noneq_dmft_self_consistency`` — untranslated C++ pseudocode
+    with invalid Python syntax, e.g. ``def f(parm parm_)``), built on
+    :mod:`pyqed_tpu.negf.kb2t`'s causal Volterra march: the Bethe
+    self-consistency closes in the time domain,
+
+        Δ(t, t') = v² G(t, t')          (semicircular DOS, v = hopping)
+
+    and Δ simply ADDS to the impurity self-energy in the KB collision
+    integrals.  Impurity solver = nonequilibrium IPT with the Weiss
+    field G0 (Eckstein & Werner, PRB 81, 115131 (2010) scheme):
+
+        Σ^≶(t, t') = U(t) U(t') [G0^≶(t, t')]² G0^≷(t', t)
+
+    Half filling is enforced by particle-hole symmetry (Hartree term
+    absorbed: h(t) = 0, μ = U/2).  All two-time objects are (nt, nt)
+    scalars batched on device; each self-consistency iteration is two
+    jitted KB marches.
+    """
+
+    def __init__(self, Ufun, v=0.5, nt=128, dt=0.05, n0=0.5,
+                 solver="ipt"):
+        from .kb2t import _march, _greater
+        self._march = _march
+        self._greater = _greater
+        self.Ufun = Ufun if callable(Ufun) else (lambda t, U0=Ufun: U0)
+        self.v = v
+        self.nt = nt
+        self.dt = dt
+        #: initial per-spin occupation of the uncorrelated product
+        #: state.  NOTE the physics of partial equilibrium: n0 = 1/2
+        #: is the maximally-mixed (infinite-temperature) state, which
+        #: is STATIONARY under any U — all local observables stay
+        #: trivially constant (only spectral/retarded quantities
+        #: evolve).  Charge-relaxation dynamics needs n0 != 1/2.
+        #: Quenches from the correlated thermal state require the
+        #: imaginary/mixed contour branches (not carried here).
+        self.n0 = n0
+        #: impurity solver: 'ipt' (Weiss-field G0, exact to U^2 at
+        #: particle-hole symmetry) or '2b' (self-consistent second
+        #: Born, Phi-derivable -> density-conserving away from half
+        #: filling, where plain IPT is not)
+        self.solver = solver.lower()
+        self.G = None            # (GR, GL) two-time pair
+        self.G0 = None
+
+    # ------------------------------------------------------------- run
+    def run(self, niter=12, mix=0.7, tol=1e-8, verbose=False):
+        import jax.numpy as jnp
+        nt, dt = self.nt, self.dt
+        ts = np.arange(nt) * dt
+        Us = jnp.asarray([self.Ufun(t) for t in ts])
+        hs = jnp.zeros((nt, 1, 1), dtype=complex)    # ph-symmetric level
+
+        GR0 = jnp.zeros((nt, nt, 1, 1), dtype=complex)
+        GL0 = jnp.zeros((nt, nt, 1, 1), dtype=complex)
+        GR0 = GR0.at[0, 0, 0, 0].set(-1j)
+        GL0 = GL0.at[0, 0, 0, 0].set(1j * self.n0)
+
+        zero = jnp.zeros_like(GR0)
+        # start from the isolated impurity
+        GR, GL = self._march(hs, GR0, GL0, zero, zero, dt)
+        theta = jnp.tril(jnp.ones((nt, nt)))[:, :, None, None]
+        UU = (Us[:, None] * Us[None, :])[:, :, None, None]
+        swapT = lambda X: jnp.swapaxes(X, 0, 1).transpose(0, 1, 3, 2)
+        G0R = G0L = None
+
+        for it in range(niter):
+            DR = self.v ** 2 * GR                     # Bethe closure
+            DL = self.v ** 2 * GL
+            if self.solver == "ipt":
+                # Weiss field: march with hybridization only
+                G0R, G0L = self._march(hs, GR0, GL0, DR, DL, dt)
+                XR, XL = G0R, G0L
+            else:                                     # 2B: Sigma[G]
+                XR, XL = GR, GL
+            Xgtr = self._greater(XR, XL)
+            SL = UU * XL * XL * swapT(Xgtr)
+            Sgtr = UU * Xgtr * Xgtr * swapT(XL)
+            SR = theta * (Sgtr - SL)
+            GR_new, GL_new = self._march(hs, GR0, GL0, SR + DR, SL + DL,
+                                         dt)
+            diff = float(jnp.max(jnp.abs(GL_new - GL)))
+            GR = mix * GR_new + (1 - mix) * GR
+            GL = mix * GL_new + (1 - mix) * GL
+            if verbose:
+                print(f"noneq-DMFT iter {it}: |dG^<| = {diff:.3e}")
+            if diff < tol:
+                break
+        self.G = (GR, GL)
+        self.G0 = (G0R, G0L)
+        self.SR, self.SL = SR, SL
+        self.DR, self.DL = self.v ** 2 * GR, self.v ** 2 * GL
+        self.Us = Us
+        return GR, GL
+
+    # ----------------------------------------------------- observables
+    def density(self):
+        """n(t) = −i G^<(t,t) per spin; exactly 1/2 at all times by
+        particle-hole symmetry (a propagation-accuracy check)."""
+        GR, GL = self.G
+        k = np.arange(self.nt)
+        return np.real(np.asarray(-1j * GL[k, k, 0, 0]))
+
+    def retarded_t0(self):
+        """G^R(t, 0) — at U = 0 the exact Bethe-lattice answer is
+        −i J1(2 v t)/(v t) (Fourier transform of the semicircular
+        DOS), the oracle pin for the whole noneq machinery."""
+        GR, _ = self.G
+        return np.asarray(GR[:, 0, 0, 0])
+
+    def _gm_conv(self, AR, AL):
+        """Equal-time Langreth convolution [A ∗ G]^<(t,t) =
+        ∫ ds (A^R(t,s) G^<(s,t) + A^<(t,s) G^A(s,t)), trapezoid in the
+        history (the Galitskii-Migdal building block)."""
+        import jax.numpy as jnp
+        GR, GL = self.G
+        nt, dt = self.nt, self.dt
+        idx = jnp.arange(nt)
+        w = jnp.where(idx[None, :] <= idx[:, None], dt, 0.0)
+        w = w.at[:, 0].set(dt / 2)
+        w = jnp.where(idx[None, :] == idx[:, None], dt / 2, w)
+        GA = jnp.conj(jnp.swapaxes(GR, 0, 1).transpose(0, 1, 3, 2))
+        conv = jnp.einsum("ts, tsab, stbc -> tac", w, AR, GL) \
+            + jnp.einsum("ts, tsab, stbc -> tac", w, AL, GA)
+        return np.asarray(conv[:, 0, 0])
+
+    def interaction_energy(self):
+        """Galitskii-Migdal E_int(t) = Σ_σ Re(−i/2 [Σ ∗ G]^<(t,t)) —
+        two spins, per lattice site, Hartree part excluded (it is
+        absorbed in the particle-hole-symmetric level)."""
+        return 2 * np.real(-0.5j * self._gm_conv(self.SR, self.SL))
+
+    def kinetic_energy(self):
+        """E_kin(t) = Σ_σ Re(−i [Δ ∗ G]^<(t,t)): the hybridization
+        convolution measures hopping off the impurity; for the Bethe
+        lattice this is the kinetic energy per site (each bond shared
+        by the factor already in Δ = v²G)."""
+        return 2 * np.real(-1j * self._gm_conv(self.DR, self.DL))
+
+    def total_energy(self):
+        return self.kinetic_energy() + self.interaction_energy()
+
+    def double_occupancy(self):
+        """d(t) = ⟨n↑ n↓⟩ = n(t)² + E_int(t)/U(t) (paramagnetic,
+        correlation part from the Hartree-excluded Σ); entries with
+        U(t) = 0 return the uncorrelated n²."""
+        E = self.interaction_energy()
+        n = self.density()
+        Us = np.asarray(self.Us)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.where(Us != 0.0, E / np.where(Us == 0, 1, Us), 0.0)
+        return n ** 2 + corr

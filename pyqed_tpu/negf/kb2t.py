@@ -145,27 +145,49 @@ def _march(hs, GR0, GL0, SR, SL, dt):
     eye = jnp.eye(n, dtype=complex)
     idx = jnp.arange(nt)
 
-    def hist_weights(row):
-        """Trapezoid weights over l in [0, row] (half edges)."""
-        w = jnp.where(idx <= row, dt, 0.0)
-        w = w.at[0].set(dt / 2)
-        w = jnp.where(idx == row, dt / 2, w)
+    def hist_weights(row, implicit=False):
+        """Trapezoid weights over s in [0, row]: dt/2 at both edges,
+        dt interior; zero for row = 0 (empty integral).  In the
+        IMPLICIT stage the s = row endpoint is carried by the solve
+        matrix A (its dt/2 lives there), so it is zeroed here —
+        keeping it at dt/2 under-weights s = row−1 and degrades the
+        march to first order (caught by the U = 0 Bethe-lattice
+        convergence study in tests/test_noneq_dmft.py)."""
+        w = jnp.where(idx < row, dt, 0.0)
+        w = w.at[0].set(jnp.where(row > 0, dt / 2, 0.0))
+        w = w + jnp.where(idx == row,
+                          0.0 if implicit else
+                          jnp.where(row > 0, dt / 2, 0.0), 0.0)
         return w
 
     # column-wise trapezoid weights for the Σ^< G^A integral over
-    # s in [0, t'=j]: wcol[j, l]
-    wcol = jnp.where(idx[None, :] <= idx[:, None], dt, 0.0)
-    wcol = wcol.at[:, 0].set(dt / 2)
-    wcol = jnp.where(idx[None, :] == idx[:, None], dt / 2, wcol)
+    # s in [0, t'=j]: wcol[j, l] (dt/2 edges, zero when j = 0)
+    j_ = idx[:, None]
+    l_ = idx[None, :]
+    wcol = jnp.where((l_ > 0) & (l_ < j_), dt, 0.0)
+    wcol = wcol + jnp.where((l_ == 0) & (j_ > 0), dt / 2, 0.0)
+    wcol = wcol + jnp.where((l_ == j_) & (j_ > 0), dt / 2, 0.0)
 
-    def coll_R(Srow, G, row):
-        """∫ ds Σ^R(row, s) G(s, j) with s up to row (masked)."""
-        return jnp.einsum("l, lab, ljbc -> jac", hist_weights(row),
+    def wret(row, implicit=False):
+        """Column-dependent trapezoid weights for the RETARDED
+        collision ∫_{t'=j}^{t=row} ds: wret[j, l], dt/2 at s = j and
+        s = row, dt interior, empty for j >= row.  (A single [0, row]
+        weight vector gives the s = j edge a full dt — G^R(j,j) = −iI
+        is NOT small — another first-order leak.)"""
+        w = jnp.where((l_ > j_) & (l_ < row), dt, 0.0)
+        w = w + jnp.where((l_ == j_) & (j_ < row), dt / 2, 0.0)
+        if not implicit:
+            w = w + jnp.where((l_ == row) & (j_ < row), dt / 2, 0.0)
+        return w
+
+    def coll_R(Srow, G, row, implicit=False):
+        """∫_{t'}^{row} ds Σ^R(row, s) G^R(s, j)."""
+        return jnp.einsum("jl, lab, ljbc -> jac", wret(row, implicit),
                           Srow, G)
 
-    def coll_L(Srow_R, Srow_L, GL, GA, row):
-        c1 = jnp.einsum("l, lab, ljbc -> jac", hist_weights(row),
-                        Srow_R, GL)
+    def coll_L(Srow_R, Srow_L, GL, GA, row, implicit=False):
+        c1 = jnp.einsum("l, lab, ljbc -> jac",
+                        hist_weights(row, implicit), Srow_R, GL)
         c2 = jnp.einsum("jl, lab, ljbc -> jac", wcol, Srow_L, GA)
         return c1 + c2
 
@@ -179,7 +201,9 @@ def _march(hs, GR0, GL0, SR, SL, dt):
         dGR_prev = (jnp.einsum("ab, jbc -> jac", -1j * h_prev,
                                GR[nrow - 1])
                     - 1j * coll_R(SR[nrow - 1], GR, nrow - 1))
-        I_R = coll_R(SR[nrow], GR, nrow - 1)   # known history only
+        # implicit stage: known history with interior weights; the
+        # s = nrow endpoint sits in A below
+        I_R = coll_R(SR[nrow], GR, nrow, implicit=True)
         rhs = GR[nrow - 1] + 0.5 * dt * (dGR_prev - 1j * I_R)
         A = (eye + 0.5j * dt * h_new
              + 0.25j * dt * dt * SR[nrow, nrow])
@@ -194,7 +218,7 @@ def _march(hs, GR0, GL0, SR, SL, dt):
                                GL[nrow - 1])
                     - 1j * coll_L(SR[nrow - 1], SL[nrow - 1], GL, GA,
                                   nrow - 1))
-        I_L = coll_L(SR[nrow], SL[nrow], GL, GA, nrow - 1)
+        I_L = coll_L(SR[nrow], SL[nrow], GL, GA, nrow, implicit=True)
         rhsL = GL[nrow - 1] + 0.5 * dt * (dGL_prev - 1j * I_L)
         GL_new = jnp.linalg.solve(A[None], rhsL)
         GL_new = jnp.where(colmask, GL_new, GL[nrow])
@@ -216,8 +240,19 @@ def _march(hs, GR0, GL0, SR, SL, dt):
                        nrow - 1)[nrow - 1]
         ddiag = (-1j * (h_prev @ diag_prev - diag_prev @ h_prev)
                  - 1j * (cprev + jnp.conj(cprev.T)))
-        diag = diag_prev + dt * ddiag
-        GL = GL.at[nrow, nrow].set(0.5 * (diag - jnp.conj(diag.T)))
+        # Heun: Euler predictor, then trapezoid corrector with the
+        # collision evaluated at the NEW time row (the off-diagonal
+        # updates are already 2nd order; a lone explicit-Euler diagonal
+        # leaks O(dt) density drift — caught by the U=0 Bethe pin in
+        # tests/test_noneq_dmft.py)
+        pred = diag_prev + dt * ddiag
+        pred = 0.5 * (pred - jnp.conj(pred.T))
+        GLp = GL.at[nrow, nrow].set(pred)
+        cnew = coll_L(SR[nrow], SL[nrow], GLp, GA, nrow)[nrow]
+        ddiag_new = (-1j * (h_new @ pred - pred @ h_new)
+                     - 1j * (cnew + jnp.conj(cnew.T)))
+        diag = diag_prev + 0.5 * dt * (ddiag + ddiag_new)
+        GL = GLp.at[nrow, nrow].set(0.5 * (diag - jnp.conj(diag.T)))
         return GR, GL
 
     return jax.lax.fori_loop(1, nt, row_update, (GR0, GL0))
