@@ -8,7 +8,7 @@ from .scattering import LippmannSchwingerSolver, LippmannSchwinger2DSolver
 from .qtraj import QT, QTF, lqf, ResultQT
 from .gwp import (GWP, WPD, overlap_real, kinetic_real, moment_real,
                   GWPBasis, WPDN, WPD2, ThawedGaussian)
-from .smolyak import SparseGrid, AdaptiveSparseGrid
+from .smolyak import SparseGrid, AdaptiveSparseGrid, SparseInterpolator
 from .nawpd import NAWPD, NAWPD2
 from .vmcg import VMCG, GWPMatrixElements
 from .smolyak import SGCT_LDR, combination_technique
