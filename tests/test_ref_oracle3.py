@@ -232,3 +232,100 @@ def test_heom_rk4_trajectory_vs_reference():
     assert got.shape[0] == nt + 1
     for j in range(2):
         assert np.max(np.abs(got[1:, j] - obs_ref[j])) < 1e-8
+
+
+def test_deom_pade_and_trajectory_vs_reference():
+    """DEOM vs the ACTUAL reference solver (pyqed/heom/deom.py:953
+    ``DEOMSolver`` with the sympy Pade bath decomposition at :226),
+    exec'd from /root/reference with the pass-through numba stub.
+
+    Two pins in one: (a) the repo's NUMERIC Pade decomposition
+    (open/bath.py::DrudeBath.pade) reproduces the reference's sympy
+    residue calculus coefficient-for-coefficient; (b) a full 50-step
+    lmax=4 spin-boson hierarchy trajectory agrees step-by-step at the
+    f64 floor (measured 8e-17 — same RK4, same couplings)."""
+    import io
+    from contextlib import redirect_stdout, redirect_stderr
+    deom_ref = load_reference_module("heom.deom")
+    import sympy as sp
+    from pyqed_tpu.open.deom import DEOMBath, DEOMSolver
+
+    lam, gam, beta = 0.2, 1.0, 1.0
+    w = sp.symbols("w", real=True)
+    J = 2 * lam * gam * w / (w ** 2 + gam ** 2)
+    bath_ref = deom_ref.Bath(J, w, beta, 1, function=[None])
+
+    # (a) coefficient parity: numeric matrix-pencil Pade == sympy
+    bath = DEOMBath.drude(temperature=1.0 / beta, cutoff=gam, reorg=lam,
+                          npsd=1, decomposition="pade")
+    assert np.max(np.abs(np.asarray(bath.etal)
+                         - bath_ref.etal)) < 1e-10
+    assert np.max(np.abs(np.asarray(bath.expn)
+                         - bath_ref.expn)) < 1e-10
+
+    # (b) trajectory parity with identical coefficients
+    H = np.array([[1.0, 0.5], [0.5, -1.0]], dtype=complex)
+    Q = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+    zero = lambda t: 0.0
+    ref = deom_ref.DEOMSolver(
+        system=H, system_dipole=0 * H, bath=bath_ref, coupling=[Q],
+        coupling_dipole=[0 * Q], lmax=4,
+        pulse_system_func=zero, pulse_coupling_func=zero)
+    from scipy.sparse import coo_matrix
+    rho0 = np.diag([1.0, 0.0]).astype(complex)
+    with redirect_stdout(io.StringIO()), redirect_stderr(io.StringIO()):
+        _, rhos = ref.run(coo_matrix(rho0), 0.02, 50)
+    traj_ref = np.array([np.asarray(x.todense() if hasattr(x, "todense")
+                                    else x) for x in rhos])
+
+    b2 = DEOMBath(bath_ref.etal, bath_ref.etar, bath_ref.etaa,
+                  bath_ref.expn)
+    sol = DEOMSolver(system=H, system_dipole=0 * H, bath=b2,
+                     coupling=[Q], coupling_dipole=[0 * Q], lmax=4)
+    r = sol.run(rho0, 0.02, 50)
+    got = np.asarray(r.states)
+    assert got.shape == traj_ref.shape          # both include t=0
+    assert np.max(np.abs(got - traj_ref)) < 1e-12
+
+
+def test_deom_freq_domain_2des_map_vs_reference():
+    """Frequency-domain third-order response map (the BASELINE config
+    #4 north star) vs the ACTUAL reference resolvent contraction
+    (pyqed/heom/deom.py:1127 ``correlation_4op_3t``, the double Python
+    (wx, wy) loop at :1183-1190): same hierarchy, same eig path, the
+    repo's single-einsum map must agree at the f64 floor."""
+    import io
+    from contextlib import redirect_stdout, redirect_stderr
+    deom_ref = load_reference_module("heom.deom")
+    import sympy as sp
+    from pyqed_tpu.open.deom import DEOMBath, DEOMSolver
+
+    lam, gam, beta = 0.2, 1.0, 1.0
+    w = sp.symbols("w", real=True)
+    J = 2 * lam * gam * w / (w ** 2 + gam ** 2)
+    bath_ref = deom_ref.Bath(J, w, beta, 1, function=[None])
+    H = np.array([[1.0, 0.5], [0.5, -1.0]], dtype=complex)
+    Q = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+    mu = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+    zero = lambda t: 0.0
+    ref = deom_ref.DEOMSolver(
+        system=H, system_dipole=0 * H, bath=bath_ref, coupling=[Q],
+        coupling_dipole=[0 * Q], lmax=2,
+        pulse_system_func=zero, pulse_coupling_func=zero)
+    ref.check_()
+    ref.init_()
+    wx = np.array([0.5, 1.0, 2.1])
+    wy = np.array([-2.1, -1.0, 0.3])
+    rho0 = np.diag([1.0, 0.0]).astype(complex)
+    with redirect_stdout(io.StringIO()), redirect_stderr(io.StringIO()):
+        cw_ref = ref.correlation_4op_3t(mu, mu, mu, mu, rho0, 0.4,
+                                        wx, wy, lcr="llll")
+
+    b2 = DEOMBath(bath_ref.etal, bath_ref.etar, bath_ref.etaa,
+                  bath_ref.expn)
+    sol = DEOMSolver(system=H, system_dipole=0 * H, bath=b2,
+                     coupling=[Q], coupling_dipole=[0 * Q], lmax=2)
+    cw = np.asarray(sol.correlation_4op_3t(mu, mu, mu, mu, rho0, 0.4,
+                                           wx, wy, lcr="llll"))
+    scale = np.max(np.abs(cw_ref))
+    assert np.max(np.abs(cw - cw_ref)) / scale < 1e-12
