@@ -10,5 +10,5 @@ from .contour import (
 )
 from .gwbse import GWBSE
 from .rt_tdhf import RTTDHF
-from .dmft import DMFT
+from .dmft import DMFT, NoneqDMFT, NoneqDMFTThermal
 from . import eph

@@ -256,3 +256,163 @@ class NoneqDMFT:
         with np.errstate(divide="ignore", invalid="ignore"):
             corr = np.where(Us != 0.0, E / np.where(Us == 0, 1, Us), 0.0)
         return n ** 2 + corr
+
+
+class NoneqDMFTThermal:
+    """Nonequilibrium DMFT with INITIAL CORRELATIONS: interaction
+    quench U(t) from the free THERMAL state of the Bethe lattice at
+    inverse temperature β, on the full three-branch Kadanoff-Baym
+    contour (negf/kb2t.py::_march3 — Matsubara branch + left-mixing
+    G^⌐ carried through the march).
+
+    This is the protocol :class:`NoneqDMFT` (partial equilibrium)
+    provably cannot express: there every diagonal product state is
+    e^{αN̂} and local observables are frozen; here the initial state is
+    the hybridized thermal ensemble, so an interaction quench gives
+    the real Eckstein-Werner relaxation — the double occupancy drops
+    from its uncorrelated value ⟨n↑⟩⟨n↓⟩ and the Galitskii-Migdal
+    energies are finite and conserved after the quench.
+
+    Bethe-lattice closure on every component:
+    Δ^X = v² G^X for X ∈ {R, <, ⌐, M}; the initial impurity G^M is the
+    exact semicircular-DOS Matsubara function (its own Bethe
+    self-consistency), U on the imaginary branch is zero so Σ_U has no
+    M/⌐ components (quench from the FREE thermal state).
+    """
+
+    def __init__(self, Ufun, v=0.5, nt=96, dt=0.06, beta=8.0,
+                 ntau=128, solver="2b"):
+        from .kb2t import _march3_jit, _greater
+        self._march3 = _march3_jit
+        self._greater = _greater
+        self.Ufun = Ufun if callable(Ufun) else (lambda t, U0=Ufun: U0)
+        self.v = v
+        self.nt = nt
+        self.dt = dt
+        self.beta = beta
+        self.ntau = ntau
+        self.dtau = beta / ntau
+        self.solver = solver.lower()
+        self.G = None
+
+    # ------------------------------------------------- Matsubara input
+    def _gm_free(self):
+        """Exact free Bethe impurity G^M(τ) = −∫dω ρ(ω) e^{−ωτ}(1−f(ω))
+        on τ_k = k β/ntau (semicircular ρ, half filling)."""
+        v, beta = self.v, self.beta
+        w = np.linspace(-2 * v, 2 * v, 4001)
+        rho = np.sqrt(np.maximum(4 * v ** 2 - w ** 2, 0.0)) \
+            / (2 * np.pi * v ** 2)
+        tau = np.arange(self.ntau + 1) * self.dtau
+        # e^{−ωτ}(1−f) = e^{−ωτ}/(1+e^{−βω}): overflow-safe form
+        ex = np.exp(-np.outer(tau, w)
+                    - np.log1p(np.exp(-beta * np.abs(w)))
+                    [None, :]) * np.where(w >= 0, 1.0,
+                                          np.exp(beta * w))[None, :]
+        gm = -np.trapezoid(rho[None, :] * ex, w, axis=1)
+        return gm.reshape(self.ntau + 1, 1, 1).astype(complex)
+
+    # ------------------------------------------------------------- run
+    def run(self, niter=12, mix=0.7, tol=1e-8, verbose=False):
+        import jax.numpy as jnp
+        nt, dt = self.nt, self.dt
+        ts = np.arange(nt) * dt
+        Us = jnp.asarray([self.Ufun(t) for t in ts])
+        hs = jnp.zeros((nt, 1, 1), dtype=complex)
+        GM = jnp.asarray(self._gm_free())
+        GV0 = -1j * GM[::-1]                   # G^⌐(0,τ) = −i G^M(β−τ)
+
+        zero2 = jnp.zeros((nt, nt, 1, 1), dtype=complex)
+        zeroV = jnp.zeros((nt, self.ntau + 1, 1, 1), dtype=complex)
+        theta = jnp.tril(jnp.ones((nt, nt)))[:, :, None, None]
+        UU = (Us[:, None] * Us[None, :])[:, :, None, None]
+        swapT = lambda X: jnp.swapaxes(X, 0, 1).transpose(0, 1, 3, 2)
+
+        # start: free march with the Bethe hybridization iterated
+        GR, GL, GV = self._march3(hs, GM, GV0, zero2, zero2, zeroV,
+                                  dt, self.dtau, self.beta)
+        SR = SL = zero2
+        for it in range(niter):
+            DR, DL, DV = (self.v ** 2 * GR, self.v ** 2 * GL,
+                          self.v ** 2 * GV)
+            if self.solver == "ipt":
+                G0R, G0L, _ = self._march3(hs, GM, GV0, DR, DL, DV,
+                                           dt, self.dtau, self.beta)
+                XR, XL = G0R, G0L
+            else:
+                XR, XL = GR, GL
+            Xgtr = self._greater(XR, XL)
+            SL = UU * XL * XL * swapT(Xgtr)
+            Sgtr = UU * Xgtr * Xgtr * swapT(XL)
+            SR = theta * (Sgtr - SL)
+            GR_new, GL_new, GV_new = self._march3(
+                hs, GM, GV0, SR + DR, SL + DL, DV, dt, self.dtau,
+                self.beta)
+            diff = float(jnp.max(jnp.abs(GL_new - GL)))
+            GR = mix * GR_new + (1 - mix) * GR
+            GL = mix * GL_new + (1 - mix) * GL
+            GV = mix * GV_new + (1 - mix) * GV
+            if verbose:
+                print(f"thermal noneq-DMFT iter {it}: "
+                      f"|dG^<| = {diff:.3e}")
+            if diff < tol:
+                break
+        self.G = (GR, GL, GV)
+        self.GM = GM
+        self.SR, self.SL = SR, SL
+        self.Us = Us
+        return GR, GL, GV
+
+    # ----------------------------------------------------- observables
+    def density(self):
+        GR, GL, GV = self.G
+        k = np.arange(self.nt)
+        return np.real(np.asarray(-1j * GL[k, k, 0, 0]))
+
+    def _conv_less_diag(self, AR, AL, AV):
+        """[A ∗ G]^<(t,t) with the three-branch Langreth rule:
+        A^R∗G^< + A^<∗G^A − i A^⌐ ⋆ G^⌐̃."""
+        import jax.numpy as jnp
+        GR, GL, GV = self.G
+        nt, dt = self.nt, self.dt
+        idx = jnp.arange(nt)
+        w = jnp.where(idx[None, :] <= idx[:, None], dt, 0.0)
+        w = w.at[:, 0].set(dt / 2)
+        w = jnp.where(idx[None, :] == idx[:, None], dt / 2, w)
+        GA = jnp.conj(jnp.swapaxes(GR, 0, 1).transpose(0, 1, 3, 2))
+        conv = jnp.einsum("ts, tsab, stbc -> tac", w, AR, GL) \
+            + jnp.einsum("ts, tsab, stbc -> tac", w, AL, GA)
+        if AV is not None:
+            wtau = np.full(self.ntau + 1, self.dtau)
+            wtau[0] = wtau[-1] = self.dtau / 2
+            # G^⌐̃(τ, t) = [G^⌐(t, β−τ)]^† (scalar: conj of the flip)
+            GVt = jnp.conj(GV[:, ::-1])            # (nt, ntau+1, 1, 1)
+            conv = conv - 1j * jnp.einsum(
+                "k, tkab, tkbc -> tac", jnp.asarray(wtau), AV, GVt)
+        return np.asarray(conv[:, 0, 0])
+
+    def interaction_energy(self):
+        """2 spins; Σ_U has no mixed component (U = 0 on the imaginary
+        branch)."""
+        return 2 * np.real(-0.5j * self._conv_less_diag(
+            self.SR, self.SL, None))
+
+    def kinetic_energy(self):
+        """E_kin(t) = 2 Re(−i [Δ ∗ G]^<(t,t)) INCLUDING the mixed
+        ⋆ term — at t = 0 this is the finite thermal kinetic energy
+        the partial-equilibrium setup cannot see."""
+        GR, GL, GV = self.G
+        return 2 * np.real(-1j * self._conv_less_diag(
+            self.v ** 2 * GR, self.v ** 2 * GL, self.v ** 2 * GV))
+
+    def total_energy(self):
+        return self.kinetic_energy() + self.interaction_energy()
+
+    def double_occupancy(self):
+        E = self.interaction_energy()
+        n = self.density()
+        Us = np.asarray(self.Us)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.where(Us != 0.0, E / np.where(Us == 0, 1, Us),
+                            0.0)
+        return n ** 2 + corr

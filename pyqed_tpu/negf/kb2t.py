@@ -350,3 +350,172 @@ def _kb_gw_method(self, GR, GL):
 
 
 KBSolver2T.gw_self_energy = _kb_gw_method
+
+
+# ----------------------------------------------------------------------
+# three-branch contour: Matsubara + mixed (tv) components
+# ----------------------------------------------------------------------
+
+def _march3(hs, GM, GV0, SR, SL, SV, dt, dtau, beta):
+    """Causal KB march WITH initial correlations: propagates
+    (G^R, G^<, G^⌐) given self-energy components on the three-branch
+    contour (Aoki et al., RMP 86, 779 (2014) conventions;
+    reference aspiration: pyqed/gw/green.py:806 carries mat/tv
+    containers but no working march).
+
+    Components (fermions; scalar-matrix (n, n) per point):
+      G^M(τ)      (ntau+1, n, n)  imaginary branch, τ ∈ [0, β],
+                                   antiperiodic: G^M(τ−β) = −G^M(τ)
+      G^⌐(t, τ)   (nt, ntau+1)    left-mixing, G^⌐(0, τ) = −i G^M(β−τ)
+      G^R, G^<    (nt, nt)        as in :func:`_march`
+    Langreth rules for C = A ∗ B on this contour add
+      C^⌐(t,τ) = ∫₀ᵗ A^R G^⌐ − i ∫₀^β dτ̄ A^⌐(t,τ̄) G^M(τ̄−τ)
+      C^<(t,t') += −i ∫₀^β dτ̄ A^⌐(t,τ̄) B^⌐̃(τ̄,t'),
+                   B^⌐̃(τ,t') = [B^⌐(t', β−τ)]^†
+    The real-branch stepping is the same second-order Heun/implicit
+    scheme as :func:`_march`.
+    """
+    nt, n = SR.shape[0], SR.shape[-1]
+    ntau = GM.shape[0] - 1
+    eye = jnp.eye(n, dtype=complex)
+    idx = jnp.arange(nt)
+
+    # --- Matsubara kernel: GM_rel[k, j] = G^M(τ_k − τ_j), antiperiodic
+    tk = jnp.arange(ntau + 1)
+    rel = tk[:, None] - tk[None, :]              # in units of dtau
+    GM_ext = jnp.concatenate([-GM[1:], GM], axis=0)   # τ ∈ (−β, β]
+    GM_rel = GM_ext[rel + ntau]                  # (ntau+1, ntau+1, n, n)
+    wtau = jnp.full((ntau + 1,), dtau).at[0].set(dtau / 2) \
+        .at[ntau].set(dtau / 2)
+
+    def hist_weights(row, implicit=False):
+        w = jnp.where(idx < row, dt, 0.0)
+        w = w.at[0].set(jnp.where(row > 0, dt / 2, 0.0))
+        w = w + jnp.where(idx == row,
+                          0.0 if implicit else
+                          jnp.where(row > 0, dt / 2, 0.0), 0.0)
+        return w
+
+    j_ = idx[:, None]
+    l_ = idx[None, :]
+    wcol = jnp.where((l_ > 0) & (l_ < j_), dt, 0.0)
+    wcol = wcol + jnp.where((l_ == 0) & (j_ > 0), dt / 2, 0.0)
+    wcol = wcol + jnp.where((l_ == j_) & (j_ > 0), dt / 2, 0.0)
+
+    def wret(row, implicit=False):
+        w = jnp.where((l_ > j_) & (l_ < row), dt, 0.0)
+        w = w + jnp.where((l_ == j_) & (j_ < row), dt / 2, 0.0)
+        if not implicit:
+            w = w + jnp.where((l_ == row) & (j_ < row), dt / 2, 0.0)
+        return w
+
+    def coll_R(Srow, G, row, implicit=False):
+        return jnp.einsum("jl, lab, ljbc -> jac", wret(row, implicit),
+                          Srow, G)
+
+    def star_M(SVrow):
+        """∫ dτ̄ Σ^⌐(t,τ̄) G^M(τ̄−τ) -> (ntau+1, n, n).  Coefficient +1
+        (NOT −i) in this module's real-G^M convention — pinned against
+        the exactly-solvable two-level EOM residual (the lesser
+        equation's ⋆ term below keeps its −i; the asymmetry follows
+        from G^M carrying no −i prefactor)."""
+        return jnp.einsum("k, kab, kjbc -> jac", wtau, SVrow, GM_rel)
+
+    def coll_V(Srow_R, SVrow, GV, row, implicit=False):
+        c1 = jnp.einsum("l, lab, ljbc -> jac",
+                        hist_weights(row, implicit), Srow_R, GV)
+        return c1 + star_M(SVrow)
+
+    def gv_tilde(GV):
+        """B^⌐̃(τ, t') = [B^⌐(t', β−τ)]^† -> (ntau+1, nt, n, n)."""
+        flip = GV[:, ::-1]                       # (nt, ntau+1) τ→β−τ
+        return jnp.conj(jnp.swapaxes(
+            jnp.swapaxes(flip, 0, 1), -1, -2))
+
+    def coll_L(Srow_R, Srow_L, SVrow, GL, GA, GVt, row, implicit=False):
+        c1 = jnp.einsum("l, lab, ljbc -> jac",
+                        hist_weights(row, implicit), Srow_R, GL)
+        c2 = jnp.einsum("jl, lab, ljbc -> jac", wcol, Srow_L, GA)
+        c3 = -1j * jnp.einsum("k, kab, kjbc -> jac", wtau, SVrow, GVt)
+        return c1 + c2 + c3
+
+    GR0 = jnp.zeros((nt, nt, n, n), dtype=complex)
+    GR0 = GR0.at[0, 0].set(-1j * eye)
+    GV_0 = jnp.zeros((nt, ntau + 1, n, n), dtype=complex)
+    GV_0 = GV_0.at[0].set(GV0)
+    GL0 = jnp.zeros((nt, nt, n, n), dtype=complex)
+    GL0 = GL0.at[0, 0].set(-GV0[-1])    # G^<(0,0) = i G^M(0⁻) = −G^⌐(0,β)·i/i
+    # G^<(0,0) = i n = i(−G^M(β⁻))... GV0[-1] = −i G^M(0) → −GV0[-1] = i G^M(0);
+    # with G^M(0⁻) = −G^M(β) by antiperiodicity handled by caller passing
+    # GM with GM[0] = G^M(0⁺); density n = −G^M(β⁻) so set explicitly:
+    GL0 = GL0.at[0, 0].set(1j * (-GM[-1]))
+
+    def row_update(nrow, carry):
+        GR, GL, GV = carry
+        colmask = (idx < nrow)[:, None, None]
+        h_prev = hs[nrow - 1]
+        h_new = hs[nrow]
+
+        # ---------------- retarded (identical to _march)
+        dGR_prev = (jnp.einsum("ab, jbc -> jac", -1j * h_prev,
+                               GR[nrow - 1])
+                    - 1j * coll_R(SR[nrow - 1], GR, nrow - 1))
+        I_R = coll_R(SR[nrow], GR, nrow, implicit=True)
+        rhs = GR[nrow - 1] + 0.5 * dt * (dGR_prev - 1j * I_R)
+        A = (eye + 0.5j * dt * h_new
+             + 0.25j * dt * dt * SR[nrow, nrow])
+        GR_new = jnp.linalg.solve(A[None], rhs)
+        GR_new = jnp.where(colmask, GR_new, 0.0)
+        GR = GR.at[nrow].set(GR_new)
+        GR = GR.at[nrow, nrow].set(-1j * eye)
+
+        # ---------------- mixed G^⌐ (same implicit scheme; the
+        # Matsubara star term has no unknown endpoint: only the
+        # Σ^R ∗ G^⌐ history integral carries one, folded into A)
+        dGV_prev = (jnp.einsum("ab, jbc -> jac", -1j * h_prev,
+                               GV[nrow - 1])
+                    - 1j * coll_V(SR[nrow - 1], SV[nrow - 1], GV,
+                                  nrow - 1))
+        I_V = coll_V(SR[nrow], SV[nrow], GV, nrow, implicit=True)
+        rhsV = GV[nrow - 1] + 0.5 * dt * (dGV_prev - 1j * I_V)
+        GV_new = jnp.linalg.solve(A[None], rhsV)
+        GV = GV.at[nrow].set(GV_new)
+
+        # ---------------- lesser (adds the ⋆ mixed collision)
+        GA = jnp.conj(jnp.swapaxes(GR, 0, 1).transpose(0, 1, 3, 2))
+        GVt = gv_tilde(GV)
+        dGL_prev = (jnp.einsum("ab, jbc -> jac", -1j * h_prev,
+                               GL[nrow - 1])
+                    - 1j * coll_L(SR[nrow - 1], SL[nrow - 1],
+                                  SV[nrow - 1], GL, GA, GVt, nrow - 1))
+        I_L = coll_L(SR[nrow], SL[nrow], SV[nrow], GL, GA, GVt, nrow,
+                     implicit=True)
+        rhsL = GL[nrow - 1] + 0.5 * dt * (dGL_prev - 1j * I_L)
+        GL_new = jnp.linalg.solve(A[None], rhsL)
+        GL_new = jnp.where(colmask, GL_new, GL[nrow])
+        GL = GL.at[nrow].set(GL_new)
+        mirror = -jnp.conj(jnp.swapaxes(GL_new, -1, -2))
+        col = jnp.where(colmask, mirror, GL[:, nrow])
+        GL = GL.at[:, nrow].set(col)
+
+        # equal-time diagonal: Heun with the full collision
+        diag_prev = GL[nrow - 1, nrow - 1]
+        cprev = coll_L(SR[nrow - 1], SL[nrow - 1], SV[nrow - 1], GL,
+                       GA, GVt, nrow - 1)[nrow - 1]
+        ddiag = (-1j * (h_prev @ diag_prev - diag_prev @ h_prev)
+                 - 1j * (cprev + jnp.conj(cprev.T)))
+        pred = diag_prev + dt * ddiag
+        pred = 0.5 * (pred - jnp.conj(pred.T))
+        GLp = GL.at[nrow, nrow].set(pred)
+        cnew = coll_L(SR[nrow], SL[nrow], SV[nrow], GLp, GA, GVt,
+                      nrow)[nrow]
+        ddiag_new = (-1j * (h_new @ pred - pred @ h_new)
+                     - 1j * (cnew + jnp.conj(cnew.T)))
+        diag = diag_prev + 0.5 * dt * (ddiag + ddiag_new)
+        GL = GLp.at[nrow, nrow].set(0.5 * (diag - jnp.conj(diag.T)))
+        return GR, GL, GV
+
+    return jax.lax.fori_loop(1, nt, row_update, (GR0, GL0, GV_0))
+
+
+_march3_jit = jax.jit(_march3)
