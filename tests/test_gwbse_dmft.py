@@ -70,7 +70,19 @@ class TestDMFT:
         metal.run()
         ins = DMFT(U=4.0, t=0.5, beta=16)
         ins.run()
-        assert 0.7 < metal.quasiparticle_weight() < 1.2
+        assert 0.8 < metal.quasiparticle_weight() < 1.0
+        # Z falls monotonically with U (the r4 sign fix: the acausal
+        # kernel had Z RISING to 12 at U=2)
+        zs = []
+        for U in (1.0, 2.0, 3.0):
+            d = DMFT(U=U, t=0.5, beta=16)
+            d.run()
+            zs.append(d.quasiparticle_weight())
+        assert metal.quasiparticle_weight() > zs[0] > zs[1] > zs[2] > 0
+        assert zs[2] < 0.1                     # deep Mott side
+        # causality: Im Sigma(iw_n) <= 0 on the upper branch
+        import numpy as np
+        assert np.all(metal.Sigma.imag[:8] < 1e-12)
         # -Im G(iw0) ~ pi*A(0): metallic stays near the U=0 value 2/pi*...
         a_metal = -metal.G[0].imag
         a_ins = -ins.G[0].imag
