@@ -594,6 +594,12 @@ class LDRN:
         ns, ntot, D = self.nstates, self.ntot, self.ndim
         n = ntot * ns
         nx = tuple(self.nx)
+        if apes is None and self._apes is None:
+            raise ValueError("APES not provided: pass apes= or set "
+                             "self.apes first")
+        if states is None and self._S is None:
+            raise ValueError("overlap factor not built: pass states= "
+                             "or call build_ovlp(states) first")
         apes_h = np.asarray(self._apes if apes is None else apes,
                             dtype=np.float64).reshape(n)
         S_h = np.asarray(self._S if states is None else

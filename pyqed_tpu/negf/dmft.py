@@ -151,6 +151,8 @@ class NoneqDMFT:
         #: Born, Phi-derivable -> density-conserving away from half
         #: filling, where plain IPT is not)
         self.solver = solver.lower()
+        if self.solver not in ("ipt", "2b"):
+            raise ValueError(f"solver {solver!r}: use 'ipt' or '2b'")
         self.G = None            # (GR, GL) two-time pair
         self.G0 = None
 
@@ -298,6 +300,8 @@ class NoneqDMFTThermal:
         self.ntau = ntau
         self.dtau = beta / ntau
         self.solver = solver.lower()
+        if self.solver not in ("ipt", "2b"):
+            raise ValueError(f"solver {solver!r}: use 'ipt' or '2b'")
         self.G = None
 
     # ------------------------------------------------- Matsubara input
