@@ -40,11 +40,42 @@ class Hessian:
         disp = disp.reshape(self.natm, 3)
         return [(s, x + d) for (s, x), d in zip(self.atoms, disp)]
 
-    def run(self):
-        """(3N, 3N) Cartesian Hessian by double central differences."""
+    def _gradient(self, atoms):
+        """Flat (3N,) ANALYTIC RHF gradient at ``atoms`` (one SCF)."""
+        from .grad import rhf_gradient
+        mol = Molecule(atoms, basis=self.basis)
+        mf = mol.RHF().run()
+        if not mf.converged:
+            raise RuntimeError("SCF failed to converge during Hessian "
+                               "displacement")
+        return np.asarray(rhf_gradient(mf)).reshape(-1)
+
+    def run(self, scheme="grad"):
+        """(3N, 3N) Cartesian Hessian.
+
+        scheme='grad' (default): central differences of the ANALYTIC
+        gradient — 2·3N SCF runs and O(h²) error on FORCES (the better
+        conditioned quantity).  scheme='energy': the round-2 double
+        central differences of the energy — O((3N)²) SCF runs, kept as
+        the independent cross-check.  (The reference differentiates
+        pyscf energies; its own Hessian class is a skeleton —
+        pyqed/qchem/hessian.py:26.)
+        """
         n = 3 * self.natm
         h = self.step
         H = np.zeros((n, n))
+        if scheme == "grad":
+            for i in range(n):
+                d = np.zeros(n)
+                d[i] = h
+                gp = self._gradient(self._geom(d))
+                gm = self._gradient(self._geom(-d))
+                H[:, i] = (gp - gm) / (2 * h)
+            H = 0.5 * (H + H.T)       # symmetrize the FD remainder
+            self.hessian = H
+            return H
+        if scheme != "energy":
+            raise ValueError(f"scheme {scheme!r}: use 'grad' or 'energy'")
         E0 = scf_energy(self.atoms, self.basis)
         # diagonal
         for i in range(n):

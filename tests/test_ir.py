@@ -98,3 +98,22 @@ class TestRaman:
         assert ir[0] < 1e-10
         assert act[0] > 1e-4
         assert nus[0] > 1000.0
+
+
+def test_hessian_grad_scheme_matches_energy_scheme():
+    """FD-of-analytic-gradient Hessian (the r4 default: 2*3N SCFs,
+    O(h^2) on forces) == double-FD-of-energy Hessian (O((3N)^2) SCFs)
+    on H2/sto-3g."""
+    import numpy as np
+    from pyqed_tpu.qchem.hessian import Hessian
+
+    h2 = [("H", (0, 0, 0.0)), ("H", (0, 0, 1.4))]
+    a = Hessian(h2, basis="sto-3g")
+    Hg = a.run(scheme="grad")
+    b = Hessian(h2, basis="sto-3g")
+    He = b.run(scheme="energy")
+    assert np.max(np.abs(Hg - He)) < 5e-5   # both schemes O(h^2), different constants
+    assert np.max(np.abs(Hg - Hg.T)) < 1e-14      # exactly symmetric
+    fa = a.vibrational_frequencies()
+    fb = b.vibrational_frequencies()
+    assert abs(fa[0] - fb[0]) < 0.5               # cm^-1
