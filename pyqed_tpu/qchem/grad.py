@@ -212,6 +212,100 @@ def scan_pes(atoms_fn, grid, method="RHF", basis="sto-3g", charge=0,
                      for s in np.asarray(grid)])
 
 
+def excited_state_energy(atoms, basis="sto-3g", state=1, singlet=True,
+                         nroots=None, **scf_kw):
+    """E_SCF + ω_TDA of excited ``state`` (1-based) at geometry
+    ``atoms`` (bohr).  Returns (energy, mf, td)."""
+    from .tdscf import TDA
+    mol = Molecule(atoms, basis=basis, **scf_kw)
+    mf = mol.RHF().run()
+    if not mf.converged:
+        raise RuntimeError("SCF failed to converge at excited-state "
+                           "gradient displacement")
+    td = TDA(mf, singlet=singlet)
+    td.run(nroots=nroots or max(state, 3))
+    return float(mf.e_tot + np.asarray(td.e)[state - 1]), mf, td
+
+
+def tda_gradient_fd(atoms, basis="sto-3g", state=1, singlet=True,
+                    step=5e-3, richardson=False, **scf_kw):
+    """Excited-state nuclear gradient d(E_SCF + ω_TDA)/dR by central
+    finite differences (O(h²); ``richardson`` upgrades to O(h⁴) with
+    twice the SCF+TDA count).  State tracking is by ENERGY ORDER —
+    near conical intersections follow the root by overlap instead.
+
+    The reference has no excited-state forces at all (its gradients
+    delegate to pyscf ground state only: pyqed/qchem/grad.py:9).
+    Returns (natm, 3) in Eh/bohr.
+    """
+    atoms = [(s, np.asarray(x, float)) for s, x in atoms]
+    natm = len(atoms)
+
+    def E(disp):
+        d = disp.reshape(natm, 3)
+        geo = [(s, x + dd) for (s, x), dd in zip(atoms, d)]
+        return excited_state_energy(geo, basis, state, singlet,
+                                    **scf_kw)[0]
+
+    g = np.zeros(3 * natm)
+    for i in range(3 * natm):
+        d = np.zeros(3 * natm)
+        d[i] = step
+        if richardson:
+            d2 = 2 * d
+            g[i] = (8 * (E(d) - E(-d)) - (E(d2) - E(-d2))) / (12 * step)
+        else:
+            g[i] = (E(d) - E(-d)) / (2 * step)
+    return g.reshape(natm, 3)
+
+
+class ExcitedGeometryOptimizer:
+    """BFGS geometry optimization on the TDA excited-state surface
+    E_SCF + ω_TDA (FD gradients) — excited-state relaxed geometries,
+    adiabatic excitation energies, and excited-state frequencies feed
+    the vibronic-model builders (qchem/vibronic.py)."""
+
+    def __init__(self, atoms, basis="sto-3g", state=1, singlet=True,
+                 step=5e-3, gtol=5e-4, maxiter=50, **scf_kw):
+        self.atoms = [(s, np.asarray(x, float)) for s, x in atoms]
+        self.basis = basis
+        self.state = state
+        self.singlet = singlet
+        self.step = step
+        self.gtol = gtol
+        self.maxiter = maxiter
+        self.scf_kw = scf_kw
+        self.converged = False
+        self.atoms_opt = None
+        self.e_tot = None
+
+    def run(self):
+        from scipy.optimize import minimize
+        syms = [s for s, _ in self.atoms]
+        x0 = np.concatenate([x for _, x in self.atoms])
+
+        def fun(x):
+            geo = [(s, x[3 * k:3 * k + 3]) for k, s in enumerate(syms)]
+            return excited_state_energy(geo, self.basis, self.state,
+                                        self.singlet, **self.scf_kw)[0]
+
+        def jac(x):
+            geo = [(s, x[3 * k:3 * k + 3]) for k, s in enumerate(syms)]
+            return tda_gradient_fd(geo, self.basis, self.state,
+                                   self.singlet, self.step,
+                                   **self.scf_kw).reshape(-1)
+
+        res = minimize(fun, x0, jac=jac, method="BFGS",
+                       options={"gtol": self.gtol,
+                                "maxiter": self.maxiter})
+        self.converged = bool(res.success or
+                              np.max(np.abs(res.jac)) < 5 * self.gtol)
+        self.e_tot = float(res.fun)
+        self.atoms_opt = [(s, res.x[3 * k:3 * k + 3])
+                          for k, s in enumerate(syms)]
+        return self
+
+
 def rhf_gradient(mf):
     """ANALYTIC RHF/UHF nuclear gradient (natm, 3) in Eh/bohr.
 

@@ -137,3 +137,35 @@ def test_from_xyz_rejects_unit_kwarg(tmp_path):
         Molecule.from_xyz(str(p), unit="angstrom")
     m = Molecule.from_xyz(str(p), basis="sto-3g")
     assert m.natm == 2
+
+
+def test_excited_state_fd_gradient_and_optimizer():
+    """Excited-state (TDA) forces and geometry relaxation — a surface
+    the reference does not have at all (its gradients delegate to
+    pyscf ground state).  LiH/sto-3g first singlet."""
+    import numpy as np
+    from pyqed_tpu.qchem.grad import (tda_gradient_fd,
+                                      ExcitedGeometryOptimizer,
+                                      excited_state_energy,
+                                      optimize_geometry)
+
+    lih = [("Li", (0, 0, 0.0)), ("H", (0, 0, 3.0))]
+    g = tda_gradient_fd(lih, state=1)
+    # translational invariance and O(h^2) vs Richardson O(h^4)
+    assert np.max(np.abs(g.sum(axis=0))) < 1e-8
+    g4 = tda_gradient_fd(lih, state=1, richardson=True)
+    assert abs(g[1, 2] - g4[1, 2]) < 1e-5
+
+    opt = ExcitedGeometryOptimizer(lih, state=1, maxiter=30).run()
+    assert opt.converged
+    Re_exc = abs(opt.atoms_opt[1][1][2] - opt.atoms_opt[0][1][2])
+    # stationary point: forces vanish
+    g_min = tda_gradient_fd(opt.atoms_opt, state=1)
+    assert np.max(np.abs(g_min)) < 2e-3
+    # the excited state relaxes to a LONGER bond than the ground state
+    gs_atoms, _ = optimize_geometry(lih, basis="sto-3g", method="RHF")
+    Re_gs = abs(gs_atoms[1][1][2] - gs_atoms[0][1][2])
+    assert Re_exc > Re_gs + 0.05
+    # adiabatic < vertical excitation energy
+    E_vert = excited_state_energy(gs_atoms, state=1)[0]
+    assert opt.e_tot < E_vert
