@@ -266,7 +266,8 @@ class ExcitedGeometryOptimizer:
     the vibronic-model builders (qchem/vibronic.py)."""
 
     def __init__(self, atoms, basis="sto-3g", state=1, singlet=True,
-                 step=5e-3, gtol=5e-4, maxiter=50, **scf_kw):
+                 step=5e-3, gtol=5e-4, maxiter=50, analytic=True,
+                 **scf_kw):
         self.atoms = [(s, np.asarray(x, float)) for s, x in atoms]
         self.basis = basis
         self.state = state
@@ -274,6 +275,9 @@ class ExcitedGeometryOptimizer:
         self.step = step
         self.gtol = gtol
         self.maxiter = maxiter
+        #: analytic CIS gradients (tdgrad.cis_gradient: one SCF+TDA
+        #: per point instead of 2*3N) — FD fallback with analytic=False
+        self.analytic = analytic
         self.scf_kw = scf_kw
         self.converged = False
         self.atoms_opt = None
@@ -291,6 +295,13 @@ class ExcitedGeometryOptimizer:
 
         def jac(x):
             geo = [(s, x[3 * k:3 * k + 3]) for k, s in enumerate(syms)]
+            if self.analytic:
+                from .tdgrad import cis_gradient
+                _, mf, td = excited_state_energy(
+                    geo, self.basis, self.state, self.singlet,
+                    **self.scf_kw)
+                return np.asarray(
+                    cis_gradient(td, self.state)).reshape(-1)
             return tda_gradient_fd(geo, self.basis, self.state,
                                    self.singlet, self.step,
                                    **self.scf_kw).reshape(-1)
