@@ -1,27 +1,33 @@
-"""Analytic excited-state (CIS/TDA) nuclear gradients.
+"""Analytic post-SCF nuclear gradients: a generic AD + Z-vector engine.
 
-The reference has no excited-state forces (its ground-state gradients
-delegate to pyscf — pyqed/qchem/grad.py:9); this implements the
-analytic d(E_SCF + ω_CIS)/dR for restricted closed-shell singlet TDA
-with a design that removes the usual hand-derived Furche/Foresman
-index algebra:
+The reference has no excited-state or correlated forces (its
+ground-state gradients delegate to pyscf — pyqed/qchem/grad.py:9).
+This module implements analytic nuclear gradients for ANY
+frozen-amplitude orbital functional ω(C; h, ERI) — CIS/TDA excitation
+energies and the MP2 Hylleraas correlation energy ship here — with a
+design that removes the usual hand-derived Furche/Foresman/Pople index
+algebra:
 
 * the orbital Lagrangian L_pq = ∂ω/∂κ_pq and the explicit-integral
-  weights (∂ω/∂h, ∂ω/∂ERI) come from **jax autodiff** of a 15-line
-  definition of ω(C(κ); h, ERI);
+  weights (∂ω/∂h, ∂ω/∂ERI) come from **jax autodiff** of the ω
+  definition (15 lines for CIS, ~25 for MP2);
 * the CPHF operator (the Jacobian of the Brillouin block F_vo over
   orbital rotations) is ALSO an autodiff Jacobian;
 * ONE Z-vector linear solve converts the 3N response sums into a
   single contraction (Handy-Schaefer).
 
-The only hand-written pieces are the AO derivative-integral assemblies
-(the same bra-kernel + position-map patterns as the trusted
-``rhf_gradient``).  Why this is exact: ω is first-order invariant
-under occ-occ and virt-virt rotations at an eigenvector of the CIS
-matrix (X†[G, A]X = 0 when AX = ωX), so the redundant antisymmetric
-blocks of U^ξ drop and the symmetric blocks are fixed by
-orthonormality, U_sym = −S^ξ_MO/2.  Pinned against Richardson finite
-differences of E_SCF + ω_TDA in tests/test_tdgrad.py.
+The only hand-written pieces are the AO derivative-integral
+assemblies (the same bra-kernel + position-map patterns as the
+trusted ``rhf_gradient``).
+
+Why frozen amplitudes are exact: both functionals are STATIONARY in
+their amplitudes (X is a CIS eigenvector; t minimizes the Hylleraas
+functional), so amplitude response drops; stationarity also makes ω
+first-order invariant under the redundant occ-occ/virt-virt rotations
+(for CIS: X†[G, A]X = 0 when AX = ωX), so the antisymmetric U^ξ
+blocks drop and the symmetric blocks are fixed by orthonormality,
+U_sym = −S^ξ_MO/2.  Everything is pinned against Richardson finite
+differences in tests/test_tdgrad.py.
 """
 from __future__ import annotations
 
@@ -31,7 +37,8 @@ import jax.numpy as jnp
 
 from .basis import ATOMIC_NUMBER
 
-__all__ = ["cis_gradient", "tda_gradient"]
+__all__ = ["cis_gradient", "tda_gradient", "mp2_gradient",
+           "response_gradient"]
 
 
 def _ao_derivative_mats(mol):
@@ -79,62 +86,44 @@ def _ao_derivative_mats(mol):
     return out
 
 
-def cis_gradient(td, state=1):
-    """Analytic nuclear gradient (natm, 3) of E_SCF + ω_TDA for
-    ``state`` (1-based).  Restricted closed-shell singlet TDA on the
-    Cartesian-AO SCF (spherical bases: run the SCF with
-    spherical=False)."""
-    mf = td.mf
+def response_gradient(mf, omega_fn, check_value=None, check_tol=1e-6):
+    """dω/dR (natm, 3) for a frozen-amplitude orbital functional.
+
+    omega_fn(kappa, h, eri) -> scalar: ω expressed through rotated MO
+    coefficients C(I + κ) and the AO integrals; MUST be stationary in
+    its internal amplitudes and therefore first-order invariant under
+    occ-occ/virt-virt rotations (validated at runtime through the
+    symmetry of the oo/vv Lagrangian blocks).
+    ``check_value``: if given, ω(0) must match it to ``check_tol``
+    (guards against stale mf/amplitudes)."""
     mol = mf.mol
     if getattr(mol, "csph", None) is not None:
-        raise NotImplementedError("cis_gradient needs the Cartesian-AO "
-                                  "SCF (spherical=False)")
+        raise NotImplementedError("response_gradient needs the "
+                                  "Cartesian-AO SCF (spherical=False)")
     no = mf.nocc
     C = np.asarray(mf.mo_coeff, float)
     nmo = C.shape[1]
     nv = nmo - no
-    X = np.asarray(td.xy[:, state - 1], float).reshape(no, nv)
-    # singlet: A = dd(e) + 2(ia|jb) − (ij|ab); triplet drops the
-    # Coulomb coupling (tdscf.tda_matrix semantics)
-    c2 = 2.0 if getattr(td, "singlet", True) else 0.0
     h = jnp.asarray(np.asarray(mf.hcore, float))
     ERI = jnp.asarray(np.asarray(mf.eri, float))
     Cj = jnp.asarray(C)
-    Xj = jnp.asarray(X)
-
-    # ---------------- ω(κ; h, ERI): the whole excited-state functional
-    def omega(kappa, h_, eri_):
-        Cr = Cj + Cj @ kappa               # first order is exact for grads
-        Co, Cv = Cr[:, :no], Cr[:, no:]
-        D = 2.0 * Co @ Co.T
-        J = jnp.einsum("pqkl, kl -> pq", eri_, D)
-        K = jnp.einsum("pkql, kl -> pq", eri_, D)
-        F = h_ + J - 0.5 * K
-        Foo = Co.T @ F @ Co
-        Fvv = Cv.T @ F @ Cv
-        R = Co @ Xj @ Cv.T
-        w = (jnp.einsum("ab, ab ->", Xj.T @ Xj, Fvv)
-             - jnp.einsum("ij, ij ->", Xj @ Xj.T, Foo)
-             + c2 * jnp.einsum("pqkl, pq, kl ->", eri_, R, R)
-             - jnp.einsum("pqkl, pk, ql ->", eri_, R, R))
-        return w
 
     k0 = jnp.zeros((nmo, nmo))
-    w0 = float(omega(k0, h, ERI))
-    if abs(w0 - float(np.asarray(td.e)[state - 1])) > 1e-6:
-        raise RuntimeError(
-            f"omega functional ({w0}) != TDA eigenvalue "
-            f"({float(np.asarray(td.e)[state - 1])}) — stale td/mf?")
+    w0 = float(omega_fn(k0, h, ERI))
+    if check_value is not None and abs(w0 - check_value) > check_tol:
+        raise RuntimeError(f"omega functional ({w0}) != expected "
+                           f"({check_value}) — stale mf/amplitudes?")
 
     # AD: orbital Lagrangian and explicit integral weights
     L, Wh, Weri = [np.asarray(g) for g in
-                   jax.grad(omega, argnums=(0, 1, 2))(k0, h, ERI)]
-    # sanity of the oo/vv-invariance argument (eigenvector property)
+                   jax.grad(omega_fn, argnums=(0, 1, 2))(k0, h, ERI)]
+    # the oo/vv-invariance (amplitude stationarity) check
     asym = max(np.max(np.abs(L[:no, :no] - L[:no, :no].T)),
                np.max(np.abs(L[no:, no:] - L[no:, no:].T)))
-    if asym > 1e-6 * max(1.0, np.max(np.abs(L))):
-        raise RuntimeError("oo/vv Lagrangian not symmetric: X is not "
-                           "an eigenvector of the TDA matrix")
+    if asym > 1e-5 * max(1.0, np.max(np.abs(L))):
+        raise RuntimeError("oo/vv Lagrangian not symmetric: the "
+                           "functional is not stationary in its "
+                           "amplitudes")
 
     # ---------------- CPHF operator: Jacobian of the Brillouin block
     def fock_vo(kappa):
@@ -158,8 +147,7 @@ def cis_gradient(td, state=1):
     Z = np.linalg.solve(Mlin.T, Lam).reshape(nv, no)
 
     # ---------------- per-coordinate assembly
-    from .grad import rhf_gradient
-    g = np.asarray(rhf_gradient(mf), float).copy()
+    g = np.zeros((mol.natm, 3))
     derivs = _ao_derivative_mats(mol)
     D0 = np.asarray(mf.dm, float)
     for a in range(mol.natm):
@@ -188,6 +176,137 @@ def cis_gradient(td, state=1):
     return g
 
 
+# =====================================================================
+# CIS / TDA
+# =====================================================================
+
+def cis_gradient(td, state=1):
+    """Analytic nuclear gradient (natm, 3) of E_SCF + ω_TDA for
+    ``state`` (1-based).  Restricted closed-shell TDA (singlet or
+    triplet) on the Cartesian-AO SCF."""
+    mf = td.mf
+    no = mf.nocc
+    C = np.asarray(mf.mo_coeff, float)
+    nmo = C.shape[1]
+    nv = nmo - no
+    X = np.asarray(td.xy[:, state - 1], float).reshape(no, nv)
+    # singlet: A = dd(e) + 2(ia|jb) − (ij|ab); triplet drops the
+    # Coulomb coupling (tdscf.tda_matrix semantics)
+    c2 = 2.0 if getattr(td, "singlet", True) else 0.0
+    Cj = jnp.asarray(C)
+    Xj = jnp.asarray(X)
+
+    def omega(kappa, h_, eri_):
+        Cr = Cj + Cj @ kappa           # first order is exact for grads
+        Co, Cv = Cr[:, :no], Cr[:, no:]
+        D = 2.0 * Co @ Co.T
+        J = jnp.einsum("pqkl, kl -> pq", eri_, D)
+        K = jnp.einsum("pkql, kl -> pq", eri_, D)
+        F = h_ + J - 0.5 * K
+        Foo = Co.T @ F @ Co
+        Fvv = Cv.T @ F @ Cv
+        R = Co @ Xj @ Cv.T
+        return (jnp.einsum("ab, ab ->", Xj.T @ Xj, Fvv)
+                - jnp.einsum("ij, ij ->", Xj @ Xj.T, Foo)
+                + c2 * jnp.einsum("pqkl, pq, kl ->", eri_, R, R)
+                - jnp.einsum("pqkl, pk, ql ->", eri_, R, R))
+
+    from .grad import rhf_gradient
+    dw = response_gradient(mf, omega,
+                           check_value=float(np.asarray(td.e)[state - 1]))
+    return np.asarray(rhf_gradient(mf), float) + dw
+
+
 def tda_gradient(td, state=1):
     """Alias of :func:`cis_gradient`."""
     return cis_gradient(td, state)
+
+
+# =====================================================================
+# MP2 (Hylleraas functional)
+# =====================================================================
+
+def mp2_gradient(mf):
+    """Analytic MP2 nuclear gradient d(E_SCF + E2)/dR (natm, 3).
+
+    E2 enters as the HYLLERAAS functional with the converged canonical
+    amplitudes FROZEN — stationarity in t makes the frozen-t J2[t]
+    first-order invariant under the redundant rotations (the canonical
+    closed-form E2 with diagonal-F denominators is NOT, and would give
+    a wrong gradient).  Spin-orbital formulation inside the functional
+    keeps the algebra to four lines; sizes are (2nmo)⁴ — fine for the
+    minimal/Pople bases this qchem stack targets."""
+    no = mf.nocc
+    C = np.asarray(mf.mo_coeff, float)
+    nmo = C.shape[1]
+    Cj = jnp.asarray(C)
+    eps = np.asarray(mf.mo_energy, float)
+
+    # spin-orbital index maps: p_s = 2p (+alpha) / 2p+1 (beta)
+    nso, nos = 2 * nmo, 2 * no
+    spat = np.repeat(np.arange(nmo), 2)
+    spin = np.tile([0, 1], nmo)
+    occ_s = np.arange(nos)
+    vir_s = np.arange(nos, nso)
+
+    # converged canonical amplitudes (frozen): t_ijab = <ij||ab>/D
+    ERI0 = np.asarray(mf.eri, float)
+    Cmo = C
+    eri_mo = np.einsum("pi, qj, pqkl, kr, ls -> ijrs",
+                       Cmo, Cmo, ERI0, Cmo, Cmo, optimize=True)
+    # <pq||rs> = (pr|qs)d(sp,sr)d(sq,ss) − (ps|qr)d(sp,ss)d(sq,sr)
+    sp_ = spat
+    sn_ = spin
+    g_so = (eri_mo[np.ix_(sp_, sp_, sp_, sp_)]
+            .transpose(0, 2, 1, 3))            # (pr|qs) -> <pq|rs>
+    d12 = (sn_[:, None] == sn_[None, :]).astype(float)
+    g_aso = (g_so * d12[:, None, :, None] * d12[None, :, None, :]
+             - g_so.transpose(0, 1, 3, 2)
+             * (sn_[:, None, None, None] == sn_[None, None, None, :])
+             * (sn_[None, :, None, None] == sn_[None, None, :, None]))
+    eps_s = eps[spat]
+    Dden = (eps_s[occ_s, None, None, None]
+            + eps_s[None, occ_s, None, None]
+            - eps_s[None, None, vir_s, None]
+            - eps_s[None, None, None, vir_s])
+    t0 = g_aso[np.ix_(occ_s, occ_s, vir_s, vir_s)] / Dden
+    e2_ref = 0.25 * float(np.sum(
+        t0 * g_aso[np.ix_(occ_s, occ_s, vir_s, vir_s)]))
+    tj = jnp.asarray(t0)
+
+    spat_j = jnp.asarray(spat)
+    same = jnp.asarray((spin[:, None] == spin[None, :]).astype(float))
+
+    def omega(kappa, h_, eri_):
+        Cr = Cj + Cj @ kappa
+        Co, Cv = Cr[:, :no], Cr[:, no:]
+        D = 2.0 * Co @ Co.T
+        J = jnp.einsum("pqkl, kl -> pq", eri_, D)
+        K = jnp.einsum("pkql, kl -> pq", eri_, D)
+        F = h_ + J - 0.5 * K
+        Fmo = Cr.T @ F @ Cr
+        emo = jnp.einsum("pi, qj, pqkl, kr, ls -> ijrs",
+                         Cr, Cr, eri_, Cr, Cr)
+        # spin-orbital antisymmetrized <pq||rs>
+        gso = emo[spat_j][:, spat_j][:, :, spat_j][:, :, :, spat_j] \
+            .transpose(0, 2, 1, 3)
+        s1 = same[:, None, :, None] * same[None, :, None, :]
+        s2 = (same[:, None, None, :] * same[None, :, :, None])
+        gaso = gso * s1 - gso.transpose(0, 1, 3, 2) * s2
+        goovv = gaso[jnp.ix_(jnp.asarray(occ_s), jnp.asarray(occ_s),
+                             jnp.asarray(vir_s), jnp.asarray(vir_s))]
+        Fso = Fmo[spat_j][:, spat_j] * same
+        Foo_s = Fso[:nos, :nos]
+        Fvv_s = Fso[nos:, nos:]
+        # Hylleraas: J2 = 1/4 [ 2 t·g + t·(A t) ],
+        # (A t) = P(ab) Fvv t − P(ij) Foo t
+        At = (jnp.einsum("ca, ijcb -> ijab", Fvv_s, tj)
+              + jnp.einsum("cb, ijac -> ijab", Fvv_s, tj)
+              - jnp.einsum("ik, kjab -> ijab", Foo_s, tj)
+              - jnp.einsum("jk, ikab -> ijab", Foo_s, tj))
+        return 0.25 * (2.0 * jnp.einsum("ijab, ijab ->", tj, goovv)
+                       + jnp.einsum("ijab, ijab ->", tj, At))
+
+    from .grad import rhf_gradient
+    dw = response_gradient(mf, omega, check_value=e2_ref)
+    return np.asarray(rhf_gradient(mf), float) + dw

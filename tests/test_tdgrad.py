@@ -50,3 +50,60 @@ def test_excited_optimizer_analytic_matches_fd():
     Re_f = abs(of.atoms_opt[1][1][2] - of.atoms_opt[0][1][2])
     assert abs(Re_a - Re_f) < 1e-3
     assert abs(oa.e_tot - of.e_tot) < 1e-7
+
+
+def test_mp2_gradient_vs_richardson_fd():
+    """Analytic MP2 gradient (Hylleraas frozen-t functional through
+    the generic response engine) vs Richardson FD of E_SCF + E2."""
+    from pyqed_tpu.qchem.tdgrad import mp2_gradient
+    from pyqed_tpu.qchem.mp import MP2
+
+    mf = Molecule(H2O, basis="sto-3g").RHF().run()
+    g = mp2_gradient(mf)
+    assert np.max(np.abs(g.sum(axis=0))) < 1e-6   # translational inv.
+
+    def e_mp2(atoms):
+        m = Molecule(atoms, basis="sto-3g").RHF().run()
+        mp = MP2(m)
+        mp.run()
+        return float(m.e_tot + mp.e_corr)
+
+    at = [(s, np.asarray(x, float)) for s, x in H2O]
+    h = 5e-3
+    # spot-check three representative components (full 9 is slow)
+    for (a, x) in [(0, 1), (1, 2), (2, 0)]:
+        def E(d):
+            geo = [(s, xx + (d if k == a else 0) * np.eye(3)[x])
+                   for k, (s, xx) in enumerate(at)]
+            return e_mp2(geo)
+        gfd = (8 * (E(h) - E(-h)) - (E(2 * h) - E(-2 * h))) / (12 * h)
+        assert abs(g[a, x] - gfd) < 1e-6, (a, x)
+
+
+def test_mp2_gradient_canonical_formula_would_fail():
+    """The engine's stationarity gate: feeding a NON-stationary
+    functional (the canonical closed-form E2 with diagonal-F
+    denominators) must be rejected — its oo/vv Lagrangian is not
+    symmetric."""
+    from pyqed_tpu.qchem.tdgrad import response_gradient
+    import jax.numpy as jnp
+
+    mf = Molecule(H2O, basis="sto-3g").RHF().run()
+    no = mf.nocc
+    C = np.asarray(mf.mo_coeff, float)
+    Cj = jnp.asarray(C)
+    eps = jnp.asarray(mf.mo_energy)
+
+    def omega_bad(kappa, h_, eri_):
+        Cr = Cj + Cj @ kappa
+        emo = jnp.einsum("pi, qj, pqkl, kr, ls -> ijrs",
+                         Cr, Cr, eri_, Cr, Cr)
+        ov = emo[:no, no:, :no, no:]
+        # frozen canonical denominators: NOT stationary in amplitudes
+        den = (eps[:no, None, None, None] - eps[None, no:, None, None]
+               + eps[None, None, :no, None]
+               - eps[None, None, None, no:])
+        return jnp.sum(ov * (2 * ov - jnp.swapaxes(ov, 1, 3)) / den)
+
+    with pytest.raises(RuntimeError, match="not symmetric|stationary"):
+        response_gradient(mf, omega_bad)
