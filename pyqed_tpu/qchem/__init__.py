@@ -10,7 +10,8 @@ from .soc import soc_integrals, soc_matrix, soc_mo
 from .grad import (Grad, GeometryOptimizer, optimize_geometry, scan_pes,
                    rhf_gradient, scf_gradient, tda_gradient_fd,
                    excited_state_energy, ExcitedGeometryOptimizer)
-from .tdgrad import cis_gradient, tda_gradient, mp2_gradient, response_gradient
+from .tdgrad import (cis_gradient, tda_gradient, mp2_gradient,
+                     mp2_dipole, response_gradient, ResponseEngine)
 from .vibronic import LVCBuilder, LVC_DFT
 from . import basis
 from .dvr import (MoleculeDVR, RHF1D, RHF2D, RKS1D, CASCIDVR,

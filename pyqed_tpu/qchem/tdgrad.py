@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from .basis import ATOMIC_NUMBER
 
 __all__ = ["cis_gradient", "tda_gradient", "mp2_gradient",
-           "response_gradient"]
+           "mp2_dipole", "response_gradient", "ResponseEngine"]
 
 
 def _ao_derivative_mats(mol):
@@ -86,6 +86,101 @@ def _ao_derivative_mats(mol):
     return out
 
 
+class ResponseEngine:
+    """AD + Z-vector derivative engine for a frozen-amplitude orbital
+    functional ω(κ; h, ERI): builds the Lagrangian, the CPHF Jacobian,
+    and the Z vector ONCE; :meth:`domega` then evaluates dω for ANY
+    perturbation given its AO derivative matrices (dS, dh, dA) —
+    nuclear displacements, electric fields (dh = −μ_x, dS = dA = 0),
+    or anything else."""
+
+    def __init__(self, mf, omega_fn, check_value=None, check_tol=1e-6):
+        mol = mf.mol
+        if getattr(mol, "csph", None) is not None:
+            raise NotImplementedError("ResponseEngine needs the "
+                                      "Cartesian-AO SCF "
+                                      "(spherical=False)")
+        self.mf = mf
+        no = mf.nocc
+        C = np.asarray(mf.mo_coeff, float)
+        nmo = C.shape[1]
+        nv = nmo - no
+        h = jnp.asarray(np.asarray(mf.hcore, float))
+        ERI = jnp.asarray(np.asarray(mf.eri, float))
+        Cj = jnp.asarray(C)
+
+        k0 = jnp.zeros((nmo, nmo))
+        w0 = float(omega_fn(k0, h, ERI))
+        if check_value is not None and abs(w0 - check_value) > check_tol:
+            raise RuntimeError(f"omega functional ({w0}) != expected "
+                               f"({check_value}) — stale mf/amplitudes?")
+        self.w0 = w0
+
+        # AD: orbital Lagrangian and explicit integral weights
+        L, Wh, Weri = [np.asarray(g) for g in
+                       jax.grad(omega_fn, argnums=(0, 1, 2))(k0, h, ERI)]
+        # the oo/vv-invariance (amplitude stationarity) check
+        asym = max(np.max(np.abs(L[:no, :no] - L[:no, :no].T)),
+                   np.max(np.abs(L[no:, no:] - L[no:, no:].T)))
+        if asym > 1e-5 * max(1.0, np.max(np.abs(L))):
+            raise RuntimeError("oo/vv Lagrangian not symmetric: the "
+                               "functional is not stationary in its "
+                               "amplitudes")
+
+        # CPHF operator: Jacobian of the Brillouin block
+        def fock_vo(kappa):
+            Cr = Cj + Cj @ kappa
+            Co, Cv = Cr[:, :no], Cr[:, no:]
+            D = 2.0 * Co @ Co.T
+            J = jnp.einsum("pqkl, kl -> pq", ERI, D)
+            K = jnp.einsum("pkql, kl -> pq", ERI, D)
+            F = h + J - 0.5 * K
+            return Cv.T @ F @ Co                   # (nv, no)
+
+        J1 = np.asarray(jax.jacobian(fock_vo)(k0))
+        # linear operator on the vo unknown (U_ov = −Sξ_ov − U_voᵀ)
+        Mlin = (J1[:, :, no:, :no].reshape(nv * no, nv * no)
+                - J1[:, :, :no, no:].transpose(0, 1, 3, 2)
+                .reshape(nv * no, nv * no))
+        Lam = (L[no:, :no] - L[:no, no:].T).reshape(-1)
+        self.Z = np.linalg.solve(Mlin.T, Lam).reshape(nv, no)
+        self.L, self.Wh, self.Weri, self.J1 = L, Wh, Weri, J1
+        self.C, self.no, self.nmo, self.nv = C, no, nmo, nv
+        self.D0 = np.asarray(mf.dm, float)
+
+    def domega(self, dS, dh, dA=None):
+        """dω for one perturbation from its AO derivative matrices."""
+        C, no, nmo = self.C, self.no, self.nmo
+        dw = float(np.einsum("pq, pq ->", self.Wh, dh))
+        if dA is not None:
+            dw += float(np.einsum("pqkl, pqkl ->", self.Weri, dA))
+        # orthonormality (symmetric) parts of U^ξ
+        Smo = C.T @ dS @ C
+        U = np.zeros((nmo, nmo))
+        U[:no, :no] = -0.5 * Smo[:no, :no]
+        U[no:, no:] = -0.5 * Smo[no:, no:]
+        U[:no, no:] = -Smo[:no, no:]               # U_ov = −Sξ_ov − U_voᵀ
+        dw += float(np.einsum("pq, pq ->", self.L, U))
+        # CPHF RHS: 0 = F^expl_vo + J1:U_known + Mlin U_vo
+        Fx = dh.copy()
+        if dA is not None:
+            Fx = Fx + np.einsum("pqkl, kl -> pq", dA, self.D0) \
+                - 0.5 * np.einsum("pkql, kl -> pq", dA, self.D0)
+        Fexpl_vo = C[:, no:].T @ Fx @ C[:, :no]
+        rhs = -(Fexpl_vo + np.einsum("aipq, pq -> ai", self.J1, U))
+        return dw + float(np.sum(self.Z * rhs))
+
+    def nuclear_gradient(self):
+        """dω/dR (natm, 3) over all nuclear displacements."""
+        mol = self.mf.mol
+        g = np.zeros((mol.natm, 3))
+        derivs = _ao_derivative_mats(mol)
+        for a in range(mol.natm):
+            for x in range(3):
+                g[a, x] = self.domega(*derivs[a][x])
+        return g
+
+
 def response_gradient(mf, omega_fn, check_value=None, check_tol=1e-6):
     """dω/dR (natm, 3) for a frozen-amplitude orbital functional.
 
@@ -96,84 +191,8 @@ def response_gradient(mf, omega_fn, check_value=None, check_tol=1e-6):
     symmetry of the oo/vv Lagrangian blocks).
     ``check_value``: if given, ω(0) must match it to ``check_tol``
     (guards against stale mf/amplitudes)."""
-    mol = mf.mol
-    if getattr(mol, "csph", None) is not None:
-        raise NotImplementedError("response_gradient needs the "
-                                  "Cartesian-AO SCF (spherical=False)")
-    no = mf.nocc
-    C = np.asarray(mf.mo_coeff, float)
-    nmo = C.shape[1]
-    nv = nmo - no
-    h = jnp.asarray(np.asarray(mf.hcore, float))
-    ERI = jnp.asarray(np.asarray(mf.eri, float))
-    Cj = jnp.asarray(C)
-
-    k0 = jnp.zeros((nmo, nmo))
-    w0 = float(omega_fn(k0, h, ERI))
-    if check_value is not None and abs(w0 - check_value) > check_tol:
-        raise RuntimeError(f"omega functional ({w0}) != expected "
-                           f"({check_value}) — stale mf/amplitudes?")
-
-    # AD: orbital Lagrangian and explicit integral weights
-    L, Wh, Weri = [np.asarray(g) for g in
-                   jax.grad(omega_fn, argnums=(0, 1, 2))(k0, h, ERI)]
-    # the oo/vv-invariance (amplitude stationarity) check
-    asym = max(np.max(np.abs(L[:no, :no] - L[:no, :no].T)),
-               np.max(np.abs(L[no:, no:] - L[no:, no:].T)))
-    if asym > 1e-5 * max(1.0, np.max(np.abs(L))):
-        raise RuntimeError("oo/vv Lagrangian not symmetric: the "
-                           "functional is not stationary in its "
-                           "amplitudes")
-
-    # ---------------- CPHF operator: Jacobian of the Brillouin block
-    def fock_vo(kappa):
-        Cr = Cj + Cj @ kappa
-        Co, Cv = Cr[:, :no], Cr[:, no:]
-        D = 2.0 * Co @ Co.T
-        J = jnp.einsum("pqkl, kl -> pq", ERI, D)
-        K = jnp.einsum("pkql, kl -> pq", ERI, D)
-        F = h + J - 0.5 * K
-        return Cv.T @ F @ Co                       # (nv, no)
-
-    J1 = np.asarray(jax.jacobian(fock_vo)(k0))     # (nv, no, nmo, nmo)
-
-    # linear operator on the vo unknown U_ai (with U_ov = −Sξ_ov − U_voᵀ)
-    Mlin = (J1[:, :, no:, :no].reshape(nv * no, nv * no)
-            - J1[:, :, :no, no:].transpose(0, 1, 3, 2)
-            .reshape(nv * no, nv * no))
-
-    # Z-vector: Mᵀ Z = Λ,  Λ_ai = L_vo − L_ovᵀ
-    Lam = (L[no:, :no] - L[:no, no:].T).reshape(-1)
-    Z = np.linalg.solve(Mlin.T, Lam).reshape(nv, no)
-
-    # ---------------- per-coordinate assembly
-    g = np.zeros((mol.natm, 3))
-    derivs = _ao_derivative_mats(mol)
-    D0 = np.asarray(mf.dm, float)
-    for a in range(mol.natm):
-        for x in range(3):
-            dS, dh, dA = derivs[a][x]
-            # explicit integral part of dω (AD weights)
-            dw = float(np.einsum("pq, pq ->", Wh, dh)
-                       + np.einsum("pqkl, pqkl ->", Weri, dA))
-            # orthonormality (symmetric) parts of U^ξ
-            Smo = C.T @ dS @ C
-            U = np.zeros((nmo, nmo))
-            U[:no, :no] = -0.5 * Smo[:no, :no]
-            U[no:, no:] = -0.5 * Smo[no:, no:]
-            U[:no, no:] = -Smo[:no, no:]           # U_ov = −Sξ_ov − U_voᵀ
-            dw += float(np.einsum("pq, pq ->", L, U))
-            # CPHF RHS at this ξ: 0 = F^expl_vo + J1:U_known + Mlin U_vo
-            dJ = np.einsum("pqkl, kl -> pq", dA, D0)
-            dK = np.einsum("pkql, kl -> pq", dA, D0)
-            Fx = dh + dJ - 0.5 * dK
-            Fexpl_vo = C[:, no:].T @ Fx @ C[:, :no]
-            rhs = -(Fexpl_vo
-                    + np.einsum("aipq, pq -> ai", J1, U))
-            # response term through the Z vector
-            dw += float(np.sum(Z * rhs))
-            g[a, x] += dw
-    return g
+    return ResponseEngine(mf, omega_fn, check_value,
+                          check_tol).nuclear_gradient()
 
 
 # =====================================================================
@@ -226,16 +245,9 @@ def tda_gradient(td, state=1):
 # MP2 (Hylleraas functional)
 # =====================================================================
 
-def mp2_gradient(mf):
-    """Analytic MP2 nuclear gradient d(E_SCF + E2)/dR (natm, 3).
-
-    E2 enters as the HYLLERAAS functional with the converged canonical
-    amplitudes FROZEN — stationarity in t makes the frozen-t J2[t]
-    first-order invariant under the redundant rotations (the canonical
-    closed-form E2 with diagonal-F denominators is NOT, and would give
-    a wrong gradient).  Spin-orbital formulation inside the functional
-    keeps the algebra to four lines; sizes are (2nmo)⁴ — fine for the
-    minimal/Pople bases this qchem stack targets."""
+def _mp2_omega(mf):
+    """(omega_fn, E2_ref): the frozen-t Hylleraas functional of ``mf``
+    (see :func:`mp2_gradient`)."""
     no = mf.nocc
     C = np.asarray(mf.mo_coeff, float)
     nmo = C.shape[1]
@@ -307,6 +319,39 @@ def mp2_gradient(mf):
         return 0.25 * (2.0 * jnp.einsum("ijab, ijab ->", tj, goovv)
                        + jnp.einsum("ijab, ijab ->", tj, At))
 
+    return omega, e2_ref
+
+
+def mp2_gradient(mf):
+    """Analytic MP2 nuclear gradient d(E_SCF + E2)/dR (natm, 3).
+
+    E2 enters as the HYLLERAAS functional with the converged canonical
+    amplitudes FROZEN — stationarity in t makes the frozen-t J2[t]
+    first-order invariant under the redundant rotations (the canonical
+    closed-form E2 with diagonal-F denominators is NOT, and would give
+    a wrong gradient).  Spin-orbital formulation inside the functional
+    keeps the algebra to four lines; sizes are (2nmo)⁴ — fine for the
+    minimal/Pople bases this qchem stack targets."""
     from .grad import rhf_gradient
+    omega, e2_ref = _mp2_omega(mf)
     dw = response_gradient(mf, omega, check_value=e2_ref)
     return np.asarray(rhf_gradient(mf), float) + dw
+
+
+def mp2_dipole(mf, origin=(0.0, 0.0, 0.0)):
+    """Orbital-RELAXED MP2 dipole moment (3,) in a.u.: the HF dipole
+    plus the correlation correction from the SAME Z-vector engine with
+    an electric-field perturbation (dh = −μ_x, dS = dA = 0) —
+    μ_MP2 = −d(E_SCF + E2)/dF.  Matches finite-field MP2 energies
+    (the unrelaxed density misses the orbital-response part)."""
+    from .basis import dipole_matrix
+    omega, e2_ref = _mp2_omega(mf)
+    eng = ResponseEngine(mf, omega, check_value=e2_ref)
+    mu_ao = np.asarray(dipole_matrix(mf.mol.bfs, origin), float)
+    zS = np.zeros_like(mu_ao[0])
+    mu_hf = np.asarray(mf.dip_moment(origin=origin))
+    # field coupling h -> h + F·μ_ao (electron charge −1: E = −F·μ and
+    # μ_el = −Tr[D r], matching dip_moment/polarizability's
+    # extra_hcore convention);  μ_corr = −dE2/dF
+    corr = np.array([eng.domega(zS, mu_ao[x]) for x in range(3)])
+    return mu_hf - corr

@@ -107,3 +107,35 @@ def test_mp2_gradient_canonical_formula_would_fail():
 
     with pytest.raises(RuntimeError, match="not symmetric|stationary"):
         response_gradient(mf, omega_bad)
+
+
+def test_mp2_relaxed_dipole_vs_finite_field():
+    """Orbital-relaxed MP2 dipole (field perturbation through the SAME
+    Z-vector engine) == finite-field d(E_SCF+E2)/dF."""
+    from pyqed_tpu.qchem.tdgrad import mp2_dipole
+    from pyqed_tpu.qchem.mp import MP2
+    from pyqed_tpu.qchem.basis import dipole_matrix
+
+    mf = Molecule(H2O, basis="sto-3g").RHF().run()
+    mu = mp2_dipole(mf)
+    mol = Molecule(H2O, basis="sto-3g")
+    mu_ao = np.asarray(dipole_matrix(mol.bfs))
+    R = np.asarray(mol.atom_coords())
+    Z = np.asarray(mol.atom_charges(), float)
+
+    def e_tot(F):
+        m2 = Molecule(H2O, basis="sto-3g")
+        mfF = m2.RHF(
+            extra_hcore=np.einsum("x, xpq -> pq", F, mu_ao)).run()
+        mp = MP2(mfF)
+        mp.run()
+        return float(mfF.e_tot + mp.e_corr) - float(F @ (Z @ R))
+
+    h = 1e-3
+    for x in range(3):
+        F = np.zeros(3)
+        F[x] = h
+        mu_ff = -(e_tot(F) - e_tot(-F)) / (2 * h)
+        assert abs(mu[x] - mu_ff) < 2e-6, x
+    # the relaxed correction is real (differs from plain HF)
+    assert np.max(np.abs(mu - np.asarray(mf.dip_moment()))) > 5e-3
