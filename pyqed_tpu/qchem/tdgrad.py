@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from .basis import ATOMIC_NUMBER
 
 __all__ = ["cis_gradient", "tda_gradient", "mp2_gradient",
-           "mp2_dipole", "response_gradient", "ResponseEngine"]
+           "mp2_dipole", "ccsd_gradient", "response_gradient",
+           "ResponseEngine"]
 
 
 def _ao_derivative_mats(mol):
@@ -355,3 +356,136 @@ def mp2_dipole(mf, origin=(0.0, 0.0, 0.0)):
     # extra_hcore convention);  μ_corr = −dE2/dF
     corr = np.array([eng.domega(zS, mu_ao[x]) for x in range(3)])
     return mu_hf - corr
+
+
+# =====================================================================
+# CCSD (Lagrangian with numerically-solved Λ multipliers)
+# =====================================================================
+
+def _spinorb_maps(nmo, no):
+    """Interleaved spin-orbital index maps shared by the MP2/CCSD
+    functionals (2p = spatial p alpha, 2p+1 = beta — the qchem.ci
+    spinorb_ints convention)."""
+    spat = np.repeat(np.arange(nmo), 2)
+    spin = np.tile([0, 1], nmo)
+    same = (spin[:, None] == spin[None, :]).astype(float)
+    return jnp.asarray(spat), jnp.asarray(same)
+
+
+def _so_ints(Cr, h_, eri_, spat_j, same, no):
+    """Traceable spin-orbital (F_so full, <pq||rs>) from rotated MO
+    coefficients: the Fock matrix is NOT diagonal under rotations —
+    the residuals below carry the full non-canonical terms."""
+    D = 2.0 * Cr[:, :no] @ Cr[:, :no].T
+    J = jnp.einsum("pqkl, kl -> pq", eri_, D)
+    K = jnp.einsum("pkql, kl -> pq", eri_, D)
+    Fmo = Cr.T @ (h_ + J - 0.5 * K) @ Cr
+    Fso = Fmo[spat_j][:, spat_j] * same
+    emo = jnp.einsum("pi, qj, pqkl, kr, ls -> ijrs",
+                     Cr, Cr, eri_, Cr, Cr)
+    gso = emo[spat_j][:, spat_j][:, :, spat_j][:, :, :, spat_j] \
+        .transpose(0, 2, 1, 3)
+    s1 = same[:, None, :, None] * same[None, :, None, :]
+    s2 = same[:, None, None, :] * same[None, :, :, None]
+    gaso = gso * s1 - gso.transpose(0, 1, 3, 2) * s2
+    return Fso, gaso
+
+
+def ccsd_gradient(cc):
+    """Analytic CCSD nuclear gradient d(E_SCF + E_CCSD)/dR (natm, 3).
+
+    CCSD is not variational in T, so the engine gets the LAGRANGIAN
+    E(T) + Λ·R(T) with multipliers solved NUMERICALLY from the
+    autodiff Jacobian of the amplitude residuals (∂R/∂T)ᵀ Λ = −∂E/∂T
+    (least-squares over the redundant antisymmetric parametrization) —
+    no hand-derived Λ equations.  The residual is the cc.py Stanton
+    update times the canonical denominators PLUS the non-canonical
+    f_oo/f_vv one-particle terms (the update folds them into D, but
+    under orbital rotations F is no longer diagonal).  Pinned against
+    Richardson FD of E_SCF + E_CCSD in tests/test_tdgrad.py."""
+    from .grad import rhf_gradient
+    mf = cc.mf
+    if cc.t1 is None:
+        raise ValueError("run CCSD first (cc.run())")
+    f0, g0, o, v, d1, d2, no_s, nv_s = cc._setup()
+    t1c, t2c = jnp.asarray(cc.t1), jnp.asarray(cc.t2)
+    no = mf.nocc
+    C = np.asarray(mf.mo_coeff, float)
+    nmo = C.shape[1]
+    Cj = jnp.asarray(C)
+    spat_j, same = _spinorb_maps(nmo, no)
+
+    def residual_full(t1_, t2_, f_, g_):
+        r1, r2 = cc._update(t1_, t2_, f_, g_, o, v, 1.0, 1.0)
+        R1 = (r1 + jnp.einsum("ie, ae -> ia", t1_, f_[v, v])
+              - jnp.einsum("ma, mi -> ia", t1_, f_[o, o]))
+        tmp = jnp.einsum("ijae, be -> ijab", t2_, f_[v, v])
+        R2 = r2 + tmp - jnp.swapaxes(tmp, 2, 3)
+        tmp = jnp.einsum("imab, mj -> ijab", t2_, f_[o, o])
+        R2 = R2 - tmp + jnp.swapaxes(tmp, 0, 1)
+        return R1, R2
+
+    # consistency: at the converged amplitudes the residual vanishes
+    R1c, R2c = residual_full(t1c, t2c, f0, g0)
+    rmax = max(float(jnp.max(jnp.abs(R1c))), float(jnp.max(jnp.abs(R2c))))
+    if rmax > 1e-6:
+        raise RuntimeError(f"CCSD residual {rmax:.2e} at the converged "
+                           "amplitudes — non-canonical extension "
+                           "inconsistent with cc._update, or CCSD not "
+                           "converged")
+
+    n1 = t1c.size
+    shape2 = t2c.shape
+
+    def unpack(tvec):
+        return (tvec[:n1].reshape(t1c.shape),
+                tvec[n1:].reshape(shape2))
+
+    def Rflat(tvec):
+        R1, R2 = residual_full(*unpack(tvec), f0, g0)
+        return jnp.concatenate([R1.ravel(), R2.ravel()])
+
+    def Eflat(tvec):
+        t1_, t2_ = unpack(tvec)
+        return cc._energy_expr(t1_, t2_, f0, g0, o, v)
+
+    tvec = jnp.concatenate([t1c.ravel(), t2c.ravel()])
+    JR = np.asarray(jax.jacfwd(Rflat)(tvec))
+    dE = np.asarray(jax.grad(Eflat)(tvec))
+    # solve in the ANTISYMMETRIC t2 subspace: the flattened
+    # parametrization is redundant (t_ijab = −t_jiab = −t_ijba), the
+    # full-space system is inconsistent, and only the projected
+    # stationarity matters (orbital-response directions are
+    # antisymmetric) — projected, the system is exactly solvable
+    # (residual at round-off)
+    N = tvec.size
+
+    def _proj(vec):
+        a, b = vec[:n1], vec[n1:].reshape(shape2)
+        b = 0.25 * (b - b.transpose(1, 0, 2, 3) - b.transpose(0, 1, 3, 2)
+                    + b.transpose(1, 0, 3, 2))
+        return np.concatenate([a, b.ravel()])
+
+    P = np.zeros((N, N))
+    for k in range(N):
+        e = np.zeros(N)
+        e[k] = 1.0
+        P[:, k] = _proj(e)
+    lam, *_ = np.linalg.lstsq(P @ JR.T, -(P @ dE), rcond=None)
+    resid = float(np.max(np.abs(P @ (dE + JR.T @ lam))))
+    if resid > 1e-8:
+        raise RuntimeError(f"Lambda equations not solved ({resid:.2e})")
+    l1 = jnp.asarray(lam[:n1].reshape(t1c.shape))
+    l2 = jnp.asarray(lam[n1:].reshape(shape2))
+
+    e_ref = float(cc.e_corr)
+
+    def omega(kappa, h_, eri_):
+        Cr = Cj + Cj @ kappa
+        Fso, gaso = _so_ints(Cr, h_, eri_, spat_j, same, no)
+        E = cc._energy_expr(t1c, t2c, Fso, gaso, o, v)
+        R1, R2 = residual_full(t1c, t2c, Fso, gaso)
+        return E + jnp.sum(l1 * R1) + jnp.sum(l2 * R2)
+
+    dw = response_gradient(mf, omega, check_value=e_ref)
+    return np.asarray(rhf_gradient(mf), float) + dw

@@ -139,3 +139,35 @@ def test_mp2_relaxed_dipole_vs_finite_field():
         assert abs(mu[x] - mu_ff) < 2e-6, x
     # the relaxed correction is real (differs from plain HF)
     assert np.max(np.abs(mu - np.asarray(mf.dip_moment()))) > 5e-3
+
+
+def test_ccsd_gradient_vs_richardson_fd():
+    """Analytic CCSD nuclear gradient: Lagrangian with Λ multipliers
+    solved numerically from the autodiff residual Jacobian (projected
+    onto the antisymmetric amplitude subspace), through the same
+    response engine.  No hand-derived Λ equations anywhere."""
+    from pyqed_tpu.qchem.cc import CCSD
+    from pyqed_tpu.qchem.tdgrad import ccsd_gradient
+
+    lih = [("Li", (0, 0, 0.0)), ("H", (0, 0, 3.0))]
+    mf = Molecule(lih, basis="sto-3g").RHF().run()
+    cc = CCSD(mf).run()
+    assert cc.converged
+    g = ccsd_gradient(cc)
+    assert np.max(np.abs(g.sum(axis=0))) < 1e-10   # translational inv.
+
+    def e_cc(atoms):
+        m = Molecule(atoms, basis="sto-3g").RHF().run()
+        c = CCSD(m).run()
+        return float(m.e_tot + c.e_corr)
+
+    at = [(s, np.asarray(x, float)) for s, x in lih]
+    h = 5e-3
+
+    def E(d):
+        geo = [(s, xx + np.array([0, 0, d if k == 1 else 0]))
+               for k, (s, xx) in enumerate(at)]
+        return e_cc(geo)
+
+    gfd = (8 * (E(h) - E(-h)) - (E(2 * h) - E(-2 * h))) / (12 * h)
+    assert abs(g[1, 2] - gfd) < 1e-7
