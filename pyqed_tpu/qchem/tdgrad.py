@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from .basis import ATOMIC_NUMBER
 
 __all__ = ["cis_gradient", "tda_gradient", "mp2_gradient",
-           "mp2_dipole", "ccsd_gradient", "response_gradient",
+           "mp2_dipole", "ccsd_gradient", "tdhf_gradient",
+           "response_gradient",
            "ResponseEngine"]
 
 
@@ -205,6 +206,10 @@ def cis_gradient(td, state=1):
     ``state`` (1-based).  Restricted closed-shell TDA (singlet or
     triplet) on the Cartesian-AO SCF."""
     mf = td.mf
+    if hasattr(mf, "f_exc"):
+        raise NotImplementedError("cis_gradient covers HF references; "
+                                  "TDDFT gradients need the XC kernel "
+                                  "in the functional")
     no = mf.nocc
     C = np.asarray(mf.mo_coeff, float)
     nmo = C.shape[1]
@@ -488,4 +493,62 @@ def ccsd_gradient(cc):
         return E + jnp.sum(l1 * R1) + jnp.sum(l2 * R2)
 
     dw = response_gradient(mf, omega, check_value=e_ref)
+    return np.asarray(rhf_gradient(mf), float) + dw
+
+
+# =====================================================================
+# TDHF / RPA excited states
+# =====================================================================
+
+def tdhf_gradient(td, state=1):
+    """Analytic nuclear gradient of E_SCF + ω_TDHF (full RPA) for
+    ``state`` (1-based).  The ω bilinear
+
+        ω = (X,Y)·[[A, B], [B, A]]·(X,Y)   with  X² − Y² = 1
+
+    is stationary at the RPA eigenpair (δX: AX + BY = ωX; δY:
+    BX + AY = −ωY), so the frozen-(X, Y) functional rides the same
+    engine as CIS — the Y amplitudes just add their own pathway
+    contractions."""
+    mf = td.mf
+    if hasattr(mf, "f_exc"):
+        raise NotImplementedError("tdhf_gradient covers HF references; "
+                                  "TDDFT gradients need the XC kernel "
+                                  "in the functional")
+    no = mf.nocc
+    C = np.asarray(mf.mo_coeff, float)
+    nmo = C.shape[1]
+    nv = nmo - no
+    X, Y = td.xy[state - 1]
+    X = np.asarray(X, float).reshape(no, nv)
+    Y = np.asarray(Y, float).reshape(no, nv)
+    c2 = 2.0 if getattr(td, "singlet", True) else 0.0
+    Cj = jnp.asarray(C)
+    Xj = jnp.asarray(X)
+    Yj = jnp.asarray(Y)
+
+    def omega(kappa, h_, eri_):
+        Cr = Cj + Cj @ kappa
+        Co, Cv = Cr[:, :no], Cr[:, no:]
+        D = 2.0 * Co @ Co.T
+        J = jnp.einsum("pqkl, kl -> pq", eri_, D)
+        K = jnp.einsum("pkql, kl -> pq", eri_, D)
+        F = h_ + J - 0.5 * K
+        Foo = Co.T @ F @ Co
+        Fvv = Cv.T @ F @ Cv
+        RX = Co @ Xj @ Cv.T
+        RY = Co @ Yj @ Cv.T
+        w = (jnp.einsum("ab, ab ->", Xj.T @ Xj + Yj.T @ Yj, Fvv)
+             - jnp.einsum("ij, ij ->", Xj @ Xj.T + Yj @ Yj.T, Foo)
+             + c2 * (jnp.einsum("pqkl, pq, kl ->", eri_, RX, RX)
+                     + jnp.einsum("pqkl, pq, kl ->", eri_, RY, RY)
+                     + 2.0 * jnp.einsum("pqkl, pq, kl ->", eri_, RX, RY))
+             - jnp.einsum("pqkl, pk, ql ->", eri_, RX, RX)
+             - jnp.einsum("pqkl, pk, ql ->", eri_, RY, RY)
+             - 2.0 * jnp.einsum("pqkl, pl, kq ->", eri_, RX, RY))
+        return w
+
+    from .grad import rhf_gradient
+    dw = response_gradient(mf, omega,
+                           check_value=float(np.asarray(td.e)[state - 1]))
     return np.asarray(rhf_gradient(mf), float) + dw

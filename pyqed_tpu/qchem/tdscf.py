@@ -236,9 +236,19 @@ class TDHF:
         AmB = jnp.asarray(A - B)
         w, U = jnp.linalg.eigh(AmB)
         sq = (U * jnp.sqrt(jnp.clip(w, 0, None))) @ U.T
+        isq = (U * (1.0 / jnp.sqrt(jnp.clip(w, 1e-300, None)))) @ U.T
         M = sq @ ApB @ sq
-        w2 = jnp.linalg.eigvalsh(M)
-        self.e = np.sqrt(np.clip(np.asarray(w2[:nroots]), 0, None))
+        w2, T = jnp.linalg.eigh(M)
+        om = jnp.sqrt(jnp.clip(w2, 0, None))
+        self.e = np.asarray(om[:nroots])
+        # RPA eigenvectors with X^2 - Y^2 = 1:
+        # (X+Y) = om^{-1/2} (A-B)^{1/2} T, (X-Y) = om^{1/2} (A-B)^{-1/2} T
+        xpy = (sq @ T[:, :nroots]) / jnp.sqrt(om[:nroots])[None, :]
+        xmy = (isq @ T[:, :nroots]) * jnp.sqrt(om[:nroots])[None, :]
+        #: per-root (X, Y) occ-virt amplitude pair, X^2 - Y^2 = 1
+        self.xy = [(np.asarray(0.5 * (xpy[:, n] + xmy[:, n])),
+                    np.asarray(0.5 * (xpy[:, n] - xmy[:, n])))
+                   for n in range(nroots)]
         return self.e
 
     kernel = run

@@ -171,3 +171,39 @@ def test_ccsd_gradient_vs_richardson_fd():
 
     gfd = (8 * (E(h) - E(-h)) - (E(2 * h) - E(-2 * h))) / (12 * h)
     assert abs(g[1, 2] - gfd) < 1e-7
+
+
+def test_tdhf_rpa_gradient_vs_richardson_fd():
+    """Full-RPA (TDHF) excited-state gradient: the frozen-(X, Y) ω
+    bilinear is stationary at the RPA eigenpair, so it rides the same
+    engine — the Y amplitudes add their own pathway contractions."""
+    from pyqed_tpu.qchem.tdscf import TDHF
+    from pyqed_tpu.qchem.tdgrad import tdhf_gradient
+
+    mf = Molecule(H2O, basis="sto-3g").RHF().run()
+    td = TDHF(mf)
+    td.run(nroots=3)
+    # normalization of the recovered RPA pair: X^2 - Y^2 = 1, Y != 0
+    X, Y = td.xy[0]
+    assert abs(float(np.sum(X ** 2) - np.sum(Y ** 2)) - 1.0) < 1e-8
+    assert float(np.max(np.abs(Y))) > 1e-4
+    g = tdhf_gradient(td, state=1)
+    assert np.max(np.abs(g.sum(axis=0))) < 1e-6
+
+    def e_rpa(atoms):
+        m = Molecule(atoms, basis="sto-3g").RHF().run()
+        t = TDHF(m)
+        t.run(nroots=3)
+        return float(m.e_tot + t.e[0])
+
+    at = [(s, np.asarray(x, float)) for s, x in H2O]
+    h = 5e-3
+    a, x = 0, 2
+
+    def E(d):
+        geo = [(s, xx + (d if k == a else 0) * np.eye(3)[x])
+               for k, (s, xx) in enumerate(at)]
+        return e_rpa(geo)
+
+    gfd = (8 * (E(h) - E(-h)) - (E(2 * h) - E(-2 * h))) / (12 * h)
+    assert abs(g[a, x] - gfd) < 1e-5
