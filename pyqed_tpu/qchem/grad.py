@@ -443,41 +443,22 @@ def scf_gradient(mf):
 # Kohn-Sham analytic gradients
 # =====================================================================
 
-def xc_nuclear_gradient(mf):
-    """dE_xc/dR_A (natm, 3) by ``jax.grad`` through a fully traceable
-    re-expression of the XC quadrature: grid points and Becke cell
-    weights move with the atoms (so the grid-weight derivative terms are
-    included EXACTLY, not dropped as in common 'fixed-grid' gradients)
-    and AO centers move with their atoms. Zero hand-derived XC algebra —
-    the same closed-form energy densities (dft.FUNCTIONALS) are
-    differentiated end to end.
-
-    (reference: pyqed delegates DFT gradients to pyscf —
-    pyqed/qchem/mol.py:817 dispatch; native here.)"""
+def traceable_xc_setup(mol, mf):
+    """Differentiable quadrature building blocks shared by
+    :func:`xc_nuclear_gradient` and the TDDFT response blocks
+    (qchem.tdgrad): per-atom radial/angular grids, Becke partition
+    weights, and AO values — ALL as traceable functions of the atom
+    coordinates, so ``jax.grad`` carries grid-point, grid-weight, and
+    AO-center motion exactly.  Returns a dict of helpers."""
     import jax
     import jax.numpy as jnp
     from .dft import _radial_gc, _angular, _BRAGG
     from .lo import cart_atom_indices
 
-    mol = mf.mol
     natm = mol.natm
     syms = [s for s, _ in mol.atoms]
     coords0 = jnp.asarray(np.array([np.asarray(x, float)
                                     for _, x in mol.atoms]))
-    # spin densities in the CARTESIAN integral basis
-    unrestricted = isinstance(mf.mo_coeff, (tuple, list))
-    if unrestricted:
-        Da, Db = (np.asarray(d) for d in mf.dm)
-    else:
-        D = np.asarray(mf.dm)
-        Da = Db = D / 2.0
-    if getattr(mol, "csph", None) is not None:
-        B = np.asarray(mol.csph)
-        Da = B.T @ Da @ B
-        Db = B.T @ Db @ B
-    Da = jnp.asarray(Da)
-    Db = jnp.asarray(Db)
-
     n_rad = getattr(mf, "n_rad", 60)
     n_theta = getattr(mf, "n_theta", 14)
     needs_grad = getattr(mf, "_needs_grad", True)
@@ -550,14 +531,63 @@ def xc_nuclear_gradient(mf):
     else:
         csph = None
 
+    def atom_grid(coords, ia):
+        """(pts, base weights) of atom ia's radial x angular shell."""
+        r, wr = radial[ia]
+        pts = (coords[ia][None, None, :]
+               + jnp.asarray(r)[:, None, None] * ang[None, :, :]
+               ).reshape(-1, 3)
+        w0 = (jnp.asarray(wr)[:, None] * wa[None, :]).ravel()
+        return pts, w0
+
+    return dict(natm=natm, coords0=coords0, becke_w=becke_w,
+                ao_on=ao_on, atom_grid=atom_grid, csph=csph,
+                needs_grad=needs_grad, f_exc=f_exc)
+
+
+def xc_nuclear_gradient(mf):
+    """dE_xc/dR_A (natm, 3) by ``jax.grad`` through a fully traceable
+    re-expression of the XC quadrature: grid points and Becke cell
+    weights move with the atoms (so the grid-weight derivative terms are
+    included EXACTLY, not dropped as in common 'fixed-grid' gradients)
+    and AO centers move with their atoms. Zero hand-derived XC algebra —
+    the same closed-form energy densities (dft.FUNCTIONALS) are
+    differentiated end to end.
+
+    (reference: pyqed delegates DFT gradients to pyscf —
+    pyqed/qchem/mol.py:817 dispatch; native here.)"""
+    import jax
+    import jax.numpy as jnp
+
+    mol = mf.mol
+    tools = traceable_xc_setup(mol, mf)
+    natm = tools["natm"]
+    coords0 = tools["coords0"]
+    becke_w = tools["becke_w"]
+    ao_on = tools["ao_on"]
+    atom_grid = tools["atom_grid"]
+    csph = tools["csph"]
+    needs_grad = tools["needs_grad"]
+    f_exc = tools["f_exc"]
+
+    # spin densities in the CARTESIAN integral basis
+    unrestricted = isinstance(mf.mo_coeff, (tuple, list))
+    if unrestricted:
+        Da, Db = (np.asarray(d) for d in mf.dm)
+    else:
+        D = np.asarray(mf.dm)
+        Da = Db = D / 2.0
+    if getattr(mol, "csph", None) is not None:
+        B = np.asarray(mol.csph)
+        Da = B.T @ Da @ B
+        Db = B.T @ Db @ B
+    Da = jnp.asarray(Da)
+    Db = jnp.asarray(Db)
+
     def exc_total(coords):
         E = 0.0
         for ia in range(natm):
-            r, wr = radial[ia]
-            pts = (coords[ia][None, None, :]
-                   + jnp.asarray(r)[:, None, None] * ang[None, :, :]
-                   ).reshape(-1, 3)
-            w0 = (jnp.asarray(wr)[:, None] * wa[None, :]).ravel()
+            pts, w0 = atom_grid(coords, ia)
             w = becke_w(coords, pts, ia, w0)
             ao, gao = ao_on(coords, pts)
             if csph is not None:

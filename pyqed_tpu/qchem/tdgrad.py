@@ -39,7 +39,7 @@ from .basis import ATOMIC_NUMBER
 
 __all__ = ["cis_gradient", "tda_gradient", "mp2_gradient",
            "mp2_dipole", "ccsd_gradient", "tdhf_gradient",
-           "response_gradient",
+           "tddft_tda_gradient", "response_gradient",
            "ResponseEngine"]
 
 
@@ -96,7 +96,19 @@ class ResponseEngine:
     nuclear displacements, electric fields (dh = −μ_x, dS = dA = 0),
     or anything else."""
 
-    def __init__(self, mf, omega_fn, check_value=None, check_tol=1e-6):
+    def __init__(self, mf, omega_fn, check_value=None, check_tol=1e-6,
+                 hfx=1.0, xc=None):
+        """hfx: exact-exchange fraction in the CPHF Fock (1.0 = HF,
+        hybrid fraction for KS, 0.0 pure functionals).
+        xc: optional dict with differentiable XC blocks evaluated on
+        the traceable Becke grid,
+          'omega_xc'(kappa, coords) -> scalar   added to ω,
+          'fock_vo_xc'(kappa, coords) -> (nv, no)  added to the
+                                                 Brillouin block;
+        their ∂/∂κ join the Lagrangian/CPHF operator and their
+        ∂/∂coords the per-nuclear-coordinate explicit terms (grid
+        points, Becke weights, and AO centers all move — same design
+        as grad.xc_nuclear_gradient)."""
         mol = mf.mol
         if getattr(mol, "csph", None) is not None:
             raise NotImplementedError("ResponseEngine needs the "
@@ -110,9 +122,14 @@ class ResponseEngine:
         h = jnp.asarray(np.asarray(mf.hcore, float))
         ERI = jnp.asarray(np.asarray(mf.eri, float))
         Cj = jnp.asarray(C)
+        self.hfx = hfx
+        coords0 = jnp.asarray(np.array([np.asarray(x, float)
+                                        for _, x in mol.atoms]))
 
         k0 = jnp.zeros((nmo, nmo))
         w0 = float(omega_fn(k0, h, ERI))
+        if xc is not None:
+            w0 += float(xc["omega_xc"](k0, coords0))
         if check_value is not None and abs(w0 - check_value) > check_tol:
             raise RuntimeError(f"omega functional ({w0}) != expected "
                                f"({check_value}) — stale mf/amplitudes?")
@@ -121,6 +138,11 @@ class ResponseEngine:
         # AD: orbital Lagrangian and explicit integral weights
         L, Wh, Weri = [np.asarray(g) for g in
                        jax.grad(omega_fn, argnums=(0, 1, 2))(k0, h, ERI)]
+        self.gx_omega = None
+        if xc is not None:
+            Lx, gx = jax.grad(xc["omega_xc"], argnums=(0, 1))(k0, coords0)
+            L = L + np.asarray(Lx)
+            self.gx_omega = np.asarray(gx)          # (natm, 3)
         # the oo/vv-invariance (amplitude stationarity) check
         asym = max(np.max(np.abs(L[:no, :no] - L[:no, :no].T)),
                    np.max(np.abs(L[no:, no:] - L[no:, no:].T)))
@@ -136,10 +158,16 @@ class ResponseEngine:
             D = 2.0 * Co @ Co.T
             J = jnp.einsum("pqkl, kl -> pq", ERI, D)
             K = jnp.einsum("pkql, kl -> pq", ERI, D)
-            F = h + J - 0.5 * K
+            F = h + J - 0.5 * hfx * K
             return Cv.T @ F @ Co                   # (nv, no)
 
         J1 = np.asarray(jax.jacobian(fock_vo)(k0))
+        self.gx_fockvo = None
+        if xc is not None:
+            J1 = J1 + np.asarray(
+                jax.jacobian(xc["fock_vo_xc"], argnums=0)(k0, coords0))
+            self.gx_fockvo = np.asarray(
+                jax.jacobian(xc["fock_vo_xc"], argnums=1)(k0, coords0))
         # linear operator on the vo unknown (U_ov = −Sξ_ov − U_voᵀ)
         Mlin = (J1[:, :, no:, :no].reshape(nv * no, nv * no)
                 - J1[:, :, :no, no:].transpose(0, 1, 3, 2)
@@ -150,8 +178,10 @@ class ResponseEngine:
         self.C, self.no, self.nmo, self.nv = C, no, nmo, nv
         self.D0 = np.asarray(mf.dm, float)
 
-    def domega(self, dS, dh, dA=None):
-        """dω for one perturbation from its AO derivative matrices."""
+    def domega(self, dS, dh, dA=None, atom_coord=None):
+        """dω for one perturbation from its AO derivative matrices;
+        ``atom_coord=(a, x)`` adds the XC grid-motion terms for that
+        nuclear coordinate (None for field perturbations)."""
         C, no, nmo = self.C, self.no, self.nmo
         dw = float(np.einsum("pq, pq ->", self.Wh, dh))
         if dA is not None:
@@ -167,8 +197,14 @@ class ResponseEngine:
         Fx = dh.copy()
         if dA is not None:
             Fx = Fx + np.einsum("pqkl, kl -> pq", dA, self.D0) \
-                - 0.5 * np.einsum("pkql, kl -> pq", dA, self.D0)
+                - 0.5 * self.hfx * np.einsum("pkql, kl -> pq", dA,
+                                             self.D0)
         Fexpl_vo = C[:, no:].T @ Fx @ C[:, :no]
+        if atom_coord is not None and self.gx_fockvo is not None:
+            a, x = atom_coord
+            Fexpl_vo = Fexpl_vo + self.gx_fockvo[:, :, a, x]
+        if atom_coord is not None and self.gx_omega is not None:
+            dw += float(self.gx_omega[atom_coord])
         rhs = -(Fexpl_vo + np.einsum("aipq, pq -> ai", self.J1, U))
         return dw + float(np.sum(self.Z * rhs))
 
@@ -179,7 +215,7 @@ class ResponseEngine:
         derivs = _ao_derivative_mats(mol)
         for a in range(mol.natm):
             for x in range(3):
-                g[a, x] = self.domega(*derivs[a][x])
+                g[a, x] = self.domega(*derivs[a][x], atom_coord=(a, x))
         return g
 
 
@@ -552,3 +588,121 @@ def tdhf_gradient(td, state=1):
     dw = response_gradient(mf, omega,
                            check_value=float(np.asarray(td.e)[state - 1]))
     return np.asarray(rhf_gradient(mf), float) + dw
+
+
+# =====================================================================
+# TDDFT (TDA on an LDA Kohn-Sham reference)
+# =====================================================================
+
+def tddft_tda_gradient(td, state=1):
+    """Analytic TDDFT excited-state nuclear gradient d(E_KS + ω)/dR
+    for TDA on a pure-LDA RKS reference (singlet or triplet).
+
+    The adiabatic XC kernel and its geometric response enter as ONE
+    differentiable block on the traceable Becke grid
+    (grad.traceable_xc_setup): ω_xc(κ, coords) carries the V_xc
+    one-particle parts and the f_xc kernel term — jax.grad over κ
+    feeds the Lagrangian/CPHF operator (f_xc orbital response,
+    INCLUDING the third-derivative g_xc terms through ρ(κ)), jax.grad
+    over coords carries grid-point, Becke-weight, and AO-center motion
+    exactly.  GGA kernels need σ terms in the functional
+    (NotImplemented here; ks_gradient covers the ground state)."""
+    mf = td.mf
+    if not hasattr(mf, "f_exc"):
+        raise TypeError("tddft_tda_gradient expects an RKS mean-field; "
+                        "use cis_gradient for HF")
+    if getattr(mf, "_needs_grad", True):
+        raise NotImplementedError("LDA kernels only (xc='svwn'); GGA "
+                                  "response needs the sigma terms")
+    from .grad import traceable_xc_setup, ks_gradient
+    from .dft import _exc_density
+
+    mol = mf.mol
+    no = mf.nocc
+    C = np.asarray(mf.mo_coeff, float)
+    nmo = C.shape[1]
+    nv = nmo - no
+    X = np.asarray(td.xy[:, state - 1], float).reshape(no, nv)
+    singlet = bool(getattr(td, "singlet", True))
+    c2 = 2.0 if singlet else 0.0
+    sgn = 1.0 if singlet else -1.0
+    hfx = float(getattr(mf, "hfx", 0.0))
+    Cj = jnp.asarray(C)
+    Xj = jnp.asarray(X)
+
+    tools = traceable_xc_setup(mol, mf)
+    natm = tools["natm"]
+    becke_w = tools["becke_w"]
+    ao_on = tools["ao_on"]
+    atom_grid = tools["atom_grid"]
+
+    vxc_fn = jax.vmap(jax.grad(_exc_density, 0))
+    faa_fn = jax.vmap(jax.grad(jax.grad(_exc_density, 0), 0))
+    fab_fn = jax.vmap(jax.grad(jax.grad(_exc_density, 0), 1))
+
+    def omega_nonxc(kappa, h_, eri_):
+        Cr = Cj + Cj @ kappa
+        Co, Cv = Cr[:, :no], Cr[:, no:]
+        D = 2.0 * Co @ Co.T
+        J = jnp.einsum("pqkl, kl -> pq", eri_, D)
+        K = jnp.einsum("pkql, kl -> pq", eri_, D)
+        F = h_ + J - 0.5 * hfx * K
+        Foo = Co.T @ F @ Co
+        Fvv = Cv.T @ F @ Cv
+        R = Co @ Xj @ Cv.T
+        return (jnp.einsum("ab, ab ->", Xj.T @ Xj, Fvv)
+                - jnp.einsum("ij, ij ->", Xj @ Xj.T, Foo)
+                + c2 * jnp.einsum("pqkl, pq, kl ->", eri_, R, R)
+                - hfx * jnp.einsum("pqkl, pk, ql ->", eri_, R, R))
+
+    def omega_xc(kappa, coords):
+        Cr = Cj + Cj @ kappa
+        Co, Cv = Cr[:, :no], Cr[:, no:]
+        D = 2.0 * Co @ Co.T
+        Txx = Cv @ (Xj.T @ Xj) @ Cv.T - Co @ (Xj @ Xj.T) @ Co.T
+        Rtr = Co @ Xj @ Cv.T
+        w_tot = 0.0
+        for ia in range(natm):
+            pts, w0 = atom_grid(coords, ia)
+            w = becke_w(coords, pts, ia, w0)
+            ao, _ = ao_on(coords, pts)
+            rho = jnp.maximum(
+                jnp.einsum("pi, ij, pj -> p", ao, D, ao), 1e-12)
+            # V_xc one-particle terms: Tr[T · V_xc]
+            vxc = vxc_fn(rho / 2, rho / 2)
+            tvals = jnp.einsum("pi, ij, pj -> p", ao, Txx, ao)
+            w_tot = w_tot + jnp.sum(w * vxc * tvals)
+            # adiabatic kernel term on the transition density
+            k = faa_fn(rho / 2, rho / 2) + sgn * fab_fn(rho / 2, rho / 2)
+            rtr = jnp.einsum("pi, ij, pj -> p", ao, Rtr, ao)
+            w_tot = w_tot + jnp.sum(w * k * rtr * rtr)
+        return w_tot
+
+    def fock_vo_xc(kappa, coords):
+        Cr = Cj + Cj @ kappa
+        Co, Cv = Cr[:, :no], Cr[:, no:]
+        D = 2.0 * Co @ Co.T
+        out = jnp.zeros((nv, no))
+        for ia in range(natm):
+            pts, w0 = atom_grid(coords, ia)
+            w = becke_w(coords, pts, ia, w0)
+            ao, _ = ao_on(coords, pts)
+            rho = jnp.maximum(
+                jnp.einsum("pi, ij, pj -> p", ao, D, ao), 1e-12)
+            vxc = vxc_fn(rho / 2, rho / 2)
+            mo_o = ao @ Co
+            mo_v = ao @ Cv
+            out = out + jnp.einsum("p, pa, pi -> ai", w * vxc,
+                                   mo_v, mo_o)
+        return out
+
+    from .grad import rhf_gradient  # noqa: F401 (HF core not used here)
+    eng = ResponseEngine(
+        mf, omega_nonxc, hfx=hfx,
+        xc=dict(omega_xc=omega_xc, fock_vo_xc=fock_vo_xc),
+        check_value=float(np.asarray(td.e)[state - 1]),
+        check_tol=5e-5)      # the TDA matrix and this functional build
+    # the kernel with the same quadrature but different groupings; the
+    # agreement floor is the grid resolution, not exactness
+    dw = eng.nuclear_gradient()
+    return np.asarray(ks_gradient(mf), float) + dw

@@ -207,3 +207,36 @@ def test_tdhf_rpa_gradient_vs_richardson_fd():
 
     gfd = (8 * (E(h) - E(-h)) - (E(2 * h) - E(-2 * h))) / (12 * h)
     assert abs(g[a, x] - gfd) < 1e-5
+
+
+def test_tddft_tda_lda_gradient_vs_fd():
+    """Analytic TDDFT (TDA on RKS/SVWN) excited-state gradient: the
+    XC kernel, its g_xc response, and the grid/Becke/AO-center motion
+    all enter as autodiff blocks on the traceable quadrature."""
+    from pyqed_tpu.qchem.tdscf import TDA
+    from pyqed_tpu.qchem.tdgrad import tddft_tda_gradient
+
+    lih = [("Li", (0, 0, 0.0)), ("H", (0, 0, 3.0))]
+    kw = dict(xc="svwn", n_rad=30, n_theta=8)
+    mf = Molecule(lih, basis="sto-3g").RKS(**kw).run()
+    td = TDA(mf)
+    td.run(nroots=3)
+    g = tddft_tda_gradient(td, state=1)
+    assert np.max(np.abs(g.sum(axis=0))) < 1e-10   # translational inv.
+
+    def e_exc(atoms):
+        m = Molecule(atoms, basis="sto-3g").RKS(**kw).run()
+        t = TDA(m)
+        t.run(nroots=3)
+        return float(m.e_tot + np.asarray(t.e)[0])
+
+    at = [(s, np.asarray(x, float)) for s, x in lih]
+    h = 5e-3
+
+    def E(d):
+        geo = [(s, xx + np.array([0, 0, d if k == 1 else 0]))
+               for k, (s, xx) in enumerate(at)]
+        return e_exc(geo)
+
+    gfd = (E(h) - E(-h)) / (2 * h)
+    assert abs(g[1, 2] - gfd) < 5e-5    # O(h^2) FD + grid floor
