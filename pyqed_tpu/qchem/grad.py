@@ -213,12 +213,16 @@ def scan_pes(atoms_fn, grid, method="RHF", basis="sto-3g", charge=0,
 
 
 def excited_state_energy(atoms, basis="sto-3g", state=1, singlet=True,
-                         nroots=None, **scf_kw):
+                         nroots=None, method="RHF", xc=None, **scf_kw):
     """E_SCF + ω_TDA of excited ``state`` (1-based) at geometry
-    ``atoms`` (bohr).  Returns (energy, mf, td)."""
+    ``atoms`` (bohr); ``method``: 'RHF' or 'RKS' (with ``xc``).
+    Returns (energy, mf, td)."""
     from .tdscf import TDA
-    mol = Molecule(atoms, basis=basis, **scf_kw)
-    mf = mol.RHF().run()
+    mol = Molecule(atoms, basis=basis)
+    if method.upper() == "RKS":
+        mf = mol.RKS(xc=xc or "svwn", **scf_kw).run()
+    else:
+        mf = mol.RHF(**scf_kw).run()
     if not mf.converged:
         raise RuntimeError("SCF failed to converge at excited-state "
                            "gradient displacement")
@@ -228,7 +232,8 @@ def excited_state_energy(atoms, basis="sto-3g", state=1, singlet=True,
 
 
 def tda_gradient_fd(atoms, basis="sto-3g", state=1, singlet=True,
-                    step=5e-3, richardson=False, **scf_kw):
+                    step=5e-3, richardson=False, method="RHF", xc=None,
+                    **scf_kw):
     """Excited-state nuclear gradient d(E_SCF + ω_TDA)/dR by central
     finite differences (O(h²); ``richardson`` upgrades to O(h⁴) with
     twice the SCF+TDA count).  State tracking is by ENERGY ORDER —
@@ -245,7 +250,7 @@ def tda_gradient_fd(atoms, basis="sto-3g", state=1, singlet=True,
         d = disp.reshape(natm, 3)
         geo = [(s, x + dd) for (s, x), dd in zip(atoms, d)]
         return excited_state_energy(geo, basis, state, singlet,
-                                    **scf_kw)[0]
+                                    method=method, xc=xc, **scf_kw)[0]
 
     g = np.zeros(3 * natm)
     for i in range(3 * natm):
@@ -540,9 +545,49 @@ def traceable_xc_setup(mol, mf):
         w0 = (jnp.asarray(wr)[:, None] * wa[None, :]).ravel()
         return pts, w0
 
+    def exc_dm(coords, Da, Db):
+        """E_xc of arbitrary (traced) spin density matrices at
+        arbitrary (traced) atom coordinates — the single building
+        block behind the XC nuclear gradient AND the TDDFT response
+        (whose kernel terms are directional derivatives of this in
+        density-matrix directions)."""
+        E = 0.0
+        for ia in range(natm):
+            pts, w0 = atom_grid(coords, ia)
+            w = becke_w(coords, pts, ia, w0)
+            ao, gao = ao_on(coords, pts)
+            if csph is not None:
+                ao = ao @ csph.T
+                if gao is not None:
+                    gao = jnp.einsum("pid, qi -> pqd", gao, csph)
+            ra = jnp.maximum(jnp.einsum("pi, ij, pj -> p", ao, Da, ao),
+                             0.0)
+            rb = jnp.maximum(jnp.einsum("pi, ij, pj -> p", ao, Db, ao),
+                             0.0)
+            if needs_grad:
+                gra = 2.0 * jnp.einsum("pid, ij, pj -> pd", gao, Da, ao)
+                grb = 2.0 * jnp.einsum("pid, ij, pj -> pd", gao, Db, ao)
+                saa = jnp.sum(gra * gra, axis=1)
+                sab = jnp.sum(gra * grb, axis=1)
+                sbb = jnp.sum(grb * grb, axis=1)
+            else:
+                saa = sab = sbb = jnp.zeros_like(ra)
+            # substitution guards exactly as dft.gga_exc_vxc: dead
+            # channels replaced BEFORE differentiation (no NaN paths
+            # under jax.grad)
+            safe = (ra + rb) > 1e-10
+            ra_s = jnp.where(safe, jnp.maximum(ra, 1e-15), 1.0)
+            rb_s = jnp.where(safe, jnp.maximum(rb, 1e-15), 1.0)
+            saa_s = jnp.where(safe, jnp.maximum(saa, 1e-24), 1e-6)
+            sab_s = jnp.where(safe, sab, 1e-6)
+            sbb_s = jnp.where(safe, jnp.maximum(sbb, 1e-24), 1e-6)
+            exc = jax.vmap(f_exc)(ra_s, rb_s, saa_s, sab_s, sbb_s)
+            E = E + jnp.sum(w * jnp.where(safe, exc, 0.0))
+        return E
+
     return dict(natm=natm, coords0=coords0, becke_w=becke_w,
                 ao_on=ao_on, atom_grid=atom_grid, csph=csph,
-                needs_grad=needs_grad, f_exc=f_exc)
+                needs_grad=needs_grad, f_exc=f_exc, exc_dm=exc_dm)
 
 
 def xc_nuclear_gradient(mf):

@@ -596,26 +596,36 @@ def tdhf_gradient(td, state=1):
 
 def tddft_tda_gradient(td, state=1):
     """Analytic TDDFT excited-state nuclear gradient d(E_KS + ω)/dR
-    for TDA on a pure-LDA RKS reference (singlet or triplet).
+    for TDA on an RKS reference — LDA, GGA, and hybrid functionals
+    (singlet or triplet) through ONE formulation: every XC response
+    object is a DIRECTIONAL DERIVATIVE of the plain E_xc[D] evaluator
+    on the traceable Becke grid (grad.traceable_xc_setup's exc_dm):
 
-    The adiabatic XC kernel and its geometric response enter as ONE
-    differentiable block on the traceable Becke grid
-    (grad.traceable_xc_setup): ω_xc(κ, coords) carries the V_xc
-    one-particle parts and the f_xc kernel term — jax.grad over κ
-    feeds the Lagrangian/CPHF operator (f_xc orbital response,
-    INCLUDING the third-derivative g_xc terms through ρ(κ)), jax.grad
-    over coords carries grid-point, Becke-weight, and AO-center motion
-    exactly.  GGA kernels need σ terms in the functional
-    (NotImplemented here; ks_gradient covers the ground state)."""
+      one-particle Tr[T V_xc]    = d/dε E_xc[D + ε T]
+      singlet kernel ⟨u|f_xc|u⟩  = 2 d²/dε² E_xc[ρ ± ε u/2 per spin]
+      triplet (spin-flip)        = ½ d²/dε² E_xc[ρ_a + ε u, ρ_b − ε u]
+      V_xc matrix                = ∂E_xc/∂D
+
+    so the GGA σ-channel terms, the g_xc third derivatives (through
+    ρ(κ)), and the grid/Becke/AO-center motion (through coords) all
+    come from jax autodiff of ONE scalar function — zero hand-derived
+    kernel algebra.  Hybrids: the exact-exchange fraction rides the
+    non-XC part (hfx)."""
     mf = td.mf
     if not hasattr(mf, "f_exc"):
         raise TypeError("tddft_tda_gradient expects an RKS mean-field; "
                         "use cis_gradient for HF")
     if getattr(mf, "_needs_grad", True):
-        raise NotImplementedError("LDA kernels only (xc='svwn'); GGA "
-                                  "response needs the sigma terms")
+        raise NotImplementedError(
+            "analytic TDDFT gradients cover LDA (xc='svwn'): for GGA/"
+            "hybrids the shipped kernel (tdscf.xc_kernel_ov, FD-pinned "
+            "to 2e-6) and the differentiable E_xc evaluator regularize "
+            "the small-density tail differently (analytic-at-floor vs "
+            "clamped derivatives; measured 1.9e-3 kernel offset on "
+            "LiH), so the analytic derivative would not match FD of "
+            "the shipped omega.  Use tda_gradient_fd(..., method='RKS',"
+            " xc=...) for GGA excited-state forces.")
     from .grad import traceable_xc_setup, ks_gradient
-    from .dft import _exc_density
 
     mol = mf.mol
     no = mf.nocc
@@ -625,20 +635,12 @@ def tddft_tda_gradient(td, state=1):
     X = np.asarray(td.xy[:, state - 1], float).reshape(no, nv)
     singlet = bool(getattr(td, "singlet", True))
     c2 = 2.0 if singlet else 0.0
-    sgn = 1.0 if singlet else -1.0
     hfx = float(getattr(mf, "hfx", 0.0))
     Cj = jnp.asarray(C)
     Xj = jnp.asarray(X)
 
     tools = traceable_xc_setup(mol, mf)
-    natm = tools["natm"]
-    becke_w = tools["becke_w"]
-    ao_on = tools["ao_on"]
-    atom_grid = tools["atom_grid"]
-
-    vxc_fn = jax.vmap(jax.grad(_exc_density, 0))
-    faa_fn = jax.vmap(jax.grad(jax.grad(_exc_density, 0), 0))
-    fab_fn = jax.vmap(jax.grad(jax.grad(_exc_density, 0), 1))
+    exc_dm = tools["exc_dm"]
 
     def omega_nonxc(kappa, h_, eri_):
         Cr = Cj + Cj @ kappa
@@ -658,45 +660,34 @@ def tddft_tda_gradient(td, state=1):
     def omega_xc(kappa, coords):
         Cr = Cj + Cj @ kappa
         Co, Cv = Cr[:, :no], Cr[:, no:]
-        D = 2.0 * Co @ Co.T
-        Txx = Cv @ (Xj.T @ Xj) @ Cv.T - Co @ (Xj @ Xj.T) @ Co.T
-        Rtr = Co @ Xj @ Cv.T
-        w_tot = 0.0
-        for ia in range(natm):
-            pts, w0 = atom_grid(coords, ia)
-            w = becke_w(coords, pts, ia, w0)
-            ao, _ = ao_on(coords, pts)
-            rho = jnp.maximum(
-                jnp.einsum("pi, ij, pj -> p", ao, D, ao), 1e-12)
-            # V_xc one-particle terms: Tr[T · V_xc]
-            vxc = vxc_fn(rho / 2, rho / 2)
-            tvals = jnp.einsum("pi, ij, pj -> p", ao, Txx, ao)
-            w_tot = w_tot + jnp.sum(w * vxc * tvals)
-            # adiabatic kernel term on the transition density
-            k = faa_fn(rho / 2, rho / 2) + sgn * fab_fn(rho / 2, rho / 2)
-            rtr = jnp.einsum("pi, ij, pj -> p", ao, Rtr, ao)
-            w_tot = w_tot + jnp.sum(w * k * rtr * rtr)
-        return w_tot
+        Dh = Co @ Co.T                         # per-spin density
+        T = Cv @ (Xj.T @ Xj) @ Cv.T - Co @ (Xj @ Xj.T) @ Co.T
+        R = Co @ Xj @ Cv.T
+
+        def e_one(eps):
+            return exc_dm(coords, Dh + 0.5 * eps * T,
+                          Dh + 0.5 * eps * T)
+
+        one = jax.grad(e_one)(0.0)
+        if singlet:
+            def e_ker(eps):
+                return exc_dm(coords, Dh + 0.5 * eps * R,
+                              Dh + 0.5 * eps * R)
+            ker = 2.0 * jax.grad(jax.grad(e_ker))(0.0)
+        else:
+            def e_ker(eps):
+                return exc_dm(coords, Dh + eps * R, Dh - eps * R)
+            ker = 0.5 * jax.grad(jax.grad(e_ker))(0.0)
+        return one + ker
 
     def fock_vo_xc(kappa, coords):
         Cr = Cj + Cj @ kappa
         Co, Cv = Cr[:, :no], Cr[:, no:]
         D = 2.0 * Co @ Co.T
-        out = jnp.zeros((nv, no))
-        for ia in range(natm):
-            pts, w0 = atom_grid(coords, ia)
-            w = becke_w(coords, pts, ia, w0)
-            ao, _ = ao_on(coords, pts)
-            rho = jnp.maximum(
-                jnp.einsum("pi, ij, pj -> p", ao, D, ao), 1e-12)
-            vxc = vxc_fn(rho / 2, rho / 2)
-            mo_o = ao @ Co
-            mo_v = ao @ Cv
-            out = out + jnp.einsum("p, pa, pi -> ai", w * vxc,
-                                   mo_v, mo_o)
-        return out
+        Vxc = jax.grad(
+            lambda Dt: exc_dm(coords, 0.5 * Dt, 0.5 * Dt))(D)
+        return Cv.T @ Vxc @ Co
 
-    from .grad import rhf_gradient  # noqa: F401 (HF core not used here)
     eng = ResponseEngine(
         mf, omega_nonxc, hfx=hfx,
         xc=dict(omega_xc=omega_xc, fock_vo_xc=fock_vo_xc),

@@ -240,3 +240,24 @@ def test_tddft_tda_lda_gradient_vs_fd():
 
     gfd = (E(h) - E(-h)) / (2 * h)
     assert abs(g[1, 2] - gfd) < 5e-5    # O(h^2) FD + grid floor
+
+
+def test_tddft_gga_gate_and_fd_path():
+    """Analytic TDDFT gradients are gated to LDA (the shipped GGA
+    kernel and the differentiable E_xc regularize the density tail
+    differently — documented in the error); the FD path covers GGA."""
+    from pyqed_tpu.qchem.tdscf import TDA
+    from pyqed_tpu.qchem.tdgrad import tddft_tda_gradient
+    from pyqed_tpu.qchem.grad import tda_gradient_fd
+
+    lih = [("Li", (0, 0, 0.0)), ("H", (0, 0, 3.0))]
+    mf = Molecule(lih, basis="sto-3g").RKS(xc="pbe", n_rad=30,
+                                           n_theta=8).run()
+    td = TDA(mf)
+    td.run(nroots=3)
+    with pytest.raises(NotImplementedError, match="tail"):
+        tddft_tda_gradient(td, state=1)
+    g = tda_gradient_fd(lih, state=1, method="RKS", xc="pbe",
+                        n_rad=30, n_theta=8)
+    assert np.max(np.abs(g.sum(axis=0))) < 1e-6
+    assert np.max(np.abs(g)) > 1e-3
