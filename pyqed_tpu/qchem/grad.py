@@ -271,8 +271,8 @@ class ExcitedGeometryOptimizer:
     the vibronic-model builders (qchem/vibronic.py)."""
 
     def __init__(self, atoms, basis="sto-3g", state=1, singlet=True,
-                 step=5e-3, gtol=5e-4, maxiter=50, analytic=True,
-                 **scf_kw):
+                 step=5e-3, gtol=5e-4, maxiter=50, analytic=None,
+                 method="RHF", xc=None, **scf_kw):
         self.atoms = [(s, np.asarray(x, float)) for s, x in atoms]
         self.basis = basis
         self.state = state
@@ -280,9 +280,14 @@ class ExcitedGeometryOptimizer:
         self.step = step
         self.gtol = gtol
         self.maxiter = maxiter
+        self.method = method
+        self.xc = xc
         #: analytic CIS gradients (tdgrad.cis_gradient: one SCF+TDA
-        #: per point instead of 2*3N) — FD fallback with analytic=False
-        self.analytic = analytic
+        #: per point instead of 2*3N) — default for RHF references;
+        #: RKS surfaces take the FD jacobian (analytic TDDFT covers
+        #: LDA only, and FD is uniform across functionals here)
+        self.analytic = (method.upper() == "RHF" if analytic is None
+                         else bool(analytic))
         self.scf_kw = scf_kw
         self.converged = False
         self.atoms_opt = None
@@ -296,7 +301,9 @@ class ExcitedGeometryOptimizer:
         def fun(x):
             geo = [(s, x[3 * k:3 * k + 3]) for k, s in enumerate(syms)]
             return excited_state_energy(geo, self.basis, self.state,
-                                        self.singlet, **self.scf_kw)[0]
+                                        self.singlet,
+                                        method=self.method, xc=self.xc,
+                                        **self.scf_kw)[0]
 
         def jac(x):
             geo = [(s, x[3 * k:3 * k + 3]) for k, s in enumerate(syms)]
@@ -304,11 +311,12 @@ class ExcitedGeometryOptimizer:
                 from .tdgrad import cis_gradient
                 _, mf, td = excited_state_energy(
                     geo, self.basis, self.state, self.singlet,
-                    **self.scf_kw)
+                    method=self.method, xc=self.xc, **self.scf_kw)
                 return np.asarray(
                     cis_gradient(td, self.state)).reshape(-1)
             return tda_gradient_fd(geo, self.basis, self.state,
                                    self.singlet, self.step,
+                                   method=self.method, xc=self.xc,
                                    **self.scf_kw).reshape(-1)
 
         res = minimize(fun, x0, jac=jac, method="BFGS",
