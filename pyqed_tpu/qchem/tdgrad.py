@@ -39,7 +39,7 @@ from .basis import ATOMIC_NUMBER
 
 __all__ = ["cis_gradient", "tda_gradient", "mp2_gradient",
            "mp2_dipole", "ccsd_gradient", "tdhf_gradient",
-           "tddft_tda_gradient", "response_gradient",
+           "tddft_tda_gradient", "ump2_gradient", "response_gradient",
            "ResponseEngine"]
 
 
@@ -697,3 +697,204 @@ def tddft_tda_gradient(td, state=1):
     # agreement floor is the grid resolution, not exactness
     dw = eng.nuclear_gradient()
     return np.asarray(ks_gradient(mf), float) + dw
+
+
+# =====================================================================
+# open-shell (UHF) engine + UMP2
+# =====================================================================
+
+class ResponseEngineU:
+    """Open-shell version of :class:`ResponseEngine`: per-spin orbital
+    rotations κ = (κ_a, κ_b) stacked as one (2, nmo, nmo) array, two
+    Brillouin blocks (F^a_vo, F^b_vo) in one CPHF operator (the cross-
+    spin Coulomb coupling rides the autodiff Jacobian), one stacked
+    Z-vector solve."""
+
+    def __init__(self, mf, omega_fn, check_value=None, check_tol=1e-6):
+        mol = mf.mol
+        if getattr(mol, "csph", None) is not None:
+            raise NotImplementedError("Cartesian-AO SCF only")
+        self.mf = mf
+        Ca, Cb = [np.asarray(c, float) for c in mf.mo_coeff]
+        na, nb = mf.nocc
+        nmo = Ca.shape[1]
+        nva, nvb = nmo - na, nmo - nb
+        h = jnp.asarray(np.asarray(mf.hcore, float))
+        ERI = jnp.asarray(np.asarray(mf.eri, float))
+        Caj, Cbj = jnp.asarray(Ca), jnp.asarray(Cb)
+
+        k0 = jnp.zeros((2, nmo, nmo))
+        w0 = float(omega_fn(k0, h, ERI))
+        if check_value is not None and abs(w0 - check_value) > check_tol:
+            raise RuntimeError(f"omega functional ({w0}) != expected "
+                               f"({check_value})")
+        self.w0 = w0
+
+        L, Wh, Weri = [np.asarray(g) for g in
+                       jax.grad(omega_fn, argnums=(0, 1, 2))(k0, h, ERI)]
+        for s, n_o in ((0, na), (1, nb)):
+            asym = max(
+                np.max(np.abs(L[s, :n_o, :n_o] - L[s, :n_o, :n_o].T)),
+                np.max(np.abs(L[s, n_o:, n_o:] - L[s, n_o:, n_o:].T)))
+            if asym > 1e-5 * max(1.0, np.max(np.abs(L))):
+                raise RuntimeError("oo/vv Lagrangian not symmetric "
+                                   f"(spin {s}): functional not "
+                                   "stationary in its amplitudes")
+
+        def fock_vo(kappa):
+            Car = Caj + Caj @ kappa[0]
+            Cbr = Cbj + Cbj @ kappa[1]
+            Da = Car[:, :na] @ Car[:, :na].T
+            Db = Cbr[:, :nb] @ Cbr[:, :nb].T
+            J = jnp.einsum("pqkl, kl -> pq", ERI, Da + Db)
+            Ka = jnp.einsum("pkql, kl -> pq", ERI, Da)
+            Kb = jnp.einsum("pkql, kl -> pq", ERI, Db)
+            Fa = h + J - Ka
+            Fb = h + J - Kb
+            return jnp.concatenate(
+                [(Car[:, na:].T @ Fa @ Car[:, :na]).ravel(),
+                 (Cbr[:, nb:].T @ Fb @ Cbr[:, :nb]).ravel()])
+
+        J1 = np.asarray(jax.jacobian(fock_vo)(k0))  # (N, 2, nmo, nmo)
+        N = J1.shape[0]
+
+        # unknowns: [U^a_vo.ravel(), U^b_vo.ravel()]; known symmetric
+        # parts handled in domega.  Column map for the linear operator:
+        cols = []
+        for s, (n_o, n_v) in ((0, (na, nva)), (1, (nb, nvb))):
+            blk = (J1[:, s, n_o:, :n_o]
+                   - J1[:, s, :n_o, n_o:].transpose(0, 2, 1))
+            cols.append(blk.reshape(N, n_v * n_o))
+        Mlin = np.concatenate(cols, axis=1)         # (N, N)
+        Lam = np.concatenate(
+            [(L[0, na:, :na] - L[0, :na, na:].T).ravel(),
+             (L[1, nb:, :nb] - L[1, :nb, nb:].T).ravel()])
+        self.Z = np.linalg.solve(Mlin.T, Lam)
+        self.L, self.Wh, self.Weri, self.J1 = L, Wh, Weri, J1
+        self.Ca, self.Cb = Ca, Cb
+        self.na, self.nb, self.nmo = na, nb, nmo
+        self.Da = np.asarray(mf.dm[0], float)
+        self.Db = np.asarray(mf.dm[1], float)
+
+    def domega(self, dS, dh, dA=None):
+        Ca, Cb, na, nb, nmo = self.Ca, self.Cb, self.na, self.nb, self.nmo
+        dw = float(np.einsum("pq, pq ->", self.Wh, dh))
+        if dA is not None:
+            dw += float(np.einsum("pqkl, pqkl ->", self.Weri, dA))
+        U = np.zeros((2, nmo, nmo))
+        for s, (C, n_o) in ((0, (Ca, na)), (1, (Cb, nb))):
+            Smo = C.T @ dS @ C
+            U[s, :n_o, :n_o] = -0.5 * Smo[:n_o, :n_o]
+            U[s, n_o:, n_o:] = -0.5 * Smo[n_o:, n_o:]
+            U[s, :n_o, n_o:] = -Smo[:n_o, n_o:]
+        dw += float(np.einsum("spq, spq ->", self.L, U))
+        dJ = np.einsum("pqkl, kl -> pq", dA, self.Da + self.Db) \
+            if dA is not None else 0.0
+        rhs_parts = []
+        for s, (C, n_o, Ds) in ((0, (Ca, na, self.Da)),
+                                (1, (Cb, nb, self.Db))):
+            Fx = dh.copy()
+            if dA is not None:
+                dK = np.einsum("pkql, kl -> pq", dA, Ds)
+                Fx = Fx + dJ - dK
+            rhs_parts.append((C[:, n_o:].T @ Fx @ C[:, :n_o]).ravel())
+        Fexpl = np.concatenate(rhs_parts)
+        rhs = -(Fexpl + np.einsum("nspq, spq -> n", self.J1, U))
+        return dw + float(self.Z @ rhs)
+
+    def nuclear_gradient(self):
+        mol = self.mf.mol
+        g = np.zeros((mol.natm, 3))
+        derivs = _ao_derivative_mats(mol)
+        for a in range(mol.natm):
+            for x in range(3):
+                g[a, x] = self.domega(*derivs[a][x])
+        return g
+
+
+def ump2_gradient(mf):
+    """Analytic UMP2 nuclear gradient for open shells (UHF reference):
+    the spin-orbital Hylleraas functional with per-spin rotated
+    coefficients — one (nao, 2nmo) spin-MO matrix Cso(κ) built from
+    (C_a(κ_a), C_b(κ_b)) makes the construction IDENTICAL to the
+    closed-shell :func:`mp2_gradient`."""
+    from .grad import rhf_gradient
+    Ca, Cb = [np.asarray(c, float) for c in mf.mo_coeff]
+    na, nb = mf.nocc
+    nmo = Ca.shape[1]
+    ea, eb = [np.asarray(e, float) for e in mf.mo_energy]
+
+    # interleaved spin-orbital order: 2p = (p, alpha), 2p+1 = (p, beta)
+    nso = 2 * nmo
+    spin = np.tile([0, 1], nmo)
+    eps_s = np.empty(nso)
+    eps_s[0::2] = ea
+    eps_s[1::2] = eb
+    # occupied spin-orbitals: energy-independent layout — take alpha
+    # occ then beta occ via an index permutation
+    occ_s = np.concatenate([2 * np.arange(na), 2 * np.arange(nb) + 1])
+    vir_s = np.array([p for p in range(nso) if p not in set(occ_s)])
+    same = (spin[:, None] == spin[None, :]).astype(float)
+
+    Caj, Cbj = jnp.asarray(Ca), jnp.asarray(Cb)
+    samej = jnp.asarray(same)
+    occ_j, vir_j = jnp.asarray(occ_s), jnp.asarray(vir_s)
+
+    def cso_of(kappa):
+        Car = Caj + Caj @ kappa[0]
+        Cbr = Cbj + Cbj @ kappa[1]
+        Cso = jnp.zeros((Ca.shape[0], nso))
+        Cso = Cso.at[:, 0::2].set(Car)
+        Cso = Cso.at[:, 1::2].set(Cbr)
+        return Cso
+
+    def so_ints(kappa, h_, eri_):
+        Cso = cso_of(kappa)
+        Da = (Caj + Caj @ kappa[0])[:, :na] @ (Caj + Caj @ kappa[0])[:, :na].T
+        Db = (Cbj + Cbj @ kappa[1])[:, :nb] @ (Cbj + Cbj @ kappa[1])[:, :nb].T
+        J = jnp.einsum("pqkl, kl -> pq", eri_, Da + Db)
+        Ka = jnp.einsum("pkql, kl -> pq", eri_, Da)
+        Kb = jnp.einsum("pkql, kl -> pq", eri_, Db)
+        Fa = h_ + J - Ka
+        Fb = h_ + J - Kb
+        Fso = jnp.zeros((nso, nso))
+        Car = Caj + Caj @ kappa[0]
+        Cbr = Cbj + Cbj @ kappa[1]
+        Fso = Fso.at[0::2, 0::2].set(Car.T @ Fa @ Car)
+        Fso = Fso.at[1::2, 1::2].set(Cbr.T @ Fb @ Cbr)
+        emo = jnp.einsum("pi, qj, pqkl, kr, ls -> ijrs",
+                         Cso, Cso, eri_, Cso, Cso)
+        gso = emo.transpose(0, 2, 1, 3)          # <pq|rs>
+        s1 = samej[:, None, :, None] * samej[None, :, None, :]
+        s2 = samej[:, None, None, :] * samej[None, :, :, None]
+        gaso = gso * s1 - gso.transpose(0, 1, 3, 2) * s2
+        return Fso, gaso
+
+    # frozen canonical amplitudes
+    k0 = jnp.zeros((2, nmo, nmo))
+    h0 = jnp.asarray(np.asarray(mf.hcore, float))
+    E0 = jnp.asarray(np.asarray(mf.eri, float))
+    F0, g0 = so_ints(k0, h0, E0)
+    goovv = np.asarray(g0)[np.ix_(occ_s, occ_s, vir_s, vir_s)]
+    Dden = (eps_s[occ_s][:, None, None, None]
+            + eps_s[occ_s][None, :, None, None]
+            - eps_s[vir_s][None, None, :, None]
+            - eps_s[vir_s][None, None, None, :])
+    t0 = goovv / Dden
+    e2_ref = 0.25 * float(np.sum(t0 * goovv))
+    tj = jnp.asarray(t0)
+
+    def omega(kappa, h_, eri_):
+        Fso, gaso = so_ints(kappa, h_, eri_)
+        go = gaso[jnp.ix_(occ_j, occ_j, vir_j, vir_j)]
+        Foo = Fso[jnp.ix_(occ_j, occ_j)]
+        Fvv = Fso[jnp.ix_(vir_j, vir_j)]
+        At = (jnp.einsum("ca, ijcb -> ijab", Fvv, tj)
+              + jnp.einsum("cb, ijac -> ijab", Fvv, tj)
+              - jnp.einsum("ik, kjab -> ijab", Foo, tj)
+              - jnp.einsum("jk, ikab -> ijab", Foo, tj))
+        return 0.25 * (2.0 * jnp.einsum("ijab, ijab ->", tj, go)
+                       + jnp.einsum("ijab, ijab ->", tj, At))
+
+    eng = ResponseEngineU(mf, omega, check_value=e2_ref)
+    return np.asarray(rhf_gradient(mf), float) + eng.nuclear_gradient()

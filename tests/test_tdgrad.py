@@ -261,3 +261,35 @@ def test_tddft_gga_gate_and_fd_path():
                         n_rad=30, n_theta=8)
     assert np.max(np.abs(g.sum(axis=0))) < 1e-6
     assert np.max(np.abs(g)) > 1e-3
+
+
+def test_ump2_gradient_open_shell_vs_fd():
+    """Open-shell analytic MP2 gradient (UHF reference, per-spin
+    rotations in ResponseEngineU) on the OH radical — the engine's
+    ω-gate also pins the spin-orbital E2 against qchem.mp.UMP2."""
+    from pyqed_tpu.qchem.tdgrad import ump2_gradient
+    from pyqed_tpu.qchem.mp import UMP2
+
+    oh = [("O", (0.0, 0.0, 0.0)), ("H", (0.0, 0.3, 1.83))]
+    mf = Molecule(oh, spin=1, basis="sto-3g").UHF().run()
+    assert mf.converged
+    g = ump2_gradient(mf)
+    assert np.max(np.abs(g.sum(axis=0))) < 1e-10
+
+    def e_u(atoms):
+        m = Molecule(atoms, spin=1, basis="sto-3g").UHF().run()
+        u = UMP2(m)
+        u.run()
+        return float(m.e_tot + u.e_corr)
+
+    at = [(s, np.asarray(x, float)) for s, x in oh]
+    h = 5e-3
+    a, x = 0, 2
+
+    def E(d):
+        geo = [(s, xx + (d if k == a else 0) * np.eye(3)[x])
+               for k, (s, xx) in enumerate(at)]
+        return e_u(geo)
+
+    gfd = (8 * (E(h) - E(-h)) - (E(2 * h) - E(-2 * h))) / (12 * h)
+    assert abs(g[a, x] - gfd) < 1e-7
