@@ -39,7 +39,8 @@ from .basis import ATOMIC_NUMBER
 
 __all__ = ["cis_gradient", "tda_gradient", "mp2_gradient",
            "mp2_dipole", "ccsd_gradient", "tdhf_gradient",
-           "tddft_tda_gradient", "ump2_gradient", "response_gradient",
+           "tddft_tda_gradient", "ump2_gradient", "ccsd_dipole",
+           "response_gradient",
            "ResponseEngine"]
 
 
@@ -432,8 +433,9 @@ def _so_ints(Cr, h_, eri_, spat_j, same, no):
     return Fso, gaso
 
 
-def ccsd_gradient(cc):
-    """Analytic CCSD nuclear gradient d(E_SCF + E_CCSD)/dR (natm, 3).
+def _ccsd_engine(cc):
+    """ResponseEngine for the CCSD Lagrangian (shared by
+    :func:`ccsd_gradient` and :func:`ccsd_dipole`).
 
     CCSD is not variational in T, so the engine gets the LAGRANGIAN
     E(T) + Λ·R(T) with multipliers solved NUMERICALLY from the
@@ -444,7 +446,6 @@ def ccsd_gradient(cc):
     f_oo/f_vv one-particle terms (the update folds them into D, but
     under orbital rotations F is no longer diagonal).  Pinned against
     Richardson FD of E_SCF + E_CCSD in tests/test_tdgrad.py."""
-    from .grad import rhf_gradient
     mf = cc.mf
     if cc.t1 is None:
         raise ValueError("run CCSD first (cc.run())")
@@ -528,8 +529,32 @@ def ccsd_gradient(cc):
         R1, R2 = residual_full(t1c, t2c, Fso, gaso)
         return E + jnp.sum(l1 * R1) + jnp.sum(l2 * R2)
 
-    dw = response_gradient(mf, omega, check_value=e_ref)
-    return np.asarray(rhf_gradient(mf), float) + dw
+    return ResponseEngine(mf, omega, check_value=e_ref)
+
+
+def ccsd_gradient(cc):
+    """Analytic CCSD nuclear gradient d(E_SCF + E_CCSD)/dR (natm, 3):
+    see :func:`_ccsd_engine` for the Lagrangian construction (numeric
+    Λ from the autodiff residual Jacobian)."""
+    from .grad import rhf_gradient
+    eng = _ccsd_engine(cc)
+    return np.asarray(rhf_gradient(cc.mf), float) \
+        + eng.nuclear_gradient()
+
+
+def ccsd_dipole(cc, origin=(0.0, 0.0, 0.0)):
+    """Orbital-relaxed CCSD dipole moment (3,) in a.u. — the HF dipole
+    plus the correlation correction from the SAME CCSD Lagrangian
+    engine with a field perturbation (μ = −dE/dF; field coupling
+    h -> h + F·μ_ao, the dip_moment/polarizability convention)."""
+    from .basis import dipole_matrix
+    mf = cc.mf
+    eng = _ccsd_engine(cc)
+    mu_ao = np.asarray(dipole_matrix(mf.mol.bfs, origin), float)
+    zS = np.zeros_like(mu_ao[0])
+    mu_hf = np.asarray(mf.dip_moment(origin=origin))
+    corr = np.array([eng.domega(zS, mu_ao[x]) for x in range(3)])
+    return mu_hf - corr
 
 
 # =====================================================================

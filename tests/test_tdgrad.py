@@ -293,3 +293,37 @@ def test_ump2_gradient_open_shell_vs_fd():
 
     gfd = (8 * (E(h) - E(-h)) - (E(2 * h) - E(-2 * h))) / (12 * h)
     assert abs(g[a, x] - gfd) < 1e-7
+
+
+def test_ccsd_relaxed_dipole_vs_finite_field():
+    """Orbital-relaxed CCSD dipole from the SAME Lagrangian engine
+    with a field perturbation == Richardson finite-field CCSD
+    (plain central FD floors at ~1e-4 here: LiH's hyperpolarizability
+    is large)."""
+    from pyqed_tpu.qchem.cc import CCSD
+    from pyqed_tpu.qchem.tdgrad import ccsd_dipole
+    from pyqed_tpu.qchem.basis import dipole_matrix
+
+    lih = [("Li", (0, 0, 0.0)), ("H", (0, 0, 3.0))]
+    mf = Molecule(lih, basis="sto-3g").RHF().run()
+    cc = CCSD(mf).run()
+    mu = ccsd_dipole(cc)
+    mol = Molecule(lih, basis="sto-3g")
+    mu_ao = np.asarray(dipole_matrix(mol.bfs))
+    R = np.asarray(mol.atom_coords())
+    Z = np.asarray(mol.atom_charges(), float)
+
+    def e_cc(Fz):
+        m2 = Molecule(lih, basis="sto-3g")
+        F = np.array([0.0, 0.0, Fz])
+        mfF = m2.RHF(
+            extra_hcore=np.einsum("x, xpq -> pq", F, mu_ao)).run()
+        c = CCSD(mfF).run()
+        return float(mfF.e_tot + c.e_corr) - float(F @ (Z @ R))
+
+    h = 1e-3
+    mu_ff = -(8 * (e_cc(h) - e_cc(-h))
+              - (e_cc(2 * h) - e_cc(-2 * h))) / (12 * h)
+    assert abs(mu[2] - mu_ff) < 1e-6
+    # the correlation relaxation is real
+    assert abs(mu[2] - np.asarray(mf.dip_moment())[2]) > 1e-3
