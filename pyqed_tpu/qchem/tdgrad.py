@@ -94,8 +94,9 @@ class ResponseEngine:
     functional ω(κ; h, ERI): builds the Lagrangian, the CPHF Jacobian,
     and the Z vector ONCE; :meth:`domega` then evaluates dω for ANY
     perturbation given its AO derivative matrices (dS, dh, dA) —
-    nuclear displacements, electric fields (dh = −μ_x, dS = dA = 0),
-    or anything else."""
+    nuclear displacements, electric fields (dh = +μ_x in the
+    h → h + F·μ_ao convention of dip_moment/polarizability, so
+    μ_relaxed = μ_HF − dω/dF; dS = dA = None), or anything else."""
 
     def __init__(self, mf, omega_fn, check_value=None, check_tol=1e-6,
                  hfx=1.0, xc=None):
