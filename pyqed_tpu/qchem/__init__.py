@@ -4,7 +4,7 @@ from .ci import FCI, CISD, CASCI, slater_condon, spinorb_ints
 from .mp import MP2, UMP2
 from .cc import CCSD
 from .eom import EOMCCSD
-from .tdscf import TDA, TDHF, CIS
+from .tdscf import TDA, TDHF, CIS, UCIS
 from .dft import RKS, UKS, becke_grid, lda_exc_vxc
 from .soc import soc_integrals, soc_matrix, soc_mo
 from .grad import (Grad, GeometryOptimizer, optimize_geometry, scan_pes,
@@ -13,7 +13,7 @@ from .grad import (Grad, GeometryOptimizer, optimize_geometry, scan_pes,
 from .tdgrad import (cis_gradient, tda_gradient, mp2_gradient,
                      mp2_dipole, response_gradient, ResponseEngine,
                      ccsd_gradient, tdhf_gradient, tddft_tda_gradient, ump2_gradient,
-                     ccsd_dipole)
+                     ucis_gradient, ccsd_dipole)
 from .vibronic import LVCBuilder, LVC_DFT
 from . import basis
 from .dvr import (MoleculeDVR, RHF1D, RHF2D, RKS1D, CASCIDVR,

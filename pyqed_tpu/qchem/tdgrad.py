@@ -39,7 +39,8 @@ from .basis import ATOMIC_NUMBER
 
 __all__ = ["cis_gradient", "tda_gradient", "mp2_gradient",
            "mp2_dipole", "ccsd_gradient", "tdhf_gradient",
-           "tddft_tda_gradient", "ump2_gradient", "ccsd_dipole",
+           "tddft_tda_gradient", "ump2_gradient", "ucis_gradient",
+           "ccsd_dipole",
            "response_gradient",
            "ResponseEngine"]
 
@@ -923,4 +924,46 @@ def ump2_gradient(mf):
                        + jnp.einsum("ijab, ijab ->", tj, At))
 
     eng = ResponseEngineU(mf, omega, check_value=e2_ref)
+    return np.asarray(rhf_gradient(mf), float) + eng.nuclear_gradient()
+
+
+def ucis_gradient(td, state=1):
+    """Analytic UCIS (TDA-UHF) excited-state nuclear gradient for
+    radicals: frozen spin-resolved amplitudes (X_a, X_b) on the
+    open-shell engine — Coulomb couples the total transition density,
+    exchange stays within each spin."""
+    mf = td.mf
+    Ca, Cb = [np.asarray(c, float) for c in mf.mo_coeff]
+    na, nb = mf.nocc
+    Xa, Xb = td.xy[state - 1]
+    Caj, Cbj = jnp.asarray(Ca), jnp.asarray(Cb)
+    Xaj, Xbj = jnp.asarray(np.asarray(Xa, float)), \
+        jnp.asarray(np.asarray(Xb, float))
+
+    def omega(kappa, h_, eri_):
+        Car = Caj + Caj @ kappa[0]
+        Cbr = Cbj + Cbj @ kappa[1]
+        Cao, Cav = Car[:, :na], Car[:, na:]
+        Cbo, Cbv = Cbr[:, :nb], Cbr[:, nb:]
+        Da = Cao @ Cao.T
+        Db = Cbo @ Cbo.T
+        J = jnp.einsum("pqkl, kl -> pq", eri_, Da + Db)
+        Ka = jnp.einsum("pkql, kl -> pq", eri_, Da)
+        Kb = jnp.einsum("pkql, kl -> pq", eri_, Db)
+        Fa = h_ + J - Ka
+        Fb = h_ + J - Kb
+        Ra = Cao @ Xaj @ Cav.T
+        Rb = Cbo @ Xbj @ Cbv.T
+        Rt = Ra + Rb
+        return (jnp.einsum("ab, ab ->", Xaj.T @ Xaj, Cav.T @ Fa @ Cav)
+                - jnp.einsum("ij, ij ->", Xaj @ Xaj.T, Cao.T @ Fa @ Cao)
+                + jnp.einsum("ab, ab ->", Xbj.T @ Xbj, Cbv.T @ Fb @ Cbv)
+                - jnp.einsum("ij, ij ->", Xbj @ Xbj.T, Cbo.T @ Fb @ Cbo)
+                + jnp.einsum("pqkl, pq, kl ->", eri_, Rt, Rt)
+                - jnp.einsum("pqkl, pk, ql ->", eri_, Ra, Ra)
+                - jnp.einsum("pqkl, pk, ql ->", eri_, Rb, Rb))
+
+    from .grad import rhf_gradient
+    eng = ResponseEngineU(mf, omega,
+                          check_value=float(np.asarray(td.e)[state - 1]))
     return np.asarray(rhf_gradient(mf), float) + eng.nuclear_gradient()

@@ -274,3 +274,73 @@ def tda_density_matrix(td, state_id):
     dm[nocc:, nocc:] += 2.0 * np.einsum("ia, ic -> ac", X, X.conj())
     mo = np.asarray(mf.mo_coeff)
     return np.einsum("pi, ij, qj -> pq", mo, dm, mo.conj())
+
+
+class UCIS:
+    """CIS/TDA on a UHF reference (spin-orbital ov space, both spin
+    blocks coupled by the Coulomb term; exchange within each spin) —
+    excited states of radicals.  At a closed-shell point the spectrum
+    is the union of the RHF singlet and triplet TDA roots.
+
+    NOTE on open shells: the spin-contaminated UHF reference puts the
+    configuration that completes the doublet spin eigenstate (beta
+    HOMO -> beta orbital matching the alpha SOMO) at ~zero excitation
+    energy — the first PHYSICAL excitation of a radical is usually
+    root 2.
+
+    Beyond the reference (its excited states are pyscf-wrapped,
+    closed-shell only)."""
+
+    def __init__(self, mf):
+        self.mf = mf
+        self.e = None
+        self.xy = None          # per root: (X_a (na, nva), X_b (nb, nvb))
+
+    def run(self, nroots=5):
+        mf = self.mf
+        Ca, Cb = [np.asarray(c) for c in mf.mo_coeff]
+        ea, eb = [np.asarray(e) for e in mf.mo_energy]
+        na, nb = mf.nocc
+        nmo = Ca.shape[1]
+        nva, nvb = nmo - na, nmo - nb
+        eri = np.asarray(mf.eri)
+
+        def mo_ov(C1o, C1v, C2o, C2v):
+            """(ia|jb) block: first pair spin-1, second spin-2."""
+            return np.einsum("pi, qa, pqkl, kj, lb -> iajb",
+                             C1o, C1v, eri, C2o, C2v, optimize=True)
+
+        def mo_oo_vv(Co, Cv):
+            """(ij|ab) same-spin block."""
+            return np.einsum("pi, qj, pqkl, ka, lb -> ijab",
+                             Co, Co, eri, Cv, Cv, optimize=True)
+
+        Cao, Cav = Ca[:, :na], Ca[:, na:]
+        Cbo, Cbv = Cb[:, :nb], Cb[:, nb:]
+        Naa, Nbb = na * nva, nb * nvb
+        A = np.zeros((Naa + Nbb, Naa + Nbb))
+        # alpha-alpha
+        de = ea[None, na:] - ea[:na, None]
+        Aaa = (np.einsum("ia, ij, ab -> iajb", de, np.eye(na),
+                         np.eye(nva))
+               + mo_ov(Cao, Cav, Cao, Cav)
+               - mo_oo_vv(Cao, Cav).transpose(0, 2, 1, 3))
+        A[:Naa, :Naa] = Aaa.reshape(Naa, Naa)
+        # beta-beta
+        de = eb[None, nb:] - eb[:nb, None]
+        Abb = (np.einsum("ia, ij, ab -> iajb", de, np.eye(nb),
+                         np.eye(nvb))
+               + mo_ov(Cbo, Cbv, Cbo, Cbv)
+               - mo_oo_vv(Cbo, Cbv).transpose(0, 2, 1, 3))
+        A[Naa:, Naa:] = Abb.reshape(Nbb, Nbb)
+        # cross-spin Coulomb
+        Aab = mo_ov(Cao, Cav, Cbo, Cbv).reshape(Naa, Nbb)
+        A[:Naa, Naa:] = Aab
+        A[Naa:, :Naa] = Aab.T
+        w, V = np.linalg.eigh(A)
+        self.e = w[:nroots]
+        self.xy = [(V[:Naa, n].reshape(na, nva),
+                    V[Naa:, n].reshape(nb, nvb)) for n in range(nroots)]
+        return self.e
+
+    kernel = run

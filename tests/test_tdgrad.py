@@ -327,3 +327,49 @@ def test_ccsd_relaxed_dipole_vs_finite_field():
     assert abs(mu[2] - mu_ff) < 1e-6
     # the correlation relaxation is real
     assert abs(mu[2] - np.asarray(mf.dip_moment())[2]) > 1e-3
+
+
+def test_ucis_closed_shell_limit_and_radical_gradient():
+    """UCIS: at a closed-shell UHF point the spectrum is the UNION of
+    the RHF singlet and triplet TDA roots (exact degeneracy test);
+    on the OH radical the analytic UCIS gradient (open-shell engine)
+    pins Richardson FD.  Root 1 of the radical is the ~zero-energy
+    spin-completing configuration of the contaminated UHF reference —
+    the physical excitation is root 2."""
+    from pyqed_tpu.qchem.tdscf import UCIS, TDA
+    from pyqed_tpu.qchem.tdgrad import ucis_gradient
+
+    mfu = Molecule(H2O, basis="sto-3g").UHF().run()
+    mfr = Molecule(H2O, basis="sto-3g").RHF().run()
+    eu = np.asarray(UCIS(mfu).run(nroots=5))
+    es = np.asarray(TDA(mfr, singlet=True).run(nroots=5))
+    et = np.asarray(TDA(mfr, singlet=False).run(nroots=5))
+    merged = np.sort(np.concatenate([es, et]))[:5]
+    assert np.max(np.abs(eu - merged)) < 1e-8
+
+    oh = [("O", (0.0, 0.0, 0.0)), ("H", (0.0, 0.3, 1.83))]
+    mf = Molecule(oh, spin=1, basis="sto-3g").UHF().run()
+    td = UCIS(mf)
+    td.run(nroots=3)
+    assert abs(td.e[0]) < 1e-8          # spin-completing zero mode
+    assert td.e[1] > 0.05               # the real excitation
+    g = ucis_gradient(td, state=2)
+    assert np.max(np.abs(g.sum(axis=0))) < 1e-10
+
+    def e_exc(atoms):
+        m = Molecule(atoms, spin=1, basis="sto-3g").UHF().run()
+        t = UCIS(m)
+        t.run(nroots=3)
+        return float(m.e_tot + np.asarray(t.e)[1])
+
+    at = [(s, np.asarray(x, float)) for s, x in oh]
+    h = 5e-3
+    a, x = 0, 2
+
+    def E(d):
+        geo = [(s, xx + (d if k == a else 0) * np.eye(3)[x])
+               for k, (s, xx) in enumerate(at)]
+        return e_exc(geo)
+
+    gfd = (8 * (E(h) - E(-h)) - (E(2 * h) - E(-2 * h))) / (12 * h)
+    assert abs(g[a, x] - gfd) < 1e-7
