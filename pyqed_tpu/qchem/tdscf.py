@@ -344,3 +344,27 @@ class UCIS:
         return self.e
 
     kernel = run
+
+    def transition_dipole(self):
+        """<0|r|n> (nroots, 3) from the per-spin occ-virt dipole
+        blocks (no sqrt(2): the spin sum is explicit here)."""
+        mf = self.mf
+        Ca, Cb = [np.asarray(c) for c in mf.mo_coeff]
+        na, nb = mf.nocc
+        mu_ao = np.asarray(mf.dipole_integrals())
+        dova = np.einsum("kpq, pi, qa -> kia", mu_ao,
+                         Ca[:, :na], Ca[:, na:])
+        dovb = np.einsum("kpq, pi, qa -> kia", mu_ao,
+                         Cb[:, :nb], Cb[:, nb:])
+        out = []
+        for Xa, Xb in self.xy:
+            out.append(np.einsum("kia, ia -> k", dova, np.asarray(Xa))
+                       + np.einsum("kia, ia -> k", dovb,
+                                   np.asarray(Xb)))
+        return np.asarray(out)
+
+    def oscillator_strength(self):
+        """f_n = (2/3) omega_n |<0|r|n>|^2."""
+        mu = self.transition_dipole()
+        return (2.0 / 3.0) * np.asarray(self.e) \
+            * np.sum(np.abs(mu) ** 2, axis=1)

@@ -373,3 +373,29 @@ def test_ucis_closed_shell_limit_and_radical_gradient():
 
     gfd = (8 * (E(h) - E(-h)) - (E(2 * h) - E(-2 * h))) / (12 * h)
     assert abs(g[a, x] - gfd) < 1e-7
+
+
+def test_ucis_oscillator_strengths_closed_shell_limit():
+    """UCIS oscillator strengths at a closed-shell point: triplet-type
+    roots are dark (f = 0 by spin symmetry), and bright-root strengths
+    match the RHF singlet TDA values."""
+    from pyqed_tpu.qchem.tdscf import UCIS, TDA
+
+    mfu = Molecule(H2O, basis="sto-3g").UHF().run()
+    mfr = Molecule(H2O, basis="sto-3g").RHF().run()
+    tu = UCIS(mfu)
+    tu.run(nroots=6)
+    fu = tu.oscillator_strength()
+    ts = TDA(mfr, singlet=True)
+    es = ts.run(nroots=3)
+    fs = ts.oscillator_strength()
+    tt = TDA(mfr, singlet=False)
+    et = tt.run(nroots=3)
+    for n, e in enumerate(np.asarray(tu.e)):
+        ks = np.argmin(np.abs(np.asarray(es) - e))
+        kt = np.argmin(np.abs(np.asarray(et) - e))
+        if abs(et[kt] - e) < 1e-8:          # triplet-type: dark
+            assert fu[n] < 1e-10
+        else:                               # singlet-type: matches RHF
+            assert abs(es[ks] - e) < 1e-8
+            assert abs(fu[n] - fs[ks]) < 1e-8
