@@ -351,7 +351,12 @@ class UCIS:
         mf = self.mf
         Ca, Cb = [np.asarray(c) for c in mf.mo_coeff]
         na, nb = mf.nocc
-        mu_ao = np.asarray(mf.dipole_integrals())
+        from .basis import dipole_matrix
+        mu_ao = np.asarray(dipole_matrix(mf.mol.bfs))
+        csph = getattr(mf.mol, "csph", None)
+        if csph is not None:
+            B = np.asarray(csph)
+            mu_ao = np.einsum("pi, kij, qj -> kpq", B, mu_ao, B)
         dova = np.einsum("kpq, pi, qa -> kia", mu_ao,
                          Ca[:, :na], Ca[:, na:])
         dovb = np.einsum("kpq, pi, qa -> kia", mu_ao,

@@ -387,10 +387,10 @@ def test_ucis_oscillator_strengths_closed_shell_limit():
     tu.run(nroots=6)
     fu = tu.oscillator_strength()
     ts = TDA(mfr, singlet=True)
-    es = ts.run(nroots=3)
+    es = ts.run(nroots=6)
     fs = ts.oscillator_strength()
     tt = TDA(mfr, singlet=False)
-    et = tt.run(nroots=3)
+    et = tt.run(nroots=6)
     for n, e in enumerate(np.asarray(tu.e)):
         ks = np.argmin(np.abs(np.asarray(es) - e))
         kt = np.argmin(np.abs(np.asarray(et) - e))
