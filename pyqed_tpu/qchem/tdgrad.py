@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from .basis import ATOMIC_NUMBER
 
-__all__ = ["cis_gradient", "tda_gradient", "mp2_gradient",
+__all__ = ["cis_gradient", "tda_gradient", "cis_dipole",
+           "mp2_gradient",
            "mp2_dipole", "ccsd_gradient", "tdhf_gradient",
            "tddft_tda_gradient", "ump2_gradient", "ucis_gradient",
            "ccsd_dipole",
@@ -240,10 +241,10 @@ def response_gradient(mf, omega_fn, check_value=None, check_tol=1e-6):
 # CIS / TDA
 # =====================================================================
 
-def cis_gradient(td, state=1):
-    """Analytic nuclear gradient (natm, 3) of E_SCF + ω_TDA for
-    ``state`` (1-based).  Restricted closed-shell TDA (singlet or
-    triplet) on the Cartesian-AO SCF."""
+def _cis_engine(td, state=1):
+    """ResponseEngine for the frozen-X CIS/TDA functional (shared by
+    gradient and dipole clients).  Restricted closed-shell TDA
+    (singlet or triplet) on the Cartesian-AO SCF."""
     mf = td.mf
     if hasattr(mf, "f_exc"):
         raise NotImplementedError("cis_gradient covers HF references; "
@@ -275,15 +276,38 @@ def cis_gradient(td, state=1):
                 + c2 * jnp.einsum("pqkl, pq, kl ->", eri_, R, R)
                 - jnp.einsum("pqkl, pk, ql ->", eri_, R, R))
 
+    return ResponseEngine(mf, omega,
+                          check_value=float(np.asarray(td.e)[state - 1]))
+
+
+def cis_gradient(td, state=1):
+    """Analytic nuclear gradient (natm, 3) of E_SCF + ω_TDA for
+    ``state`` (1-based) — see :func:`_cis_engine`."""
     from .grad import rhf_gradient
-    dw = response_gradient(mf, omega,
-                           check_value=float(np.asarray(td.e)[state - 1]))
-    return np.asarray(rhf_gradient(mf), float) + dw
+    eng = _cis_engine(td, state)
+    return np.asarray(rhf_gradient(td.mf), float) \
+        + eng.nuclear_gradient()
 
 
 def tda_gradient(td, state=1):
     """Alias of :func:`cis_gradient`."""
     return cis_gradient(td, state)
+
+
+def cis_dipole(td, state=1, origin=(0.0, 0.0, 0.0)):
+    """Orbital-relaxed EXCITED-STATE dipole moment (3,) in a.u. for
+    CIS/TDA state ``state``: μ* = μ_HF − dω/dF through the same
+    Z-vector engine with a field perturbation (solvatochromic shifts,
+    excited-state charge transfer — the reference has no excited-state
+    properties at all)."""
+    from .basis import dipole_matrix
+    mf = td.mf
+    eng = _cis_engine(td, state)
+    mu_ao = np.asarray(dipole_matrix(mf.mol.bfs, origin), float)
+    zS = np.zeros_like(mu_ao[0])
+    mu_hf = np.asarray(mf.dip_moment(origin=origin))
+    corr = np.array([eng.domega(zS, mu_ao[x]) for x in range(3)])
+    return mu_hf - corr
 
 
 # =====================================================================

@@ -399,3 +399,41 @@ def test_ucis_oscillator_strengths_closed_shell_limit():
         else:                               # singlet-type: matches RHF
             assert abs(es[ks] - e) < 1e-8
             assert abs(fu[n] - fs[ks]) < 1e-8
+
+
+def test_cis_excited_state_dipole_vs_finite_field():
+    """Excited-state dipole moment from the CIS engine with a field
+    perturbation: reproduces finite-field d(E+omega)/dF and captures
+    LiH's A-state dipole REVERSAL (ionic ground state -> covalent
+    excited state flips the sign)."""
+    from pyqed_tpu.qchem.tdscf import TDA
+    from pyqed_tpu.qchem.tdgrad import cis_dipole
+    from pyqed_tpu.qchem.basis import dipole_matrix
+
+    lih = [("Li", (0, 0, 0.0)), ("H", (0, 0, 3.0))]
+    mf = Molecule(lih, basis="sto-3g").RHF().run()
+    td = TDA(mf)
+    td.run(nroots=3)
+    mu = cis_dipole(td, state=1)
+    mu_gs = np.asarray(mf.dip_moment())
+    assert mu[2] * mu_gs[2] < 0            # the sign reversal
+    mol = Molecule(lih, basis="sto-3g")
+    mu_ao = np.asarray(dipole_matrix(mol.bfs))
+    R = np.asarray(mol.atom_coords())
+    Z = np.asarray(mol.atom_charges(), float)
+
+    def e_exc(Fz):
+        m2 = Molecule(lih, basis="sto-3g")
+        F = np.array([0.0, 0.0, Fz])
+        mfF = m2.RHF(
+            extra_hcore=np.einsum("x, xpq -> pq", F, mu_ao)).run()
+        t = TDA(mfF)
+        t.run(nroots=3)
+        return float(mfF.e_tot + np.asarray(t.e)[0]) \
+            - float(F @ (Z @ R))
+
+    h = 1e-3
+    mu_ff = -(8 * (e_exc(h) - e_exc(-h))
+              - (e_exc(2 * h) - e_exc(-2 * h))) / (12 * h)
+    # the excited state's large hyperpolarizability floors the FF
+    assert abs(mu[2] - mu_ff) < 5e-5
