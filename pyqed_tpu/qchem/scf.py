@@ -199,17 +199,23 @@ class UHF:
     Separate alpha/beta Fock matrices; same DIIS machinery as RHF.
     """
 
-    def __init__(self, mol, max_cycle=150, conv_tol=1e-10, diis_size=8):
+    def __init__(self, mol, max_cycle=150, conv_tol=1e-10, diis_size=8,
+                 extra_hcore=None):
         self.mol = mol
         self.max_cycle = max_cycle
         self.conv_tol = conv_tol
         self.diis_size = diis_size
+        #: optional (nao, nao) AO one-electron perturbation (finite
+        #: fields etc.) — same contract as RHF's extra_hcore
+        self.extra_hcore = extra_hcore
         self.converged = False
 
     def run(self):
         mol = self.mol
         S, T, V, eri = mol.intor()
         hcore = T + V
+        if self.extra_hcore is not None:
+            hcore = hcore + jnp.asarray(self.extra_hcore)
         enuc = mol.energy_nuc()
         na = (mol.nelec + mol.spin) // 2
         nb = mol.nelec - na

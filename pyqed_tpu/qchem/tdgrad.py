@@ -40,7 +40,8 @@ from .basis import ATOMIC_NUMBER
 __all__ = ["cis_gradient", "tda_gradient", "cis_dipole",
            "mp2_gradient",
            "mp2_dipole", "ccsd_gradient", "tdhf_gradient",
-           "tddft_tda_gradient", "ump2_gradient", "ucis_gradient",
+           "tddft_tda_gradient", "ump2_gradient", "ump2_dipole",
+           "ucis_gradient",
            "ccsd_dipole",
            "response_gradient",
            "ResponseEngine"]
@@ -863,13 +864,11 @@ class ResponseEngineU:
         return g
 
 
-def ump2_gradient(mf):
-    """Analytic UMP2 nuclear gradient for open shells (UHF reference):
-    the spin-orbital Hylleraas functional with per-spin rotated
-    coefficients — one (nao, 2nmo) spin-MO matrix Cso(κ) built from
-    (C_a(κ_a), C_b(κ_b)) makes the construction IDENTICAL to the
-    closed-shell :func:`mp2_gradient`."""
-    from .grad import rhf_gradient
+def _ump2_engine(mf):
+    """ResponseEngineU for the open-shell Hylleraas functional (shared
+    by :func:`ump2_gradient` and :func:`ump2_dipole`): one (nao, 2nmo)
+    spin-MO matrix Cso(κ) built from (C_a(κ_a), C_b(κ_b)) makes the
+    construction IDENTICAL to the closed-shell :func:`mp2_gradient`."""
     Ca, Cb = [np.asarray(c, float) for c in mf.mo_coeff]
     na, nb = mf.nocc
     nmo = Ca.shape[1]
@@ -947,7 +946,14 @@ def ump2_gradient(mf):
         return 0.25 * (2.0 * jnp.einsum("ijab, ijab ->", tj, go)
                        + jnp.einsum("ijab, ijab ->", tj, At))
 
-    eng = ResponseEngineU(mf, omega, check_value=e2_ref)
+    return ResponseEngineU(mf, omega, check_value=e2_ref)
+
+
+def ump2_gradient(mf):
+    """Analytic UMP2 nuclear gradient for open shells (UHF
+    reference) — see :func:`_ump2_engine`."""
+    from .grad import rhf_gradient
+    eng = _ump2_engine(mf)
     return np.asarray(rhf_gradient(mf), float) + eng.nuclear_gradient()
 
 
@@ -991,3 +997,20 @@ def ucis_gradient(td, state=1):
     eng = ResponseEngineU(mf, omega,
                           check_value=float(np.asarray(td.e)[state - 1]))
     return np.asarray(rhf_gradient(mf), float) + eng.nuclear_gradient()
+
+
+def ump2_dipole(mf, origin=(0.0, 0.0, 0.0)):
+    """Orbital-relaxed UMP2 dipole moment for open shells (3,) in
+    a.u.: the UHF dipole plus the correlation correction from the
+    open-shell Z-vector engine with a field perturbation."""
+    from .basis import dipole_matrix
+    eng = _ump2_engine(mf)
+    mu_ao = np.asarray(dipole_matrix(mf.mol.bfs, origin), float)
+    zS = np.zeros_like(mu_ao[0])
+    Da, Db = [np.asarray(d) for d in mf.dm]
+    el = -np.einsum("kpq, qp -> k", mu_ao, Da + Db)
+    R = np.asarray(mf.mol.atom_coords()) - np.asarray(origin)
+    Z = np.asarray(mf.mol.atom_charges(), float)
+    mu_hf = Z @ R + el
+    corr = np.array([eng.domega(zS, mu_ao[x]) for x in range(3)])
+    return mu_hf - corr

@@ -437,3 +437,34 @@ def test_cis_excited_state_dipole_vs_finite_field():
               - (e_exc(2 * h) - e_exc(-2 * h))) / (12 * h)
     # the excited state's large hyperpolarizability floors the FF
     assert abs(mu[2] - mu_ff) < 5e-5
+
+
+def test_ump2_relaxed_dipole_open_shell_vs_finite_field():
+    """Open-shell relaxed UMP2 dipole (field perturbation on the
+    open-shell engine) == Richardson finite-field UMP2 on OH."""
+    from pyqed_tpu.qchem.tdgrad import ump2_dipole
+    from pyqed_tpu.qchem.mp import UMP2
+    from pyqed_tpu.qchem.basis import dipole_matrix
+
+    oh = [("O", (0.0, 0.0, 0.0)), ("H", (0.0, 0.3, 1.83))]
+    mf = Molecule(oh, spin=1, basis="sto-3g").UHF().run()
+    mu = ump2_dipole(mf)
+    mol = Molecule(oh, spin=1, basis="sto-3g")
+    mu_ao = np.asarray(dipole_matrix(mol.bfs))
+    R = np.asarray(mol.atom_coords())
+    Z = np.asarray(mol.atom_charges(), float)
+
+    def e_u(Fv):
+        m2 = Molecule(oh, spin=1, basis="sto-3g")
+        mfF = m2.UHF(
+            extra_hcore=np.einsum("x, xpq -> pq", Fv, mu_ao)).run()
+        u = UMP2(mfF)
+        u.run()
+        return float(mfF.e_tot + u.e_corr) - float(Fv @ (Z @ R))
+
+    h = 1e-3
+    F = np.zeros(3)
+    F[2] = h
+    mu_ff = -(8 * (e_u(F) - e_u(-F))
+              - (e_u(2 * F) - e_u(-2 * F))) / (12 * h)
+    assert abs(mu[2] - mu_ff) < 1e-6
