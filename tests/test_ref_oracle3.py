@@ -386,3 +386,30 @@ def test_lindblad_correlation_vs_reference_liouvillian_expm():
     assert abs(cor[0] - np.trace(a @ sm @ rho0)) < 1e-10
     err = np.max(np.abs(cor[::20][:41] - cor_exact))
     assert err < 1e-7          # RK4 at dt = 0.005
+
+
+def test_redfield_greens_function_vs_reference_getG():
+    """RedfieldSolver.propagator vs the ACTUAL reference ``getG``
+    (pyqed/oqs.py:465) on the SAME Redfield tensor: getG's convention
+    is i∂t ρ = L ρ (G = −iθ e^{−iLt}), the tensor convention is
+    ∂t ρ = R ρ — so getG(iR, t) must equal −i e^{Rt} exactly."""
+    import scipy.sparse as sp
+    oqs_ref = load_reference_module("oqs")
+    import jax.numpy as jnp
+    from pyqed_tpu.open.redfield import RedfieldSolver
+    from pyqed_tpu.open.bath import DrudeBath
+
+    H = np.diag([0.0, 1.0, 1.3])
+    sx = np.zeros((3, 3))
+    sx[0, 1] = sx[1, 0] = 1.0
+    sx[1, 2] = sx[2, 1] = 0.6
+    bath = DrudeBath(temperature=0.4, cutoff=1.0, reorg=0.03)
+    sol = RedfieldSolver(jnp.asarray(H),
+                         a_ops=[(jnp.asarray(sx), bath)])
+    R, _ = sol.redfield_tensor()
+    R = np.asarray(R)
+    ts = np.linspace(0, 3.0, 7)
+    G_ref = np.asarray(oqs_ref.getG(sp.csr_matrix(1j * R), ts,
+                                    domain="time"))
+    U = np.asarray(sol.propagator(jnp.asarray(ts)))
+    assert np.max(np.abs(-1j * U - G_ref)) < 1e-12
