@@ -17,7 +17,8 @@ from pyqed_tpu.qchem.mol import Molecule
 from pyqed_tpu.qchem.tdscf import TDA, TDHF
 from pyqed_tpu.qchem.cc import CCSD
 from pyqed_tpu.qchem import (cis_gradient, tdhf_gradient, mp2_gradient,
-                             ccsd_gradient, mp2_dipole)
+                             ccsd_gradient, mp2_dipole, cis_dipole,
+                             ccsd_dipole)
 
 lih = [("Li", (0, 0, 0.0)), ("H", (0, 0, 3.0))]
 mf = Molecule(lih, basis="sto-3g").RHF().run()
@@ -44,6 +45,12 @@ print(f"  TDHF/RPA state 1: {g_rpa[1, 2]:+.6f}   (omega = {rp.e[0]:.4f})")
 print(f"  MP2 ground state: {g_mp2[1, 2]:+.6f}   (E2 = {mp.e_corr:.6f})")
 print(f"  CCSD ground state: {g_cc[1, 2]:+.6f}   (E_corr = {cc.e_corr:.6f})")
 print(f"  relaxed MP2 dipole (a.u.): {mu}")
+mu_exc = cis_dipole(td, state=1)
+mu_cc = ccsd_dipole(cc)
+print(f"  relaxed CCSD dipole z: {mu_cc[2]:+.4f}")
+print(f"  EXCITED-state dipole z: {mu_exc[2]:+.4f}  (ground: "
+      f"{mu[2]:+.4f} — the LiH A-state dipole reversal)")
+assert mu_exc[2] * mu[2] < 0
 
 for name, g in [("CIS", g_cis), ("RPA", g_rpa), ("MP2", g_mp2),
                 ("CCSD", g_cc)]:
