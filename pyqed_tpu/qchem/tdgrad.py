@@ -41,7 +41,7 @@ __all__ = ["cis_gradient", "tda_gradient", "cis_dipole",
            "mp2_gradient",
            "mp2_dipole", "ccsd_gradient", "tdhf_gradient",
            "tddft_tda_gradient", "ump2_gradient", "ump2_dipole",
-           "ucis_gradient",
+           "ucis_gradient", "ucis_dipole", "tdhf_dipole",
            "ccsd_dipole",
            "response_gradient",
            "ResponseEngine"]
@@ -588,9 +588,9 @@ def ccsd_dipole(cc, origin=(0.0, 0.0, 0.0)):
 # TDHF / RPA excited states
 # =====================================================================
 
-def tdhf_gradient(td, state=1):
-    """Analytic nuclear gradient of E_SCF + ω_TDHF (full RPA) for
-    ``state`` (1-based).  The ω bilinear
+def _tdhf_engine(td, state=1):
+    """ResponseEngine for the frozen-(X, Y) RPA bilinear (shared by
+    the gradient and dipole clients).  The ω bilinear
 
         ω = (X,Y)·[[A, B], [B, A]]·(X,Y)   with  X² − Y² = 1
 
@@ -636,10 +636,29 @@ def tdhf_gradient(td, state=1):
              - 2.0 * jnp.einsum("pqkl, pl, kq ->", eri_, RX, RY))
         return w
 
+    return ResponseEngine(mf, omega,
+                          check_value=float(np.asarray(td.e)[state - 1]))
+
+
+def tdhf_gradient(td, state=1):
+    """Analytic TDHF/RPA excited-state nuclear gradient — see
+    :func:`_tdhf_engine`."""
     from .grad import rhf_gradient
-    dw = response_gradient(mf, omega,
-                           check_value=float(np.asarray(td.e)[state - 1]))
-    return np.asarray(rhf_gradient(mf), float) + dw
+    eng = _tdhf_engine(td, state)
+    return np.asarray(rhf_gradient(td.mf), float) \
+        + eng.nuclear_gradient()
+
+
+def tdhf_dipole(td, state=1, origin=(0.0, 0.0, 0.0)):
+    """Relaxed TDHF/RPA EXCITED-STATE dipole moment (3,) in a.u."""
+    from .basis import dipole_matrix
+    mf = td.mf
+    eng = _tdhf_engine(td, state)
+    mu_ao = np.asarray(dipole_matrix(mf.mol.bfs, origin), float)
+    zS = np.zeros_like(mu_ao[0])
+    mu_hf = np.asarray(mf.dip_moment(origin=origin))
+    corr = np.array([eng.domega(zS, mu_ao[x]) for x in range(3)])
+    return mu_hf - corr
 
 
 # =====================================================================
@@ -957,11 +976,10 @@ def ump2_gradient(mf):
     return np.asarray(rhf_gradient(mf), float) + eng.nuclear_gradient()
 
 
-def ucis_gradient(td, state=1):
-    """Analytic UCIS (TDA-UHF) excited-state nuclear gradient for
-    radicals: frozen spin-resolved amplitudes (X_a, X_b) on the
-    open-shell engine — Coulomb couples the total transition density,
-    exchange stays within each spin."""
+def _ucis_engine(td, state=1):
+    """ResponseEngineU for the frozen (X_a, X_b) UCIS functional
+    (shared by gradient and dipole clients): Coulomb couples the total
+    transition density, exchange stays within each spin."""
     mf = td.mf
     Ca, Cb = [np.asarray(c, float) for c in mf.mo_coeff]
     na, nb = mf.nocc
@@ -993,10 +1011,33 @@ def ucis_gradient(td, state=1):
                 - jnp.einsum("pqkl, pk, ql ->", eri_, Ra, Ra)
                 - jnp.einsum("pqkl, pk, ql ->", eri_, Rb, Rb))
 
+    return ResponseEngineU(mf, omega,
+                           check_value=float(np.asarray(td.e)[state - 1]))
+
+
+def ucis_gradient(td, state=1):
+    """Analytic UCIS excited-state nuclear gradient — see
+    :func:`_ucis_engine`."""
     from .grad import rhf_gradient
-    eng = ResponseEngineU(mf, omega,
-                          check_value=float(np.asarray(td.e)[state - 1]))
-    return np.asarray(rhf_gradient(mf), float) + eng.nuclear_gradient()
+    eng = _ucis_engine(td, state)
+    return np.asarray(rhf_gradient(td.mf), float) \
+        + eng.nuclear_gradient()
+
+
+def ucis_dipole(td, state=1, origin=(0.0, 0.0, 0.0)):
+    """Relaxed UCIS EXCITED-STATE dipole moment for radicals (3,)."""
+    from .basis import dipole_matrix
+    mf = td.mf
+    eng = _ucis_engine(td, state)
+    mu_ao = np.asarray(dipole_matrix(mf.mol.bfs, origin), float)
+    zS = np.zeros_like(mu_ao[0])
+    Da, Db = [np.asarray(d) for d in mf.dm]
+    el = -np.einsum("kpq, qp -> k", mu_ao, Da + Db)
+    R = np.asarray(mf.mol.atom_coords()) - np.asarray(origin)
+    Z = np.asarray(mf.mol.atom_charges(), float)
+    mu_hf = Z @ R + el
+    corr = np.array([eng.domega(zS, mu_ao[x]) for x in range(3)])
+    return mu_hf - corr
 
 
 def ump2_dipole(mf, origin=(0.0, 0.0, 0.0)):

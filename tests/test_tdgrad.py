@@ -468,3 +468,61 @@ def test_ump2_relaxed_dipole_open_shell_vs_finite_field():
     mu_ff = -(8 * (e_u(F) - e_u(-F))
               - (e_u(2 * F) - e_u(-2 * F))) / (12 * h)
     assert abs(mu[2] - mu_ff) < 1e-6
+
+
+def test_rpa_and_ucis_excited_dipoles_vs_finite_field():
+    """Excited-state dipoles for TDHF/RPA (closed shell) and UCIS
+    (radical) from their respective engines == Richardson FF (to the
+    excited-state hyperpolarizability floor)."""
+    from pyqed_tpu.qchem.tdscf import TDHF, UCIS
+    from pyqed_tpu.qchem.tdgrad import tdhf_dipole, ucis_dipole
+    from pyqed_tpu.qchem.basis import dipole_matrix
+
+    h = 1e-3
+    lih = [("Li", (0, 0, 0.0)), ("H", (0, 0, 3.0))]
+    mf = Molecule(lih, basis="sto-3g").RHF().run()
+    td = TDHF(mf)
+    td.run(nroots=3)
+    mu = tdhf_dipole(td, state=1)
+    mol = Molecule(lih, basis="sto-3g")
+    mu_ao = np.asarray(dipole_matrix(mol.bfs))
+    R0 = np.asarray(mol.atom_coords())
+    Z0 = np.asarray(mol.atom_charges(), float)
+
+    def e_rpa(Fz):
+        m2 = Molecule(lih, basis="sto-3g")
+        F = np.array([0.0, 0.0, Fz])
+        mfF = m2.RHF(
+            extra_hcore=np.einsum("x, xpq -> pq", F, mu_ao)).run()
+        t = TDHF(mfF)
+        t.run(nroots=3)
+        return float(mfF.e_tot + np.asarray(t.e)[0]) \
+            - float(F @ (Z0 @ R0))
+
+    ff = -(8 * (e_rpa(h) - e_rpa(-h))
+           - (e_rpa(2 * h) - e_rpa(-2 * h))) / (12 * h)
+    assert abs(mu[2] - ff) < 5e-5
+
+    oh = [("O", (0.0, 0.0, 0.0)), ("H", (0.0, 0.3, 1.83))]
+    mfu = Molecule(oh, spin=1, basis="sto-3g").UHF().run()
+    tu = UCIS(mfu)
+    tu.run(nroots=3)
+    muu = ucis_dipole(tu, state=2)
+    mol2 = Molecule(oh, spin=1, basis="sto-3g")
+    mu_ao2 = np.asarray(dipole_matrix(mol2.bfs))
+    R2 = np.asarray(mol2.atom_coords())
+    Z2 = np.asarray(mol2.atom_charges(), float)
+
+    def e_ucis(Fz):
+        m2 = Molecule(oh, spin=1, basis="sto-3g")
+        F = np.array([0.0, 0.0, Fz])
+        mfF = m2.UHF(
+            extra_hcore=np.einsum("x, xpq -> pq", F, mu_ao2)).run()
+        t = UCIS(mfF)
+        t.run(nroots=3)
+        return float(mfF.e_tot + np.asarray(t.e)[1]) \
+            - float(F @ (Z2 @ R2))
+
+    ffu = -(8 * (e_ucis(h) - e_ucis(-h))
+            - (e_ucis(2 * h) - e_ucis(-2 * h))) / (12 * h)
+    assert abs(muu[2] - ffu) < 2e-5
