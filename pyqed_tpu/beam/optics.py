@@ -31,6 +31,7 @@ __all__ = [
     "reflectance_transmitance_dielectric",
     "fresnel_coefficients_complex",
     "reflectance_transmitance_complex",
+    "roughness_1D", "roughness_2D",
 ]
 
 
@@ -372,3 +373,54 @@ def reflectance_transmitance_complex(theta_i, n1, n2c):
     T_perp = ktz * np.abs(t_perp) ** 2 / kiz
     T_par = ki2 * np.real(ktcz / ktc2) * np.abs(t_par) ** 2 / kiz
     return R_perp, R_par, T_perp, T_par
+
+
+# ------------------------------------------------------------------
+# rough surfaces (Ogilvy correlated-Gaussian topography)
+# ------------------------------------------------------------------
+
+def roughness_1D(x, t, s, kind="normal", seed=0):
+    """Correlated rough-surface topography h(x) with correlation
+    length ``t`` and height std ``s`` (J.A. Ogilvy, "Theory of Wave
+    Scattering from Random Rough Surfaces", p. 224; reference:
+    pyqed/beam/utils_optics.py:14 ``roughness_1D``).
+
+    ``kind='normal'``: white Gaussian heights convolved with the
+    exp(-2 x²/t²) correlation kernel (unit-L2 weights keep the std at
+    ``s``); ``kind='uniform'``: uncorrelated uniform heights in
+    [-s/2, s/2).  ``seed`` replaces the reference's global numpy RNG
+    so masks are reproducible."""
+    x = np.asarray(x, float)
+    rng = np.random.default_rng(seed)
+    if kind == "uniform":
+        return s * (rng.random(len(x)) - 0.5)
+    if kind != "normal":
+        raise ValueError(f"kind {kind!r} (use 'normal' or 'uniform')")
+    dx = x[1] - x[0]
+    M = max(1, round(4 * t / (np.sqrt(2.0) * dx)))
+    w = np.exp(-2.0 * (np.arange(-M, M + 1) * dx) ** 2 / t ** 2)
+    w = w / np.sqrt((w ** 2).sum())
+    h = s * rng.standard_normal(len(x) + 2 * M)
+    return np.convolve(h, w, mode="valid")[:len(x)]
+
+
+def roughness_2D(x, y, t, s, seed=0):
+    """2D correlated rough surface h(x, y): anisotropic correlation
+    lengths ``t=(tx, ty)`` (scalar = isotropic), height std ``s``
+    (reference: pyqed/beam/utils_optics.py:57 ``roughness_2D``).
+    Returns (len(x), len(y))."""
+    if np.isscalar(t):
+        t = (t, t)
+    tx, ty = t
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    dx = x[1] - x[0]
+    rng = np.random.default_rng(seed)
+    M = max(1, round(4 * tx / (np.sqrt(2.0) * dx)))
+    gx, gy = np.meshgrid(np.arange(-M, M + 1) * dx,
+                         np.arange(-M, M + 1) * dx, indexing="ij")
+    w = np.exp(-2.0 * (gx ** 2 / tx ** 2 + gy ** 2 / ty ** 2))
+    w = w / np.sqrt((w ** 2).sum())
+    h = s * rng.standard_normal((len(x) + 2 * M, len(y) + 2 * M))
+    from scipy.signal import fftconvolve
+    return fftconvolve(h, w, mode="valid")[:len(x), :len(y)]

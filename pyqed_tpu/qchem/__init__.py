@@ -14,7 +14,7 @@ from .tdgrad import (cis_gradient, tda_gradient, mp2_gradient,
                      mp2_dipole, response_gradient, ResponseEngine,
                      ccsd_gradient, tdhf_gradient, tddft_tda_gradient, ump2_gradient, ump2_dipole,
                      ucis_gradient, ccsd_dipole, cis_dipole,
-                     tdhf_dipole, ucis_dipole)
+                     tdhf_dipole, ucis_dipole, tddft_tda_dipole)
 from .vibronic import LVCBuilder, LVC_DFT
 from . import basis
 from .dvr import (MoleculeDVR, RHF1D, RHF2D, RKS1D, CASCIDVR,

@@ -282,12 +282,16 @@ class ExcitedGeometryOptimizer:
         self.maxiter = maxiter
         self.method = method
         self.xc = xc
-        #: analytic CIS gradients (tdgrad.cis_gradient: one SCF+TDA
-        #: per point instead of 2*3N) — default for RHF references;
-        #: RKS surfaces take the FD jacobian (analytic TDDFT covers
-        #: LDA only, and FD is uniform across functionals here)
-        self.analytic = (method.upper() == "RHF" if analytic is None
-                         else bool(analytic))
+        #: analytic gradients (one SCF+TDA per point instead of
+        #: 2*3N): cis_gradient on RHF references, tddft_tda_gradient
+        #: on RKS/LDA (the analytic TDDFT path covers LDA only —
+        #: GGA/hybrid surfaces take the uniform FD jacobian)
+        if analytic is None:
+            m = method.upper()
+            analytic = (m == "RHF"
+                        or (m == "RKS"
+                            and (xc or "svwn").lower() == "svwn"))
+        self.analytic = bool(analytic)
         self.scf_kw = scf_kw
         self.converged = False
         self.atoms_opt = None
@@ -308,12 +312,14 @@ class ExcitedGeometryOptimizer:
         def jac(x):
             geo = [(s, x[3 * k:3 * k + 3]) for k, s in enumerate(syms)]
             if self.analytic:
-                from .tdgrad import cis_gradient
+                from .tdgrad import cis_gradient, tddft_tda_gradient
                 _, mf, td = excited_state_energy(
                     geo, self.basis, self.state, self.singlet,
                     method=self.method, xc=self.xc, **self.scf_kw)
-                return np.asarray(
-                    cis_gradient(td, self.state)).reshape(-1)
+                g = (tddft_tda_gradient(td, self.state)
+                     if hasattr(mf, "f_exc")
+                     else cis_gradient(td, self.state))
+                return np.asarray(g).reshape(-1)
             return tda_gradient_fd(geo, self.basis, self.state,
                                    self.singlet, self.step,
                                    method=self.method, xc=self.xc,

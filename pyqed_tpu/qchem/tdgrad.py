@@ -40,7 +40,7 @@ from .basis import ATOMIC_NUMBER
 __all__ = ["cis_gradient", "tda_gradient", "cis_dipole",
            "mp2_gradient",
            "mp2_dipole", "ccsd_gradient", "tdhf_gradient",
-           "tddft_tda_gradient", "ump2_gradient", "ump2_dipole",
+           "tddft_tda_gradient", "tddft_tda_dipole", "ump2_gradient", "ump2_dipole",
            "ucis_gradient", "ucis_dipole", "tdhf_dipole",
            "ccsd_dipole",
            "response_gradient",
@@ -665,8 +665,9 @@ def tdhf_dipole(td, state=1, origin=(0.0, 0.0, 0.0)):
 # TDDFT (TDA on an LDA Kohn-Sham reference)
 # =====================================================================
 
-def tddft_tda_gradient(td, state=1):
-    """Analytic TDDFT excited-state nuclear gradient d(E_KS + ω)/dR
+def _tddft_tda_engine(td, state=1):
+    """Build the TDDFT/TDA response engine used by
+    :func:`tddft_tda_gradient` and :func:`tddft_tda_dipole`,
     for TDA on an RKS reference — LDA, GGA, and hybrid functionals
     (singlet or triplet) through ONE formulation: every XC response
     object is a DIRECTIONAL DERIVATIVE of the plain E_xc[D] evaluator
@@ -759,15 +760,39 @@ def tddft_tda_gradient(td, state=1):
             lambda Dt: exc_dm(coords, 0.5 * Dt, 0.5 * Dt))(D)
         return Cv.T @ Vxc @ Co
 
-    eng = ResponseEngine(
+    return ResponseEngine(
         mf, omega_nonxc, hfx=hfx,
         xc=dict(omega_xc=omega_xc, fock_vo_xc=fock_vo_xc),
         check_value=float(np.asarray(td.e)[state - 1]),
         check_tol=5e-5)      # the TDA matrix and this functional build
     # the kernel with the same quadrature but different groupings; the
     # agreement floor is the grid resolution, not exactness
-    dw = eng.nuclear_gradient()
-    return np.asarray(ks_gradient(mf), float) + dw
+
+
+def tddft_tda_gradient(td, state=1):
+    """Analytic TDDFT excited-state nuclear gradient d(E_KS + ω)/dR
+    for TDA on an RKS reference — all XC response objects are
+    directional derivatives of ONE differentiable E_xc[D] on the
+    traceable Becke grid; see :func:`_tddft_tda_engine`.  LDA only
+    (GGA raises with the documented kernel-tail offset)."""
+    from .grad import ks_gradient
+    eng = _tddft_tda_engine(td, state)
+    return np.asarray(ks_gradient(td.mf), float) \
+        + eng.nuclear_gradient()
+
+
+def tddft_tda_dipole(td, state=1, origin=(0.0, 0.0, 0.0)):
+    """Orbital-relaxed TDDFT/TDA (LDA) EXCITED-STATE dipole moment
+    (3,): μ* = μ_KS − dω/dF on the same engine — the field enters h
+    only, so no XC grid-motion terms (atom_coord stays None)."""
+    from .basis import dipole_matrix
+    mf = td.mf
+    eng = _tddft_tda_engine(td, state)
+    mu_ao = np.asarray(dipole_matrix(mf.mol.bfs, origin), float)
+    zS = np.zeros_like(mu_ao[0])
+    mu_ks = np.asarray(mf.dip_moment(origin=origin))
+    corr = np.array([eng.domega(zS, mu_ao[x]) for x in range(3)])
+    return mu_ks - corr
 
 
 # =====================================================================

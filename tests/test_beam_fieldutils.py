@@ -274,3 +274,31 @@ def test_vfft_ivfft_round_trip():
     erry = np.max(np.abs(np.asarray(v.Ey) - 0.5j * expect)) \
         / np.max(np.abs(expect))
     assert erry < 1e-8
+
+
+def test_roughness_surfaces():
+    """Ogilvy correlated rough surfaces: shape, reproducibility,
+    height statistics, and correlation length scaling with t."""
+    from pyqed_tpu.beam.optics import roughness_1D, roughness_2D
+
+    x = np.linspace(-200.0, 200.0, 1024)
+    h = roughness_1D(x, t=10.0, s=1.0, seed=7)
+    assert h.shape == x.shape
+    assert np.allclose(h, roughness_1D(x, 10.0, 1.0, seed=7))
+    assert 0.5 < h.std() < 1.5
+
+    def half_width(sig):
+        ac = np.correlate(sig - sig.mean(), sig - sig.mean(),
+                          "full")[len(sig) - 1:]
+        ac = ac / ac[0]
+        return np.argmax(ac < 0.5) * (x[1] - x[0])
+
+    assert half_width(roughness_1D(x, 20.0, 1.0, seed=1)) \
+        > 1.5 * half_width(roughness_1D(x, 5.0, 1.0, seed=1))
+
+    hu = roughness_1D(x, 10.0, 1.0, kind="uniform", seed=0)
+    assert abs(hu.std() - 1.0 / np.sqrt(12.0)) < 0.05
+
+    h2 = roughness_2D(x[:128], x[:160], (10.0, 5.0), 0.5, seed=2)
+    assert h2.shape == (128, 160)
+    assert 0.2 < h2.std() < 0.8

@@ -526,3 +526,39 @@ def test_rpa_and_ucis_excited_dipoles_vs_finite_field():
     ffu = -(8 * (e_ucis(h) - e_ucis(-h))
             - (e_ucis(2 * h) - e_ucis(-2 * h))) / (12 * h)
     assert abs(muu[2] - ffu) < 2e-5
+
+
+def test_tddft_tda_lda_excited_dipole_vs_finite_field():
+    """Relaxed TDDFT/TDA (LDA) excited-state dipole from the XC-aware
+    engine == Richardson FF of E_KS + omega (floor: the engine's 5e-5
+    quadrature-grouping agreement between the TDA matrix and the
+    functional, plus FF truncation)."""
+    from pyqed_tpu.qchem.tdscf import TDA
+    from pyqed_tpu.qchem.tdgrad import tddft_tda_dipole
+    from pyqed_tpu.qchem.basis import dipole_matrix
+
+    lih = [("Li", (0, 0, 0.0)), ("H", (0, 0, 3.0))]
+    mf = Molecule(lih, basis="sto-3g").RKS(xc="svwn").run()
+    td = TDA(mf)
+    td.run(nroots=3)
+    mu = tddft_tda_dipole(td, state=1)
+
+    mol = Molecule(lih, basis="sto-3g")
+    mu_ao = np.asarray(dipole_matrix(mol.bfs))
+    R0 = np.asarray(mol.atom_coords())
+    Z0 = np.asarray(mol.atom_charges(), float)
+
+    def e(Fz):
+        m2 = Molecule(lih, basis="sto-3g")
+        F = np.array([0.0, 0.0, Fz])
+        mfF = m2.RKS(
+            xc="svwn",
+            extra_hcore=np.einsum("x, xpq -> pq", F, mu_ao)).run()
+        t = TDA(mfF)
+        t.run(nroots=3)
+        return float(mfF.e_tot + np.asarray(t.e)[0]) \
+            - float(F @ (Z0 @ R0))
+
+    h = 1e-3
+    ff = -(8 * (e(h) - e(-h)) - (e(2 * h) - e(-2 * h))) / (12 * h)
+    assert abs(mu[2] - ff) < 2e-4
