@@ -1254,9 +1254,18 @@ def _device_reachable(timeout_s=900):
         return False
 
 
+def _emit(obj):
+    """One-JSON-line contract: bench JSON goes STRAIGHT to the real
+    stdout handle, bypassing any redirect — so a stray dict-style
+    print from exec'd reference code can never forge a bench line
+    (ADVICE r4: the old _Tee forwarded anything starting with '{')."""
+    sys.__stdout__.write(json.dumps(obj) + "\n")
+    sys.__stdout__.flush()
+
+
 def main():
     if not _device_reachable():
-        print(json.dumps({
+        _emit(({
             "metric": "heom_hierarchy_steps_per_sec",
             "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
             "extra": {"error": "device unreachable: no response "
@@ -1352,7 +1361,7 @@ def main():
     pol_cpu_batched = bench_polariton_cpu(batched=True)
     ldr_cpu = bench_ldr_cpu()
 
-    print(json.dumps({
+    _emit(({
         "metric": "heom_hierarchy_steps_per_sec",
         "value": round(heom_best, 2),
         "unit": "steps/s",
@@ -1455,19 +1464,17 @@ def main():
 
 
 if __name__ == "__main__":
-    # one-JSON-line contract: any stray print from exec'd reference
-    # code or solver chatter is diverted to stderr; only main()'s
-    # json.dumps lines reach stdout
+    # one-JSON-line contract: ALL redirected stdout (stray prints from
+    # exec'd reference code, solver chatter) goes to stderr
+    # unconditionally; only _emit() writes to the real stdout handle
     import io as _io
     import contextlib as _ctx
 
-    class _Tee(_io.StringIO):
+    class _ToStderr(_io.StringIO):
         def write(self, s):
-            if s.lstrip().startswith("{"):
-                sys.__stdout__.write(s if s.endswith("\n") else s + "\n")
-            elif s.strip():
+            if s.strip():
                 sys.stderr.write(s)
             return len(s)
 
-    with _ctx.redirect_stdout(_Tee()):
+    with _ctx.redirect_stdout(_ToStderr()):
         main()

@@ -172,6 +172,8 @@ class NoneqDMFT:
         zero = jnp.zeros_like(GR0)
         # start from the isolated impurity
         GR, GL = self._march(hs, GR0, GL0, zero, zero, dt)
+        self.converged = False
+        diff = float("inf")
         theta = jnp.tril(jnp.ones((nt, nt)))[:, :, None, None]
         UU = (Us[:, None] * Us[None, :])[:, :, None, None]
         swapT = lambda X: jnp.swapaxes(X, 0, 1).transpose(0, 1, 3, 2)
@@ -197,12 +199,32 @@ class NoneqDMFT:
             GL = mix * GL_new + (1 - mix) * GL
             if verbose:
                 print(f"noneq-DMFT iter {it}: |dG^<| = {diff:.3e}")
-            if diff < tol:
+            self.converged = diff < tol
+            if self.converged:
                 break
+        if not self.converged:
+            import warnings
+            warnings.warn(f"noneq-DMFT: |dG^<| = {diff:.3e} > tol = "
+                          f"{tol:.1e} after {niter} iterations",
+                          stacklevel=2)
+        # recompute Sigma (and the Weiss field) from the FINAL mixed G
+        # so stored SR/SL/G0 are consistent with self.G — important for
+        # Galitskii-Migdal energies on loosely-converged runs
+        DR = self.v ** 2 * GR
+        DL = self.v ** 2 * GL
+        if self.solver == "ipt":
+            G0R, G0L = self._march(hs, GR0, GL0, DR, DL, dt)
+            XR, XL = G0R, G0L
+        else:
+            XR, XL = GR, GL
+        Xgtr = self._greater(XR, XL)
+        SL = UU * XL * XL * swapT(Xgtr)
+        Sgtr = UU * Xgtr * Xgtr * swapT(XL)
+        SR = theta * (Sgtr - SL)
         self.G = (GR, GL)
         self.G0 = (G0R, G0L)
         self.SR, self.SL = SR, SL
-        self.DR, self.DL = self.v ** 2 * GR, self.v ** 2 * GL
+        self.DR, self.DL = DR, DL
         self.Us = Us
         return GR, GL
 
@@ -341,6 +363,8 @@ class NoneqDMFTThermal:
         GR, GL, GV = self._march3(hs, GM, GV0, zero2, zero2, zeroV,
                                   dt, self.dtau, self.beta)
         SR = SL = zero2
+        self.converged = False
+        diff = float("inf")
         for it in range(niter):
             DR, DL, DV = (self.v ** 2 * GR, self.v ** 2 * GL,
                           self.v ** 2 * GV)
@@ -364,8 +388,27 @@ class NoneqDMFTThermal:
             if verbose:
                 print(f"thermal noneq-DMFT iter {it}: "
                       f"|dG^<| = {diff:.3e}")
-            if diff < tol:
+            self.converged = diff < tol
+            if self.converged:
                 break
+        if not self.converged:
+            import warnings
+            warnings.warn(f"thermal noneq-DMFT: |dG^<| = {diff:.3e} > "
+                          f"tol = {tol:.1e} after {niter} iterations",
+                          stacklevel=2)
+        # Sigma consistent with the FINAL mixed G (see NoneqDMFT.run)
+        if self.solver == "ipt":
+            DR, DL, DV = (self.v ** 2 * GR, self.v ** 2 * GL,
+                          self.v ** 2 * GV)
+            G0R, G0L, _ = self._march3(hs, GM, GV0, DR, DL, DV,
+                                       dt, self.dtau, self.beta)
+            XR, XL = G0R, G0L
+        else:
+            XR, XL = GR, GL
+        Xgtr = self._greater(XR, XL)
+        SL = UU * XL * XL * swapT(Xgtr)
+        Sgtr = UU * Xgtr * Xgtr * swapT(XL)
+        SR = theta * (Sgtr - SL)
         self.G = (GR, GL, GV)
         self.GM = GM
         self.SR, self.SL = SR, SL

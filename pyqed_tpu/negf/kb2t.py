@@ -444,10 +444,7 @@ def _march3(hs, GM, GV0, SR, SL, SV, dt, dtau, beta):
     GV_0 = jnp.zeros((nt, ntau + 1, n, n), dtype=complex)
     GV_0 = GV_0.at[0].set(GV0)
     GL0 = jnp.zeros((nt, nt, n, n), dtype=complex)
-    GL0 = GL0.at[0, 0].set(-GV0[-1])    # G^<(0,0) = i G^M(0⁻) = −G^⌐(0,β)·i/i
-    # G^<(0,0) = i n = i(−G^M(β⁻))... GV0[-1] = −i G^M(0) → −GV0[-1] = i G^M(0);
-    # with G^M(0⁻) = −G^M(β) by antiperiodicity handled by caller passing
-    # GM with GM[0] = G^M(0⁺); density n = −G^M(β⁻) so set explicitly:
+    # G^<(0,0) = i n with density n = −G^M(β⁻):
     GL0 = GL0.at[0, 0].set(1j * (-GM[-1]))
 
     def row_update(nrow, carry):

@@ -411,7 +411,8 @@ def mp2_gradient(mf):
 def mp2_dipole(mf, origin=(0.0, 0.0, 0.0)):
     """Orbital-RELAXED MP2 dipole moment (3,) in a.u.: the HF dipole
     plus the correlation correction from the SAME Z-vector engine with
-    an electric-field perturbation (dh = −μ_x, dS = dA = 0) —
+    an electric-field perturbation (dh = +μ_ao[x] per the extra_hcore
+    convention h → h + F·μ_ao, dS = dA = 0) —
     μ_MP2 = −d(E_SCF + E2)/dF.  Matches finite-field MP2 energies
     (the unrelaxed density misses the orbital-response part)."""
     from .basis import dipole_matrix

@@ -240,6 +240,16 @@ class TDHF:
         M = sq @ ApB @ sq
         w2, T = jnp.linalg.eigh(M)
         om = jnp.sqrt(jnp.clip(w2, 0, None))
+        if float(om[0]) < 1e-6:
+            # a zero/imaginary RPA root means the reference state is
+            # unstable (e.g. triplet instability); dividing by
+            # sqrt(om) below would emit inf/NaN amplitudes that
+            # silently poison tdhf_gradient downstream
+            raise RuntimeError(
+                f"TDHF/RPA instability: lowest excitation energy "
+                f"{float(om[0]):.3e} au is zero/near-zero — the "
+                f"reference determinant is unstable (use TDA, or fix "
+                f"the SCF solution)")
         self.e = np.asarray(om[:nroots])
         # RPA eigenvectors with X^2 - Y^2 = 1:
         # (X+Y) = om^{-1/2} (A-B)^{1/2} T, (X-Y) = om^{1/2} (A-B)^{-1/2} T
