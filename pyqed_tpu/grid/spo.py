@@ -114,8 +114,12 @@ class SPON:
         #: Strang-splitting step (north-star kernel (b), pyqed/wpd.py:837-848)
         self.kernel = kernel
         #: mesh: jax.sharding.Mesh — shards the leading grid axis of psi
-        #: (the framework's context parallelism, SURVEY.md §5.7); the FFT
-        #: along the sharded axis becomes an XLA all-to-all under GSPMD
+        #: (the framework's context parallelism, SURVEY.md §5.7). The FFT
+        #: along the sharded axis runs as a shard_map pencil/four-step
+        #: FFT with explicit all-to-all transposes (parallel/pencil_fft.py)
+        #: so per-device memory and communication are O(N/d); when the
+        #: grid is not divisible (pencil_supported) it falls back to the
+        #: GSPMD path, which all-gathers the transform axis.
         self.mesh = mesh
         self.grids = [np.asarray(g) for g in grids]
         self.ndim = len(self.grids)
@@ -391,6 +395,16 @@ class SPON:
             spec = P(*([axis] + [None] * self.ndim))
             _shard = NamedSharding(self.mesh, spec)
             psi0 = jax.device_put(psi0, _shard)
+            # distributed FFT: replace the GSPMD gather with the fused
+            # pencil/four-step KEO (all-to-all, O(N/d) per device) when
+            # the grid divides the mesh; jacobi-coordinate subclasses
+            # keep their own sequential-factor _keo
+            if getattr(self, "coords", "linear") == "linear":
+                from ..parallel.pencil_fft import make_keo_pencil
+                _pk = make_keo_pencil(self.shape, self.nstates,
+                                      self._exp_K_ri, self.mesh, axis)
+                if _pk is not None:
+                    keo = _pk
 
         def one_step(psi):
             if self.mesh is not None:
