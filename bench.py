@@ -1169,6 +1169,557 @@ def bench_ldr_cpu(level=5, dt=0.01):
     return 6 / t6
 
 
+# ============================== on-device f64 parity rows (VERDICT r4 #3)
+
+def bench_heom_f64_tpu(nsteps=100, dt=1e-3, gate_steps=50):
+    """North-star config #3 at FLOAT64 on the chip.
+
+    complex128 cannot compile on this TPU backend, so the hierarchy is
+    carried as separate (re, im) f64 planes and the stacked-superoperator
+    RHS (pallas_kernels.heom_rhs_dot contraction, reference hot loop
+    pyqed/heom/deom.py:641-673) is expanded into real f64 einsums.
+    Parity: the full final hierarchy state after ``gate_steps`` RK4
+    steps from the non-stationary gate state vs the SAME operator
+    stepped in NumPy complex128 on the host — the project's 1e-8 gate
+    measured on the TPU itself.  Returns (steps/s, rel_err).
+    """
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _heom_setup
+    from pyqed_tpu.ops import pallas_kernels as pk
+
+    H, keys, plus_idx, minus_idx, Q, cvec, nuvec = _heom_setup(
+        nsite=7, nexp_per_bath=2, lmax=3)
+    nado, M = keys.shape
+    n = H.shape[0]
+    V = n * n
+    B0, Bk = pk.heom_superop_split(H, Q, cvec)
+    B0r = np.ascontiguousarray(B0.real)
+    B0i = np.ascontiguousarray(B0.imag)
+    Bkr = np.ascontiguousarray(Bk.real)
+    Bki = np.ascontiguousarray(Bk.imag)
+    damp = np.asarray((keys @ nuvec).real, np.float64)
+    all_idx = np.concatenate([plus_idx, minus_idx], axis=1)
+    wocc = np.asarray(np.concatenate([np.ones_like(keys), keys], axis=1),
+                      np.float64)
+
+    # non-stationary gate state (same seed as _heom_kernel_parity)
+    rng = np.random.default_rng(7)
+    psi = np.zeros(n)
+    psi[0] = psi[1] = 1 / np.sqrt(2)
+    re0 = 1e-3 * rng.standard_normal((nado, n, n))
+    im0 = 1e-3 * rng.standard_normal((nado, n, n))
+    re0[0] = np.outer(psi, psi)
+    im0[0] = 0.0
+
+    # host complex128 truth of the SAME operator
+    def np_rhs(flat):
+        padded = np.concatenate([flat, np.zeros((1, V), complex)])
+        g = padded[all_idx] * wocc[:, :, None]
+        out = flat @ B0.T + np.einsum("Nkb, akb -> Na", g, Bk)
+        return out - damp[:, None] * flat
+
+    y = (re0 + 1j * im0).reshape(nado, V)
+    for _ in range(gate_steps):
+        k1 = np_rhs(y)
+        k2 = np_rhs(y + k1 * (dt / 2))
+        k3 = np_rhs(y + k2 * (dt / 2))
+        k4 = np_rhs(y + k3 * dt)
+        y = y + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+    truth = y.reshape(nado, n, n)
+    scale = float(np.max(np.abs(truth)))
+
+    with jax.enable_x64(True):
+        hi = jax.lax.Precision.HIGHEST
+
+        def rhs(fr, fi):
+            pr = jnp.concatenate([fr, jnp.zeros((1, V), fr.dtype)])
+            pi = jnp.concatenate([fi, jnp.zeros((1, V), fi.dtype)])
+            gr = pr[all_idx] * wocc[:, :, None]
+            gi = pi[all_idx] * wocc[:, :, None]
+            our = (jnp.einsum("Nb, ab -> Na", fr, B0r, precision=hi)
+                   - jnp.einsum("Nb, ab -> Na", fi, B0i, precision=hi)
+                   + jnp.einsum("Nkb, akb -> Na", gr, Bkr, precision=hi)
+                   - jnp.einsum("Nkb, akb -> Na", gi, Bki, precision=hi)
+                   - damp[:, None] * fr)
+            oui = (jnp.einsum("Nb, ab -> Na", fr, B0i, precision=hi)
+                   + jnp.einsum("Nb, ab -> Na", fi, B0r, precision=hi)
+                   + jnp.einsum("Nkb, akb -> Na", gr, Bki, precision=hi)
+                   + jnp.einsum("Nkb, akb -> Na", gi, Bkr, precision=hi)
+                   - damp[:, None] * fi)
+            return our, oui
+
+        def one_step(fr, fi):
+            k1r, k1i = rhs(fr, fi)
+            k2r, k2i = rhs(fr + k1r * (dt / 2), fi + k1i * (dt / 2))
+            k3r, k3i = rhs(fr + k2r * (dt / 2), fi + k2i * (dt / 2))
+            k4r, k4i = rhs(fr + k3r * dt, fi + k3i * dt)
+            return (fr + (dt / 6) * (k1r + 2 * k2r + 2 * k3r + k4r),
+                    fi + (dt / 6) * (k1i + 2 * k2i + 2 * k3i + k4i))
+
+        def make_run(length):
+            @jax.jit
+            def run(fr, fi):
+                def body(c, _):
+                    return one_step(*c), None
+                c, _ = jax.lax.scan(body, (fr, fi), None, length=length)
+                return c
+            return run
+
+        fr0 = np.ascontiguousarray(re0.reshape(nado, V))
+        fi0 = np.ascontiguousarray(im0.reshape(nado, V))
+        out = make_run(gate_steps)(fr0, fi0)
+        dev = (np.asarray(out[0], np.float64)
+               + 1j * np.asarray(out[1], np.float64)).reshape(nado, n, n)
+        err = float(np.max(np.abs(dev - truth)) / scale)
+        t = _timeit(make_run(nsteps), fr0, fi0)
+    return nsteps / t, err
+
+
+def bench_2des_f64_tpu(nw=512, nt2=256, gate_nw=64, gate_nt2=8):
+    """Config #4 cube at FLOAT64 on the chip: the exact low-rank
+    factors (signal/sos.py _photon_echo_factors) are computed host-side
+    at complex128, then the (T,K)x(K,W1)x(K,W3) cube assembly runs as
+    real-split f64 einsums on the TPU.  Parity at the gate shape vs the
+    host complex128 assembly (itself pinned to the actual reference
+    pathway functions at 1e-10 in tests/).  Returns
+    (sec_per_map, rel_err)."""
+    import jax
+    import jax.numpy as jnp
+    from pyqed_tpu.signal.sos import _photon_echo_factors
+    E, dip, gamma = _dimer_system()
+
+    with jax.enable_x64(True):
+        hi = jax.lax.Precision.HIGHEST
+
+        @jax.jit
+        def assemble_ri(Cr, Ci, Ar, Ai, Br, Bi):
+            CAr = Cr[:, :, None] * Ar[None] - Ci[:, :, None] * Ai[None]
+            CAi = Cr[:, :, None] * Ai[None] + Ci[:, :, None] * Ar[None]
+            Sr = (jnp.einsum("tki, kj -> tij", CAr, Br, precision=hi)
+                  - jnp.einsum("tki, kj -> tij", CAi, Bi, precision=hi))
+            Si = (jnp.einsum("tki, kj -> tij", CAr, Bi, precision=hi)
+                  + jnp.einsum("tki, kj -> tij", CAi, Br, precision=hi))
+            return Sr, Si
+
+        cpu = jax.devices("cpu")[0]
+
+        def factors(nw_, nt2_):
+            w = np.linspace(0.7, 1.45, nw_)
+            t2s = np.linspace(0.0, 30.0, nt2_)
+            with jax.default_device(cpu):
+                C, A, B = _photon_echo_factors(E, dip, gamma, w, w, t2s,
+                                               [0], [1, 2], [3])
+                C, A, B = (np.asarray(C), np.asarray(A), np.asarray(B))
+            return C, A, B
+
+        # parity gate at the reduced shape
+        C, A, B = factors(gate_nw, gate_nt2)
+        truth = np.einsum("tk, ki, kj -> tij", C, A, B)
+        Sr, Si = assemble_ri(
+            np.ascontiguousarray(C.real), np.ascontiguousarray(C.imag),
+            np.ascontiguousarray(A.real), np.ascontiguousarray(A.imag),
+            np.ascontiguousarray(B.real), np.ascontiguousarray(B.imag))
+        dev = np.asarray(Sr, np.float64) + 1j * np.asarray(Si, np.float64)
+        err = float(np.max(np.abs(dev - truth)) / np.max(np.abs(truth)))
+
+        # full-size f64 throughput
+        C, A, B = factors(nw, nt2)
+        args = (np.ascontiguousarray(C.real), np.ascontiguousarray(C.imag),
+                np.ascontiguousarray(A.real), np.ascontiguousarray(A.imag),
+                np.ascontiguousarray(B.real), np.ascontiguousarray(B.imag))
+        t = _timeit(assemble_ri, *args)
+    return t / nt2, err
+
+
+def _ldr_f64_dense_ops(level, dt):
+    """Host complex128 dense LDR operators for the benched model:
+    (Udense, expVh, psi0_flat) — the exact f64 build that
+    _ldr_f64_truth steps (SineDVR analytic FBR spectrum)."""
+    sol, apes, S, psi0 = _ldr_model(level)
+    ns, ntot = sol.nstates, sol.ntot
+    n = ntot * ns
+    expKs = []
+    for dvr in sol.dvr:
+        nn = np.asarray(dvr.n, dtype=np.float64)
+        U = (np.sin(np.outer(nn, nn) * np.pi / (dvr.npts + 1))
+             * np.sqrt(2.0 / (dvr.npts + 1)))
+        ph = np.exp(-1j * dt / (2 * dvr.mass) * nn ** 2
+                    * np.pi ** 2 / dvr.L ** 2)
+        expKs.append(U.T @ (ph[:, None] * U))
+    K = expKs[0]
+    for e in expKs[1:]:
+        K = np.kron(K, e)
+    A = np.einsum("mca, ncb -> manb",
+                  S.astype(np.float64), S.astype(np.float64))
+    Udense = (A * K[:, None, :, None]).reshape(n, n)
+    expVh = np.exp(-1j * (dt / 2) * apes.astype(np.float64)).reshape(n)
+    Udense = expVh[:, None] * Udense * expVh[None, :]
+    return Udense, expVh, psi0.reshape(n).astype(np.complex128)
+
+
+def bench_ldr_dense_f64_tpu(level=5, nsteps=200, dt=0.01, gate_steps=30):
+    """The dense-U LDR row at FLOAT64 on the chip (VERDICT r4 #4: the
+    benched dense-f32 row failed parity by 7 decades because the f32
+    BUILD dominates — here U is built host-side at complex128 and the
+    per-step matvec runs as stacked-rhs real f64 MXU matmuls).  Parity
+    vs the NumPy f64 dense trajectory (same trailing-half-V convention
+    as _ldr_f64_truth).  Returns (steps/s, rel_err)."""
+    import jax
+    import jax.numpy as jnp
+    Udense, expVh, p0 = _ldr_f64_dense_ops(level, dt)
+    n = Udense.shape[0]
+
+    # truth: gate_steps dense complex128 steps, stored WITHOUT the
+    # trailing half-V (multiply back at the end, as _ldr_factored_parity
+    # does for the dense comparator)
+    p = p0.copy()
+    for _ in range(gate_steps):
+        p = Udense @ p
+    truth = p.copy()
+    scale = float(np.max(np.abs(truth)))
+
+    Ur = np.ascontiguousarray(Udense.real)
+    Ui = np.ascontiguousarray(Udense.imag)
+
+    with jax.enable_x64(True):
+        hi = jax.lax.Precision.HIGHEST
+
+        def make_run(length):
+            @jax.jit
+            def run(re, im, Ur, Ui):
+                def body(pp, _):
+                    A = jnp.matmul(Ur, pp, precision=hi)   # (n, 2)
+                    Bm = jnp.matmul(Ui, pp, precision=hi)
+                    q = jnp.stack([A[:, 0] - Bm[:, 1],
+                                   A[:, 1] + Bm[:, 0]], axis=1)
+                    return q, jnp.sum(q ** 2)
+                pp0 = jnp.stack([re, im], axis=1)          # (n, 2)
+                pf, norms = jax.lax.scan(body, pp0, None, length=length)
+                return pf[:, 0], pf[:, 1], norms
+
+            return run
+
+        Urd = jax.device_put(Ur)
+        Uid = jax.device_put(Ui)
+        jax.block_until_ready((Urd, Uid))
+        rg = make_run(gate_steps)(
+            np.ascontiguousarray(p0.real), np.ascontiguousarray(p0.imag),
+            Urd, Uid)
+        dev = np.asarray(rg[0], np.float64) + 1j * np.asarray(
+            rg[1], np.float64)
+        err = float(np.max(np.abs(dev - truth)) / scale)
+        t = _timeit(make_run(nsteps),
+                    np.ascontiguousarray(p0.real),
+                    np.ascontiguousarray(p0.imag), Urd, Uid)
+    return nsteps / t, err
+
+
+# =========================== wavepacket at chip scale (VERDICT r4 #2)
+
+def _spo3_model(n, span=7.0):
+    """3D two-state coupled-harmonic diabatic model on an n^3 grid
+    (reference semantics: pyqed/wpd.py:1349 SPO3.run, sized for the
+    chip)."""
+    x = np.linspace(-span, span, n, endpoint=False)
+    dx = x[1] - x[0]
+    shape3 = (n, n, n)
+    X = x[:, None, None]
+    Y = x[None, :, None]
+    Z = x[None, None, :]
+    R2 = np.broadcast_to(X ** 2 + Y ** 2 + Z ** 2, shape3)
+    v1 = 0.5 * R2
+    v2 = 0.5 * (np.broadcast_to((X - 1.0) ** 2 + Y ** 2 + Z ** 2,
+                                shape3)) + 1.0
+    c = 0.2 * np.exp(-0.5 * R2)
+    k = 2 * np.pi * np.fft.fftfreq(n, dx)
+    k2 = (k[:, None, None] ** 2 + k[None, :, None] ** 2
+          + k[None, None, :] ** 2) / 2.0
+    psi0 = np.exp(-((X + 1.0) ** 2 + Y ** 2 + Z ** 2) / 2.0)
+    psi0 = np.broadcast_to(psi0, shape3).copy()
+    psi0 /= np.sqrt(np.sum(psi0 ** 2) * dx ** 3)
+    return v1, v2, c, k2, psi0
+
+
+def _spo3_phase_ops(v1, v2, c, k2, dt):
+    """Closed-form 2x2 Hermitian potential propagator pieces (f64
+    host): exp(-i V dt/2) = e^{-i m dt/2}[cos(r dt/2) I
+    - i sin(r dt/2)/r (d sz + c sx)], m = (v1+v2)/2, d = (v1-v2)/2."""
+    m = 0.5 * (v1 + v2)
+    d = 0.5 * (v1 - v2)
+    r = np.sqrt(d * d + c * c)
+    r_safe = np.where(r == 0, 1.0, r)
+    th = dt / 2.0
+    cosr = np.cos(r * th)
+    sinc = np.sin(r * th) / r_safe
+    ph = np.exp(-1j * m * th)
+    # U = ph * [[cosr - i sinc d, -i sinc c], [-i sinc c, cosr + i sinc d]]
+    u00 = ph * (cosr - 1j * sinc * d)
+    u01 = ph * (-1j * sinc * c)
+    u11 = ph * (cosr + 1j * sinc * d)
+    expK = np.exp(-1j * k2 * dt)
+    return u00, u01, u11, expK
+
+
+def bench_spo3_tpu(n=256, nsteps=20, dt=0.004, gate_n=64, gate_steps=10):
+    """Chip-scale 3D SPO: (n, n, n) x 2 states, full Strang step
+    V/2.K.V/2 with a 3D FFT KEO — the wavepacket-at-scale row VERDICT
+    r4 #2 asked for (the 1024-pt config-#1 row is latency-bound; this
+    one must stream).  All complex stays on-device (c64); the jit
+    boundary is real f32.  Parity gate: the same program at gate_n^3
+    vs the host complex128 NumPy Strang loop.  Returns
+    (steps_per_sec, rel_err, roofline)."""
+    import jax
+    import jax.numpy as jnp
+
+    def make_run(nn, length, dtype=np.float32):
+        v1, v2, c, k2, psi0 = _spo3_model(nn)
+        u00, u01, u11, expK = _spo3_phase_ops(v1, v2, c, k2, dt)
+        f = lambda a: np.ascontiguousarray(a, dtype)
+        ops = (f(u00.real), f(u00.imag), f(u01.real), f(u01.imag),
+               f(u11.real), f(u11.imag), f(expK.real), f(expK.imag))
+
+        @jax.jit
+        def run(pr, pi, a00r, a00i, a01r, a01i, a11r, a11i, kr, ki):
+            u00 = a00r + 1j * a00i
+            u01 = a01r + 1j * a01i
+            u11 = a11r + 1j * a11i
+            eK = kr + 1j * ki
+
+            def vapply(p, b00, b01, b11):
+                p0 = b00 * p[..., 0] + b01 * p[..., 1]
+                p1 = b01 * p[..., 0] + b11 * p[..., 1]
+                return jnp.stack([p0, p1], axis=-1)
+
+            # Strang interior fusion: Vh (K V)^{n-1} K Vh = Vh^dag (V K)^n Vh
+            # (V unitary here) -> ONE full-V apply per scan step instead of
+            # two halves, the boundary halves outside the scan
+            v00 = u00 * u00 + u01 * u01
+            v01 = u01 * (u00 + u11)
+            v11 = u11 * u11 + u01 * u01
+
+            def body(p, _):
+                pk_ = jnp.fft.fftn(p, axes=(0, 1, 2))
+                pk_ = pk_ * eK[..., None]
+                p = jnp.fft.ifftn(pk_, axes=(0, 1, 2))
+                p = vapply(p, v00, v01, v11)
+                return p, jnp.real(jnp.sum(jnp.abs(p[..., 0]) ** 2))
+
+            p = (pr + 1j * pi)[..., None] * jnp.asarray([1.0, 0.0],
+                                                        pr.dtype)
+            p = vapply(p, u00, u01, u11)
+            p, pops = jax.lax.scan(body, p, None, length=length)
+            # undo the extra trailing half-V: Vh^{-1} = Vh^dag (unitary)
+            p = vapply(p, jnp.conj(u00), jnp.conj(u01), jnp.conj(u11))
+            return jnp.real(p), jnp.imag(p), pops
+
+        pr0 = np.ascontiguousarray(psi0, dtype)
+        return run, (pr0, np.zeros_like(pr0)) + ops, psi0
+
+    # ---- parity gate at gate_n^3 vs host complex128 ----
+    run_g, args_g, psi0_g = make_run(gate_n, gate_steps)
+    out = run_g(*args_g)
+    dev = (np.asarray(out[0], np.float64)
+           + 1j * np.asarray(out[1], np.float64))
+    v1, v2, c, k2, _ = _spo3_model(gate_n)
+    u00, u01, u11, expK = _spo3_phase_ops(v1, v2, c, k2, dt)
+    p = np.zeros(dev.shape, np.complex128)
+    p[..., 0] = psi0_g
+
+    def vhalf_np(p):
+        q = np.empty_like(p)
+        q[..., 0] = u00 * p[..., 0] + u01 * p[..., 1]
+        q[..., 1] = u01 * p[..., 0] + u11 * p[..., 1]
+        return q
+
+    for _ in range(gate_steps):
+        p = vhalf_np(p)
+        p = np.fft.ifftn(np.fft.fftn(p, axes=(0, 1, 2))
+                         * expK[..., None], axes=(0, 1, 2))
+        p = vhalf_np(p)
+    err = float(np.max(np.abs(dev - p)) / np.max(np.abs(p)))
+
+    # ---- chip-scale throughput at n^3 ----
+    # operands MUST be device-resident before timing: the model arrays
+    # are ~470 MB and the axon tunnel moves ~50 MB/s, so host args would
+    # make the row a transfer benchmark (measured 1.2 steps/s vs ~45)
+    import jax as _jax
+    run, args, _ = make_run(n, nsteps)
+    args = tuple(_jax.device_put(a) for a in args)
+    _jax.block_until_ready(args)
+    t = _timeit(run, *args)
+    rate = nsteps / t
+    # mandatory HBM traffic per step: each of the 6 single-axis FFT
+    # passes (fftn + ifftn, 3 axes each) reads+writes the 2-plane c64
+    # state (12 passes), the k-space phase multiply is another r+w pair
+    # + expK read, and the ONE fused full-V apply reads state + the 3
+    # c64 potential-op arrays and writes state -> 16 state passes total
+    state = 8 * n ** 3 * 2            # one pass of the c64 2-state field
+    ops_b = 3 * 8 * n ** 3 + 8 * n ** 3
+    byt = 16 * state + ops_b
+    # FFT flops: 2 ffts x 3 axes x 5 N log2 n x 2 states (complex)
+    flops = 2 * 3 * 5 * (n ** 3) * np.log2(n) * 2 + 6 * 8 * n ** 3
+    roof = _peaks(flops, byt, rate)
+    return rate, err, roof
+
+
+def bench_spo3_f64_tpu(n=128, nsteps=5, dt=0.004, gate_steps=5):
+    """The SPO3 row at FLOAT64 on the chip.  complex128 cannot compile
+    on this backend AND the f64 FFT is unsupported, so the KEO runs as
+    a real-split DFT-MATMUL along each axis (the kernel='dft' trick at
+    scale: F psi via 4 real f64 MXU matmuls per axis).  Parity vs the
+    host complex128 NumPy Strang loop at the SAME shape.  Returns
+    (steps_per_sec, rel_err)."""
+    import jax
+    import jax.numpy as jnp
+
+    v1, v2, c, k2, psi0 = _spo3_model(n)
+    u00, u01, u11, expK = _spo3_phase_ops(v1, v2, c, k2, dt)
+    j = np.arange(n)
+    F = np.exp(-2j * np.pi * np.outer(j, j) / n)
+    Fr = np.ascontiguousarray(F.real)
+    Fi = np.ascontiguousarray(F.imag)
+
+    with jax.enable_x64(True):
+        hi = jax.lax.Precision.HIGHEST
+
+        def dft_axis(pr, pi, Ar, Ai, axis):
+            qr = (jnp.tensordot(Ar, pr, axes=([1], [axis]))
+                  - jnp.tensordot(Ai, pi, axes=([1], [axis])))
+            qi = (jnp.tensordot(Ar, pi, axes=([1], [axis]))
+                  + jnp.tensordot(Ai, pr, axes=([1], [axis])))
+            return (jnp.moveaxis(qr, 0, axis), jnp.moveaxis(qi, 0, axis))
+
+        ops = tuple(np.ascontiguousarray(a, np.float64) for a in
+                    (u00.real, u00.imag, u01.real, u01.imag,
+                     u11.real, u11.imag, expK.real, expK.imag))
+
+        @jax.jit
+        def run(pr, pi, a00r, a00i, a01r, a01i, a11r, a11i, kr, ki):
+            def vhalf(pr, pi):
+                q0r = (a00r * pr[..., 0] - a00i * pi[..., 0]
+                       + a01r * pr[..., 1] - a01i * pi[..., 1])
+                q0i = (a00r * pi[..., 0] + a00i * pr[..., 0]
+                       + a01r * pi[..., 1] + a01i * pr[..., 1])
+                q1r = (a01r * pr[..., 0] - a01i * pi[..., 0]
+                       + a11r * pr[..., 1] - a11i * pi[..., 1])
+                q1i = (a01r * pi[..., 0] + a01i * pr[..., 0]
+                       + a11r * pi[..., 1] + a11i * pr[..., 1])
+                return (jnp.stack([q0r, q1r], axis=-1),
+                        jnp.stack([q0i, q1i], axis=-1))
+
+            def body(carry, _):
+                pr, pi = carry
+                pr, pi = vhalf(pr, pi)
+                for ax in range(3):
+                    pr, pi = dft_axis(pr, pi, Fr, Fi, ax)
+                qr = kr[..., None] * pr - ki[..., None] * pi
+                qi = kr[..., None] * pi + ki[..., None] * pr
+                pr, pi = qr, qi
+                for ax in range(3):
+                    # inverse DFT: F^{-1} = conj(F)/n
+                    pr, pi = dft_axis(pr, pi, Fr, -Fi, ax)
+                    pr = pr / n
+                    pi = pi / n
+                pr, pi = vhalf(pr, pi)
+                return (pr, pi), jnp.sum(pr[..., 0] ** 2 + pi[..., 0] ** 2)
+
+            p0r = jnp.stack([pr, jnp.zeros_like(pr)], axis=-1)
+            p0i = jnp.stack([pi, jnp.zeros_like(pi)], axis=-1)
+            (pr, pi), pops = jax.lax.scan(body, (p0r, p0i), None,
+                                          length=nsteps)
+            return pr, pi, pops
+
+        pr0 = np.ascontiguousarray(psi0, np.float64)
+        dargs = tuple(jax.device_put(a) for a in
+                      (pr0, np.zeros_like(pr0)) + ops)
+        jax.block_until_ready(dargs)
+        out = run(*dargs)
+        dev = (np.asarray(out[0], np.float64)
+               + 1j * np.asarray(out[1], np.float64))
+        t = _timeit(run, *dargs)
+
+    # host complex128 truth, same shape/steps
+    p = np.zeros((n, n, n, 2), np.complex128)
+    p[..., 0] = psi0
+
+    def vhalf_np(p):
+        q = np.empty_like(p)
+        q[..., 0] = u00 * p[..., 0] + u01 * p[..., 1]
+        q[..., 1] = u01 * p[..., 0] + u11 * p[..., 1]
+        return q
+
+    for _ in range(gate_steps):
+        p = vhalf_np(p)
+        p = np.fft.ifftn(np.fft.fftn(p, axes=(0, 1, 2))
+                         * expK[..., None], axes=(0, 1, 2))
+        p = vhalf_np(p)
+    err = float(np.max(np.abs(dev - p)) / np.max(np.abs(p)))
+    return nsteps / t, err
+
+
+def bench_lindblad_batched_tpu(B=4096, nsteps=100000, dt=0.002, nout=50):
+    """Config #2 at chip scale: B vibronic dimers propagated at once
+    through the SAME folded window propagator (one (n^2, n^2) x
+    (n^2, B) MXU matmul per observation window) — the
+    non-latency-bound companion VERDICT r4 #2 asked for (the B=1 row
+    is RPC/latency-bound at 0.2%% of MXU peak).  Returns
+    (traj_steps_per_sec, roofline)."""
+    import jax
+    import jax.numpy as jnp
+    from pyqed_tpu.ops.superoperator import liouvillian
+    H, c = _vibronic_dimer()
+    n = H.shape[0]
+    Hr = H.astype(np.float32)
+    cr = c.astype(np.float32)
+
+    @jax.jit
+    def build():
+        L = liouvillian(jnp.asarray(Hr) + 0j, [jnp.asarray(cr) + 0j])
+        X = L * dt
+        M = jnp.eye(n * n, dtype=X.dtype)
+        term = jnp.eye(n * n, dtype=X.dtype)
+        for k in range(1, 5):
+            term = (term @ X) / k
+            M = M + term
+        Mk = jnp.linalg.matrix_power(M, nout)
+        return jnp.real(Mk), jnp.imag(Mk)
+
+    Mk_ri = build()
+    jax.block_until_ready(Mk_ri)
+
+    @jax.jit
+    def run(re, im, Mr, Mi):
+        # stacked-rhs complex matmul: TWO f32 MXU matmuls per window
+        def body(p, _):
+            A = jnp.matmul(Mr, p, precision=jax.lax.Precision.HIGHEST)
+            Bm = jnp.matmul(Mi, p, precision=jax.lax.Precision.HIGHEST)
+            qr = A[:, :B] - Bm[:, B:]
+            qi = A[:, B:] + Bm[:, :B]
+            q = jnp.concatenate([qr, qi], axis=1)
+            return q, jnp.sum(q[0] ** 2)
+        p0 = jnp.concatenate([re, im], axis=1)       # (n^2, 2B)
+        pf, tr = jax.lax.scan(body, p0, None, length=nsteps // nout)
+        return pf[:, :B], pf[:, B:], tr
+
+    rng = np.random.default_rng(3)
+    # B random product states rho = |psi><psi| vectorized
+    psis = rng.standard_normal((B, n)).astype(np.float32)
+    psis /= np.linalg.norm(psis, axis=1, keepdims=True)
+    rhos = np.einsum("bi, bj -> bij", psis, psis).reshape(B, n * n).T
+    re = jax.device_put(np.ascontiguousarray(rhos, np.float32))
+    im = jax.device_put(np.zeros((n * n, B), np.float32))
+    jax.block_until_ready((re, im))
+    t = _timeit(run, re, im, *Mk_ri)
+    rate = nsteps * B / t
+    dim = n * n
+    # per window: 2 real (dim, dim) x (dim, 2B) matmuls
+    flops = 2.0 * (2 * dim * dim * 2 * B) / nout / B   # per traj fine step
+    byt = (2 * 4 * dim * dim + 2 * 4 * dim * 2 * B) / nout / B
+    roof = _peaks(flops * B, byt * B, rate / B)
+    return rate, roof
+
+
 def _heom_kernel_parity(candidates, nsteps=200, dt=1e-3, rtol=2e-3,
                         nsite=7, nexp_per_bath=2, lmax=3):
     """On-device parity gate (round-1 advisor finding): propagate nsteps
@@ -1288,6 +1839,12 @@ def main():
     t_2des_amort, tdes_roof = bench_2des_tpu_amortized()
     (t_2des_fact, t_2des_fact_pipe, tdes_fact_err,
      tdes_fact_roof) = bench_2des_factored_tpu()
+    # chip-scale companions (VERDICT r4 #2): these rows must stream
+    lind_b, lind_b_roof = bench_lindblad_batched_tpu()
+    spo3, spo3_err, spo3_roof = bench_spo3_tpu()
+    spo3_f64, spo3_f64_err = bench_spo3_f64_tpu()
+    # on-device f64 parity rows (VERDICT r4 #3)
+    tdes_f64_map, tdes_f64_err = bench_2des_f64_tpu()
     ldr = bench_ldr_tpu(batch=1)
     ldr_b8 = bench_ldr_tpu(batch=8)
     # factored nonadiabatic path (rank-nbasis overlap): parity-gated
@@ -1307,6 +1864,10 @@ def main():
     # emulated-f64 pipeline) — the ONE on-chip program that meets the
     # project's 1e-8 parity gate outright
     ldr_f64, ldr_f64_err = bench_ldr_factored_f64_tpu()
+    # dense-U f64 row (VERDICT r4 #4: the dense-f32 row fails parity by
+    # 7 decades because the f32 BUILD dominates; at f64 the same dense
+    # formulation is exact)
+    ldr_dense_f64, ldr_dense_f64_err = bench_ldr_dense_f64_tpu()
     if os.environ.get("PYQED_BENCH_NO_LDR7") or not ldr_fact_ok:
         ldr7 = ldr7_b16 = None
     else:
@@ -1352,6 +1913,9 @@ def main():
                   if fast_ok_L.get(k, False) else 0.0)
               for k in large_kernels}
 
+    # f64 HEOM north-star gate row, AFTER the big f32 HEOM programs
+    heom_f64, heom_f64_err = bench_heom_f64_tpu()
+
     heom_cpu = bench_heom_cpu()            # C++ reference transcription
     heom_refpy = bench_heom_cpu_refpy()    # actual reference code, no numba
     t_2des_cpu = bench_2des_cpu()
@@ -1387,6 +1951,22 @@ def main():
             "heom_large_parity_ok": fast_ok_L,
             "heom_cpu_ref_steps_per_sec": round(heom_cpu, 3),
             "heom_cpu_refpy_nonumba_steps_per_sec": round(heom_refpy, 3),
+            # HONEST LABEL (VERDICT r4 #9): vs_baseline divides by the
+            # single-thread C++ -O3 transcription of the reference DEOM
+            # loop, a STRICT UPPER BOUND on the numba-jitted reference
+            # (numba is not installed here); the reference AS SHIPPED
+            # (pure Python, @njit uncompiled) is the
+            # heom_cpu_refpy_nonumba row
+            "heom_baseline_note": (
+                "vs_baseline = speedup over a C++ -O3 upper bound of "
+                "the numba reference; vs the as-shipped pure-Python "
+                "reference the ratio is value/"
+                "heom_cpu_refpy_nonumba_steps_per_sec"),
+            # f64 on the chip (real-split planes): the project 1e-8
+            # parity gate measured ON DEVICE vs the complex128 NumPy
+            # trajectory of the same operator
+            "heom_f64_steps_per_sec": round(heom_f64, 2),
+            "heom_f64_parity_err": float(f"{heom_f64_err:.2e}"),
             # roofline accounting (VERDICT r2 #3): fraction of v5e peaks
             "heom_flagship_roofline": _heom_roofline(heom_best,
                                                      heom_best_kernel),
@@ -1417,15 +1997,31 @@ def main():
             "speedup_2des_factored": round(
                 t_2des_cpu / t_2des_fact_pipe, 1) if tdes_fact_err < 1e-4
                 else 0.0,
-            "ldr_steps_per_sec": round(ldr, 1),
-            "ldr_vs_cpu_ref": round(ldr / ldr_cpu, 2),
-            "ldr_cpu_ref_steps_per_sec": round(ldr_cpu, 3),
-            "ldr_batch8_traj_steps_per_sec": round(ldr_b8, 1),
+            # f64 cube on the chip: host complex128 factors, real-split
+            # f64 assembly; parity vs the host complex128 assembly
+            "tdes_cube_f64_map_ms": round(tdes_f64_map * 1e3, 4),
+            "tdes_cube_f64_parity_err": float(f"{tdes_f64_err:.2e}"),
+            # LDR rows lead with the EXACT formulations (VERDICT r4
+            # #4): factored f32 (same operator as dense, reassociated;
+            # parity at the f32 floor), factored f64 and dense f64
+            # (both meet the 1e-8 gate on-chip); the dense-f32 row is
+            # demoted to last with its measured error inline — its f32
+            # BUILD dominates the error (1.7e-2) and it is kept only as
+            # the round-1 formulation/parity baseline
             "ldr_factored_steps_per_sec": round(ldr_fact, 1),
             "ldr_factored_vs_cpu_ref": round(ldr_fact / ldr_cpu, 2),
             "ldr_factored_f64_steps_per_sec": round(ldr_f64, 1),
             "ldr_factored_f64_vs_cpu_ref": round(ldr_f64 / ldr_cpu, 2),
             "ldr_factored_f64_parity_err": float(f"{ldr_f64_err:.2e}"),
+            "ldr_dense_f64_steps_per_sec": round(ldr_dense_f64, 1),
+            "ldr_dense_f64_vs_cpu_ref": round(
+                ldr_dense_f64 / ldr_cpu, 2),
+            "ldr_dense_f64_parity_err": float(
+                f"{ldr_dense_f64_err:.2e}"),
+            "ldr_cpu_ref_steps_per_sec": round(ldr_cpu, 3),
+            "ldr_dense_f32_steps_per_sec": round(ldr, 1),
+            "ldr_dense_f32_vs_cpu_ref": round(ldr / ldr_cpu, 2),
+            "ldr_dense_f32_batch8_traj_steps_per_sec": round(ldr_b8, 1),
             **{k: float(f"{v:.2e}") for k, v in ldr_parity.items()},
             **({"ldr_level7_factored_steps_per_sec": round(ldr7, 1),
                 "ldr_level7_factored_batch16_traj_steps_per_sec":
@@ -1447,9 +2043,24 @@ def main():
             "spo_steps_per_sec": round(spo, 1),
             "spo_vs_cpu": round(spo / spo_cpu, 2),
             "spo_roofline": spo_roof,
+            # chip-scale wavepacket companion (VERDICT r4 #2): 256^3 x 2
+            # states, full Strang step; the binding kernel is the XLA
+            # TPU FFT itself (the standalone fftn+ifftn pair measures
+            # ~190 GB/s), so frac_of_hbm_peak is FFT-implementation-
+            # bound, not dispatch-bound like the 1024-pt config-#1 row
+            "spo3_large_steps_per_sec": round(spo3, 2),
+            "spo3_large_parity_err_f32": float(f"{spo3_err:.2e}"),
+            "spo3_large_roofline": spo3_roof,
+            "spo3_f64_steps_per_sec": round(spo3_f64, 2),
+            "spo3_f64_parity_err": float(f"{spo3_f64_err:.2e}"),
             "lindblad_steps_per_sec": round(lind, 1),
             "lindblad_vs_cpu": round(lind / lind_cpu, 2),
             "lindblad_roofline": lind_roof,
+            # chip-scale Lindblad companion: 4096 dimers through one
+            # folded-propagator MXU matmul per window — MXU-bound where
+            # the B=1 row is RPC/latency-bound
+            "lindblad_batch4096_traj_steps_per_sec": round(lind_b, 0),
+            "lindblad_batch4096_roofline": lind_b_roof,
             "tdes_map_roofline": tdes_roof,
             "polariton_traj_steps_per_sec": round(pol, 1),
             # renamed from polariton_vs_cpu (VERDICT r2 #5): a 512-wide

@@ -584,11 +584,15 @@ def photon_echo_t2series_factored(mol, pump, probe, t2list, g_idx=(0,),
                                  pump, probe, t2list, g_idx, e_idx, f_idx)
 
 
-def _photon_echo_factored(evals, edip, gamma, pump, probe, t2list,
-                          g_idx, e_idx, f_idx):
-    """Array-level core of :func:`photon_echo_t2series_factored` —
-    jit-safe (no value-dependent Python branches), so the TPU path can
-    trace it directly with real-split I/O."""
+def _photon_echo_factors(evals, edip, gamma, pump, probe, t2list,
+                         g_idx, e_idx, f_idx):
+    """The exact low-rank factorization of the photon-echo cube:
+    S[t2, w1, w3] = Σ_k C[t2, k] A[k, w1] B[k, w3] with
+    K = 1 + |e|² + |e||f| terms (GSB rank-1 + SE + ESA).  Returns
+    (C (T, K), A (K, W1), B (K, W3)) complex — exposed separately so
+    the TPU f64 bench row can assemble the cube with real-split
+    arithmetic (complex128 cannot compile on the chip) from factors
+    computed host-side at complex128."""
     E = jnp.asarray(evals)
     dip = jnp.asarray(edip)
     gamma = jnp.asarray(gamma)
@@ -655,6 +659,16 @@ def _photon_echo_factored(evals, edip, gamma, pump, probe, t2list,
                          B_esa.reshape(-1, W3)], axis=0)        # (K, W3)
     C = jnp.concatenate([c_gsb, C_se.reshape(nt, -1),
                          C_esa.reshape(nt, -1)], axis=1)        # (T, K)
+    return C, A, B
+
+
+def _photon_echo_factored(evals, edip, gamma, pump, probe, t2list,
+                          g_idx, e_idx, f_idx):
+    """Array-level core of :func:`photon_echo_t2series_factored` —
+    jit-safe (no value-dependent Python branches), so the TPU path can
+    trace it directly with real-split I/O."""
+    C, A, B = _photon_echo_factors(evals, edip, gamma, pump, probe,
+                                   t2list, g_idx, e_idx, f_idx)
 
     @jax.jit
     def assemble(C, A, B):
