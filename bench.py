@@ -26,7 +26,9 @@ The single JSON line also carries an "extra" dict:
                  'factored')): same dynamics, no dense U — parity-gated
                  on-device, plus level-7 (127x127) rows at a size whose
                  dense propagator (8.3 GB) cannot be materialized.
-  heom_pallas_steps_per_sec / heom_matmul_steps_per_sec — kernel split.
+  heom_levels_steps_per_sec / heom_matmul_steps_per_sec — kernel split
+                 (pallas retired r5: loses to XLA levels fusion; see
+                 heom_pallas_note).
   spo_steps_per_sec      config #1 — 1D split-operator, Morse, 1024 pts.
   lindblad_steps_per_sec config #2 — vibronic dimer (n=32) Lindblad RK4.
   polariton_traj_steps_per_sec config #5 — 512-frequency drive scan of
@@ -221,17 +223,28 @@ def _heom_roofline(steps_per_sec, kernel, nsite=7, nexp_per_bath=2,
         op_bytes = s_elems * 4 + 2 * 2 * M * Vp * Vp * 4      # S + Pt/Dt
         rhs_bytes = 2 * state_p + op_bytes
     elif kernel.startswith("pallas"):
+        # order-aware since r5 (VERDICT r4 #5): plus couplings run
+        # select-first (transform on the SMALLER dest level), minus
+        # transform-first — the same FLOP-optimal contraction order as
+        # the XLA levels kernel, in-VMEM
         sizes, offs, pad_sizes, pad_offs, nado_pad, perm = \
             pk.heom_level_structure(keys)
         Vp = -(-V // 128) * 128
         L = len(sizes) - 1
-        pairs = [(pad_sizes[l], pad_sizes[l + 1]) for l in range(L)]
-        pairs += [(pad_sizes[l], pad_sizes[l - 1]) for l in range(1, L + 1)]
         flops_rhs = 8 * nado_pad * Vp * Vp                    # C-term dot
-        flops_rhs += sum(8 * src * Vp * Vp * M for (_, src) in pairs)  # Z
-        flops_rhs += sum(4 * dst * src * Vp * M for (dst, src) in pairs)
+        s_elems = 0
+        for l in range(L):                 # plus: select-first
+            dst, src = pad_sizes[l], pad_sizes[l + 1]
+            flops_rhs += 4 * M * dst * src * Vp               # S fold
+            flops_rhs += 8 * M * dst * Vp * Vp                # Y @ Pt
+            s_elems += M * dst * src
+        for l in range(1, L + 1):          # minus: transform-first
+            dst, src = pad_sizes[l], pad_sizes[l - 1]
+            flops_rhs += 8 * M * src * Vp * Vp                # src @ Dt
+            flops_rhs += 4 * M * dst * src * Vp               # S @ Z
+            s_elems += M * dst * src
         s_item = 2 if kernel.endswith("fast") else 4          # bf16 / f32
-        s_bytes = sum(dst * src * M for (dst, src) in pairs) * s_item
+        s_bytes = s_elems * s_item
         state_p = 2 * 4 * nado_pad * Vp
         # per RHS: each coupling call re-reads the resident flat planes,
         # writes its dest rows; C-term reads/writes the full planes;
@@ -1885,9 +1898,18 @@ def main():
         ldr6, ldr6_b64 = bench_ldr_tpu(level=6, nsteps=200, blocked=True,
                                        batch=(1, 64))
 
-    # on-device parity gate before any fast kernel can set the headline
-    flagship_kernels = ["matmul-fast", "pallas", "pallas-fast",
-                        "levels", "levels-fast", "rowcol-fast"]
+    # on-device parity gate before any fast kernel can set the headline.
+    # Pallas RETIRED from the bench path (VERDICT r4 #5, measured r5):
+    # after making the level kernels order-aware (select-first plus
+    # couplings, equal FLOPs to the XLA levels path) pallas-fast gained
+    # +15% at the flagship shape (5841 -> 6703 steps/s) but still loses
+    # to levels-fast at BOTH shapes (6703 vs 10581 flagship; 1471 vs
+    # 1847 large, same session) — the residual gap is per-level kernel
+    # launches + unfused mode-grid dots that XLA's fusion avoids, not
+    # redundant compute. Kernels + parity tests stay in the library
+    # (ops/pallas_kernels.py, tests/test_pallas.py).
+    flagship_kernels = ["matmul-fast", "levels", "levels-fast",
+                        "rowcol-fast"]
     fast_ok = _heom_kernel_parity(flagship_kernels)
     heom_matmul = bench_heom_tpu("matmul")
     rates = {"matmul": heom_matmul}
@@ -1907,7 +1929,7 @@ def main():
     # levels kernel; the rowcol gather kernel loses badly on TPU.
     # Parity-gated AT THIS SHAPE (kernel bugs can be shape-dependent);
     # a failing kernel reports 0.0 rather than an unverified rate.
-    large_kernels = ["matmul-fast", "pallas-fast", "levels-fast"]
+    large_kernels = ["matmul-fast", "levels-fast"]
     fast_ok_L = _heom_kernel_parity(large_kernels, nsteps=60, nsite=10)
     heom_L = {k: (bench_heom_tpu(k, nsteps=300, nsite=10)
                   if fast_ok_L.get(k, False) else 0.0)
@@ -1934,8 +1956,12 @@ def main():
             "axon_rpc_floor_ms": round(rpc_floor, 1),
             "heom_best_kernel": heom_best_kernel,
             "heom_kernel_parity_ok": fast_ok,
-            "heom_pallas_steps_per_sec": round(rates["pallas"], 2),
-            "heom_pallas_fast_steps_per_sec": round(rates["pallas-fast"], 2),
+            "heom_pallas_note": (
+                "pallas retired from the bench path r5: order-aware "
+                "select-first kernels reach equal FLOPs to levels-fast "
+                "but lose 6703-vs-10581 (flagship) / 1471-vs-1847 "
+                "(large) to XLA fusion; parity-tested kernels kept in "
+                "ops/pallas_kernels.py"),
             "heom_levels_steps_per_sec": round(rates["levels"], 2),
             "heom_levels_fast_steps_per_sec": round(
                 rates["levels-fast"], 2),
@@ -1944,8 +1970,6 @@ def main():
             "heom_matmul_steps_per_sec": round(heom_matmul, 2),
             "heom_matmul_fast_steps_per_sec": round(rates["matmul-fast"], 2),
             "heom_large_xla_steps_per_sec": round(heom_L["matmul-fast"], 2),
-            "heom_large_pallas_steps_per_sec": round(
-                heom_L["pallas-fast"], 2),
             "heom_large_levels_fast_steps_per_sec": round(
                 heom_L["levels-fast"], 2),
             "heom_large_parity_ok": fast_ok_L,
