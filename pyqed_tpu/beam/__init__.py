@@ -23,3 +23,5 @@ from .beam import draw_several_fields
 from . import masks
 from . import scenes
 from . import masks_x
+from . import drawing
+from .drawing import draw, video, slices, prepare_drawing, normalize_draw

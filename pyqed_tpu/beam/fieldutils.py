@@ -261,3 +261,47 @@ def surface_detection(x, z, n, mode=1, min_incr=0.1):
         mag[:, :-1] = np.maximum(mag[:, :-1], np.abs(np.diff(nr, axis=1)))
     ix, iz = np.nonzero(mag > min_incr)
     return x[ix], z[iz]
+
+
+def rotate_image(x, z, img, angle, pivot_point):
+    """Rotate a real (nz, nx) image by ``angle`` DEGREES about the
+    physical pivot ``(z0, x0)`` (reference:
+    pyqed/beam/utils_math.py:865 ``rotate_image`` — pad + scipy
+    ndimage.rotate + crop there; here a direct inverse-map with
+    bilinear interpolation about the pivot, same result without the
+    padded intermediate).  Points mapped from outside keep 0."""
+    x = np.asarray(x)
+    z = np.asarray(z)
+    img = jnp.asarray(img)
+    z0, x0 = pivot_point
+    th = np.deg2rad(angle)
+    Z, X = np.meshgrid(z, x, indexing="ij")
+    c, s = np.cos(th), np.sin(th)
+    Zs = c * (Z - z0) + s * (X - x0) + z0
+    Xs = -s * (Z - z0) + c * (X - x0) + x0
+    ci = (Zs - z[0]) / (z[1] - z[0])
+    cj = (Xs - x[0]) / (x[1] - x[0])
+    inside = ((ci >= 0) & (ci <= len(z) - 1)
+              & (cj >= 0) & (cj <= len(x) - 1))
+    out = map_coordinates(img, [jnp.asarray(ci), jnp.asarray(cj)],
+                          order=1)
+    return jnp.where(jnp.asarray(inside), out, 0.0)
+
+
+def filter_edge_1D(x, size=1.1, exponent=32):
+    """Super-Gaussian window, 1 at the center falling at the borders —
+    the absorbing edge filter for propagation algorithms (reference:
+    pyqed/beam/utils_math.py:1057)."""
+    x = np.asarray(x)
+    x_center = (x[-1] + x[0]) / 2
+    Dx = size * (x[-1] - x[0])
+    return np.exp(-(2 * (x - x_center) / Dx) ** np.abs(exponent))
+
+
+def filter_edge_2D(x, y, size=1.1, exponent=32):
+    """Separable 2D super-Gaussian edge filter, indexed (len(x),
+    len(y)) (reference: pyqed/beam/utils_math.py:1074 — note that
+    version meshgrids in (y, x) order; this one matches the package's
+    [x, y] field layout)."""
+    return np.outer(filter_edge_1D(x, size, exponent),
+                    filter_edge_1D(y, size, exponent))
