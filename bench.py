@@ -1576,12 +1576,16 @@ def bench_spo3_tpu(n=256, nsteps=20, dt=0.004, gate_n=64, gate_steps=10):
     return rate, err, roof
 
 
-def bench_spo3_f64_tpu(n=128, nsteps=5, dt=0.004, gate_steps=5):
-    """The SPO3 row at FLOAT64 on the chip.  complex128 cannot compile
-    on this backend AND the f64 FFT is unsupported, so the KEO runs as
-    a real-split DFT-MATMUL along each axis (the kernel='dft' trick at
-    scale: F psi via 4 real f64 MXU matmuls per axis).  Parity vs the
-    host complex128 NumPy Strang loop at the SAME shape.  Returns
+def bench_spo3_f64_tpu(n=256, nsteps=4, dt=0.004, gate_steps=4):
+    """The SPO3 row at FLOAT64 on the chip, at the SAME >=256^3 x 2
+    scale as the f32 row.  complex128 cannot compile on this backend
+    AND the f64 FFT is unsupported, so the KEO runs as real-split
+    DFT-MATMULS along each axis (the kernel='dft' trick at scale: F psi
+    via 4 real f64 MXU matmuls per axis).  Layout note: the 2-state
+    axis leads (2, n, n, n) — a trailing size-2 axis gets lane-padded
+    2 -> 128 under the f64 emulation (measured 64x HBM expansion, OOM
+    at 24 GB), states-first keeps the minormost dims dense.  Parity vs
+    the host complex128 NumPy Strang loop at the same shape.  Returns
     (steps_per_sec, rel_err)."""
     import jax
     import jax.numpy as jnp
@@ -1594,14 +1598,16 @@ def bench_spo3_f64_tpu(n=128, nsteps=5, dt=0.004, gate_steps=5):
     Fi = np.ascontiguousarray(F.imag)
 
     with jax.enable_x64(True):
-        hi = jax.lax.Precision.HIGHEST
 
         def dft_axis(pr, pi, Ar, Ai, axis):
-            qr = (jnp.tensordot(Ar, pr, axes=([1], [axis]))
-                  - jnp.tensordot(Ai, pi, axes=([1], [axis])))
-            qi = (jnp.tensordot(Ar, pi, axes=([1], [axis]))
-                  + jnp.tensordot(Ai, pr, axes=([1], [axis])))
-            return (jnp.moveaxis(qr, 0, axis), jnp.moveaxis(qi, 0, axis))
+            # p (2, n, n, n): transform grid axis in {1, 2, 3} via a
+            # LAST-axis matmul (clean (.., n) layouts end to end)
+            pr = jnp.moveaxis(pr, axis, -1)
+            pi = jnp.moveaxis(pi, axis, -1)
+            qr = pr @ Ar.T - pi @ Ai.T
+            qi = pr @ Ai.T + pi @ Ar.T
+            return (jnp.moveaxis(qr, -1, axis),
+                    jnp.moveaxis(qi, -1, axis))
 
         ops = tuple(np.ascontiguousarray(a, np.float64) for a in
                     (u00.real, u00.imag, u01.real, u01.imag,
@@ -1610,35 +1616,34 @@ def bench_spo3_f64_tpu(n=128, nsteps=5, dt=0.004, gate_steps=5):
         @jax.jit
         def run(pr, pi, a00r, a00i, a01r, a01i, a11r, a11i, kr, ki):
             def vhalf(pr, pi):
-                q0r = (a00r * pr[..., 0] - a00i * pi[..., 0]
-                       + a01r * pr[..., 1] - a01i * pi[..., 1])
-                q0i = (a00r * pi[..., 0] + a00i * pr[..., 0]
-                       + a01r * pi[..., 1] + a01i * pr[..., 1])
-                q1r = (a01r * pr[..., 0] - a01i * pi[..., 0]
-                       + a11r * pr[..., 1] - a11i * pi[..., 1])
-                q1i = (a01r * pi[..., 0] + a01i * pr[..., 0]
-                       + a11r * pi[..., 1] + a11i * pr[..., 1])
-                return (jnp.stack([q0r, q1r], axis=-1),
-                        jnp.stack([q0i, q1i], axis=-1))
+                q0r = (a00r * pr[0] - a00i * pi[0]
+                       + a01r * pr[1] - a01i * pi[1])
+                q0i = (a00r * pi[0] + a00i * pr[0]
+                       + a01r * pi[1] + a01i * pr[1])
+                q1r = (a01r * pr[0] - a01i * pi[0]
+                       + a11r * pr[1] - a11i * pi[1])
+                q1i = (a01r * pi[0] + a01i * pr[0]
+                       + a11r * pi[1] + a11i * pr[1])
+                return jnp.stack([q0r, q1r]), jnp.stack([q0i, q1i])
 
             def body(carry, _):
                 pr, pi = carry
                 pr, pi = vhalf(pr, pi)
-                for ax in range(3):
+                for ax in (1, 2, 3):
                     pr, pi = dft_axis(pr, pi, Fr, Fi, ax)
-                qr = kr[..., None] * pr - ki[..., None] * pi
-                qi = kr[..., None] * pi + ki[..., None] * pr
+                qr = kr[None] * pr - ki[None] * pi
+                qi = kr[None] * pi + ki[None] * pr
                 pr, pi = qr, qi
-                for ax in range(3):
+                for ax in (1, 2, 3):
                     # inverse DFT: F^{-1} = conj(F)/n
                     pr, pi = dft_axis(pr, pi, Fr, -Fi, ax)
                     pr = pr / n
                     pi = pi / n
                 pr, pi = vhalf(pr, pi)
-                return (pr, pi), jnp.sum(pr[..., 0] ** 2 + pi[..., 0] ** 2)
+                return (pr, pi), jnp.sum(pr[0] ** 2 + pi[0] ** 2)
 
-            p0r = jnp.stack([pr, jnp.zeros_like(pr)], axis=-1)
-            p0i = jnp.stack([pi, jnp.zeros_like(pi)], axis=-1)
+            p0r = jnp.stack([pr, jnp.zeros_like(pr)])
+            p0i = jnp.zeros_like(p0r)
             (pr, pi), pops = jax.lax.scan(body, (p0r, p0i), None,
                                           length=nsteps)
             return pr, pi, pops
@@ -1652,20 +1657,20 @@ def bench_spo3_f64_tpu(n=128, nsteps=5, dt=0.004, gate_steps=5):
                + 1j * np.asarray(out[1], np.float64))
         t = _timeit(run, *dargs)
 
-    # host complex128 truth, same shape/steps
-    p = np.zeros((n, n, n, 2), np.complex128)
-    p[..., 0] = psi0
+    # host complex128 truth, same shape/steps (states-first layout)
+    p = np.zeros((2, n, n, n), np.complex128)
+    p[0] = psi0
 
     def vhalf_np(p):
         q = np.empty_like(p)
-        q[..., 0] = u00 * p[..., 0] + u01 * p[..., 1]
-        q[..., 1] = u01 * p[..., 0] + u11 * p[..., 1]
+        q[0] = u00 * p[0] + u01 * p[1]
+        q[1] = u01 * p[0] + u11 * p[1]
         return q
 
     for _ in range(gate_steps):
         p = vhalf_np(p)
-        p = np.fft.ifftn(np.fft.fftn(p, axes=(0, 1, 2))
-                         * expK[..., None], axes=(0, 1, 2))
+        p = np.fft.ifftn(np.fft.fftn(p, axes=(1, 2, 3))
+                         * expK[None], axes=(1, 2, 3))
         p = vhalf_np(p)
     err = float(np.max(np.abs(dev - p)) / np.max(np.abs(p)))
     return nsteps / t, err
