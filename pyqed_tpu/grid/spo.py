@@ -398,11 +398,20 @@ class SPON:
             # distributed FFT: replace the GSPMD gather with the fused
             # pencil/four-step KEO (all-to-all, O(N/d) per device) when
             # the grid divides the mesh; jacobi-coordinate subclasses
-            # keep their own sequential-factor _keo
+            # route their sequential per-axis factors through the same
+            # machinery (make_keo_factors_pencil)
             if getattr(self, "coords", "linear") == "linear":
                 from ..parallel.pencil_fft import make_keo_pencil
                 _pk = make_keo_pencil(self.shape, self.nstates,
                                       self._exp_K_ri, self.mesh, axis)
+                if _pk is not None:
+                    keo = _pk
+            else:
+                from ..parallel.pencil_fft import make_keo_factors_pencil
+                _factors = self._jacobi_factors()
+                _pk = (make_keo_factors_pencil(self.shape, self.nstates,
+                                               _factors, self.mesh, axis)
+                       if _factors is not None else None)
                 if _pk is not None:
                     keo = _pk
 
@@ -629,6 +638,10 @@ class SPO2(SPON):
         psik = psik * _cc(self._exp_Ky_ri)[:, :, None]
         return jnp.fft.ifft(psik, axis=1)
 
+    def _jacobi_factors(self):
+        """(axis, phase_ri) factor list for the mesh pencil KEO."""
+        return [(0, self._exp_Kx_ri), (1, self._exp_Ky_ri)]
+
 
 class SPO2NH(SPO2):
     """Non-Hermitian 2D SPO: complex diabatic potential matrices
@@ -716,5 +729,10 @@ class SPO3(SPON):
         psik = jnp.fft.fft(psi, axis=2)
         psik = psik * _cc(self._exp_Kz_ri)[:, :, :, None]
         return jnp.fft.ifft(psik, axis=2)
+
+    def _jacobi_factors(self):
+        """(axis, phase_ri) factor list for the mesh pencil KEO."""
+        return [(0, self._exp_Kx_ri), (1, self._exp_Ky_ri),
+                (2, self._exp_Kz_ri)]
 
 ResultSPO2 = ResultSPO      # reference drop-in name (pyqed/spo.py)

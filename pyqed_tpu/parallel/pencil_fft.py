@@ -215,3 +215,83 @@ def make_keo_pencil(grid_shape, nstates, exp_K_ri, mesh, axis_name=None):
         return sharded(psi, kr, ki)
 
     return keo
+
+
+def make_keo_factors_pencil(grid_shape, nstates, factors, mesh,
+                            axis_name=None):
+    """Fused sharded KEO for SEQUENTIAL per-axis FFT-diagonal factors —
+    the jacobi-coordinate SPO2/SPO3 kinetic propagators (reference:
+    pyqed/wpd.py:850 ``_KEO_jacobi``), where each factor is
+    ``psi -> ifft_axis(phase * fft_axis(psi))``.
+
+    ``factors``: ordered sequence of ``(axis, phase_ri)`` with
+    ``phase_ri = (re, im)`` and phase shape either
+    ``(grid_shape[axis],)`` (an axis-only phase — e.g. exp(-i kx^2 dt))
+    or the full ``grid_shape`` rank (a coordinate-dependent phase —
+    e.g. the jacobi angular factor exp(-i B(r, R) k_theta^2 dt)).
+
+    Axis-0 factors run as ONE all-to-all transpose pair each (the
+    four-step 1D machinery is unnecessary: jacobi grids are always
+    >= 2D, so axis 1 absorbs the sharding); other axes transform
+    locally inside the same shard_map region.  Axis-0 phases must be
+    axis-only (they are applied in the transposed layout) — true for
+    every jacobi KEO in the package.  Returns a jittable callable or
+    ``None`` when unsupported (caller falls back to GSPMD)."""
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    d = mesh.shape[axis_name]
+    ndim = len(grid_shape)
+    if (d <= 1 or ndim < 2 or grid_shape[0] % d
+            or grid_shape[1] % d):
+        return None
+    for axis, phase_ri in factors:
+        ph = np.asarray(phase_ri[0])
+        if axis == 0 and ph.ndim != 1:
+            return None          # transposed-layout phase must be 1D
+        if ph.ndim not in (1, ndim):
+            return None
+
+    spec_psi = P(*([axis_name] + [None] * ndim))
+    specs = [spec_psi]
+    args = []
+    for axis, (pr, pi) in factors:
+        pr = jnp.asarray(pr)
+        pi = jnp.asarray(pi)
+        if pr.ndim == 1:
+            specs.append(P(None))              # replicated axis phase
+        else:
+            specs.append(P(*([axis_name] + [None] * (ndim - 1))))
+        args.extend([pr, pi])
+        specs.append(specs[-1])                # same spec for im plane
+
+    meta = [(axis, np.asarray(phase_ri[0]).ndim)
+            for axis, phase_ri in factors]
+
+    def body(p, *phases):
+        for i, (axis, pdim) in enumerate(meta):
+            kr, ki = phases[2 * i], phases[2 * i + 1]
+            if pdim == 1:
+                shape = [1] * (ndim + 1)
+                shape[axis] = kr.shape[0]
+                ph = (kr + 1j * ki).reshape(shape)
+            else:
+                ph = (kr + 1j * ki)[..., None]
+            if axis == 0:
+                p = _a2a(p, axis_name, 1, 0)   # (n0, n1/d, ..., ns)
+                p = jnp.fft.fft(p, axis=0)
+                p = p * ph
+                p = jnp.fft.ifft(p, axis=0)
+                p = _a2a(p, axis_name, 0, 1)
+            else:
+                p = jnp.fft.fft(p, axis=axis)
+                p = p * ph
+                p = jnp.fft.ifft(p, axis=axis)
+        return p
+
+    sharded = jax.shard_map(body, mesh=mesh, in_specs=tuple(specs),
+                            out_specs=spec_psi)
+
+    def keo(psi):
+        return sharded(psi, *args)
+
+    return keo

@@ -500,3 +500,52 @@ class TestPencilFFT:
         hlo = jax.jit(strang).lower(psi).compile().as_text()
         assert "all-to-all" in hlo
         assert "all-gather" not in hlo
+
+    @requires_8
+    def test_spo2_jacobi_mesh_pencil(self):
+        """Jacobi-coordinate SPO2 with mesh= routes its sequential
+        per-axis KEO factors through the pencil machinery: parity vs
+        the unsharded run at 1e-12 and all-to-all (no all-gather) in
+        the compiled factor KEO."""
+        from pyqed_tpu.grid.spo import SPO2
+        from pyqed_tpu.parallel.pencil_fft import make_keo_factors_pencil
+        n = 32
+        x = np.linspace(1.2, 4.2, n, endpoint=False)   # radial-like
+        th = np.linspace(-np.pi, np.pi, n, endpoint=False)
+        X, TH = np.meshgrid(x, th, indexing="ij")
+        v1 = 0.5 * (X - 2.5) ** 2 + 0.1 * np.cos(TH)
+        v2 = v1 + 1.0
+        cpl = 0.05 * np.ones_like(X)
+        psi0 = np.zeros((n, n, 2), complex)
+        psi0[..., 0] = np.exp(-(X - 2.5) ** 2 - TH ** 2)
+        psi0[..., 0] /= np.linalg.norm(psi0)
+
+        def go(mesh):
+            s = SPO2(x, th, masses=[1.0, lambda r: 1.0 * r ** 2],
+                     nstates=2, coords="jacobi", mesh=mesh)
+            s.set_DPES([v1, v2], [[(0, 1), cpl]])
+            return s.run(psi0, dt=0.01, nt=20, nout=10)
+
+        r0 = go(None)
+        mesh = make_mesh({"grid": 8})
+        r1 = go(mesh)
+        assert np.max(np.abs(np.asarray(r0.psi)
+                             - np.asarray(r1.psi))) < 1e-12
+        # HLO pin on the factor KEO itself
+        s = SPO2(x, th, masses=[1.0, lambda r: 1.0 * r ** 2],
+                 nstates=2, coords="jacobi", mesh=mesh)
+        s.set_DPES([v1, v2], [[(0, 1), cpl]])
+        s.build(0.01)
+        keo = make_keo_factors_pencil(
+            s.shape, s.nstates, s._jacobi_factors(), mesh)
+        assert keo is not None
+        psi = jnp.zeros((n, n, 2), jnp.complex128)
+        hlo = jax.jit(keo).lower(psi).compile().as_text()
+        assert "all-to-all" in hlo and "all-gather" not in hlo
+        # and the pencil factor KEO == the class _keo exactly
+        rng2 = np.random.default_rng(5)
+        p = jnp.asarray(rng2.standard_normal((n, n, 2))
+                        + 1j * rng2.standard_normal((n, n, 2)))
+        ref = s._keo(p)
+        got = jax.jit(keo)(p)
+        assert float(jnp.max(jnp.abs(got - ref))) < 1e-12
