@@ -199,10 +199,10 @@ def _heom_roofline(steps_per_sec, kernel, nsite=7, nexp_per_bath=2,
         # (pallas_kernels.heom_rhs_levels_xla_factory): per level l,
         # plus = select-first (real S-fold matmul, then batched complex
         # Y @ Pt), minus = transform-first (batched complex src @ Dt,
-        # then real S @ Z)
+        # then real S @ Z).  Sublane-only padding (Vp = V -> 8) since r5.
         sizes, offs, pad_sizes, pad_offs, nado_pad, perm = \
             pk.heom_level_structure(keys)
-        Vp = -(-V // 128) * 128
+        Vp = -(-V // 8) * 8
         L = len(sizes) - 1
         flops_rhs = 8 * nado_pad * Vp * Vp                    # C-term dot
         s_elems = 0
