@@ -1576,7 +1576,7 @@ def bench_spo3_tpu(n=256, nsteps=20, dt=0.004, gate_n=64, gate_steps=10):
     return rate, err, roof
 
 
-def bench_spo3_f64_tpu(n=256, nsteps=4, dt=0.004, gate_steps=4):
+def bench_spo3_f64_tpu(n=256, nsteps=4, dt=0.004):
     """The SPO3 row at FLOAT64 on the chip, at the SAME >=256^3 x 2
     scale as the f32 row.  complex128 cannot compile on this backend
     AND the f64 FFT is unsupported, so the KEO runs as real-split
@@ -1667,7 +1667,7 @@ def bench_spo3_f64_tpu(n=256, nsteps=4, dt=0.004, gate_steps=4):
         q[1] = u01 * p[0] + u11 * p[1]
         return q
 
-    for _ in range(gate_steps):
+    for _ in range(nsteps):          # truth matches the device scan
         p = vhalf_np(p)
         p = np.fft.ifftn(np.fft.fftn(p, axes=(1, 2, 3))
                          * expK[None], axes=(1, 2, 3))

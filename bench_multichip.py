@@ -53,7 +53,10 @@ def _setup_backend():
         jax.config.update("jax_platforms", "cpu")
     else:
         import jax
-    assert len(jax.devices()) >= max(DEVCOUNTS)
+    global DEVCOUNTS
+    avail = len(jax.devices())
+    DEVCOUNTS = tuple(d for d in DEVCOUNTS if d <= avail)
+    assert DEVCOUNTS, "no usable device counts"
     return jax
 
 

@@ -89,7 +89,7 @@ assert err < 1e-6
 # ---- 3. analytic two-band dispersion vs long periodic chain ---------
 k = np.linspace(-np.pi, np.pi, 64, endpoint=False)
 bands = np.asarray(model.band_structure(k))          # (nk, 2)
-ring = RiceMele(0.22, 0.2, 256, boundary_condition="periodic")
+# periodic ring built explicitly (RiceMele.buildH is open-chain only)
 nn = 256
 Hr = np.zeros((nn, nn))
 for i in range(0, nn - 1, 2):

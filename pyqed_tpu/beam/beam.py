@@ -1400,19 +1400,14 @@ Scalar_field_XYZ = ScalarFieldXYZ
 # ----------------------------------------------------------------------
 
 def _field_view(u, kind, logarithm=False, normalize=False, cut_value=None):
-    """Extract the requested view of a complex field: 'intensity',
-    'amplitude', or 'phase' (same kind names as the reference draw)."""
-    u = np.asarray(u)
-    if kind == "phase":
-        return np.angle(u)
-    data = np.abs(u) if kind == "amplitude" else np.abs(u) ** 2
-    if normalize and data.max() > 0:
-        data = data / data.max()
-    if cut_value is not None:
-        data = np.minimum(data, cut_value)
-    if logarithm:
-        data = np.log10(1.0 + data)
-    return data
+    """Extract the requested view of a complex field — ONE transform
+    shared with beam.drawing (prepare_drawing + normalize_draw), so the
+    unified draw() entry point applies identical semantics whichever
+    field type it dispatches to.  Kinds: 'intensity', 'amplitude',
+    'phase', 'real', 'imag', 'field'."""
+    from .drawing import prepare_drawing, normalize_draw
+    return normalize_draw(prepare_drawing(u, kind), logarithm=logarithm,
+                          normalize=normalize, cut_value=cut_value)
 
 
 def _draw_1d(x, u, kind, logarithm, normalize, cut_value, filename,

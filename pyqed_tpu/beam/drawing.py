@@ -122,12 +122,16 @@ def video(field, filename, kind="intensity", logarithm=False,
 
     imgs = normalize_draw(prepare_drawing(frames, kind),
                           logarithm, normalize)
-    vmax = float(np.max(imgs)) or 1.0
+    # color limits from the DATA (kind='real'/'imag' can be all-negative,
+    # and normalize rescales phase away from [-pi, pi])
+    vmin = float(np.min(imgs))
+    vmax = float(np.max(imgs))
+    if vmax <= vmin:
+        vmax = vmin + 1.0
     fig, ax = plt.subplots(figsize=(4, 3))
     if imgs.ndim == 3:                       # (nz, nx, ny) planes
         art = ax.pcolormesh(np.asarray(xaxis), np.asarray(yaxis),
-                            imgs[0].T,
-                            vmin=(-np.pi if kind == "phase" else 0.0),
+                            imgs[0].T, vmin=vmin,
                             vmax=vmax, cmap=cmap, shading="auto")
 
         def update(i):
@@ -135,7 +139,8 @@ def video(field, filename, kind="intensity", logarithm=False,
             return (art,)
     else:                                    # (nz, nx) profiles
         (line,) = ax.plot(xaxis, imgs[0])
-        ax.set_ylim(float(imgs.min()), vmax * 1.05)
+        pad = 0.05 * (vmax - vmin)
+        ax.set_ylim(vmin - pad, vmax + pad)
 
         def update(i):
             line.set_ydata(imgs[i])

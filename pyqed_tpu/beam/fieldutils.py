@@ -295,7 +295,10 @@ def filter_edge_1D(x, size=1.1, exponent=32):
     x = np.asarray(x)
     x_center = (x[-1] + x[0]) / 2
     Dx = size * (x[-1] - x[0])
-    return np.exp(-(2 * (x - x_center) / Dx) ** np.abs(exponent))
+    # |base|**p, not base**|p|: a signed base with an odd/non-integer
+    # exponent would AMPLIFY (or NaN) the left half — the reference has
+    # exactly this bug (utils_math.py:1071); even exponents agree
+    return np.exp(-np.abs(2 * (x - x_center) / Dx) ** np.abs(exponent))
 
 
 def filter_edge_2D(x, y, size=1.1, exponent=32):

@@ -208,7 +208,7 @@ class HEOMSolver:
             sizes, offs, pad_sizes, pad_offs, _, _ = \
                 pk.heom_level_structure(keys)
             V = n * n
-            Vp = getattr(lev_rhs, "Vp", -(-V // 128) * 128)
+            Vp = lev_rhs.Vp
             L = len(sizes) - 1
 
             def _embed(plane):
@@ -306,7 +306,7 @@ class HEOMSolver:
                 keys, plus_idx, minus_idx, interpret=interpret,
                 dtype=rdt, nu_is_damp=True)
             perm = pk.heom_level_structure(keys)[5]
-            Vp = getattr(lev_rhs, "Vp", -(-V // 128) * 128)
+            Vp = lev_rhs.Vp
             cols = np.arange(V)
 
             def rhs(ados):
@@ -548,7 +548,7 @@ class HEOMSolver:
             fast=kernel.endswith("fast"), dtype=rdt)
         sizes, offs, pad_sizes, pad_offs, _, _ = \
             pk.heom_level_structure(keys)
-        Vp = getattr(rhs_lv, "Vp", -(-V // 128) * 128)
+        Vp = rhs_lv.Vp
         L = len(sizes) - 1
 
         ados0 = np.zeros((nado, n, n), npdt)

@@ -855,4 +855,6 @@ def heom_rhs_levels_factory(H, Q, c, nu, keys, plus_idx, minus_idx, *,
         flat = fr[perm][:, :V] + 1j * fi[perm][:, :V]
         return flat.reshape(nado, n, n)
 
+    rhs.Vp = Vp
+    rhs.nado_pad = nado_pad
     return rhs, embed, extract, nado_pad

@@ -240,11 +240,13 @@ class TDHF:
         M = sq @ ApB @ sq
         w2, T = jnp.linalg.eigh(M)
         om = jnp.sqrt(jnp.clip(w2, 0, None))
-        if float(om[0]) < 1e-6:
-            # a zero/imaginary RPA root means the reference state is
-            # unstable (e.g. triplet instability); dividing by
-            # sqrt(om) below would emit inf/NaN amplitudes that
-            # silently poison tdhf_gradient downstream
+        if float(om[0]) < 1e-10:
+            # a zero/imaginary RPA root (clipped w2 <= 0 -> om exactly
+            # 0 up to noise) means the reference state is unstable
+            # (e.g. triplet instability); dividing by sqrt(om) below
+            # would emit inf/NaN amplitudes that silently poison
+            # tdhf_gradient downstream.  Threshold at noise scale so
+            # physically tiny-but-real gaps still return usable roots
             raise RuntimeError(
                 f"TDHF/RPA instability: lowest excitation energy "
                 f"{float(om[0]):.3e} au is zero/near-zero — the "

@@ -482,8 +482,6 @@ class TestPencilFFT:
                    [[(0, 1), 0.1 * np.ones_like(X)]])
         psi0 = np.zeros((n, n, 2), complex)
         psi0[..., 0] = np.exp(-X**2 - Y**2)
-        import io, contextlib
-        # capture the compiled HLO of the evolve jit via the traced run
         s.build(0.02)
         from pyqed_tpu.parallel.pencil_fft import make_keo_pencil
         keo = make_keo_pencil(s.shape, s.nstates, s._exp_K_ri, s.mesh)
