@@ -178,3 +178,37 @@ def test_ldr_bench_model_matches_actual_reference_ldrn():
     ref_psi = np.asarray(r_ref.psilist[-1])
     expVh = np.exp(-1j * dt / 2 * apes)
     assert np.max(np.abs(expVh * ours - ref_psi)) < 1e-8
+
+
+class TestF64BenchRows:
+    """The on-device f64 parity rows (VERDICT r4 #3) are themselves
+    logic worth CI-protecting: each bench helper gates a real-split f64
+    program against an independent complex128 truth, so running them at
+    tiny shapes on the CPU backend validates the row machinery (the
+    same code paths the chip executes, x64 exact here)."""
+
+    def test_heom_f64_row_logic(self):
+        import bench
+        rate, err = bench.bench_heom_f64_tpu(nsteps=3, gate_steps=5)
+        assert err < 1e-12
+        assert rate > 0
+
+    def test_2des_f64_row_logic(self):
+        import bench
+        t_map, err = bench.bench_2des_f64_tpu(nw=48, nt2=4,
+                                              gate_nw=24, gate_nt2=3)
+        assert err < 1e-12
+        assert t_map > 0
+
+    def test_ldr_dense_f64_row_logic(self):
+        import bench
+        rate, err = bench.bench_ldr_dense_f64_tpu(level=3, nsteps=5,
+                                                  gate_steps=5)
+        assert err < 1e-12
+        assert rate > 0
+
+    def test_spo3_f64_row_logic(self):
+        import bench
+        rate, err = bench.bench_spo3_f64_tpu(n=16, nsteps=3)
+        assert err < 1e-12
+        assert rate > 0
