@@ -46,7 +46,7 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["pencil_supported", "fft_sharded", "ifft_sharded",
-           "make_keo_pencil"]
+           "make_keo_pencil", "make_keo_factors_pencil"]
 
 
 def _a2a(x, ax, split, concat):
