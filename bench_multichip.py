@@ -45,6 +45,7 @@ def _setup_backend():
     Backend init is sticky: XLA_FLAGS and the platform switch must be
     in place BEFORE the first jax.devices() call, so pod mode is an env
     opt-in rather than auto-detection."""
+    global DEVCOUNTS
     if not os.environ.get("PYQED_MULTICHIP_REAL"):
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
@@ -53,7 +54,6 @@ def _setup_backend():
         jax.config.update("jax_platforms", "cpu")
     else:
         import jax
-    global DEVCOUNTS
     avail = len(jax.devices())
     DEVCOUNTS = tuple(d for d in DEVCOUNTS if d <= avail)
     assert DEVCOUNTS, "no usable device counts"
