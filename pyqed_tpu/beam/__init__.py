@@ -24,4 +24,5 @@ from . import masks
 from . import scenes
 from . import masks_x
 from . import drawing
-from .drawing import draw, video, slices, prepare_drawing, normalize_draw
+from .drawing import (draw, video, slices, prepare_drawing,
+                      normalize_draw, field_view)

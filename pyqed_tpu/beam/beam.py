@@ -1405,9 +1405,9 @@ def _field_view(u, kind, logarithm=False, normalize=False, cut_value=None):
     unified draw() entry point applies identical semantics whichever
     field type it dispatches to.  Kinds: 'intensity', 'amplitude',
     'phase', 'real', 'imag', 'field'."""
-    from .drawing import prepare_drawing, normalize_draw
-    return normalize_draw(prepare_drawing(u, kind), logarithm=logarithm,
-                          normalize=normalize, cut_value=cut_value)
+    from .drawing import field_view
+    return field_view(u, kind, logarithm=logarithm, normalize=normalize,
+                      cut_value=cut_value)
 
 
 def _draw_1d(x, u, kind, logarithm, normalize, cut_value, filename,

@@ -33,7 +33,7 @@ import numpy as np
 from ..utils.style import _mpl, set_style
 from .beam import draw_several_fields  # canonical panel-row (tested)
 
-__all__ = ["prepare_drawing", "normalize_draw", "draw",
+__all__ = ["prepare_drawing", "normalize_draw", "field_view", "draw",
            "draw_several_fields", "video", "slices"]
 
 
@@ -63,7 +63,11 @@ def prepare_drawing(u, kind="intensity"):
 def normalize_draw(img, logarithm=False, normalize=False, cut_value=None):
     """Post-transform scaling (reference:
     pyqed/beam/utils_drawing.py:286 ``normalize_draw``): optional
-    log1p compression, peak normalization, and upper clip."""
+    log1p compression, peak normalization, and upper clip.
+
+    NOTE: drawing entry points do NOT apply this to kind='phase'
+    (phase renders in raw radians, the per-class draw convention) —
+    use :func:`field_view` to get the convention-correct transform."""
     img = np.asarray(img, float)
     if logarithm:
         img = np.log1p(np.abs(img)) * np.sign(img)
@@ -74,6 +78,19 @@ def normalize_draw(img, logarithm=False, normalize=False, cut_value=None):
     if cut_value is not None:
         img = np.clip(img, None, cut_value)
     return img
+
+
+def field_view(u, kind="intensity", logarithm=False, normalize=False,
+               cut_value=None):
+    """The ONE view transform every drawing path shares:
+    prepare_drawing, then normalize_draw — except phase, which always
+    renders raw in radians (the reference's per-class draw convention;
+    normalizing an angle would relabel the colorbar to ~[-1, 1])."""
+    img = prepare_drawing(u, kind)
+    if kind == "phase":
+        return img
+    return normalize_draw(img, logarithm=logarithm, normalize=normalize,
+                          cut_value=cut_value)
 
 
 # ----------------------------------------------------------- dispatching
@@ -120,10 +137,8 @@ def video(field, filename, kind="intensity", logarithm=False,
         xaxis = np.arange(frames.shape[1])
         yaxis = np.arange(frames.shape[2]) if frames.ndim == 3 else None
 
-    imgs = normalize_draw(prepare_drawing(frames, kind),
-                          logarithm, normalize)
-    # color limits from the DATA (kind='real'/'imag' can be all-negative,
-    # and normalize rescales phase away from [-pi, pi])
+    imgs = field_view(frames, kind, logarithm, normalize)
+    # color limits from the DATA (kind='real'/'imag' can be all-negative)
     vmin = float(np.min(imgs))
     vmax = float(np.max(imgs))
     if vmax <= vmin:
@@ -148,13 +163,17 @@ def video(field, filename, kind="intensity", logarithm=False,
 
     anim = animation.FuncAnimation(fig, update, frames=len(imgs),
                                    blit=True)
-    try:
-        writer = animation.FFMpegWriter(fps=fps)
-        anim.save(filename, writer=writer, dpi=dpi)
-    except Exception:
+    # probe writer availability UP FRONT: a mid-encode failure must
+    # propagate (a bare fallback would mask real rendering errors and
+    # leave a truncated .mp4 next to the .gif)
+    if (filename.endswith(".gif")
+            or not animation.writers.is_available("ffmpeg")):
         if not filename.endswith(".gif"):
             filename = filename.rsplit(".", 1)[0] + ".gif"
         anim.save(filename, writer=animation.PillowWriter(fps=fps),
+                  dpi=dpi)
+    else:
+        anim.save(filename, writer=animation.FFMpegWriter(fps=fps),
                   dpi=dpi)
     plt.close(fig)
     return filename
@@ -179,8 +198,7 @@ def slices(field, point=None, kind="intensity", logarithm=False,
         u = np.asarray(field)
         nz, nx, ny = u.shape
         x, y, z = np.arange(nx), np.arange(ny), np.arange(nz)
-    img = normalize_draw(prepare_drawing(u, kind), logarithm, normalize,
-                         cut_value)
+    img = field_view(u, kind, logarithm, normalize, cut_value)
     if point is None:
         iz, ix, iy = np.unravel_index(int(np.argmax(np.abs(img))),
                                       img.shape)

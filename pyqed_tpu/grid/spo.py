@@ -400,7 +400,9 @@ class SPON:
             # the grid divides the mesh; jacobi-coordinate subclasses
             # route their sequential per-axis factors through the same
             # machinery (make_keo_factors_pencil)
-            if getattr(self, "coords", "linear") == "linear":
+            if self._step_mat_ri is not None:
+                pass        # kernel='dft' folds the step; no KEO runs
+            elif getattr(self, "coords", "linear") == "linear":
                 from ..parallel.pencil_fft import make_keo_pencil
                 _pk = make_keo_pencil(self.shape, self.nstates,
                                       self._exp_K_ri, self.mesh, axis)
