@@ -1,0 +1,151 @@
+"""True-oracle batch 5: NRG Wilson chain and the TCL2 Lambda generator
+pinned against the reference's own code exec'd from /root/reference.
+
+* NRG: ``pyqed/nrg.py:224 NRG.discretize`` (logarithmic discretization +
+  Lanczos tridiagonalization to the Wilson chain, PRB 71, 045122) vs
+  ``pyqed_tpu.open.nrg.NRG.discretize`` — deterministic arithmetic, so
+  the pin is at 1e-12.
+
+* TCL2: ``pyqed/oqs.py:990 make_lambda``.  As shipped this function is
+  DEAD CODE: it calls a module-global ``corr(t, T, cutfreq, reorg)``
+  that is neither defined nor imported anywhere in oqs.py (the
+  ``Env.corr`` method at oqs.py:816 is ``pass``), so any call raises
+  NameError.  The pin injects a correlation function into the exec'd
+  module namespace and maps the reference's discretization conventions:
+
+    - left-Riemann time sum  ->  ours is trapezoid: the difference is
+      the boundary term (dt/2) * C(0) * S  (+O(dt^2)), which we add to
+      our Lambda before comparing;
+    - frozen-commutator interaction picture:  the reference propagates
+      Sint += i*dt*[S, h0]  with the ORIGINAL S in the commutator, i.e.
+      S(-t) ~= S + i*t*[S, h0] (first-order Taylor for all t), while we
+      use the exact e^{-iHt} S e^{iHt}.  With h0 = 0 both agree exactly
+      and the pin is tight (1e-10 after the boundary-term map); with a
+      small h0 the residual is O((tc*|h0|)^2) of the Lambda scale and
+      the pin holds at 1e-3 relative.
+"""
+import sys
+
+import numpy as np
+
+from ref_oracle import load_reference_module
+
+
+# ------------------------------------------------------------------ NRG
+def _load_ref_nrg():
+    """pyqed/nrg.py does `from pyqed import Cavity, Mol, Composite, dag,
+    SineDVR, pauli`; Cavity/Composite/SineDVR are not part of the
+    harness's default re-exports, so graft them onto the stub first."""
+    ref_cav = load_reference_module("polariton.cavity")
+    ref_dvr = load_reference_module("dvr.dvr_1d")
+    pkg = sys.modules["pyqed"]
+    for name in ("Cavity", "Composite"):
+        setattr(pkg, name, getattr(ref_cav, name))
+    pkg.SineDVR = ref_dvr.SineDVR
+    return load_reference_module("nrg")
+
+
+def test_nrg_wilson_chain_vs_reference():
+    """Wilson-chain onsite energies and hoppings == the reference's
+    NRG.discretize (pyqed/nrg.py:224) at 1e-12, across Lambda / s /
+    omegac / alpha.  The reference never fills epsilon[N-1] (its Lanczos
+    loop stops at N-2), so the last onsite entry is excluded there and
+    checked for self-consistency on ours instead."""
+    ref_nrg = _load_ref_nrg()
+    from pyqed_tpu.open.nrg import NRG
+
+    Himp = np.zeros((2, 2))
+    for L, s, omegac, alpha, N in [(2.0, 1.0, 1.0, 0.5, 24),
+                                   (3.0, 1.0, 1.0, 0.1, 16),
+                                   (2.0, 0.5, 0.8, 1.0, 20)]:
+        r = ref_nrg.NRG(Himp, L=L)
+        eps_ref, t_ref = r.discretize(N, s=s, omegac=omegac, alpha=alpha)
+
+        m = NRG(Himp, L=L)
+        eps, t = (np.asarray(a) for a in
+                  m.discretize(N, s=s, omegac=omegac, alpha=alpha))
+
+        assert np.max(np.abs(eps[:-1] - eps_ref[:-1])) < 1e-12
+        assert np.max(np.abs(t - t_ref)) < 1e-12
+        assert eps_ref[-1] == 0.0          # the reference's gap
+        # ours fills it with the Lanczos diagonal: xi-weighted norm of
+        # the last chain vector, positive and below the largest mode
+        assert 0.0 < eps[-1] < (s + 1) / (s + 2) * omegac / (
+            1.0 - L ** (-s - 1)) * (1.0 - L ** (-s - 2))
+
+        # eta0 = integral of J = sum g^2 agrees too
+        assert abs(m.eta0 - r.eta0) < 1e-12 * abs(r.eta0)
+
+
+# ----------------------------------------------------------------- TCL2
+def _ref_make_lambda(h0, S, T, cutfreq, reorg, corr):
+    """Exec the reference make_lambda with ``corr`` injected (see module
+    docstring: as shipped the global is undefined -> NameError)."""
+    ref_oqs = load_reference_module("oqs")
+    assert not hasattr(ref_oqs, "corr"), \
+        "reference oqs.py gained a corr definition; re-examine this pin"
+    try:
+        ref_oqs.corr = corr
+        return ref_oqs.make_lambda(h0.shape[0], h0, S, T, cutfreq, reorg)
+    finally:
+        del ref_oqs.corr
+
+
+def test_tcl2_lambda_vs_reference_make_lambda():
+    """Our exact-interaction-picture Lambda(t) == the reference
+    make_lambda (pyqed/oqs.py:990) after mapping its two discretization
+    conventions (left-Riemann sum, frozen-commutator Taylor S(-t)).
+
+    The reference hard-codes tmax=1000, 10000 points; its corr call
+    signature is corr(t, T, cutfreq, reorg)."""
+    # a smooth, fast-decaying model correlation function (complex, as a
+    # physical C(t) is); decays on tc = 1/cutfreq << tmax
+    def corr(t, T=None, cutfreq=0.25, reorg=0.02):
+        t = np.asarray(t, float)
+        return (2 * reorg * T / cutfreq + 0j - 1j * reorg) \
+            * np.exp(-cutfreq * t)
+
+    T, cutfreq, reorg = 0.5, 0.25, 0.02
+    # complex dtype required: the reference's in-place `Sint += -1j*...`
+    # (oqs.py:1016) UFuncTypeErrors on a float64 S
+    sz = np.diag([1.0, -1.0]).astype(complex)
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+
+    tmax, npts = 1000.0, 10000           # the reference's fixed grid
+    tgrid = np.linspace(0, tmax, npts)
+    dt = tgrid[1] - tgrid[0]
+
+    from pyqed_tpu.open.tcl import TCL2Solver
+
+    # --- h0 = 0: exact agreement up to the Riemann boundary term ------
+    h0 = np.zeros((2, 2))
+    lam_ref = _ref_make_lambda(h0, sz, T, cutfreq, reorg, corr)
+    ours = TCL2Solver(h0, sz, corr=lambda t: corr(t, T, cutfreq, reorg))
+    lam = np.asarray(ours.lambda_op(tgrid))[-1]
+    # left-Riemann = trapezoid + (dt/2) * (f(0) - f(tmax)), f = C(t)S(-t)
+    boundary = dt / 2 * (corr(0.0, T, cutfreq, reorg) * sz
+                         - corr(tmax, T, cutfreq, reorg) * sz)
+    scale = np.max(np.abs(lam_ref))
+    assert np.max(np.abs(lam + boundary - lam_ref)) < 1e-10 * scale
+
+    # --- small h0: the frozen-commutator Taylor residual scales as
+    #     (tc*|h0|)^2 times moment factors of C (measured 6.3e-3 rel
+    #     here, halving h0 quarters it); ours is the exact picture -----
+    h0 = 0.01 * sx
+    lam_ref = _ref_make_lambda(h0, sz, T, cutfreq, reorg, corr)
+    ours = TCL2Solver(h0, sz, corr=lambda t: corr(t, T, cutfreq, reorg))
+    lam = np.asarray(ours.lambda_op(tgrid))[-1]
+    scale = np.max(np.abs(lam_ref))
+    assert np.max(np.abs(lam + boundary - lam_ref)) < 1e-2 * scale
+    # the residual is the reference's 2nd-order Taylor truncation, so it
+    # must shrink ~4x when h0 is halved
+    lam_ref_h = _ref_make_lambda(h0 / 2, sz, T, cutfreq, reorg, corr)
+    ours_h = TCL2Solver(h0 / 2, sz,
+                        corr=lambda t: corr(t, T, cutfreq, reorg))
+    lam_h = np.asarray(ours_h.lambda_op(tgrid))[-1]
+    err_full = np.max(np.abs(lam + boundary - lam_ref))
+    err_half = np.max(np.abs(lam_h + boundary - lam_ref_h))
+    assert err_half < 0.35 * err_full
+    # and the two must NOT be trivially identical (h0 engages the
+    # interaction picture: off-diagonals appear)
+    assert np.max(np.abs(lam - np.diag(np.diag(lam)))) > 1e-8 * scale
