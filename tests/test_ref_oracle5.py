@@ -149,3 +149,74 @@ def test_tcl2_lambda_vs_reference_make_lambda():
     # and the two must NOT be trivially identical (h0 engages the
     # interaction picture: off-diagonals appear)
     assert np.max(np.abs(lam - np.diag(np.diag(lam)))) > 1e-8 * scale
+
+
+# ------------------------------------------------- beam utils_math pins
+def _load_ref_utils_math():
+    """pyqed/beam/utils_math.py does `from . import mm`, where mm is a
+    unit scalar defined by the heavy beam/__init__.py (matplotlib,
+    multiprocessing).  Provide a light package stub carrying mm."""
+    import os
+    import types
+    from ref_oracle import REF
+    load_reference_module("fft")          # ensure the pyqed stub pkg
+    if "pyqed.beam" not in sys.modules:
+        bm = types.ModuleType("pyqed.beam")
+        bm.__path__ = [os.path.join(REF, "pyqed", "beam")]
+        bm.__package__ = "pyqed.beam"
+        sys.modules["pyqed.beam"] = bm
+        sys.modules["pyqed"].beam = bm
+    sys.modules["pyqed.beam"].mm = 1000.0
+    return load_reference_module("beam.utils_math")
+
+
+def test_filter_edge_vs_reference():
+    """filter_edge_1D/2D == the reference (pyqed/beam/utils_math.py:
+    1057/1074) at 1e-15 for even exponents.  Orientation: the reference
+    2D filter meshgrids (y, x); ours is indexed (x, y) -> transpose.
+    For ODD exponents the reference formula base**|p| AMPLIFIES the
+    left half (signed base to an odd power flips the sign of the
+    exponential's argument); ours |base|**p stays a window <= 1."""
+    ref = _load_ref_utils_math()
+    from pyqed_tpu.beam.fieldutils import filter_edge_1D, filter_edge_2D
+
+    x = np.linspace(-3.0, 3.0, 121)
+    z = np.linspace(-2.0, 2.0, 81)
+    w_ref = ref.filter_edge_1D(x, size=0.9, exponent=16)
+    w = np.asarray(filter_edge_1D(x, size=0.9, exponent=16))
+    assert np.max(np.abs(w - w_ref)) < 1e-15
+
+    W_ref = ref.filter_edge_2D(x, z, size=0.9, exponent=16)
+    W = np.asarray(filter_edge_2D(x, z, size=0.9, exponent=16))
+    assert W.shape == (121, 81) and W_ref.shape == (81, 121)
+    assert np.max(np.abs(W.T - W_ref)) < 1e-15
+
+    # the reference's odd-exponent sign bug, pinned as-is
+    assert ref.filter_edge_1D(x, size=0.9, exponent=3)[0] > 1.0
+    w3 = np.asarray(filter_edge_1D(x, size=0.9, exponent=3))
+    assert np.all(w3 <= 1.0) and w3[0] < 0.5
+
+
+def test_rotate_image_vs_reference():
+    """rotate_image vs the reference (pyqed/beam/utils_math.py:865).
+    Same rotation direction and pivot semantics; the numeric daylight
+    is interpolation order (reference: pad + cubic-spline
+    ndimage.rotate + crop; ours: exact bilinear inverse map), so the
+    pin is at the interpolation level (3e-2 of the unit peak for a
+    smooth Gaussian) with a direction discriminator: rotating the
+    OTHER way disagrees at O(1)."""
+    ref = _load_ref_utils_math()
+    from pyqed_tpu.beam.fieldutils import rotate_image
+
+    x = np.linspace(-3.0, 3.0, 121)
+    z = np.linspace(-2.0, 2.0, 81)
+    X, Z = np.meshgrid(x, z, indexing="xy")
+    img = np.exp(-((X - 0.3) ** 2 + (Z + 0.2) ** 2) / 0.5)
+
+    r_ref = ref.rotate_image(x, z, img, 30.0, (0.25, -0.3))
+    r_our = np.asarray(rotate_image(x, z, img, 30.0, (0.25, -0.3)))
+    assert r_ref.shape == r_our.shape == img.shape
+    assert np.max(np.abs(r_our - r_ref)) < 3e-2
+    # direction discriminator: the mirror rotation must NOT match
+    r_mirror = ref.rotate_image(x, z, img, -30.0, (0.25, -0.3))
+    assert np.max(np.abs(r_our - r_mirror)) > 0.3
