@@ -220,3 +220,55 @@ def test_rotate_image_vs_reference():
     # direction discriminator: the mirror rotation must NOT match
     r_mirror = ref.rotate_image(x, z, img, -30.0, (0.25, -0.3))
     assert np.max(np.abs(r_our - r_mirror)) > 0.3
+
+
+def _load_ref_utils_optics():
+    """utils_optics additionally needs degrees/np/plt on the package
+    stub (`from . import degrees, np, plt`) and pandas at top level."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    _load_ref_utils_math()                 # installs the pyqed.beam stub
+    bm = sys.modules["pyqed.beam"]
+    bm.degrees = np.pi / 180
+    bm.np = np
+    bm.plt = plt
+    return load_reference_module("beam.utils_optics")
+
+
+def test_utils_optics_vs_reference():
+    """beam_width_1D (D4sigma on the reference's |u|^4 convention),
+    FWHM1D (slope-interpolated), MTF_ideal and both Fresnel coefficient
+    sets == the reference (pyqed/beam/utils_optics.py:104/298/531/825/
+    883) to machine precision — same deterministic arithmetic."""
+    ref = _load_ref_utils_optics()
+    import pyqed_tpu.beam.optics as bo
+
+    x = np.linspace(-12.0, 12.0, 481)
+    u = np.exp(-x ** 2 / (2 * 2.1 ** 2)) * np.exp(1j * 0.3 * x)
+    w_r, xm_r = ref.beam_width_1D(u, x)
+    w_o, xm_o = bo.beam_width_1D(u, x)
+    assert abs(w_r - w_o) < 1e-12 and abs(xm_r - xm_o) < 1e-12
+
+    inten = np.abs(u) ** 2
+    f_r = np.asarray(ref.FWHM1D(x, inten.copy()))
+    f_o = np.asarray(bo.FWHM1D(x, inten.copy()))
+    assert np.max(np.abs(f_o - f_r)) < 1e-12
+
+    freqs = np.linspace(0, 400, 200)
+    m_r = ref.MTF_ideal(freqs, wavelength=0.5, diameter=10.0,
+                        focal=100.0, kind="1D", has_draw=False)
+    if isinstance(m_r, tuple):
+        m_r = m_r[0]
+    m_o, _ = bo.MTF_ideal(freqs, wavelength=0.5, diameter=10.0,
+                          focal=100.0, kind="1D")
+    assert np.max(np.abs(np.asarray(m_o) - np.asarray(m_r))) < 1e-12
+
+    th = np.linspace(0.01, 1.5, 37)
+    for rr, ro in zip(ref.fresnel_coefficients_dielectric(th, 1.0, 1.5),
+                      bo.fresnel_coefficients_dielectric(th, 1.0, 1.5)):
+        assert np.max(np.abs(np.asarray(ro) - np.asarray(rr))) < 1e-12
+    for rr, ro in zip(
+            ref.fresnel_coefficients_complex(th, 1.0, 1.5 + 0.3j),
+            bo.fresnel_coefficients_complex(th, 1.0, 1.5 + 0.3j)):
+        assert np.max(np.abs(np.asarray(ro) - np.asarray(rr))) < 1e-12
