@@ -272,3 +272,80 @@ def test_utils_optics_vs_reference():
             ref.fresnel_coefficients_complex(th, 1.0, 1.5 + 0.3j),
             bo.fresnel_coefficients_complex(th, 1.0, 1.5 + 0.3j)):
         assert np.max(np.abs(np.asarray(ro) - np.asarray(rr))) < 1e-12
+
+
+# --------------------------------------------- chain-builder convention pins
+def test_multisite_builders_vs_reference():
+    """multispin / multiboson / multimode vs the reference's builders
+    (pyqed/phys.py:1681/1805/1878), with each documented convention
+    delta mapped exactly:
+
+    * multispin — identical XX hopping and site lowering operators; the
+      reference's onsite term is (onsite/2)*n_i (phys.py:1697
+      ``0.5 * onsite[0] * sz`` with sz mapped to the number operator),
+      ours is onsite*n_i per our docstring.
+    * multiboson — identical onsite ladder (boson(w,N) without ZPE ==
+      our ham_ho); the reference couples positions J*(a+a^+)(b+b^+)
+      (counter-rotating terms INCLUDED), ours J*(a^+b + ab^+).
+    * multimode — same, but with x = (a+a^+)/sqrt(2) (phys.py:1237), so
+      the reference's rotating part carries J/2.
+    """
+    phys = load_reference_module("phys")
+    import pyqed_tpu.ops.operators as ops
+
+    def dense(m):
+        return np.asarray(m.toarray() if hasattr(m, "toarray") else m)
+
+    # ---- multispin --------------------------------------------------
+    onsite, J = 0.9, 0.2
+    nloc = np.diag([0.0, 1.0])
+    for ns in (1, 2, 3):
+        ref = phys.multispin(onsite, J, ns)
+        H_o, low_o = ops.multispin(onsite, J, ns)
+        if ns == 1:
+            H_r, low_r = ref[0], [ref[1]]
+            low_o = [low_o] if not isinstance(low_o, (list, tuple)) \
+                else low_o
+        else:
+            H_r, low_r = ref
+        nsum = sum(np.kron(np.kron(np.eye(2 ** i), nloc),
+                           np.eye(2 ** (ns - 1 - i))) for i in range(ns))
+        assert np.max(np.abs(dense(H_o) - 0.5 * onsite * nsum
+                             - dense(H_r))) < 1e-12
+        for a, b in zip(low_o, low_r):
+            assert np.max(np.abs(dense(a) - dense(b))) < 1e-12
+
+    # ---- multiboson / multimode -------------------------------------
+    N = 3
+    a1 = np.diag(np.sqrt(np.arange(1, N)), 1)
+    idm = np.eye(N)
+
+    def embed(op, i, nm):
+        out = np.array([[1.0]])
+        for j in range(nm):
+            out = np.kron(out, op if j == i else idm)
+        return out
+
+    w, Jb = 1.1, 0.15
+    for nm in (1, 2, 3):
+        ref = phys.multiboson(w, nm, J=Jb, truncate=N)
+        H_r = dense(ref[0] if isinstance(ref, tuple) else ref)
+        H_o = dense(ops.multiboson(w, nm, J=Jb, truncate=N)[0])
+        counter = sum(
+            Jb * (embed(a1, i, nm) @ embed(a1, i + 1, nm)
+                  + embed(a1.T, i, nm) @ embed(a1.T, i + 1, nm))
+            for i in range(nm - 1)) if nm > 1 else 0.0
+        assert np.max(np.abs(H_o + counter - H_r)) < 1e-12
+
+    ws, Jm = [1.0, 1.2, 0.8], 0.1
+    for nm in (2, 3):
+        H_r = dense(phys.multimode(omegas=ws[:nm], nmodes=nm, J=Jm,
+                                   truncate=N)[0])
+        H_o = dense(ops.multimode(ws[:nm], nm, J=Jm, truncate=N)[0])
+        x = (a1 + a1.T) / np.sqrt(2)
+        rot = sum(Jm * (embed(a1.T, i, nm) @ embed(a1, i + 1, nm)
+                        + embed(a1, i, nm) @ embed(a1.T, i + 1, nm))
+                  for i in range(nm - 1))
+        xx = sum(Jm * embed(x, i, nm) @ embed(x, i + 1, nm)
+                 for i in range(nm - 1))
+        assert np.max(np.abs(H_o - rot + xx - H_r)) < 1e-12
